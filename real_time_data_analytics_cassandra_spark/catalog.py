@@ -1,0 +1,65 @@
+"""Catalog: the driver-generated parquet tables as DataFrames/views.
+
+The reference models its data as five Cassandra tables written by a
+stream consumer (reference README.md:216-289); our engine's base
+relations are the deterministic testdata tables (TESTDATA.md), with
+the reference's derived tables re-expressed as *queries* over them
+(SURVEY.md §1.2).  Reading is plain ``spark.read.parquet`` — Catalyst
+gets filter pushdown + column pruning on the scan for free; at fleet
+scale the same code works over partitioned cloud storage paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from real_time_data_analytics_cassandra_spark.session import ensure_query_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions it is always correct to broadcast (reference holds
+# them as in-process dicts: cassandra_subscriber.py:21-53 GEOGRAPHY_MAP,
+# realtime_api.py:59-63 PRODUCT_SUBCATEGORIES_MAP).
+BROADCAST_DIMS = ("region", "nation")
+
+
+# columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+# rejects; read via spark.sql.legacy.parquet.nanosAsLong and convert
+# with integer division (truncation — matching DuckDB's nanos->micros)
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_query_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view for spark.sql usage."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

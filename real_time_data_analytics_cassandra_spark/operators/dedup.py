@@ -1,0 +1,274 @@
+"""Deduplication operators for large text corpora.
+
+The reference has no dedup (its upsert table is key-dedup only,
+SURVEY.md §2.4 A5); these are the training-data-pipeline extensions
+(BASELINE.json north star).  Everything is partition-parallel pure
+column expressions + joins — no Python in the hot path, no driver
+collects — so the same plans run over 100 TB corpora:
+
+- exact:      hash-groupBy on md5(text)            (1 shuffle)
+- normalized: md5 of canonicalized text            (1 shuffle)
+- n-gram Jaccard: all-pairs via shared-shingle equi-join — exact but
+  O(pairs-sharing-a-shingle); use as verifier, not the scale path
+- MinHash + LSH: signature -> banded bucketing -> candidate pairs ->
+  exact-Jaccard verify.  The scale path: candidate generation touches
+  only band-bucket collisions, never all pairs.
+
+Determinism: all hashing is crc32/md5 of the shingle text with fixed
+odd multipliers for the permutations — stable across runs, sessions
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.functions.textfns import (
+    norm_text,
+    tokens,
+    word_ngrams,
+)
+
+# Mersenne-ish prime > 2^32 for the universal-hash permutations.
+_MINHASH_P = 4294967311
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: (text_hash, canonical id = min, dup_count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def normalized_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dedup key: md5 of (lowercased, space-collapsed) text."""
+    return df.select(
+        F.col(id_col),
+        F.md5(norm_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per document: (id, shingle)."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode(F.array_distinct(word_ngrams("toks", n))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for every document pair
+    sharing at least one shingle; keeps pairs with sim >= threshold.
+
+    The shared-shingle equi-join bounds the pair space to colliding
+    docs (vs a full cross join); for web-scale corpora prefer
+    ``minhash_lsh_pairs`` which bounds it further via banding.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+    return out
+
+
+def _permute(h, i: int):
+    """Universal hash family: ((a_i * h + b_i) mod P); a_i odd."""
+    a = 2 * i + 1
+    b = (i * 2654435761 + 1013904223) % _MINHASH_P
+    return (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document as num_hashes columns ``mh_i``.
+
+    One explode + one groupBy: the k permutations are k aggregate
+    expressions over the same shingle hash (map-side partial agg keeps
+    the shuffle at one row per doc per partition).
+    """
+    sh = shingle_sets(df, id_col, text_col, n)
+    hashed = sh.withColumn("h", F.crc32(F.col("shingle")))
+    aggs = [F.min(_permute(F.col("h"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH candidate generation, exact-Jaccard verification.
+
+    Signature of ``num_hashes`` minhashes split into ``bands`` bands of
+    r = num_hashes/bands rows; docs colliding on any full band become
+    candidate pairs (standard S-curve: P[collide] = 1-(1-s^r)^b).
+    Candidates are then *verified* with exact Jaccard so the output has
+    no false positives — identical contract to ``ngram_jaccard_pairs``
+    restricted to LSH-reachable pairs.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col("id"),
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for brow in band_rows[1:]:
+        banded = banded.unionByName(brow)
+    left = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    right = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard over shingle sets
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(cand, "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_bits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash signature per document as array<int> of ``bits`` 0/1s.
+
+    Token hash = xxhash64(token); bit j of the signature is the sign of
+    the (count-weighted) sum of (2*bit_j(h) - 1) over tokens.  Computed
+    as ``bits`` conditional-sum aggregates in a single groupBy — one
+    shuffle, map-side combined.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .withColumn("h", F.xxhash64(F.col("tok")))
+    )
+    aggs = [
+        F.sum(
+            (F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    summed = tok.groupBy("id").agg(*aggs)
+    bit_cols = [(F.col(f"s_{j}") > 0).cast("int") for j in range(bits)]
+    return summed.select("id", F.array(*bit_cols).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole: distance <= chunks-1 implies at least one of ``chunks``
+    equal signature chunks, so candidate pairs come from grouping on
+    chunk values (no all-pairs scan), then exact Hamming verifies.
+    """
+    assert bits % chunks == 0
+    w = bits // chunks
+    sig = simhash_bits(df, id_col, text_col, bits).cache()
+    chunked = []
+    for ci in range(chunks):
+        chunked.append(
+            sig.select(
+                "id",
+                F.lit(ci).alias("chunk"),
+                F.concat_ws("", *[F.element_at("simhash", ci * w + j + 1).cast("string") for j in range(w)]).alias("chunk_key"),
+            )
+        )
+    banded = chunked[0]
+    for c in chunked[1:]:
+        banded = banded.unionByName(c)
+    cand = (
+        banded.select(F.col("id").alias("id_a"), "chunk", "chunk_key")
+        .join(banded.select(F.col("id").alias("id_b"), "chunk", "chunk_key"), ["chunk", "chunk_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")), "id_b")
+        .withColumn(
+            "hamming",
+            F.expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return verified

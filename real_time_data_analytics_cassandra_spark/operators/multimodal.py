@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry image/audio/video as opaque ``binary``
+columns with typed metadata alongside; decode / feature-extraction /
+frame-sampling run as Arrow-batched pandas stages (``mapInPandas``) so
+each executor processes whole record batches without per-row Python
+overhead.
+
+The actual media codecs are NOT available in this environment, so the
+decode step is a clearly-marked STUB: ``decode_media_meta`` computes a
+deterministic fake (metadata derived arithmetically from the payload
+bytes), and ``decode_media_real`` raises NotImplementedError where a
+real decoder (PIL/ffmpeg/torchaudio) would plug in.  Everything
+Spark-side — schema handling, Arrow batching, partition parallelism,
+the UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a media blob column: utf-8 bytes of the text.
+
+    Real pipelines read the blob from object storage / a parquet binary
+    column; the deterministic derivation keeps tests reproducible.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a media decoder (STUB).
+
+    A real implementation would parse container headers; we derive
+    plausible metadata from the byte length so the oracle can verify
+    the full Spark plumbing end-to-end.
+    """
+    byte_len = batch["payload"].map(len).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "byte_len": byte_len,
+            "width": byte_len % 640,
+            "height": (byte_len * 31) % 480,
+            "n_frames": byte_len % 16,
+        }
+    )
+
+
+def decode_media_meta(df_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield _fake_decode(batch)
+
+    return df_with_payload.mapInPandas(run, schema=DECODED_META_SCHEMA)
+
+
+def decode_media_real(df_with_payload: DataFrame) -> DataFrame:
+    """Where a real decoder would go (PIL / ffmpeg / torchaudio).
+
+    Raises:
+        NotImplementedError: media codec libraries are not available
+        in this environment (see module docstring).
+    """
+    raise NotImplementedError(
+        "real media decoding requires codec libraries not present in this "
+        "environment; use decode_media_meta (deterministic stub) instead"
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators over the documents table.
+
+Training-data-pipeline extensions (BASELINE.json north star): quality
+scoring, token counting, language-ID heuristic, document
+fingerprinting.  All built-in column expressions — whole-stage
+codegen, no UDFs — so they run at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deterministic and intentionally minimal — the real lists
+# would be config, the operator shape is what matters.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+# BPE-ish pre-tokenization: runs of letters, runs of digits, or a
+# single non-alphanumeric non-space symbol (GPT-2-style pre-split,
+# ASCII simplification).  Same regex runs under Java and RE2 (DuckDB).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _stopword_count(toks_col: str, words: tuple[str, ...]) -> Column:
+    array_lit = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter({toks_col}, t -> array_contains(array({array_lit}), t)))"
+    )
+
+
+def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: token count, char count, average
+    token length, stopword ratio.  Single projection, no shuffle."""
+    with_toks = df.withColumn("__toks", tokens(F.col(text_col)))
+    n_tokens = F.size("__toks")
+    n_chars = F.length(text_col)
+    sw = _stopword_count("__toks", LANG_STOPWORDS["en"])
+    return with_toks.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_calc"),
+        # chars excluding the (n_tokens-1) separators, averaged
+        F.round((n_chars - (n_tokens - 1)).cast("double") / n_tokens, 6).alias(
+            "avg_token_len"
+        ),
+        sw.cast("long").alias("stopword_cnt"),
+        F.round(sw.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-tokenizer count."""
+    lower = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_ISH_PATTERN), 0)).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-list language scores + argmax prediction.
+
+    Ties (including all-zero) resolve to 'unknown' — deterministic.
+    """
+    with_toks = df.withColumn("__toks", tokens(F.col(text_col)))
+    score_cols = {
+        lang: _stopword_count("__toks", words).cast("long")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[score_cols[lang] for lang in langs])
+    # argmax with deterministic tie policy: a winner only if it is
+    # strictly greater than every other language's score
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        others = [score_cols[o] for o in langs if o != lang]
+        strictly_best = (score_cols[lang] > 0) & (score_cols[lang] > F.greatest(*others))
+        pred = F.when(strictly_best, F.lit(lang)).otherwise(pred)
+    return with_toks.select(
+        F.col(id_col),
+        *[score_cols[lang].alias(f"score_{lang}") for lang in langs],
+        best.alias("best_score"),
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash of
+    the token stream, ``acc = (acc * 31 + crc32(token)) mod 1e9+7``.
+
+    Unlike md5-of-text this survives in O(1) state per doc and extends
+    to streaming/chunked ingestion.
+    """
+    with_toks = df.withColumn("__toks", tokens(F.col(text_col)))
+    fp = F.expr(
+        "aggregate(__toks, CAST(0 AS BIGINT), "
+        "(acc, t) -> (acc * 31 + crc32(t)) % 1000000007)"
+    )
+    return with_toks.select(F.col(id_col), fp.alias("fingerprint"))

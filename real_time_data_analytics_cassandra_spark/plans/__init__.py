@@ -1,0 +1,15 @@
+"""Plan inspection helpers (used by tests to keep plans honest)."""
+
+from real_time_data_analytics_cassandra_spark.plans.checks import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    wholestage_codegen_count,
+)
+
+__all__ = [
+    "explain_str",
+    "has_broadcast_join",
+    "pushed_filters",
+    "wholestage_codegen_count",
+]

@@ -1,0 +1,735 @@
+"""Query registry: the engine's public query surface.
+
+Every entry re-expresses a reference capability (SURVEY.md §2, with
+reference file:line cites in each docstring) or a training-data
+pipeline extension, as (spark, sf_dir) -> DataFrame, plus — for the
+SQL-expressible ones — a DuckDB oracle statement computing the same
+result for the driver's hash comparison.
+
+Determinism rules (SURVEY.md §5.3):
+- every computed column aliased identically in Spark and SQL;
+- double aggregations go through exact decimal arithmetic
+  (functions/numeric.py) so both engines produce identical values;
+- every top-N carries a unique tie-break key;
+- no wall clock — "current bucket" queries derive their reference
+  instant from max(ts) in the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.catalog import table
+from real_time_data_analytics_cassandra_spark.functions.buckets import hour_bucket
+from real_time_data_analytics_cassandra_spark.functions.numeric import (
+    ONE,
+    davg,
+    dsum,
+    frac,
+    money,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    counts as counts_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    dedup as dedup_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    enrich as enrich_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    latest as latest_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    multimodal as mm_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    similarity as sim_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    text as text_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    topk as topk_op,
+)
+from real_time_data_analytics_cassandra_spark.session import ensure_query_confs
+
+# ---------------------------------------------------------------------------
+# shared pieces
+
+# Mirrors the reference's in-process subcategory dict
+# (realtime_api.py:59-63: {1: road, 2: mountain, 3: touring} with a
+# miss default), keyed here on p_brand.
+SUBCATEGORY_ROWS = [
+    ("Brand#1", "Road Bikes"),
+    ("Brand#2", "Mountain Bikes"),
+    ("Brand#3", "Touring Bikes"),
+]
+UNKNOWN_CATEGORY = "Unknown Category"
+
+_SQL_DECIMAL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4)))"
+)
+
+
+def _geo_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation ⋈ region as a single broadcastable geography dimension —
+    the analog of GEOGRAPHY_MAP (cassandra_subscriber.py:21-53):
+    city <-> n_name, country <-> r_name."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("city"),
+            F.col("r_name").alias("country_region_name"),
+        )
+    )
+
+
+def _signup_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup events enriched with geography (J1: left broadcast join +
+    'Unknown' defaults, cassandra_subscriber.py:81-84, 118)."""
+    events = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    customer = table(spark, sf_dir, "customer")
+    joined = events.join(customer, events.user_id == customer.c_custkey, "left")
+    return enrich_op.broadcast_lookup(
+        joined,
+        _geo_dim(spark, sf_dir),
+        "c_nationkey",
+        "n_nationkey",
+        {"city": "Unknown", "country_region_name": "Unknown"},
+    )
+
+
+_GEO_ORACLE_FROM = """
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE e.event_type = 'signup'
+"""
+
+# ---------------------------------------------------------------------------
+# reference-parity queries
+
+
+def geo_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7.1): new customers per (hour bucket,
+    country, city) — the ``new_customer_geo_counts_by_hour`` counter
+    table derived by aggregation (cassandra_subscriber.py:166-180,
+    reference README.md:250-256).  Scan -> filter -> shuffle join on
+    user key -> broadcast geo -> partial-agg count."""
+    ensure_query_confs(spark)
+    return (
+        _signup_geo(spark, sf_dir)
+        .groupBy(
+            hour_bucket("ts").alias("hour_bucket"),
+            "country_region_name",
+            "city",
+        )
+        .agg(F.count(F.lit(1)).alias("new_customers_count"))
+    )
+
+
+def geo_hourly_country_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country-hour totals — the read-side SUM over per-city rows
+    (realtime_api.py:218, SURVEY.md A3), expressed as a second-level
+    aggregation over the per-city counts so the partial aggregates are
+    reused rather than rescanning events."""
+    ensure_query_confs(spark)
+    per_city = geo_hourly_counts(spark, sf_dir)
+    return (
+        per_city.groupBy("hour_bucket", "country_region_name")
+        .agg(F.sum("new_customers_count").cast("long").alias("total_new_customers"))
+    )
+
+
+def latest_info_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``customer_latest_info`` upsert semantics (SURVEY.md A5):
+    last-write-wins per key via ranking window, tie-broken on event_id
+    (mirrors clustering key, reference README.md:281)."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    return latest_op.latest_per_key(events, ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+def latest_info_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by key (realtime_api.py:99, SURVEY.md P3).  The
+    key filter lands *under* the window (partition filter on user_id
+    pushes to the parquet scan — asserted in tests/test_plans.py)."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    return latest_op.latest_per_key(events, ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+def global_recent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest N signups globally (realtime_api.py:143-149, SURVEY.md
+    T1).  orderBy+limit compiles to TakeOrderedAndProject — per
+    partition top-N then merge; no single hot partition (the reference
+    needed a fixed_partition_key hack, README.md:117-118)."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    customer = table(spark, sf_dir, "customer")
+    joined = events.join(customer, events.user_id == customer.c_custkey, "left").select(
+        F.col("ts").alias("registration_timestamp"),
+        "event_id",
+        "user_id",
+        F.coalesce("c_name", F.lit("Unknown")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("Unknown")).alias("city"),
+    )
+    return topk_op.global_top_n(joined, "registration_timestamp", 10, ["event_id"])
+
+
+def recent_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category 10 newest (realtime_api.py:282-288, reference
+    README.md:263-270; SURVEY.md T2) generalized to all groups at once
+    via ranking window over event_type."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    ranked = topk_op.top_k_per_group(
+        events, ["event_type"], "ts", 10, ["event_id"], rank_col="rn"
+    )
+    return ranked.select(
+        "event_type",
+        F.col("ts").alias("addition_timestamp"),
+        "event_id",
+        "user_id",
+        "value",
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+def new_count_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``new_products_total_count_by_time`` — counts at 5min/hourly/
+    daily granularities with prefixed bucket labels
+    (cassandra_subscriber.py:86-99, 208-221; SURVEY.md A2/F4/F5)."""
+    ensure_query_confs(spark)
+    purchases = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return counts_op.multi_granularity_counts(purchases, "ts")
+
+
+def new_count_current_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bucket fetch with zero default (realtime_api.py:257-260,
+    SURVEY.md A4).  "Current" hour = hour of max(ts) — the
+    parameterized stand-in for the reference's wall clock
+    (realtime_api.py:66-78; SURVEY.md §5.3)."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    wanted = events.agg(hour_bucket(F.max("ts")).alias("hour_bucket"))
+    counted = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy(hour_bucket("ts").alias("hour_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts_op.count_with_zero_default(counted, wanted, "hour_bucket", "cnt", "new_count")
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the raw message payload
+    (cassandra_subscriber.py:103 json.loads; SURVEY.md F9/F10):
+    get_json_object + integer arithmetic + grouped aggregates."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    v = money("value")
+    return (
+        events.select((k % 10).cast("long").alias("k_mod"), v.alias("v"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("v"), "sum_value"),
+            davg(F.col("v"), "avg_value"),
+        )
+    )
+
+
+def subcategory_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side dictionary decoration with miss default
+    (realtime_api.py:59-63, 292, 317; SURVEY.md J2/F8): literal
+    broadcast dim left-joined onto part, aggregated per category."""
+    ensure_query_confs(spark)
+    part = table(spark, sf_dir, "part")
+    dim = spark.createDataFrame(SUBCATEGORY_ROWS, ["p_brand", "category_name"])
+    return (
+        part.join(F.broadcast(dim), "p_brand", "left")
+        .select(
+            F.coalesce("category_name", F.lit(UNKNOWN_CATEGORY)).alias("category_name"),
+            money("p_retailprice").alias("rp"),
+        )
+        .groupBy("category_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum(F.col("rp"), "sum_retail"),
+            davg(F.col("rp"), "avg_retail"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytical superset (TPC-H-shaped; SURVEY.md §2.2 notes range
+# predicates etc. come free with Spark — these exercise them at bench
+# scale)
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation with exact
+    decimal arithmetic; the bench workhorse."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+    )
+    qty, price = money("l_quantity"), money("l_extendedprice")
+    one = F.lit(1).cast(ONE)
+    disc, tax = frac("l_discount"), frac("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(qty, "sum_qty"),
+        dsum(price, "sum_base_price"),
+        dsum(price * (one - disc), "sum_disc_price"),
+        dsum(price * ((one - disc) * (one + tax)), "sum_charge"),
+        davg(qty, "avg_qty"),
+        davg(price, "avg_price"),
+        davg(disc, "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-join star query; nation/region broadcast,
+    fact joins shuffle on keys with AQE free to re-plan."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast(ONE)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(money("l_extendedprice") * (one - frac("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + grouped revenue + global
+    top-10 (TakeOrderedAndProject; deterministic via exact decimal
+    revenue + orderkey tie-break)."""
+    ensure_query_confs(spark)
+    cutoff = F.lit("2000-03-15 00:00:00").cast("timestamp")
+    customer = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    one = F.lit(1).cast(ONE)
+    grouped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(money("l_extendedprice") * (one - frac("l_discount")), "revenue"))
+    )
+    return grouped.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10).select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity / multimodal
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text) (one shuffle)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dedup_op.exact_duplicate_groups(docs, "doc_id", "text")
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup key: md5 of normalized text."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dedup_op.normalized_fingerprints(docs, "doc_id", "text")
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard near-dup pairs (sim >= 0.5) via
+    shared-shingle equi-join; the verifier for the MinHash/LSH path."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dedup_op.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) candidate pairs, exact-Jaccard
+    verified (sim >= 0.5).  The 100 TB-scale dedup path; no SQL oracle
+    (crc32-based permutations are Spark-side), driver records a
+    rows-only check; tests assert it agrees with ngram_jaccard."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dedup_op.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs, Hamming <= 3, chunk-bucketed
+    candidates (pigeonhole).  No SQL oracle (xxhash64 is Spark-side)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dedup_op.simhash_near_pairs(docs, "doc_id", "text")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token/char counts, avg token
+    length, stopword ratio)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.quality_stats(docs, "doc_id", "text")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.token_counts(docs, "doc_id", "text")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language-ID heuristic with deterministic argmax."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.lang_scores(docs, "doc_id", "text")
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the token stream.  No
+    SQL oracle (crc32 is Spark-side); rows-only check."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.rolling_fingerprint(docs, "doc_id", "text")
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbours for query vectors (vec_id < 10):
+    broadcast queries over the corpus scan, JVM-side vector math."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    out = sim_op.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbours (probe 4 of the
+    deterministic centroid cells).  Approximate by design -> no SQL
+    oracle; tests measure recall against knn_bruteforce."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    out = sim_op.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal plumbing: attach payload bytes, decode
+    metadata via Arrow-batched mapInPandas (deterministic stub decoder
+    — see operators/multimodal.py)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return mm_op.decode_media_meta(mm_op.attach_binary_payload(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "geo_hourly_counts": geo_hourly_counts,
+        "geo_hourly_country_totals": geo_hourly_country_totals,
+        "latest_info_per_user": latest_info_per_user,
+        "latest_info_point_lookup": latest_info_point_lookup,
+        "global_recent_customers": global_recent_customers,
+        "recent_by_category": recent_by_category,
+        "new_count_multi_granularity": new_count_multi_granularity,
+        "new_count_current_bucket": new_count_current_bucket,
+        "json_extract_props": json_extract_props,
+        "subcategory_enrichment": subcategory_enrichment,
+        "pricing_summary": pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
+        "top_revenue_orders": top_revenue_orders,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "ngram_jaccard": ngram_jaccard,
+        "minhash_lsh": minhash_lsh,
+        "simhash_near_dup": simhash_near_dup,
+        "text_quality": text_quality,
+        "token_count": token_count,
+        "lang_id": lang_id,
+        "doc_rolling_fingerprint": doc_rolling_fingerprint,
+        "knn_bruteforce": knn_bruteforce,
+        "ann_ivf": ann_ivf,
+        "multimodal_decode_meta": multimodal_decode_meta,
+    }
+
+
+_STOPWORD_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in text_op.LANG_STOPWORDS.items()
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains({_STOPWORD_SQL[lang]}, t))) AS BIGINT)"
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    langs = list(text_op.LANG_STOPWORDS)
+    score_exprs = {lang: _lang_score_sql(lang) for lang in langs}
+    pred_cases = " ".join(
+        f"WHEN {score_exprs[lang]} > 0 AND {score_exprs[lang]} > "
+        f"greatest({', '.join(score_exprs[o] for o in langs if o != lang)}) "
+        f"THEN '{lang}'"
+        for lang in langs
+    )
+    return {
+        "geo_hourly_counts": f"""
+            SELECT strftime(e.ts, '%Y%m%d%H') AS hour_bucket,
+                   coalesce(r.r_name, 'Unknown') AS country_region_name,
+                   coalesce(n.n_name, 'Unknown') AS city,
+                   count(*) AS new_customers_count
+            {_GEO_ORACLE_FROM}
+            GROUP BY 1, 2, 3
+        """,
+        "geo_hourly_country_totals": f"""
+            SELECT strftime(e.ts, '%Y%m%d%H') AS hour_bucket,
+                   coalesce(r.r_name, 'Unknown') AS country_region_name,
+                   count(*) AS total_new_customers
+            {_GEO_ORACLE_FROM}
+            GROUP BY 1, 2
+        """,
+        "latest_info_per_user": """
+            SELECT user_id, event_id, ts, event_type, value, props
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events e)
+            WHERE rn = 1
+        """,
+        "latest_info_point_lookup": """
+            SELECT user_id, event_id, ts, event_type, value, props
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events e
+                  WHERE user_id = 7)
+            WHERE rn = 1
+        """,
+        "global_recent_customers": """
+            SELECT e.ts AS registration_timestamp,
+                   e.event_id,
+                   e.user_id,
+                   coalesce(c.c_name, 'Unknown') AS customer_name,
+                   coalesce(c.c_mktsegment, 'Unknown') AS city
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            WHERE e.event_type = 'signup'
+            ORDER BY e.ts DESC, e.event_id
+            LIMIT 10
+        """,
+        "recent_by_category": """
+            SELECT event_type,
+                   ts AS addition_timestamp,
+                   event_id,
+                   user_id,
+                   value,
+                   CAST(rn AS BIGINT) AS rn
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY event_type ORDER BY ts DESC, event_id) AS rn
+                  FROM events e)
+            WHERE rn <= 10
+        """,
+        "new_count_multi_granularity": """
+            SELECT '5min:' || strftime(ts, '%Y%m%d%H')
+                   || lpad(CAST((minute(ts) // 5) * 5 AS VARCHAR), 2, '0') AS time_bucket,
+                   count(*) AS product_count
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            UNION ALL
+            SELECT 'hourly:' || strftime(ts, '%Y%m%d%H'), count(*)
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            UNION ALL
+            SELECT 'daily:' || strftime(ts, '%Y%m%d'), count(*)
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "new_count_current_bucket": """
+            WITH m AS (SELECT strftime(max(ts), '%Y%m%d%H') AS hour_bucket FROM events),
+                 c AS (SELECT strftime(ts, '%Y%m%d%H') AS hour_bucket, count(*) AS cnt
+                       FROM events WHERE event_type = 'signup' GROUP BY 1)
+            SELECT m.hour_bucket, CAST(coalesce(c.cnt, 0) AS BIGINT) AS new_count
+            FROM m LEFT JOIN c USING (hour_bucket)
+        """,
+        "json_extract_props": """
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_mod,
+                   count(*) AS n,
+                   CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_value,
+                   round(CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_value
+            FROM events
+            GROUP BY 1
+        """,
+        "subcategory_enrichment": """
+            SELECT coalesce(d.category_name, 'Unknown Category') AS category_name,
+                   count(*) AS n_parts,
+                   CAST(CAST(round(sum(CAST(p.p_retailprice AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_retail,
+                   round(CAST(CAST(round(sum(CAST(p.p_retailprice AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_retail
+            FROM part p
+            LEFT JOIN (VALUES ('Brand#1', 'Road Bikes'),
+                              ('Brand#2', 'Mountain Bikes'),
+                              ('Brand#3', 'Touring Bikes')) AS d(p_brand, category_name)
+              ON p.p_brand = d.p_brand
+            GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_base_price,
+                   CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4)))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * ((CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(9,4)))
+                               * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(9,4))))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_charge,
+                   round(CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_qty,
+                   round(CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_price,
+                   round(CAST(CAST(round(sum(CAST(l_discount AS DECIMAL(9,4))), 4) AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": f"""
+            SELECT n.n_name AS nation,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
+        """,
+        "top_revenue_orders": f"""
+            SELECT l.l_orderkey,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
+                   o.o_orderdate,
+                   o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM documents
+            GROUP BY 1
+        """,
+        "dedup_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 ints AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS i),
+                 sh AS (SELECT DISTINCT doc_id,
+                               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                        FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
+                 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+                 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2)
+            SELECT id_a, id_b, n_inter,
+                   round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.5
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS avg_token_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> list_contains(['the', 'a', 'of', 'and', 'to'], t))) AS BIGINT) AS stopword_cnt,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                            t -> list_contains(['the', 'a', 'of', 'and', 'to'], t))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   {', '.join(f'{score_exprs[lang]} AS score_{lang}' for lang in langs)},
+                   greatest({', '.join(score_exprs[lang] for lang in langs)}) AS best_score,
+                   CASE {pred_cases} ELSE 'unknown' END AS predicted_lang,
+                   lang AS labeled_lang
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS q_vec_id, CAST(embedding AS DOUBLE[]) AS q_emb
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS n_vec_id, CAST(embedding AS DOUBLE[]) AS n_emb
+                       FROM embeddings),
+                 scored AS (SELECT q_vec_id, n_vec_id,
+                                   round(list_dot_product(q_emb, n_emb)
+                                         / (sqrt(list_dot_product(q_emb, q_emb))
+                                            * sqrt(list_dot_product(n_emb, n_emb))), 6) AS sim
+                            FROM q, c WHERE n_vec_id <> q_vec_id),
+                 ranked AS (SELECT q_vec_id, n_vec_id, sim,
+                                   CAST(row_number() OVER (
+                                       PARTITION BY q_vec_id ORDER BY sim DESC, n_vec_id) AS BIGINT) AS rnk
+                            FROM scored)
+            SELECT q_vec_id, n_vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+        """,
+        "multimodal_decode_meta": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS byte_len,
+                   CAST(strlen(text) % 640 AS BIGINT) AS width,
+                   CAST((strlen(text) * 31) % 480 AS BIGINT) AS height,
+                   CAST(strlen(text) % 16 AS BIGINT) AS n_frames
+            FROM documents
+        """,
+        # intentionally no oracle (non-SQL-portable hashing / approximate
+        # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
+        # ann_ivf — driver records rows-only checks; tests cross-validate
+        # them against their exact counterparts.
+    }

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Configs here are the local-mode analogue of a production cluster
+profile: AQE on (runtime coalesce + skew-join handling stands in for
+hand-tuned partition counts at 100 TB), shuffle partitions sized from
+the available cores, Arrow enabled for the few pandas-UDF operators,
+and session timezone pinned to UTC so time-bucket strings are
+identical to the DuckDB oracle regardless of host timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_MB = 1024 * 1024
+
+
+def get_spark(
+    app_name: str = "real-time-data-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which the parquet reader
+        # rejects; read as long and convert in catalog.table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # dims here are tiny; on a real cluster raise/lower per workload
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * _MB))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * _MB))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_query_confs(spark: SparkSession) -> SparkSession:
+    """Pin the runtime-settable confs every query depends on.
+
+    The verification driver passes its *own* SparkSession to
+    ``queries()`` entries; time-bucket formatting (date_format) is
+    session-timezone dependent, so force UTC to match the tz-naive
+    parquet timestamps and the DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

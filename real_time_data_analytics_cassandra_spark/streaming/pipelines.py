@@ -1,0 +1,108 @@
+"""The reference's write path as Structured Streaming pipelines.
+
+Reference behavior (SURVEY.md §2.7, §3.1): one RabbitMQ consumer
+fans each JSON event out into five Cassandra tables — two entity
+upserts, one global recent list, two counter families — with
+event-time bucketing and at-least-once delivery (non-idempotent
+counters can double count, cassandra_subscriber.py:229-231).
+
+Spark-first restatement:
+- counters    -> watermarked windowed groupBy counts (exactly-once
+                 with checkpointing — strictly stronger than the
+                 reference, SURVEY.md ST4);
+- upsert view -> dropDuplicates within the watermark, or the batch
+                 argmax view (operators/latest.py) for accept-late-
+                 forever semantics (documented difference, ST3);
+- fan-out     -> one foreachBatch writing N sinks per micro-batch
+                 (ST7), replacing the per-event multi-table batch.
+
+Every transformation here is also correct in batch mode — the same
+DataFrame expressions run over a bounded source; tests assert
+stream(availableNow) == batch (SURVEY.md §5.2 batch-equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.functions.buckets import hour_bucket
+
+DEFAULT_WATERMARK = "1 hour"
+
+
+def hourly_type_counts(events: DataFrame, watermark: str | None = DEFAULT_WATERMARK) -> DataFrame:
+    """Tumbling 1-hour counts per event_type — the streaming form of
+    the counter tables (cassandra_subscriber.py:166-180).  Works on
+    both streaming and batch inputs; the watermark only applies to
+    streams (state eviction — the documented deviation from the
+    reference's accept-late-forever counters, SURVEY.md ST3)."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyyMMddHH").alias("hour_bucket"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+    """Execute a (bounded) streaming DataFrame to completion with the
+    availableNow trigger into a memory sink; return the result table.
+
+    Memory sink + complete mode is the test harness path; production
+    uses update/append mode into a fault-tolerant sink (parquet/Kafka)
+    with the same checkpoint mechanics.
+    """
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def multicast_foreach_batch(events: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Fan-out multicast (SURVEY.md ST7): one micro-batch feeds the
+    derived views, written atomically per batch — the exactly-once
+    replacement for the reference's per-event multi-table writes
+    (cassandra_subscriber.py:121-180).
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from real_time_data_analytics_cassandra_spark.operators.latest import latest_per_key
+    from real_time_data_analytics_cassandra_spark.operators.counts import (
+        multi_granularity_counts,
+    )
+
+    def write_views(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            # raw event log (the system of record all views derive from)
+            batch.write.mode("append").parquet(f"{out_dir}/event_log")
+            # per-batch latest-per-key delta; readers union + re-argmax,
+            # or a MERGE target (Delta/Iceberg) applies it as an upsert
+            latest_per_key(batch, ["user_id"], "ts", ["event_id"]).write.mode(
+                "append"
+            ).parquet(f"{out_dir}/latest_delta")
+            # per-batch bucket count deltas; readers sum by bucket
+            multi_granularity_counts(batch, "ts").write.mode("append").parquet(
+                f"{out_dir}/bucket_count_delta"
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(write_views)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,83 @@
+"""Local mirror of the driver's correctness gate: every queries()
+entry with an oracle_sql() entry must match DuckDB on the same
+parquet, compared the same way (sort columns by name, sort rows,
+value equality).  Runs at sf0.001 for speed; the driver re-runs at
+sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # we engineered exact equality; no tolerance
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+    con = _duck(SF_ORACLE)
+    odf = con.sql(ORACLES[name]).df()
+    con.close()
+
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+
+    s_n, o_n = _normalize(sdf), _normalize(odf)
+    for col in s_n.columns:
+        sv, ov = list(s_n[col]), list(o_n[col])
+        mism = [
+            (i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if not _values_equal(x, y)
+        ]
+        assert not mism, f"{name}.{col}: first mismatches {mism[:5]}"
+
+
+def test_every_query_runs_and_returns_rows(spark):
+    """Rows-only sanity for queries without an oracle."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_ORACLE)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) == 4
