@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced with the noop sink (full computation of every
+output column, no driver collect, no disk write) so timings measure
+the plan, not the harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from real_time_data_analytics_cassandra_spark import queries as q
+from real_time_data_analytics_cassandra_spark.session import get_spark
+
+# Headline set: the reference-parity pipeline + the scan/join/agg
+# heavy analytical queries + one of each training-data operator
+# family.  (ngram_jaccard is excluded: its all-pairs verify join is
+# quadratic in colliding docs — minhash_lsh is the scale path and IS
+# benched.)
+BENCH_QUERIES = [
+    "geo_hourly_counts",
+    "geo_hourly_country_totals",
+    "latest_info_per_user",
+    "global_recent_customers",
+    "recent_by_category",
+    "new_count_multi_granularity",
+    "new_count_current_bucket",
+    "json_extract_props",
+    "subcategory_enrichment",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_revenue_orders",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "minhash_lsh",
+    "simhash_near_dup",
+    "text_quality",
+    "token_count",
+    "lang_id",
+    "knn_bruteforce",
+    "ann_ivf",
+    "multimodal_decode_meta",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="rtdac-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+
+    # JVM/codegen warmup on an off-benchmark query
+    force(registry["latest_info_point_lookup"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        force(registry[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,7 @@ from real_time_data_analytics_cassandra_spark.plans.checks import (
     explain_str,
     has_broadcast_join,
     pushed_filters,
+    python_eval_free,
     wholestage_codegen_count,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "explain_str",
     "has_broadcast_join",
     "pushed_filters",
+    "python_eval_free",
     "wholestage_codegen_count",
 ]

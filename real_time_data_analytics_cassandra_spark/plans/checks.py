@@ -35,4 +35,30 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:
-    return explain_str(df).count("WholeStageCodegen")
+    """Number of WholeStageCodegen subtrees ('codegen' explain mode).
+
+    AQE wraps the un-executed plan in AdaptiveSparkPlan, which reports
+    zero codegen subtrees before runtime re-planning — temporarily
+    disable AQE so physical planning materializes the codegen stages
+    for inspection (the conf is restored afterwards; inspection only,
+    execution still runs with AQE).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # note: queryExecution memoizes the physical plan on first
+        # access, so call this before other explain helpers on the
+        # same DataFrame
+        text = explain_str(df, "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
+
+
+def python_eval_free(df: DataFrame) -> bool:
+    """True when no row-at-a-time Python evaluation is in the plan
+    (Arrow-batched pandas stages report as ArrowEvalPython/MapInPandas
+    and are allowed)."""
+    return "BatchEvalPython" not in explain_str(df)

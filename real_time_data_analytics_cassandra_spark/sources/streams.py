@@ -12,12 +12,40 @@ stream/batch equivalence (SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from real_time_data_analytics_cassandra_spark.session import ensure_query_confs
+
+
+def _stream_dir(parquet_file: str) -> str:
+    """FileStreamSource requires a *directory*; the testdata tables are
+    single files.  Stage a stable per-file symlink directory (the
+    production analog is simply a real landing directory that files
+    arrive into)."""
+    digest = hashlib.sha256(parquet_file.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "rtdac_stream", digest)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(parquet_file))
+    if not os.path.islink(link):
+        os.symlink(parquet_file, link)
+    return d
 
 
 def bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with its batch-inferred
-    schema (streaming sources require an explicit schema)."""
+    schema (streaming sources require an explicit schema).  Applies
+    the same TIMESTAMP(NANOS) -> microsecond conversion as
+    catalog.table so event-time ops see a real timestamp column."""
+    ensure_query_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    df = spark.readStream.schema(schema).parquet(_stream_dir(path))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,67 @@
+"""Physical-plan invariants — the 100 TB posture, kept honest in CI
+(see plans/checks.py).  A refactor that drops a pushdown or degrades
+a broadcast join to a shuffle join fails here, not on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark import queries as q
+from real_time_data_analytics_cassandra_spark.catalog import table
+from real_time_data_analytics_cassandra_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    python_eval_free,
+    wholestage_codegen_count,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_point_lookup_filter_pushed_to_scan(spark):
+    df = q.latest_info_point_lookup(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    assert any("user_id" in f for f in pushed), pushed
+
+
+def test_event_type_filter_pushed(spark):
+    df = table(spark, SF_SMOKE, "events").filter(F.col("event_type") == "signup")
+    pushed = pushed_filters(df)
+    assert any("event_type" in f for f in pushed), pushed
+
+
+def test_geo_query_uses_broadcast_join(spark):
+    assert has_broadcast_join(q.geo_hourly_counts(spark, SF_SMOKE))
+
+
+def test_subcategory_enrichment_uses_broadcast_join(spark):
+    assert has_broadcast_join(q.subcategory_enrichment(spark, SF_SMOKE))
+
+
+def test_top_n_compiles_to_take_ordered(spark):
+    plan = explain_str(q.global_recent_customers(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pricing_summary_stays_in_codegen(spark):
+    df = q.pricing_summary(spark, SF_SMOKE)
+    assert wholestage_codegen_count(df) >= 1
+    assert python_eval_free(df)
+
+
+def test_text_operators_python_free(spark):
+    """Text analysis must stay JVM-side (no row-at-a-time Python)."""
+    for name in ("text_quality", "token_count", "lang_id", "dedup_exact"):
+        assert python_eval_free(q.queries()[name](spark, SF_SMOKE)), name
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = explain_str(q.pricing_summary(spark, SF_SMOKE))
+    # ReadSchema on the lineitem scan must not include unused columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    plan = explain_str(q.knn_bruteforce(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
