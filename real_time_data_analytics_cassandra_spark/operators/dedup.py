@@ -150,19 +150,20 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col("id"),
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_key"),
+    # all band keys in ONE pass over the signatures (posexplode of an
+    # array of per-band digests) — a per-band union would rescan and
+    # re-aggregate the shingles `bands` times
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"mh_{bi * r + j}").cast("string") for j in range(r)]
             )
         )
-    banded = band_rows[0]
-    for brow in band_rows[1:]:
-        banded = banded.unionByName(brow)
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    )
     left = banded.select(F.col("id").alias("id_a"), "band", "band_key")
     right = banded.select(F.col("id").alias("id_b"), "band", "band_key")
     cand = (
@@ -171,8 +172,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify candidates with exact Jaccard over shingle sets
-    sh = shingle_sets(df, id_col, text_col, n)
+    # verify candidates with exact Jaccard over shingle sets (cached:
+    # used for both the intersection join and the per-doc sizes)
+    sh = shingle_sets(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.select(F.col("id").alias("id_a"), "shingle")
@@ -242,18 +244,17 @@ def simhash_near_pairs(
     assert bits % chunks == 0
     w = bits // chunks
     sig = simhash_bits(df, id_col, text_col, bits).cache()
-    chunked = []
-    for ci in range(chunks):
-        chunked.append(
-            sig.select(
-                "id",
-                F.lit(ci).alias("chunk"),
-                F.concat_ws("", *[F.element_at("simhash", ci * w + j + 1).cast("string") for j in range(w)]).alias("chunk_key"),
-            )
+    # all chunk keys in one pass (see minhash_lsh_pairs)
+    chunk_keys = [
+        F.concat_ws(
+            "",
+            *[F.element_at("simhash", ci * w + j + 1).cast("string") for j in range(w)],
         )
-    banded = chunked[0]
-    for c in chunked[1:]:
-        banded = banded.unionByName(c)
+        for ci in range(chunks)
+    ]
+    banded = sig.select(
+        "id", F.posexplode(F.array(*chunk_keys)).alias("chunk", "chunk_key")
+    )
     cand = (
         banded.select(F.col("id").alias("id_a"), "chunk", "chunk_key")
         .join(banded.select(F.col("id").alias("id_b"), "chunk", "chunk_key"), ["chunk", "chunk_key"])
