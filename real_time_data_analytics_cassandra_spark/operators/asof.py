@@ -1,0 +1,69 @@
+"""As-of join (point-in-time lookup).
+
+Not in the reference (its data model answers only pre-materialized
+questions); this is the standard event-attribution operator a
+training/analytics pipeline needs: for each left row, the most recent
+right row with the same key at-or-before the left timestamp.
+
+Spark-first implementation: the *union trick* — tag both sides, union,
+one ranking window per key ordered by time carries the last-seen right
+payload forward (``last(..., ignorenulls=True)`` over an unbounded
+preceding frame).  One shuffle on the key, linear in rows, no per-key
+loops and no range-join explosion — this is the 100 TB-safe shape.
+Skewed keys fall under AQE skew handling like any other window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: tuple[str, ...] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row: latest right row with right.ts <= left.ts.
+
+    Right rows sort before left rows at equal timestamps (inclusive
+    match).  Output = left columns + ``<right_ts><suffix>`` +
+    ``<payload><suffix>`` columns (NULL when no prior right row).
+    """
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in (right_ts, *right_payload)],
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in (right_ts, *right_payload)],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.desc("__is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__l",
+        "__is_right",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in (right_ts, *right_payload)
+        ],
+    )
+    out = carried.filter(F.col("__is_right") == 0).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{c}{suffix}") for c in (right_ts, *right_payload)],
+    )
+    return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,6 +79,49 @@ def decode_media_meta(df_with_payload: DataFrame) -> DataFrame:
             yield _fake_decode(batch)
 
     return df_with_payload.mapInPandas(run, schema=DECODED_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_byte_offset", LongType()),
+    ]
+)
+
+
+def frame_sample(df_with_payload: DataFrame) -> DataFrame:
+    """Frame sampling over video-like payloads: one output row per
+    sampled frame (1:N Arrow-batched expansion via mapInPandas).
+
+    The frame count and offsets come from the deterministic stub
+    decoder (byte_len-derived, see module docstring); a real
+    implementation would read container frame indexes.  Payloads with
+    zero frames produce no rows.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            meta = _fake_decode(batch)
+            n = meta["n_frames"].to_numpy()
+            reps = n.clip(min=0)
+            doc_ids = meta["doc_id"].to_numpy().repeat(reps)
+            byte_len = meta["byte_len"].to_numpy().repeat(reps)
+            n_rep = n.repeat(reps)
+            frame_idx = np.concatenate(
+                [np.arange(k, dtype="int64") for k in reps]
+            ) if len(reps) else np.array([], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids.astype("int64"),
+                    "frame_idx": frame_idx,
+                    "frame_byte_offset": (frame_idx * (byte_len // n_rep)).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return df_with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def decode_media_real(df_with_payload: DataFrame) -> DataFrame:

@@ -57,6 +57,32 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for
+    every pair with cosine >= threshold.
+
+    This is the exact all-pairs form (O(n^2) dot products, but linear
+    shuffle: the self-join is a broadcast when one side fits, else a
+    blocked cartesian — Spark's CartesianProduct streams partitions
+    pairwise).  The 100 TB path bounds the pair space first: assign
+    vectors to IVF cells (assign_to_centroids) or LSH sign-buckets and
+    compare only within cells — same verify expression.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_expr("emb_a", "emb_b"), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

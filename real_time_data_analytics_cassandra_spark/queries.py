@@ -32,6 +32,9 @@ from real_time_data_analytics_cassandra_spark.functions.numeric import (
     money,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
+    asof as asof_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
     counts as counts_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
@@ -45,6 +48,9 @@ from real_time_data_analytics_cassandra_spark.operators import (
 )
 from real_time_data_analytics_cassandra_spark.operators import (
     multimodal as mm_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    sessions as sessions_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
     similarity as sim_op,
@@ -453,6 +459,126 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# windowed / relational superset: as-of join, sessionization, rollup,
+# distinct counts, set ops, ISO serialization
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-trick, operators/asof.py): each purchase
+    attributed to the user's most recent at-or-before signup."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    signups = events.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_op.asof_join(purchases, signups, "user_id", "ts", "ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("signup_ts"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof"))
+        .cast("long")
+        .alias("micros_since_signup"),
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), operators/sessions.py."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    return sessions_op.sessionize(events, "user_id", "ts", gap_minutes=30)
+
+
+def geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (country, city) — generalizes the reference's
+    read-side city->country SUM (realtime_api.py:218, SURVEY.md A3)
+    into subtotal + grand-total rows with a grouping id."""
+    ensure_query_confs(spark)
+    base = _signup_geo(spark, sf_dir).select("country_region_name", "city")
+    return (
+        base.rollup("country_region_name", "city")
+        .agg(
+            F.count(F.lit(1)).alias("new_customers_count"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("country_region_name", F.lit("ALL")).alias("country_region_name"),
+            F.coalesce("city", F.lit("ALL")).alias("city"),
+            "gid",
+            "new_customers_count",
+        )
+    )
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per event type."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the 100 TB path (no shuffle of
+    the full key set, fixed-size sketches merge map-side).  Approximate
+    -> no SQL oracle; tests bound its error against the exact count."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+def signup_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (INTERSECT): users who both signed up and purchased."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    signup = events.filter(F.col("event_type") == "signup").select("user_id")
+    purchase = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return signup.intersect(purchase)
+
+
+def signup_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (EXCEPT): users who signed up but never purchased."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    signup = events.filter(F.col("event_type") == "signup").select("user_id")
+    purchase = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return signup.subtract(purchase)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form;
+    scale path = IVF/LSH-bucketed, operators/similarity.py)."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_op.cosine_near_dup_pairs(emb, threshold=0.35)
+
+
+def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: 1:N Arrow-batched expansion of
+    video-like payloads into per-frame rows (stub decoder)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return mm_op.frame_sample(mm_op.attach_binary_payload(docs, "doc_id", "text"))
+
+
+def recent_events_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST/JSON result shaping (SURVEY.md S7/F7): ISO-8601
+    serialization of the latest-20 slice."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    top = topk_op.global_top_n(events, "ts", 20, ["event_id"])
+    return top.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracle SQL
 
 
@@ -483,6 +609,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "ann_ivf": ann_ivf,
         "multimodal_decode_meta": multimodal_decode_meta,
+        "purchase_attribution": purchase_attribution,
+        "user_sessions": user_sessions,
+        "geo_rollup": geo_rollup,
+        "distinct_users_per_type": distinct_users_per_type,
+        "approx_distinct_users": approx_distinct_users,
+        "signup_purchase_overlap": signup_purchase_overlap,
+        "signup_only_users": signup_only_users,
+        "embedding_near_dup": embedding_near_dup,
+        "frame_samples": frame_samples,
+        "recent_events_iso": recent_events_iso,
     }
 
 
@@ -728,8 +864,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) % 16 AS BIGINT) AS n_frames
             FROM documents
         """,
+        "purchase_attribution": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT max(r.ts) FROM events r
+                    WHERE r.user_id = e.user_id AND r.event_type = 'signup'
+                      AND r.ts <= e.ts) AS signup_ts,
+                   CAST(epoch_us(e.ts) - epoch_us(
+                       (SELECT max(r.ts) FROM events r
+                        WHERE r.user_id = e.user_id AND r.event_type = 'signup'
+                          AND r.ts <= e.ts)) AS BIGINT) AS micros_since_signup
+            FROM events e
+            WHERE e.event_type = 'purchase'
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_micros
+            FROM numbered
+            GROUP BY 1, 2
+        """,
+        "geo_rollup": f"""
+            SELECT coalesce(country_region_name, 'ALL') AS country_region_name,
+                   coalesce(city, 'ALL') AS city,
+                   CAST(GROUPING(country_region_name, city) AS BIGINT) AS gid,
+                   count(*) AS new_customers_count
+            FROM (SELECT coalesce(r.r_name, 'Unknown') AS country_region_name,
+                         coalesce(n.n_name, 'Unknown') AS city
+                  {_GEO_ORACLE_FROM}) g
+            GROUP BY ROLLUP(country_region_name, city)
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1
+        """,
+        "signup_purchase_overlap": """
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "signup_only_users": """
+            SELECT user_id FROM events WHERE event_type = 'signup'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+        """,
+        "frame_samples": """
+            WITH meta AS (SELECT doc_id,
+                                 CAST(strlen(text) AS BIGINT) AS byte_len,
+                                 CAST(strlen(text) % 16 AS BIGINT) AS n_frames
+                          FROM documents),
+                 ints AS (SELECT unnest(generate_series(0, 15)) AS i)
+            SELECT m.doc_id,
+                   CAST(i AS BIGINT) AS frame_idx,
+                   CAST(i * (byte_len // n_frames) AS BIGINT) AS frame_byte_offset
+            FROM meta m JOIN ints ON ints.i < m.n_frames
+        """,
+        "recent_events_iso": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+                   strftime(ts, '%Y-%m-%d') AS event_date
+            FROM events
+            ORDER BY ts DESC, event_id
+            LIMIT 20
+        """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
-        # ann_ivf — driver records rows-only checks; tests cross-validate
-        # them against their exact counterparts.
+        # ann_ivf, approx_distinct_users — driver records rows-only checks;
+        # tests cross-validate them against their exact counterparts.
     }

@@ -70,6 +70,80 @@ def run_available_now(result: DataFrame, query_name: str, checkpoint_dir: str) -
     return spark.table(query_name)
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Gap-based sessions via the built-in session_window — the
+    streaming form of operators/sessions.sessionize (identical
+    boundary rule: a gap >= `gap` starts a new session).  Also valid
+    in batch mode; tests cross-validate the two implementations."""
+    src = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_window_end"),
+            "n_events",
+        )
+    )
+
+
+def latest_upsert_stream(events: DataFrame) -> DataFrame:
+    """True streaming upsert view of the latest event per user —
+    the reference's ``customer_latest_info`` table semantics
+    (cassandra_subscriber.py:124-144, SURVEY.md ST6) as an
+    arbitrarily-stateful operator (applyInPandasWithState).
+
+    State per key = the argmax-by-(ts, event_id) row seen so far
+    (timestamps held as int64 micros in state for Arrow stability);
+    each micro-batch emits the keys whose latest row changed
+    (update-mode semantics).  State is O(1) per key — the 100 TB
+    concern is key cardinality only, same as the reference's table.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, value double, props string"
+    )
+    state_schema = (
+        "ts_us bigint, event_id bigint, event_type string, value double, props string"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(row.ts).value // 1000)
+                cand = (ts_us, int(row.event_id), row.event_type, float(row.value), row.props)
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "ts": pd.Timestamp(best[0] * 1000),
+                        "event_id": best[1],
+                        "event_type": best[2],
+                        "value": best[3],
+                        "props": best[4],
+                    }
+                ]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def multicast_foreach_batch(events: DataFrame, out_dir: str, checkpoint_dir: str):
     """Fan-out multicast (SURVEY.md ST7): one micro-batch feeds the
     derived views, written atomically per batch — the exactly-once

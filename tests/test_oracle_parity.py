@@ -77,6 +77,22 @@ def test_every_query_runs_and_returns_rows(spark):
         assert df.count() >= 0, name
 
 
+def test_approx_distinct_within_error_bound(spark):
+    """HLL++ sketch (rsd=0.02) must land within 10% of the exact
+    distinct count — the cross-validation for the no-oracle query."""
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["distinct_users_per_type"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in QUERIES["approx_distinct_users"](spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(1, 0.1 * v), (k, v, approx[k])
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -9,11 +9,15 @@ from __future__ import annotations
 import tempfile
 
 from real_time_data_analytics_cassandra_spark.catalog import table
+from real_time_data_analytics_cassandra_spark.operators.latest import latest_per_key
+from real_time_data_analytics_cassandra_spark.operators.sessions import sessionize
 from real_time_data_analytics_cassandra_spark.sources.streams import bounded_event_stream
 from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
     hourly_type_counts,
+    latest_upsert_stream,
     multicast_foreach_batch,
     run_available_now,
+    session_window_counts,
 )
 from tests.conftest import SF_SMOKE
 
@@ -30,6 +34,51 @@ def test_stream_batch_equivalence_hourly_counts(spark):
         )
         batch = hourly_type_counts(table(spark, SF_SMOKE, "events"))
         assert _rows(streamed) == _rows(batch)
+
+
+def test_session_window_matches_manual_sessionize(spark):
+    """Batch session_window and the manual lag/cumsum sessionize must
+    produce the same sessions (same boundary rule)."""
+    from pyspark.sql import functions as F
+
+    events = table(spark, SF_SMOKE, "events")
+    manual = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(events, "user_id", "ts", 30).collect()
+    }
+    sw = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("win"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    builtin = {(r.user_id, r.min_ts, r.max_ts, r.n_events) for r in sw.collect()}
+    assert manual == builtin
+
+
+def test_latest_upsert_stream_matches_batch_argmax(spark):
+    """The stateful streaming upsert view (ST6) over a bounded replay
+    must equal the batch latest-per-key argmax (A5)."""
+    stream = bounded_event_stream(spark, SF_SMOKE)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            latest_upsert_stream(stream)
+            .writeStream.format("memory")
+            .queryName("latest_upsert_test")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.table("latest_upsert_test")
+        # update mode re-emits a key per micro-batch; keep the final row per key
+        final = latest_per_key(streamed, ["user_id"], "ts", ["event_id"])
+        batch = latest_per_key(
+            table(spark, SF_SMOKE, "events"), ["user_id"], "ts", ["event_id"]
+        ).select("user_id", "ts", "event_id", "event_type", "value", "props")
+        assert _rows(final.select(*batch.columns)) == _rows(batch)
 
 
 def test_multicast_foreach_batch_writes_all_views(spark):
