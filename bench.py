@@ -47,6 +47,14 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "ann_ivf",
     "multimodal_decode_meta",
+    "purchase_attribution",
+    "user_sessions",
+    "geo_rollup",
+    "distinct_users_per_type",
+    "approx_distinct_users",
+    "embedding_near_dup",
+    "frame_samples",
+    "recent_events_iso",
 ]
 
 
