@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from real_time_data_analytics_cassandra_spark.functions.vectors import cosine_expr
+from real_time_data_analytics_cassandra_spark.functions.vectors import (
+    cosine_expr,
+    dot_expr,
+    norm_expr,
+)
 
 
 def brute_force_topk(
@@ -40,14 +44,24 @@ def brute_force_topk(
     deterministic under float summation.
     """
     q = queries.select(
-        F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_emb"),
+        norm_expr(vec_col).alias("q_norm"),
     )
+    # norms are computed ONCE per corpus row before the join (the join
+    # replicates every corpus row per query, so an inline cosine would
+    # re-fold both norms per pair — 3x the interpreted-lambda work)
     c = corpus.select(
-        F.col(id_col).alias("n_vec_id"), F.col(vec_col).alias("n_emb")
+        F.col(id_col).alias("n_vec_id"),
+        F.col(vec_col).alias("n_emb"),
+        norm_expr(vec_col).alias("n_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("n_vec_id") != F.col("q_vec_id"))
-        .withColumn("sim", F.round(cosine_expr("q_emb", "n_emb"), 6))
+        .withColumn(
+            "sim",
+            F.round(dot_expr("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")), 6),
+        )
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("n_vec_id"))
     return (
@@ -83,6 +97,109 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_all_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via blocked matrix products.
+
+    Same contract as ``cosine_near_dup_pairs`` but the O(n^2) dot
+    products run as vectorized numpy inside ``applyInPandas`` instead
+    of per-pair interpreted lambdas: vectors are hashed into
+    ``num_blocks`` blocks, every unordered block pair (i <= j) becomes
+    one grouped task holding the two blocks' rows, and each task
+    multiplies its (n/B x d) sub-matrices.  Row replication is B per
+    vector, tasks are B*(B+1)/2 — at cluster scale B grows with the
+    executor count and no task ever needs more than two blocks in
+    memory (the standard blocked-GEMM decomposition).
+
+    Determinism: the accumulation loops over the dimension axis
+    sequentially, so every dot product is the same left-to-right IEEE
+    fold the SQL ``aggregate(zip_with(...))`` expression and DuckDB's
+    ``list_dot_product`` perform — results are bit-identical to the
+    naive form; the final rounding happens JVM-side with the same
+    ``F.round`` as everywhere else.
+    """
+    df = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("emb"),
+        (F.col(id_col) % num_blocks).cast("int").alias("blk"),
+    )
+    # each vector joins every block-pair group its block is part of:
+    # (min(blk,k), max(blk,k)) for k in 0..B-1; the diagonal (blk,blk)
+    # appears once after array_distinct
+    pair_keys = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, {num_blocks - 1}), "
+            f"k -> struct(least(blk, k) AS i, greatest(blk, k) AS j))"
+        )
+    )
+    keyed = df.select(
+        "vid", "emb", "blk", F.explode(pair_keys).alias("pr")
+    ).select(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"), "vid", "emb", "blk")
+
+    # pre-round slack: emit pairs down to threshold - 1 ulp-ish margin,
+    # the exact >= check happens after JVM-side rounding
+    slack = threshold - 1e-6
+
+    def gemm(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        i, j = int(key[0]), int(key[1])
+
+        def seq_dots(a_mat, b_mat):
+            # (na, nb) dot matrix, accumulated dimension-by-dimension so
+            # the summation order matches a sequential left fold
+            acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+            for d in range(a_mat.shape[1]):
+                acc += a_mat[:, d, None] * b_mat[None, :, d]
+            return acc
+
+        def seq_norms(mat):
+            acc = np.zeros(mat.shape[0])
+            for d in range(mat.shape[1]):
+                acc += mat[:, d] * mat[:, d]
+            return np.sqrt(acc)
+
+        def block(which):
+            sub = pdf[pdf["blk"] == which]
+            mat = np.stack(sub["emb"].to_numpy()).astype(np.float64)
+            return sub["vid"].to_numpy(), mat
+
+        if i == j:
+            ids, mat = block(i)
+            sims = seq_dots(mat, mat)
+            norms = seq_norms(mat)
+            sims = sims / (norms[:, None] * norms[None, :])
+            ia, ib = np.nonzero(
+                (ids[:, None] < ids[None, :]) & (sims >= slack)
+            )
+            out_a, out_b, out_s = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            ids_a, mat_a = block(i)
+            ids_b, mat_b = block(j)
+            sims = seq_dots(mat_a, mat_b)
+            sims = sims / (seq_norms(mat_a)[:, None] * seq_norms(mat_b)[None, :])
+            ia, ib = np.nonzero(sims >= slack)
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+            out_a, out_b, out_s = lo, hi, sims[ia, ib]
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "raw_sim": out_s})
+
+    raw = keyed.groupBy("i", "j").applyInPandas(
+        gemm, "id_a long, id_b long, raw_sim double"
+    )
+    return (
+        raw.withColumn("sim", F.round("raw_sim", 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def assign_to_centroids(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -91,10 +208,14 @@ def assign_to_centroids(
 ) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, embedding, cell)."""
     cent = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_emb")
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("c_emb"),
+        norm_expr(vec_col).alias("c_norm"),
     )
-    scored = corpus.join(F.broadcast(cent)).withColumn(
-        "c_sim", cosine_expr(vec_col, "c_emb")
+    scored = corpus.withColumn("v_norm", norm_expr(vec_col)).join(
+        F.broadcast(cent)
+    ).withColumn(
+        "c_sim", dot_expr(vec_col, "c_emb") / (F.col("v_norm") * F.col("c_norm"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cell"))
     return (
@@ -122,20 +243,27 @@ def ivf_topk(
     centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
 
-    q = queries.select(F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_emb"))
+    q = queries.select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_emb"),
+        norm_expr(vec_col).alias("q_norm"),
+    )
     cent = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_emb"))
     qcells = q.join(F.broadcast(cent)).withColumn("c_sim", cosine_expr("q_emb", "c_emb"))
     wq = Window.partitionBy("q_vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
     probes = (
         qcells.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("q_vec_id", "q_emb", "cell")
+        .select("q_vec_id", "q_emb", "q_norm", "cell")
     )
 
-    cand = assigned.join(
+    cand = assigned.withColumn("v_norm", norm_expr(vec_col)).join(
         F.broadcast(probes), ["cell"]
     ).filter(F.col(id_col) != F.col("q_vec_id"))
-    scored = cand.withColumn("sim", F.round(cosine_expr("q_emb", vec_col), 6))
+    scored = cand.withColumn(
+        "sim",
+        F.round(dot_expr("q_emb", vec_col) / (F.col("q_norm") * F.col("v_norm")), 6),
+    )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -550,11 +550,14 @@ def signup_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs form;
-    scale path = IVF/LSH-bucketed, operators/similarity.py)."""
+    """Embedding-cosine near-duplicate pairs — exact all-pairs via
+    blocked numpy matrix products (operators/similarity.py
+    cosine_all_pairs_blocked): B*(B+1)/2 independent GEMM tasks, bit-
+    identical to the naive fold.  tests cross-check against
+    cosine_near_dup_pairs."""
     ensure_query_confs(spark)
     emb = table(spark, sf_dir, "embeddings")
-    return sim_op.cosine_near_dup_pairs(emb, threshold=0.35)
+    return sim_op.cosine_all_pairs_blocked(emb, threshold=0.35)
 
 
 def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:

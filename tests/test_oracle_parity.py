@@ -93,6 +93,22 @@ def test_approx_distinct_within_error_bound(spark):
         assert abs(approx[k] - v) <= max(1, 0.1 * v), (k, v, approx[k])
 
 
+def test_blocked_all_pairs_matches_naive(spark):
+    """cosine_all_pairs_blocked (numpy GEMM path) must be bit-identical
+    to the naive fold-per-pair form on the same corpus."""
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators import similarity as sim_op
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    naive = sim_op.cosine_near_dup_pairs(emb, threshold=0.35).toPandas()
+    blocked = sim_op.cosine_all_pairs_blocked(emb, threshold=0.35).toPandas()
+    n = _normalize(naive)
+    b = _normalize(blocked)
+    assert len(n) == len(b)
+    for col in n.columns:
+        assert list(n[col]) == list(b[col]), col
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
