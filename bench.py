@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "frame_samples",
     "recent_events_iso",
+    "purchase_running_spend",
+    "hourly_type_pivot",
+    "price_band_stats",
+    "filtered_parts_stats",
+    "value_percentiles",
+    "geo_hourly_counts_salted",
 ]
 
 

@@ -56,6 +56,13 @@ def dsum(c: Column, alias: str) -> Column:
     return F.round(F.sum(c), 2).cast("decimal(15,2)").cast("double").alias(alias)
 
 
+def dsum_over(c: Column, w, alias: str) -> Column:
+    """Windowed form of dsum: exact decimal running SUM over a window
+    frame, rescaled and cast to double identically (order-insensitive
+    within each frame, so Spark and DuckDB agree bit-for-bit)."""
+    return F.round(F.sum(c).over(w), 2).cast("decimal(15,2)").cast("double").alias(alias)
+
+
 def davg(c: Column, alias: str, scale: int = 6) -> Column:
     """Deterministic AVG: exact decimal SUM rescaled to DECIMAL(15,4)
     (see dsum), cast to double, divided by count, rounded.  Both

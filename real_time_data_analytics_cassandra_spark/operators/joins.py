@@ -1,0 +1,76 @@
+"""Join strategies beyond plain equi-joins.
+
+The reference's only joins are tiny broadcast dict lookups
+(SURVEY.md §2.3 J1/J2); these are the engine's superset surface with
+the 100 TB execution concerns made explicit:
+
+- ``band_range_join``: non-equi (range-predicate) join against a
+  small literal dimension — broadcast nested loop, the right physical
+  plan when the dim is tiny and the condition is theta.
+- ``salted_equi_join``: shuffle-join skew mitigation.  When one join
+  key dominates (a hot user, a null bucket), the default hash
+  partitioning puts the whole key on one task.  Salting appends a
+  random-but-deterministic salt to the big side's key and replicates
+  the small side once per salt value, spreading the hot key over
+  ``num_salts`` tasks.  AQE's skew-join handles moderate skew
+  automatically; explicit salting is the belt-and-braces form for
+  pathological keys, and produces bit-identical results to the plain
+  join (asserted in tests and by sharing the oracle of the unsalted
+  query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def band_range_join(
+    facts: DataFrame,
+    spark: SparkSession,
+    value_col: str,
+    bands: Sequence[tuple[str, float, float]],
+    band_name_col: str = "band_name",
+) -> DataFrame:
+    """Inner range join: rows matched to the (name, lo, hi) band with
+    lo <= value < hi.  The band table is a broadcast literal, so the
+    plan is a single pass over the facts (BroadcastNestedLoopJoin) —
+    no shuffle of the big side."""
+    dim = spark.createDataFrame(list(bands), [band_name_col, "band_lo", "band_hi"])
+    cond = (F.col(value_col) >= F.col("band_lo")) & (F.col(value_col) < F.col("band_hi"))
+    return facts.join(F.broadcast(dim), cond, "inner")
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_salts: int = 8,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-resistant equi-join: big side salted by a deterministic
+    hash of its whole row id-space, small side replicated num_salts
+    times.  Output columns = big's ++ small's (join keys included),
+    exactly like the plain join."""
+    # salt = hash of the WHOLE big-side row, so a hot key's rows land
+    # on all num_salts shuffle partitions (hashing only the key would
+    # keep the hot key on one task); any salt assignment yields the
+    # same join result, so correctness never depends on the hash
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)).cast(
+            "int"
+        ),
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(
+        salted_small,
+        (salted_big[big_key] == salted_small[small_key])
+        & (salted_big["__salt"] == salted_small["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

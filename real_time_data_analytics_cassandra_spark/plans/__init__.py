@@ -3,6 +3,7 @@
 from real_time_data_analytics_cassandra_spark.plans.checks import (
     explain_str,
     has_broadcast_join,
+    operator_count,
     pushed_filters,
     python_eval_free,
     wholestage_codegen_count,
@@ -11,6 +12,7 @@ from real_time_data_analytics_cassandra_spark.plans.checks import (
 __all__ = [
     "explain_str",
     "has_broadcast_join",
+    "operator_count",
     "pushed_filters",
     "python_eval_free",
     "wholestage_codegen_count",

@@ -57,6 +57,14 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
+def operator_count(df: DataFrame, op_name: str) -> int:
+    """Occurrences of a physical operator in the plan TREE (formatted
+    explain repeats each node in the details section; counting raw
+    substrings would double-count)."""
+    tree = explain_str(df).split("\n\n")[0]
+    return len(re.findall(rf"\b{re.escape(op_name)}\b", tree))
+
+
 def python_eval_free(df: DataFrame) -> bool:
     """True when no row-at-a-time Python evaluation is in the plan
     (Arrow-batched pandas stages report as ArrowEvalPython/MapInPandas

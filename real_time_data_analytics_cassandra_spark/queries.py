@@ -28,6 +28,7 @@ from real_time_data_analytics_cassandra_spark.functions.numeric import (
     ONE,
     davg,
     dsum,
+    dsum_over,
     frac,
     money,
 )
@@ -42,6 +43,9 @@ from real_time_data_analytics_cassandra_spark.operators import (
 )
 from real_time_data_analytics_cassandra_spark.operators import (
     enrich as enrich_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
+    joins as joins_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
     latest as latest_op,
@@ -568,6 +572,124 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_op.frame_sample(mm_op.attach_binary_payload(docs, "doc_id", "text"))
 
 
+def purchase_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window functions (superset of SURVEY.md §2.5, which
+    notes the reference has none): per-user running purchase total
+    (exact decimal window SUM) + gap to the previous purchase (lag).
+    One shuffle on user_id serves both window functions."""
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    purchases = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    return purchases.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        dsum_over(money("value"), w_run, "running_spend"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_lag)))
+        .cast("long")
+        .alias("micros_since_prev"),
+    )
+
+
+def hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event counts per hour bucket, one column per event type
+    (wide dashboard shape).  Explicit value list keeps the plan a
+    single pass (no distinct-values pre-query); zero-filled."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy(hour_bucket("ts").alias("hour_bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "hour_bucket", *[F.coalesce(t, F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+PRICE_BANDS = [("low", 900.0, 935.0), ("mid", 935.0, 970.0), ("high", 970.0, 1000.0)]
+
+
+def price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: parts matched to literal price bands
+    (lo <= price < hi) via broadcast — single scan of the fact side,
+    no shuffle (operators/joins.band_range_join)."""
+    ensure_query_confs(spark)
+    part = table(spark, sf_dir, "part")
+    joined = joins_op.band_range_join(part, spark, "p_retailprice", PRICE_BANDS)
+    return joined.groupBy("band_name").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum(money("p_retailprice"), "sum_retail"),
+        davg(money("p_retailprice"), "avg_retail"),
+    )
+
+
+def filtered_parts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate superset (SURVEY.md §2.2 note: range/IN/LIKE come
+    free with Spark): IN-list + BETWEEN + LIKE, all pushed to the
+    parquet scan, then a grouped aggregate."""
+    ensure_query_confs(spark)
+    part = table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_size").between(10, 25)
+            & F.col("p_name").like("%bolt%")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max("p_size").alias("max_size"),
+            davg(money("p_retailprice"), "avg_retail"),
+        )
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of event value per
+    type — distribution analysis the reference's COUNT/SUM surface
+    lacks.  Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition; rounded at 6dp."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50_value"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+def geo_hourly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregation computed through the skew-resistant
+    salted join (operators/joins.salted_equi_join) — same oracle as
+    geo_hourly_counts, proving salting is result-invariant."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    customer = table(spark, sf_dir, "customer")
+    joined = joins_op.salted_equi_join(events, customer, "user_id", "c_custkey")
+    enriched = enrich_op.broadcast_lookup(
+        joined,
+        _geo_dim(spark, sf_dir),
+        "c_nationkey",
+        "n_nationkey",
+        {"city": "Unknown", "country_region_name": "Unknown"},
+    )
+    return enriched.groupBy(
+        hour_bucket("ts").alias("hour_bucket"), "country_region_name", "city"
+    ).agg(F.count(F.lit(1)).alias("new_customers_count"))
+
+
 def recent_events_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REST/JSON result shaping (SURVEY.md S7/F7): ISO-8601
     serialization of the latest-20 slice."""
@@ -622,6 +744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "frame_samples": frame_samples,
         "recent_events_iso": recent_events_iso,
+        "purchase_running_spend": purchase_running_spend,
+        "hourly_type_pivot": hourly_type_pivot,
+        "price_band_stats": price_band_stats,
+        "filtered_parts_stats": filtered_parts_stats,
+        "value_percentiles": value_percentiles,
+        "geo_hourly_counts_salted": geo_hourly_counts_salted,
     }
 
 
@@ -958,6 +1086,66 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY ts DESC, event_id
             LIMIT 20
+        """,
+        "purchase_running_spend": """
+            SELECT user_id, event_id, ts, value,
+                   CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS DECIMAL(15,2)) AS DOUBLE) AS running_spend,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS micros_since_prev
+            FROM events
+            WHERE event_type = 'purchase'
+        """,
+        "hourly_type_pivot": """
+            SELECT strftime(ts, '%Y%m%d%H') AS hour_bucket,
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS "error",
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS "view"
+            FROM events
+            GROUP BY 1
+        """,
+        "price_band_stats": """
+            SELECT b.band_name,
+                   count(*) AS n_parts,
+                   CAST(CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_retail,
+                   round(CAST(CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_retail
+            FROM part p
+            JOIN (VALUES ('low', 900.0, 935.0),
+                         ('mid', 935.0, 970.0),
+                         ('high', 970.0, 1000.0)) AS b(band_name, band_lo, band_hi)
+              ON p.p_retailprice >= b.band_lo AND p.p_retailprice < b.band_hi
+            GROUP BY 1
+        """,
+        "filtered_parts_stats": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   max(p_size) AS max_size,
+                   round(CAST(CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_retail
+            FROM part
+            WHERE p_type IN ('PROMO', 'ECONOMY')
+              AND p_size BETWEEN 10 AND 25
+              AND p_name LIKE '%bolt%'
+            GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50_value,
+                   round(quantile_cont(value, 0.9), 6) AS p90_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events
+            GROUP BY 1
+        """,
+        "geo_hourly_counts_salted": f"""
+            SELECT strftime(e.ts, '%Y%m%d%H') AS hour_bucket,
+                   coalesce(r.r_name, 'Unknown') AS country_region_name,
+                   coalesce(n.n_name, 'Unknown') AS city,
+                   count(*) AS new_customers_count
+            {_GEO_ORACLE_FROM}
+            GROUP BY 1, 2, 3
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,

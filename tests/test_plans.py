@@ -12,6 +12,7 @@ from real_time_data_analytics_cassandra_spark.catalog import table
 from real_time_data_analytics_cassandra_spark.plans import (
     explain_str,
     has_broadcast_join,
+    operator_count,
     pushed_filters,
     python_eval_free,
     wholestage_codegen_count,
@@ -65,3 +66,31 @@ def test_pricing_summary_prunes_columns(spark):
 def test_knn_broadcasts_queries_not_corpus(spark):
     plan = explain_str(q.knn_bruteforce(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_band_range_join_broadcasts_dim(spark):
+    """Non-equi band join must broadcast the literal dim, never
+    shuffle the fact side."""
+    plan = explain_str(q.price_band_stats(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_filtered_parts_predicates_pushed(spark):
+    df = q.filtered_parts_stats(spark, SF_SMOKE)
+    pushed = pushed_filters(df)
+    joined = " ".join(pushed)
+    for key in ("p_size", "p_type"):
+        assert key in joined, pushed
+
+
+def test_running_spend_single_shuffle(spark):
+    """Both window functions share one (user_id) sort+shuffle."""
+    df = q.purchase_running_spend(spark, SF_SMOKE)
+    assert operator_count(df, "Exchange") == 1
+    assert operator_count(df, "Window") == 1
+
+
+def test_pivot_single_scan(spark):
+    """Explicit pivot values -> exactly one scan of events."""
+    df = q.hourly_type_pivot(spark, SF_SMOKE)
+    assert operator_count(df, "Scan parquet") == 1
