@@ -1,0 +1,78 @@
+"""API façade parity: the five endpoint shapes (SURVEY.md §2.9) over
+the engine, including the reference's parameter-validation behavior
+(realtime_api.py:137-138, 252-253, 274-275).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_data_analytics_cassandra_spark.api import VALID_PERIODS, AnalyticsApi
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    return AnalyticsApi(spark, SF_SMOKE)
+
+
+def test_latest_info_point_lookup(api):
+    row = api.latest_info(7)
+    assert row is not None and row["user_id"] == 7
+    # ISO-serialized timestamp, not a datetime object
+    assert isinstance(row["ts"], str) and "T" in row["ts"]
+
+
+def test_latest_info_missing_key(api):
+    assert api.latest_info(10**12) is None
+
+
+def test_global_recent_limit_and_order(api):
+    rows = api.global_recent(limit=5)
+    assert len(rows) == 5
+    ts = [r["ts"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_global_recent_rejects_bad_limit(api):
+    with pytest.raises(ValueError):
+        api.global_recent(limit=0)
+
+
+def test_geo_distribution_total_is_city_sum(api):
+    out = api.geo_distribution("AMERICA")
+    assert out["country"] == "AMERICA"
+    assert out["total_new_customers"] == sum(
+        c["new_customers_count"] for c in out["cities"]
+    )
+    assert len(out["hour_bucket"]) == 10  # yyyyMMddHH
+
+
+def test_new_count_periods(api):
+    for period in VALID_PERIODS:
+        out = api.new_count(period)
+        assert out["period"] == period
+        assert out["time_bucket"].startswith(f"{period}:")
+        assert out["count"] > 0
+
+
+def test_new_count_rejects_unknown_period(api):
+    with pytest.raises(ValueError):
+        api.new_count("weekly")
+
+
+def test_recent_by_category(api):
+    out = api.recent_by_category("purchase")
+    assert 0 < len(out["items"]) <= 10
+    assert [i["rn"] for i in out["items"]] == list(range(1, len(out["items"]) + 1))
+
+
+def test_recent_by_category_unknown(api):
+    with pytest.raises(ValueError):
+        api.recent_by_category("nope")
+
+
+def test_status(api):
+    out = api.status()
+    assert out["status"] == "ok"
+    assert out["engine"] == "spark"

@@ -1,0 +1,84 @@
+"""Storage-layout invariants: partition pruning and shuffle-free
+bucketed joins — the write-once/read-cheap half of the 100 TB posture
+(the read-side plan checks live in test_plans.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.catalog import table
+from real_time_data_analytics_cassandra_spark.plans import explain_str, operator_count
+from real_time_data_analytics_cassandra_spark.sinks import (
+    write_bucketed_table,
+    write_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_by_type(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "events_by_type")
+    events = table(spark, SF_SMOKE, "events")
+    write_partitioned(events, path, ["event_type"], sort_cols=["ts"])
+    return path
+
+
+def test_partition_filter_prunes_directories(spark, events_by_type):
+    df = spark.read.parquet(events_by_type).filter(F.col("event_type") == "signup")
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    # the predicate must appear as a partition filter, not a data filter
+    part_section = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_type" in part_section, plan
+
+
+def test_partitioned_roundtrip_preserves_rows(spark, events_by_type):
+    orig = table(spark, SF_SMOKE, "events")
+    back = spark.read.parquet(events_by_type)
+    assert back.count() == orig.count()
+    assert back.filter(F.col("event_type") == "signup").count() == orig.filter(
+        F.col("event_type") == "signup"
+    ).count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    orders = table(spark, SF_SMOKE, "orders")
+    lineitem = table(spark, SF_SMOKE, "lineitem")
+    write_bucketed_table(
+        orders, "orders_b", str(base / "orders_b"), "o_orderkey", 8, "o_orderkey"
+    )
+    write_bucketed_table(
+        lineitem, "lineitem_b", str(base / "lineitem_b"), "l_orderkey", 8, "l_orderkey"
+    )
+    try:
+        # the MERGE hint stands in for big-x-big sizes (at smoke scale
+        # the optimizer would rightly broadcast; at 100 TB it cannot)
+        joined = (
+            spark.table("lineitem_b")
+            .hint("merge")
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # the join itself must not exchange either side; the only
+        # shuffle allowed is the final small groupBy
+        assert operator_count(joined, "SortMergeJoin") == 1, explain_str(joined)
+        assert operator_count(joined, "Exchange") <= 1, explain_str(joined)
+        # and it still computes the right thing
+        plain = (
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
