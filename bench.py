@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "filtered_parts_stats",
     "value_percentiles",
     "geo_hourly_counts_salted",
+    "streaming_hourly_type_counts",
+    "streaming_session_windows",
+    "streaming_latest_upsert",
 ]
 
 

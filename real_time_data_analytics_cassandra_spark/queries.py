@@ -690,6 +690,89 @@ def geo_hourly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("new_customers_count"))
 
 
+# ---------------------------------------------------------------------------
+# streaming pipelines surfaced as correctness-gated queries: each runs
+# the Structured Streaming pipeline to completion over the bounded
+# replay (availableNow) and returns the materialized result, so the
+# driver's DuckDB hash-compare covers the STREAMING path itself
+# (batch-equivalence, SURVEY.md §5.2), not just its batch twin.
+
+
+def _run_streaming(spark: SparkSession, sf_dir: str, build, name: str) -> DataFrame:
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    stream = bounded_event_stream(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix=f"rtdac_ckpt_{name}_")
+    return run_available_now(build(stream), name, ckpt)
+
+
+def streaming_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counter-table write path as a streaming windowed count
+    (cassandra_subscriber.py:166-180; ST1/ST2/ST5), exactly-once via
+    checkpointing — gated against the batch SQL oracle."""
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        hourly_type_counts,
+    )
+
+    return _run_streaming(
+        spark, sf_dir, hourly_type_counts, "streaming_hourly_type_counts_q"
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window over the event stream (gap 30 min) —
+    the streaming twin of user_sessions (same boundary rule; window
+    end = last event + gap)."""
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        session_window_counts,
+    )
+
+    return _run_streaming(
+        spark, sf_dir, session_window_counts, "streaming_session_windows_q"
+    )
+
+
+def streaming_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer_latest_info upsert (ST6) as an arbitrarily-stateful
+    streaming operator (applyInPandasWithState); update-mode re-emits
+    are collapsed with the batch argmax so the result is the final
+    state — same oracle as latest_info_per_user."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        latest_upsert_stream,
+    )
+
+    ensure_query_confs(spark)
+    stream = bounded_event_stream(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_upsert_")
+    q = (
+        latest_upsert_stream(stream)
+        .writeStream.format("memory")
+        .queryName("streaming_latest_upsert_q")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("streaming_latest_upsert_q")
+    return latest_op.latest_per_key(emitted, ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
 def recent_events_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REST/JSON result shaping (SURVEY.md S7/F7): ISO-8601
     serialization of the latest-20 slice."""
@@ -750,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_parts_stats": filtered_parts_stats,
         "value_percentiles": value_percentiles,
         "geo_hourly_counts_salted": geo_hourly_counts_salted,
+        "streaming_hourly_type_counts": streaming_hourly_type_counts,
+        "streaming_session_windows": streaming_session_windows,
+        "streaming_latest_upsert": streaming_latest_upsert,
     }
 
 
@@ -1146,6 +1232,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS new_customers_count
             {_GEO_ORACLE_FROM}
             GROUP BY 1, 2, 3
+        """,
+        "streaming_hourly_type_counts": """
+            SELECT strftime(ts, '%Y%m%d%H') AS hour_bucket,
+                   event_type,
+                   count(*) AS cnt
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "streaming_session_windows": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_window_end,
+                   count(*) AS n_events
+            FROM numbered
+            GROUP BY user_id, session_idx
+        """,
+        "streaming_latest_upsert": """
+            SELECT user_id, event_id, ts, event_type, value, props
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events e)
+            WHERE rn = 1
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,

@@ -59,5 +59,13 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a foreign session defaults to 200 shuffle partitions; AQE
+    # coalesces those for batch plans but is DISABLED for stateful
+    # streaming, where 200 near-empty state-store tasks are pure
+    # overhead at test scale — pin to the core count
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     return spark
