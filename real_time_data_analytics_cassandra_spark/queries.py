@@ -186,18 +186,33 @@ def global_recent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest N signups globally (realtime_api.py:143-149, SURVEY.md
     T1).  orderBy+limit compiles to TakeOrderedAndProject — per
     partition top-N then merge; no single hot partition (the reference
-    needed a fixed_partition_key hack, README.md:117-118)."""
+    needed a fixed_partition_key hack, README.md:117-118).
+
+    Join order is the 100 TB shape: take the top-N FIRST (N rows),
+    shrink the customer dim to those keys with a broadcast semi-join
+    (streams the dim once, no shuffle), then enrich the N rows from
+    the shrunken broadcast dim — the decoration never touches more
+    than N dim rows."""
     ensure_query_confs(spark)
     events = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
     customer = table(spark, sf_dir, "customer")
-    joined = events.join(customer, events.user_id == customer.c_custkey, "left").select(
+    top = topk_op.global_top_n(
+        events.select("ts", "event_id", "user_id"), "ts", 10, ["event_id"]
+    )
+    matched = customer.join(
+        F.broadcast(top.select("user_id")),
+        customer.c_custkey == F.col("user_id"),
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+    return top.join(
+        F.broadcast(matched), top.user_id == matched.c_custkey, "left"
+    ).select(
         F.col("ts").alias("registration_timestamp"),
         "event_id",
         "user_id",
         F.coalesce("c_name", F.lit("Unknown")).alias("customer_name"),
         F.coalesce("c_mktsegment", F.lit("Unknown")).alias("city"),
     )
-    return topk_op.global_top_n(joined, "registration_timestamp", 10, ["event_id"])
 
 
 def recent_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:

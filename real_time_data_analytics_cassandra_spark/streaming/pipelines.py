@@ -115,15 +115,27 @@ def latest_upsert_stream(events: DataFrame) -> DataFrame:
     )
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         best = tuple(state.get) if state.exists else None
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                ts_us = int(pd.Timestamp(row.ts).value // 1000)
-                cand = (ts_us, int(row.event_id), row.event_type, float(row.value), row.props)
-                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
-                    best = cand
+            if pdf.empty:
+                continue
+            # vectorized argmax by (ts, event_id): one lexsort per
+            # Arrow batch instead of a per-row Python loop
+            ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            ev = pdf["event_id"].to_numpy()
+            top = np.lexsort((ev, ts_us))[-1]
+            cand = (
+                int(ts_us[top]),
+                int(ev[top]),
+                pdf["event_type"].iat[top],
+                float(pdf["value"].iat[top]),
+                pdf["props"].iat[top],
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
         if best is not None:
             state.update(best)
             yield pd.DataFrame(
