@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "streaming_hourly_type_counts",
     "streaming_session_windows",
     "streaming_latest_upsert",
+    "type_hour_cube",
+    "hourly_signups_zero_filled",
+    "purchasing_customer_profiles",
+    "multimodal_features",
 ]
 
 

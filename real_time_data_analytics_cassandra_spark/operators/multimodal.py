@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -122,6 +124,43 @@ def frame_sample(df_with_payload: DataFrame) -> DataFrame:
             )
 
     return df_with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(df_with_payload: DataFrame) -> DataFrame:
+    """Feature extraction over the binary column: a normalized
+    16-bucket byte histogram per payload (the deterministic stand-in
+    for an image/audio embedding model — same Arrow-batched shape a
+    model inference stage would use; swap ``_histogram`` for the model
+    call).  Vectorized: one frombuffer + bincount per payload, no
+    per-byte Python."""
+
+    def _histogram(payload: bytes) -> list[float]:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * FEATURE_DIM
+        counts = np.bincount(arr >> 4, minlength=FEATURE_DIM)
+        return (counts / arr.size).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "features": batch["payload"].map(_histogram),
+                }
+            )
+
+    return df_with_payload.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def decode_media_real(df_with_payload: DataFrame) -> DataFrame:

@@ -705,6 +705,76 @@ def geo_hourly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("new_customers_count"))
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (normalized byte
+    histogram — the model-inference-shaped Arrow stage).  No SQL
+    oracle (array-valued); tests cross-check against a direct numpy
+    computation."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return mm_op.extract_features(mm_op.attach_binary_payload(docs, "doc_id", "text"))
+
+
+def type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour bucket): all four grouping-set
+    combinations in one pass (generalizes geo_rollup's ROLLUP; the
+    reference pre-materializes exactly one grouping per table)."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    base = events.select("event_type", hour_bucket("ts").alias("hour_bucket"))
+    return (
+        base.cube("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("hour_bucket", F.lit("ALL")).alias("hour_bucket"),
+            "gid",
+            "n_events",
+        )
+    )
+
+
+def hourly_signups_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free time series: every hour between min(ts) and max(ts)
+    with its signup count, zero-filled for empty hours.  The hour
+    spine is generated distributed (sequence + explode of epoch-hour
+    ints — no driver-side range materialization)."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / 3600).cast("long").alias("h_lo"),
+        F.floor(F.unix_timestamp(F.max("ts")) / 3600).cast("long").alias("h_hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h_lo", "h_hi")).alias("h")
+    ).select(F.date_format(F.timestamp_seconds(F.col("h") * 3600), "yyyyMMddHH").alias("hour_bucket"))
+    counts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy(hour_bucket("ts").alias("hour_bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return spine.join(counts, "hour_bucket", "left").select(
+        "hour_bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("signups")
+    )
+
+
+def purchasing_customer_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customer attributes for customers with at least
+    one purchase event — the dim never widens (no duplicate rows per
+    matching event, no event columns shuffled)."""
+    ensure_query_confs(spark)
+    customer = table(spark, sf_dir, "customer")
+    purchases = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return customer.join(
+        purchases, customer.c_custkey == purchases.user_id, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
 # ---------------------------------------------------------------------------
 # streaming pipelines surfaced as correctness-gated queries: each runs
 # the Structured Streaming pipeline to completion over the bounded
@@ -851,6 +921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_type_counts": streaming_hourly_type_counts,
         "streaming_session_windows": streaming_session_windows,
         "streaming_latest_upsert": streaming_latest_upsert,
+        "type_hour_cube": type_hour_cube,
+        "hourly_signups_zero_filled": hourly_signups_zero_filled,
+        "purchasing_customer_profiles": purchasing_customer_profiles,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -1283,6 +1357,40 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events e)
             WHERE rn = 1
+        """,
+        "type_hour_cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hour_bucket, 'ALL') AS hour_bucket,
+                   CAST(GROUPING(event_type, hour_bucket) AS BIGINT) AS gid,
+                   count(*) AS n_events
+            FROM (SELECT event_type, strftime(ts, '%Y%m%d%H') AS hour_bucket
+                  FROM events)
+            GROUP BY CUBE(event_type, hour_bucket)
+        """,
+        "hourly_signups_zero_filled": """
+            WITH bounds AS (
+                SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS h_lo,
+                       CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS h_hi
+                FROM events
+            ),
+            spine AS (
+                SELECT strftime(to_timestamp(h * 3600), '%Y%m%d%H') AS hour_bucket
+                FROM bounds, unnest(generate_series(h_lo, h_hi)) AS t(h)
+            ),
+            counts AS (
+                SELECT strftime(ts, '%Y%m%d%H') AS hour_bucket, count(*) AS cnt
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            )
+            SELECT s.hour_bucket,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS signups
+            FROM spine s LEFT JOIN counts c USING (hour_bucket)
+        """,
+        "purchasing_customer_profiles": """
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey
+                            AND e.event_type = 'purchase')
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,

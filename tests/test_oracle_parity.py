@@ -93,6 +93,24 @@ def test_approx_distinct_within_error_bound(spark):
         assert abs(approx[k] - v) <= max(1, 0.1 * v), (k, v, approx[k])
 
 
+def test_multimodal_features_match_direct_numpy(spark):
+    """The Arrow feature-extraction stage must equal a direct numpy
+    histogram of the same utf-8 payloads (cross-check for the
+    no-oracle array-valued query)."""
+    import numpy as np
+
+    rows = QUERIES["multimodal_features"](spark, SF_ORACLE).collect()
+    con = _duck(SF_ORACLE)
+    texts = dict(con.sql("SELECT doc_id, text FROM documents").fetchall())
+    con.close()
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        payload = texts[r.doc_id].encode("utf-8")
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        expected = np.bincount(arr >> 4, minlength=16) / arr.size
+        assert np.array_equal(np.array(r.features), expected), r.doc_id
+
+
 def test_blocked_all_pairs_matches_naive(spark):
     """cosine_all_pairs_blocked (numpy GEMM path) must be bit-identical
     to the naive fold-per-pair form on the same corpus."""
