@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "hourly_signups_zero_filled",
     "purchasing_customer_profiles",
     "multimodal_features",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "stale_parts",
+    "large_volume_customers",
 ]
 
 

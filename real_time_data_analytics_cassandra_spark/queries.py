@@ -705,6 +705,85 @@ def geo_hourly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("new_customers_count"))
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer
+    (LEFT join keeps zero-order customers), then the distribution of
+    those counts.  The second groupBy reuses the first's output
+    (|customers| rows), never rescanning facts."""
+    ensure_query_confs(spark)
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) —
+    PROMO revenue share per month.  Both sums are exact decimal; the
+    final ratio is one double division rounded at 6dp."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    one = F.lit(1).cast(ONE)
+    rev = money("l_extendedprice") * (one - frac("l_discount"))
+    zero = F.lit(0).cast("decimal(26,6)")
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.date_format("l_shipdate", "yyyyMM").alias("ship_month"),
+        rev.alias("rev"),
+        F.when(F.col("p_type") == "PROMO", rev.cast("decimal(26,6)"))
+        .otherwise(zero)
+        .alias("promo_rev"),
+    )
+    return joined.groupBy("ship_month").agg(
+        F.round(
+            F.round(F.sum("promo_rev"), 4).cast("decimal(15,4)").cast("double")
+            / F.round(F.sum("rev"), 4).cast("decimal(15,4)").cast("double"),
+            6,
+        ).alias("promo_share"),
+        dsum(F.col("rev"), "total_revenue"),
+    )
+
+
+def stale_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (TPC-H Q16's NOT IN shape): parts with no
+    lineitem shipped after the cutoff — the complement of the semi
+    join, same single-pass no-widening property."""
+    ensure_query_confs(spark)
+    part = table(spark, sf_dir, "part")
+    recent = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2001-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        part.join(recent, part.p_partkey == recent.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_stale_parts"))
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate (orders whose
+    total quantity exceeds 150), then enrichment joins on the
+    surviving keys only — filter-early, join-late."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(money("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (normalized byte
     histogram — the model-inference-shaped Arrow stage).  No SQL
@@ -925,6 +1004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_signups_zero_filled": hourly_signups_zero_filled,
         "purchasing_customer_profiles": purchasing_customer_profiles,
         "multimodal_features": multimodal_features,
+        "customer_order_distribution": customer_order_distribution,
+        "promo_revenue_share": promo_revenue_share,
+        "stale_parts": stale_parts,
+        "large_volume_customers": large_volume_customers,
     }
 
 
@@ -1391,6 +1474,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM events e
                           WHERE e.user_id = c.c_custkey
                             AND e.event_type = 'purchase')
+        """,
+        "customer_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY 1)
+            GROUP BY 1
+        """,
+        "promo_revenue_share": f"""
+            SELECT strftime(l_shipdate, '%Y%m') AS ship_month,
+                   round(
+                     CAST(CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST({_SQL_DECIMAL_REV} AS DECIMAL(26,6))
+                         ELSE CAST(0 AS DECIMAL(26,6)) END), 4) AS DECIMAL(15,4)) AS DOUBLE)
+                     / CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 4) AS DECIMAL(15,4)) AS DOUBLE),
+                     6) AS promo_share,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS total_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        """,
+        "stale_parts": """
+            SELECT p_brand, count(*) AS n_stale_parts
+            FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey
+                                AND l.l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+            GROUP BY 1
+        """,
+        "large_volume_customers": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+            FROM (SELECT l_orderkey,
+                         CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS total_qty
+                  FROM lineitem GROUP BY 1) b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE b.total_qty > 150
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
