@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) for the operators whose
+semantics are easiest to get subtly wrong: as-of join, gap
+sessionization, salted joins, and partition-count invariance of the
+exact decimal aggregates.  Each property is checked against an
+independent pure-Python model on randomized inputs — complementary to
+the DuckDB oracle, which only covers the fixed testdata distribution.
+
+Spark job submission dominates runtime, so examples are capped low;
+hypothesis still shrinks failures to minimal cases.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.operators.asof import asof_join
+from real_time_data_analytics_cassandra_spark.operators.joins import salted_equi_join
+from real_time_data_analytics_cassandra_spark.operators.sessions import sessionize
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (user_id, ts_seconds, event_id) with unique event ids per example
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda rows: [(u, t, i) for i, (u, t) in enumerate(rows)])
+
+
+def _events_df(spark, rows):
+    df = spark.createDataFrame(rows, ["user_id", "t", "event_id"])
+    return df.select(
+        "user_id", F.timestamp_seconds("t").alias("ts"), "event_id", F.col("t")
+    )
+
+
+@given(rows=events_strategy)
+@SET
+def test_sessionize_properties(spark, rows):
+    df = _events_df(spark, rows)
+    gap_min = 5
+    out = sessionize(df, "user_id", "ts", gap_minutes=gap_min).collect()
+
+    # model: sort each user's times, split on gaps >= gap
+    by_user: dict[int, list[int]] = {}
+    for u, t, _e in rows:
+        by_user.setdefault(u, []).append(t)
+    expected = []
+    for u, times in by_user.items():
+        times.sort()
+        sessions: list[list[int]] = [[times[0]]]
+        for t in times[1:]:
+            if t - sessions[-1][-1] >= gap_min * 60:
+                sessions.append([t])
+            else:
+                sessions[-1].append(t)
+        for idx, s in enumerate(sessions, start=1):
+            expected.append((u, idx, s[0], s[-1], len(s)))
+
+    got = sorted(
+        (
+            r.user_id,
+            r.session_idx,
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            r.n_events,
+        )
+        for r in out
+    )
+    assert got == sorted(expected)
+
+
+@given(rows=events_strategy, right_times=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=0, max_value=10_000)),
+    max_size=20,
+))
+@SET
+def test_asof_join_matches_bisect_model(spark, rows, right_times):
+    left = _events_df(spark, rows)
+    right = spark.createDataFrame(
+        right_times or [(99, 0)], ["user_id", "t"]
+    ).select("user_id", F.timestamp_seconds("t").alias("ts")).distinct()
+
+    out = asof_join(left, right, "user_id", "ts", "ts").collect()
+
+    by_user: dict[int, list[int]] = {}
+    for u, t in right_times:
+        by_user.setdefault(u, []).append(t)
+    for v in by_user.values():
+        v.sort()
+
+    assert len(out) == len(rows)
+    for r in out:
+        cands = by_user.get(r.user_id, [])
+        i = bisect.bisect_right(cands, int(r.ts.timestamp()))
+        expected = cands[i - 1] if i else None
+        got = int(r.ts_asof.timestamp()) if r.ts_asof is not None else None
+        assert got == expected, (r.user_id, r.event_id)
+
+
+@given(rows=events_strategy, dim=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), st.text(max_size=5)),
+    max_size=6,
+    unique_by=lambda kv: kv[0],
+))
+@SET
+def test_salted_join_equals_plain_join(spark, rows, dim):
+    big = _events_df(spark, rows)
+    small = spark.createDataFrame(dim or [(99, "x")], ["k", "v"])
+    salted = salted_equi_join(big, small, "user_id", "k", num_salts=4)
+    plain = big.join(small, big.user_id == small.k, "left")
+    key = lambda r: (r.user_id, r.event_id, r.k, r.v)  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+@given(rows=events_strategy)
+@SET
+def test_decimal_sum_partition_invariant(spark, rows):
+    """dsum must give bit-identical results regardless of partitioning
+    — the property that makes oracle hashing (and 1000-executor
+    clusters) deterministic."""
+    from real_time_data_analytics_cassandra_spark.functions.numeric import dsum, money
+
+    df = spark.createDataFrame(
+        [(u, t + 0.07) for u, t, _ in rows], ["user_id", "value"]
+    )
+    sums = [
+        df.repartition(n)
+        .groupBy("user_id")
+        .agg(dsum(money("value"), "s"))
+        .collect()
+        for n in (1, 7)
+    ]
+    assert sorted(map(tuple, sums[0])) == sorted(map(tuple, sums[1]))
