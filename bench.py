@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "promo_revenue_share",
     "stale_parts",
     "large_volume_customers",
+    "value_zscores",
 ]
 
 

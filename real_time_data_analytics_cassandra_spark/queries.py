@@ -784,6 +784,34 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization: z-score of event value within
+    its event_type.  Group stats come from ONE grouped aggregation
+    (|groups| rows) broadcast-joined back — not a window over the
+    whole partition, which would funnel each group through one task at
+    100 TB.  Mean and variance derive from exact decimal sums (sum,
+    sum of squares), so both engines normalize with bit-identical
+    stats; z rounded at 6dp."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    v = money("value")
+    stats = events.groupBy("event_type").agg(
+        (F.round(F.sum(v), 4).cast("decimal(15,4)").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+        (
+            F.round(F.sum(v * v), 4).cast("decimal(24,4)").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_sq"),
+    )
+    enriched = events.join(F.broadcast(stats), "event_type")
+    sd = F.sqrt(F.col("mean_sq") - F.col("mean_v") * F.col("mean_v"))
+    return enriched.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - F.col("mean_v")) / sd, 6).alias("z"),
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (normalized byte
     histogram — the model-inference-shaped Arrow stage).  No SQL
@@ -1008,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": promo_revenue_share,
         "stale_parts": stale_parts,
         "large_volume_customers": large_volume_customers,
+        "value_zscores": value_zscores,
     }
 
 
@@ -1503,6 +1532,20 @@ def oracle_sql() -> dict[str, str]:
                               WHERE l.l_partkey = p.p_partkey
                                 AND l.l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
             GROUP BY 1
+        """,
+        "value_zscores": """
+            WITH stats AS (
+                SELECT event_type,
+                       CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE)
+                           / count(*) AS mean_v,
+                       CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 4) AS DECIMAL(24,4)) AS DOUBLE)
+                           / count(*) AS mean_sq
+                FROM events
+                GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - s.mean_v) / sqrt(s.mean_sq - s.mean_v * s.mean_v), 6) AS z
+            FROM events e JOIN stats s USING (event_type)
         """,
         "large_volume_customers": """
             SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
