@@ -37,6 +37,50 @@ def _stream_dir(parquet_file: str) -> str:
     return d
 
 
+EVENT_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+# Spark's default JSON timestampFormat is millisecond-precision; the
+# event log carries microseconds — pin the format on BOTH serialize
+# and parse so the decode is lossless
+EVENT_JSON_OPTIONS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def parse_event_json(raw: DataFrame, json_col: str = "raw_json") -> DataFrame:
+    """JSON message decode (SURVEY.md S2): ``from_json`` with the
+    explicit event schema (schema declared, never inferred — the
+    reference's fixed-DDL philosophy) + the ``type``-discriminator
+    columns ready for stream fan-out (cassandra_subscriber.py:103,
+    115, 184).  Works identically on batch and streaming inputs."""
+    parsed = raw.select(
+        F.from_json(F.col(json_col), EVENT_JSON_SCHEMA, EVENT_JSON_OPTIONS).alias("m")
+    )
+    return parsed.select("m.*")
+
+
+def rate_event_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic unbounded source (Spark's built-in ``rate`` source)
+    shaped like the event stream — the stand-in for a live message bus
+    (RabbitMQ in the reference, Kafka in a production deployment:
+    same pipeline code, different ``format``)."""
+    ensure_query_confs(spark)
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 1000).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )
+
+
 def bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with its batch-inferred
     schema (streaming sources require an explicit schema).  Applies
