@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "stale_parts",
     "large_volume_customers",
     "value_zscores",
+    "dedup_clusters",
 ]
 
 

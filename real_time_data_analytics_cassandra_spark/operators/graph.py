@@ -1,0 +1,96 @@
+"""Connected components over a pair graph (iterative label
+propagation).
+
+The training-data use case: near-duplicate detection emits PAIRS
+(dedup.py, similarity.py); deduplication needs CLUSTERS — the
+connected components of the pair graph — so one canonical document
+per component survives.
+
+Spark-first: iterative min-label propagation expressed as DataFrame
+joins/aggregations.  Each iteration is one shuffle (edges are
+materialized bidirectionally, labels propagate across them, every
+node keeps the min label seen); convergence is a driver-side scalar
+check (count of changed labels — the only thing that ever reaches
+the driver).  Iteration count is bounded by the graph diameter, and
+near-dup components are tiny in practice (pathological chains are
+bounded by ``max_iterations``).
+
+At 100 TB: each iteration is a standard shuffle join on node id —
+partition-parallel, AQE-sized; caching the stable edge list avoids
+re-reading the source.  (GraphFrames/Pregel would be the library
+route; the point here is that plain DataFrame ops suffice.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Component label (= min node id in the component) per node that
+    appears in ``edges``.  Output: (id, component) — isolated nodes
+    (absent from edges) are the caller's concern.
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        bidir.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for each node u, the labels of its neighbors
+        neighbor = (
+            bidir.join(labels, bidir.v == labels.id)
+            .select(F.col("u").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_docs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full dedup verdict per document: its component (cluster) label
+    and whether it is the cluster's canonical survivor (min id).
+    Documents with no near-dup pair are their own singleton cluster."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        all_docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")))
+    )

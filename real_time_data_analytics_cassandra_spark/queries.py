@@ -419,6 +419,22 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.simhash_near_pairs(docs, "doc_id", "text")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches: connected components
+    of the exact-Jaccard pair graph via iterative DataFrame label
+    propagation (operators/graph.py) — the iterative-algorithm
+    surface, still oracle-gated (DuckDB recursive CTE computes the
+    same min-label components)."""
+    from real_time_data_analytics_cassandra_spark.operators import graph as graph_op
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_op.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    return graph_op.dedup_clusters(pairs, docs, "doc_id")
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (token/char counts, avg token
     length, stopword ratio)."""
@@ -1037,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_parts": stale_parts,
         "large_volume_customers": large_volume_customers,
         "value_zscores": value_zscores,
+        "dedup_clusters": dedup_clusters,
     }
 
 
@@ -1532,6 +1549,38 @@ def oracle_sql() -> dict[str, str]:
                               WHERE l.l_partkey = p.p_partkey
                                 AND l.l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
             GROUP BY 1
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            ints AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS i),
+            sh AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                   FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(CAST(n_inter AS DOUBLE)
+                            / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.5
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+            ),
+            comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster_id,
+                   d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         """,
         "value_zscores": """
             WITH stats AS (

@@ -1,0 +1,50 @@
+"""Cross-validation of approximate operators against their exact
+counterparts — the correctness story for the no-oracle queries.
+"""
+
+from __future__ import annotations
+
+from real_time_data_analytics_cassandra_spark import queries as q
+from tests.conftest import SF_ORACLE
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_lsh_subset_and_recall_of_exact_jaccard(spark):
+    """Every LSH pair is exact-Jaccard-verified (zero false
+    positives); recall vs the exhaustive shared-shingle join must be
+    high at threshold 0.5 (32 hashes / 8 bands -> ~99% at s=0.5)."""
+    exact = _pairs(q.ngram_jaccard(spark, SF_ORACLE))
+    lsh = _pairs(q.minhash_lsh(spark, SF_ORACLE))
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    assert exact, "fixture must contain near-duplicate pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF (nprobe=4) top-5 neighbour sets per query vs exact knn."""
+    exact = {}
+    for r in q.knn_bruteforce(spark, SF_ORACLE).collect():
+        exact.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    approx = {}
+    for r in q.ann_ivf(spark, SF_ORACLE).collect():
+        approx.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    assert set(exact) == set(approx)
+    hits = sum(len(exact[k] & approx[k]) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    recall = hits / total
+    assert recall >= 0.5, f"recall {recall:.3f}"
+
+
+def test_simhash_pairs_have_low_hamming_and_similar_text(spark):
+    """SimHash survivors must be verified (hamming <= 3 by
+    construction) and should overlap the exact Jaccard pairs."""
+    rows = q.simhash_near_dup(spark, SF_ORACLE).collect()
+    assert all(r.hamming <= 3 for r in rows)
+    if rows:
+        exact = _pairs(q.ngram_jaccard(spark, SF_ORACLE))
+        sim_pairs = {(r.id_a, r.id_b) for r in rows}
+        assert sim_pairs & exact, "simhash should find some true near-dups"

@@ -125,6 +125,40 @@ def test_salted_join_equals_plain_join(spark, rows, dim):
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
 
 
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),
+              st.integers(min_value=0, max_value=15)),
+    min_size=1,
+    max_size=25,
+).map(lambda es: [(min(a, b), max(a, b)) for a, b in es if a != b] or [(0, 1)]))
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r.id, r.component) for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n)) for n in parent}
+    assert got == expected
+
+
 @given(rows=events_strategy)
 @SET
 def test_decimal_sum_partition_invariant(spark, rows):
