@@ -73,7 +73,9 @@ BENCH_QUERIES = [
     "stale_parts",
     "large_volume_customers",
     "value_zscores",
-    "dedup_clusters",
+    # dedup_clusters is correctness-gated but excluded here for the
+    # same reason as ngram_jaccard: its pair source is the exact
+    # quadratic verifier (the LSH path is the benched scale path)
 ]
 
 
