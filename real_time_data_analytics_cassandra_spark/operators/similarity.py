@@ -225,6 +225,36 @@ def assign_to_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Coarse IVF centroids via pyspark.ml KMeans (k-means|| init,
+    fixed seed).  Output mimics a corpus row — (id, embedding) with
+    synthetic ids — so it drops into the same assignment/probe code
+    as the stride-sampled centroids.  Default cell count matches the
+    stride baseline's density (~1 cell per 50 vectors) so recall is
+    comparable at any corpus size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if n_cells is None:
+        n_cells = max(2, min(256, corpus.count() // 50))
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    centers = model.clusterCenters()
+    sc_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        [id_col, "c"],
+    )
+    return sc_df.select(id_col, F.col("c").cast("array<float>").alias(vec_col))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -233,14 +263,17 @@ def ivf_topk(
     k: int = 5,
     centroid_stride: int = 50,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-lite ANN: probe the nprobe nearest centroid cells per query.
+    """IVF ANN: probe the nprobe nearest centroid cells per query.
 
-    Centroids are the deterministic subset ``vec_id % centroid_stride
-    == 0`` (a real system would k-means; the *plan shape* — broadcast
-    centroids, partition-pruned cell scan — is the point here).
+    Default centroids are the deterministic subset ``vec_id %
+    centroid_stride == 0`` (oracle-friendly); pass
+    ``kmeans_centroids(corpus)`` for trained cells (better recall —
+    the production path; see tests/test_crossval.py).
     """
-    centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    if centroids is None:
+        centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0)
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
 
     q = queries.select(

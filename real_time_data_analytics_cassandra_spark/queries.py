@@ -484,6 +484,18 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids (pyspark.ml KMeans,
+    k-means|| init, fixed seed) — the production path; the stride-
+    centroid ann_ivf stays as the deterministic baseline.  Approximate
+    -> no SQL oracle; recall vs knn_bruteforce tested."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim_op.kmeans_centroids(emb)
+    out = sim_op.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, centroids=cents)
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary multimodal plumbing: attach payload bytes, decode
     metadata via Arrow-batched mapInPandas (deterministic stub decoder
@@ -1054,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": large_volume_customers,
         "value_zscores": value_zscores,
         "dedup_clusters": dedup_clusters,
+        "ann_ivf_kmeans": ann_ivf_kmeans,
     }
 
 

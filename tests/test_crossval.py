@@ -39,6 +39,21 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"recall {recall:.3f}"
 
 
+def test_ann_kmeans_recall_vs_bruteforce(spark):
+    """Trained centroids must reach at least the recall floor of the
+    stride baseline (usually better: cells follow the data)."""
+    exact = {}
+    for r in q.knn_bruteforce(spark, SF_ORACLE).collect():
+        exact.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    approx = {}
+    for r in q.ann_ivf_kmeans(spark, SF_ORACLE).collect():
+        approx.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    recall = hits / total
+    assert recall >= 0.5, f"recall {recall:.3f}"
+
+
 def test_simhash_pairs_have_low_hamming_and_similar_text(spark):
     """SimHash survivors must be verified (hamming <= 3 by
     construction) and should overlap the exact Jaccard pairs."""
