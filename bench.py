@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "stale_parts",
     "large_volume_customers",
     "value_zscores",
+    "tfidf_top_terms",
     # dedup_clusters is correctness-gated but excluded here for the
     # same reason as ngram_jaccard: its pair source is the exact
     # quadratic verifier (the LSH path is the benched scale path)

@@ -109,3 +109,46 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "(acc, t) -> (acc * 31 + crc32(t)) % 1000000007)"
     )
     return with_toks.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf * ln(N/df)).
+
+    Three aggregations, all map-side combined: term frequency per
+    (doc, term), document frequency per term (one count over the
+    already-distinct doc-term pairs), corpus size as a broadcast
+    scalar — no driver-side counting.  ln runs on identical doubles in
+    any engine; scores round at 6dp with (score desc, term) ranking.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", F.col("tf").alias("term_freq"), "tfidf", "rnk")
+    )

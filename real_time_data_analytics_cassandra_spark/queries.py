@@ -457,6 +457,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.lang_scores(docs, "doc_id", "text")
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (operators/text.py): three
+    map-side-combined aggregations + broadcast corpus size, ranked
+    with a deterministic (score, term) tie-break."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.tfidf_top_terms(docs, "doc_id", "text")
+
+
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash fingerprint of the token stream.  No
     SQL oracle (crc32 is Spark-side); rows-only check."""
@@ -1067,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_zscores": value_zscores,
         "dedup_clusters": dedup_clusters,
         "ann_ivf_kmeans": ann_ivf_kmeans,
+        "tfidf_top_terms": tfidf_top_terms,
     }
 
 
@@ -1562,6 +1572,26 @@ def oracle_sql() -> dict[str, str]:
                               WHERE l.l_partkey = p.p_partkey
                                 AND l.l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
             GROUP BY 1
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / docfreq.df), 6) AS tfidf
+                FROM tf JOIN docfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf AS term_freq, tfidf,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+                  FROM scored)
+            WHERE rnk <= 5
         """,
         "dedup_clusters": """
             WITH RECURSIVE
