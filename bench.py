@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "large_volume_customers",
     "value_zscores",
     "tfidf_top_terms",
+    "events_profile",
     # dedup_clusters is correctness-gated but excluded here for the
     # same reason as ngram_jaccard: its pair source is the exact
     # quadratic verifier (the LSH path is the benched scale path)

@@ -821,6 +821,24 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in one scan: row count, per-column null
+    counts, type cardinality, event-time span — the pre-flight check
+    a pipeline runs before trusting a new partition of data."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.count_distinct("event_type").cast("long").alias("n_event_types"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("min_ts_iso"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("max_ts_iso"),
+    )
+
+
 def value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature normalization: z-score of event value within
     its event_type.  Group stats come from ONE grouped aggregation
@@ -1077,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "tfidf_top_terms": tfidf_top_terms,
+        "events_profile": events_profile,
     }
 
 
@@ -1572,6 +1591,17 @@ def oracle_sql() -> dict[str, str]:
                               WHERE l.l_partkey = p.p_partkey
                                 AND l.l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
             GROUP BY 1
+        """,
+        "events_profile": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS min_ts_iso,
+                   strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS max_ts_iso
+            FROM events
         """,
         "tfidf_top_terms": """
             WITH tok AS (
