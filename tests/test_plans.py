@@ -94,3 +94,10 @@ def test_pivot_single_scan(spark):
     """Explicit pivot values -> exactly one scan of events."""
     df = q.hourly_type_pivot(spark, SF_SMOKE)
     assert operator_count(df, "Scan parquet") == 1
+
+
+def test_multi_granularity_single_scan(spark):
+    """All three granularities from ONE fact scan (explode, not a
+    per-granularity union)."""
+    df = q.new_count_multi_granularity(spark, SF_SMOKE)
+    assert operator_count(df, "Scan parquet") == 1

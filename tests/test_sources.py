@@ -53,7 +53,9 @@ def test_rate_source_feeds_pipeline(spark):
     pipeline as the replayed event log (one trigger, >0 rows)."""
     stream = rate_event_stream(spark, rows_per_second=500)
     counts = hourly_type_counts(stream)
-    with tempfile.TemporaryDirectory() as ckpt:
+    # ignore_cleanup_errors: q.stop() can return while a checkpoint
+    # write is still in flight, racing rmtree under full-suite load
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
         q = (
             counts.writeStream.format("memory")
             .queryName("rate_smoke")

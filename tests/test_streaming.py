@@ -81,6 +81,40 @@ def test_latest_upsert_stream_matches_batch_argmax(spark):
         assert _rows(final.select(*batch.columns)) == _rows(batch)
 
 
+def test_multicast_restart_is_exactly_once(spark):
+    """ST4: resuming the multicast from its checkpoint after new data
+    lands must process ONLY the new file — every event appears exactly
+    once in the event log (the reference's at-least-once counters can
+    double count; checkpointing makes that impossible here)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        multicast_foreach_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as out, tempfile.TemporaryDirectory() as ckpt:
+        events = table(spark, SF_SMOKE, "events").limit(200).cache()
+        first, second = events.filter("event_id % 2 = 0"), events.filter(
+            "event_id % 2 = 1"
+        )
+        first.write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            multicast_foreach_batch(stream, out, ckpt).awaitTermination()
+
+        run()
+        second.write.mode("append").parquet(src)
+        run()
+
+        log = spark.read.parquet(f"{out}/event_log")
+        assert log.count() == events.count()
+        dupes = log.groupBy("event_id").count().filter(F.col("count") > 1)
+        assert dupes.count() == 0
+        events.unpersist()
+
+
 def test_multicast_foreach_batch_writes_all_views(spark):
     stream = bounded_event_stream(spark, SF_SMOKE)
     with tempfile.TemporaryDirectory() as out, tempfile.TemporaryDirectory() as ckpt:
