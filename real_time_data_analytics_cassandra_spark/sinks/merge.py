@@ -1,0 +1,128 @@
+"""MERGE INTO (keyed upsert) over hive-partitioned parquet.
+
+Reference semantics: every Cassandra INSERT is a MERGE — re-inserting
+a partition key overwrites in place (reference README.md:216-248 PK;
+cassandra_subscriber.py:124-144 upsert into ``customer_latest_info``).
+The batch view of that table (`operators/latest.py`) recomputes
+latest-per-key from the full event log on every read; this sink is the
+*incremental* form: maintain a materialized latest-per-key table that
+each micro-batch updates in place, so reads are a plain scan.
+
+Spark-first scale story (the part that matters at 100 TB):
+
+1. The target is hive-partitioned on a batch-stable column (e.g. a
+   date bucket derived from the key's first-seen time).  A source
+   micro-batch touches few partitions.
+2. Collect the *distinct partition values* in the source (tiny —
+   bounded by partitions-per-batch, not rows), and read ONLY those
+   partitions of the target: the `isin` filter is partition pruning,
+   so 99.9% of a 100 TB target is never listed, read, or written.
+3. Union + last-write-wins dedup (one shuffle, sized to affected
+   partitions only), then write back with
+   ``partitionOverwriteMode=dynamic`` — Spark replaces exactly the
+   partitions present in the result and leaves every other partition's
+   files untouched (asserted in tests/test_merge.py by file mtimes).
+
+Constraint (same as any partitioned upsert without a global index,
+including Hive ACID's bucketed form): a key's partition value must be
+stable across updates — otherwise the stale row in the old partition
+is not visible to the pruned read.  Derive the partition column from
+the key (hash bucket) or from an immutable attribute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.latest import latest_per_key
+
+
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic existence check via Hadoop (works for local, HDFS,
+    object stores alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+@contextmanager
+def _conf(spark: SparkSession, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    ts: str,
+    partition_col: str,
+    tiebreak: Sequence[str] = (),
+) -> None:
+    """MERGE ``source`` into the partitioned parquet table at ``path``:
+    WHEN MATCHED and newer (by ``ts``, then ``tiebreak``) UPDATE,
+    WHEN NOT MATCHED INSERT.  Rewrites only the partitions the source
+    touches."""
+    if not _target_exists(spark, path):
+        merged = latest_per_key(source, keys, ts, tiebreak)
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+
+    touched = [
+        r[0] for r in source.select(partition_col).distinct().collect()
+    ]
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = latest_per_key(
+        existing.unionByName(source.select(*existing.columns)),
+        keys,
+        ts,
+        tiebreak,
+    )
+    # localCheckpoint truncates lineage so the plan no longer reads the
+    # path we are about to overwrite (Spark forbids read+overwrite of
+    # the same source); it materializes ONLY the touched partitions.
+    merged = merged.localCheckpoint(eager=True)
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def merge_upsert_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    ts: str,
+    partition_col: str,
+    checkpoint: str,
+    tiebreak: Sequence[str] = (),
+):
+    """Streaming form: each micro-batch MERGEs into the target.
+    foreachBatch + checkpointing gives exactly-once table maintenance
+    (a replayed batch re-merges the same rows — MERGE is idempotent
+    because last-write-wins keyed on content, not on arrival)."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        merge_upsert(
+            batch.sparkSession, batch, path, keys, ts, partition_col, tiebreak
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,110 @@
+"""MERGE INTO (keyed upsert) sink invariants.
+
+The incremental materialization of the reference's upsert table
+(``customer_latest_info``, reference cassandra_subscriber.py:124-144):
+each merge must (a) agree exactly with the batch latest-per-key
+recompute over the full history, and (b) rewrite ONLY the partitions
+the batch touches — the property that makes it viable against a
+100 TB target.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.catalog import table
+from real_time_data_analytics_cassandra_spark.operators.latest import latest_per_key
+from real_time_data_analytics_cassandra_spark.sinks.merge import (
+    merge_upsert,
+    merge_upsert_foreach_batch,
+)
+from tests.conftest import SF_SMOKE
+
+KEYS, TS, PART = ["user_id"], "ts", "part"
+
+
+def _signups(spark, sf_dir):
+    """Keyed event slice with a key-derived (hence batch-stable)
+    partition column."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id", "ts", "value", (F.col("user_id") % 8).alias(PART)
+        )
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("user_id", "ts", "value").collect()))
+
+
+def test_merge_matches_batch_recompute(spark):
+    events = _signups(spark, SF_SMOKE).cache()
+    # split by time: old half first, new half merged on top
+    cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
+    old, new = events.filter(F.col(TS) <= cut), events.filter(F.col(TS) > cut)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "latest")
+        merge_upsert(spark, old, path, KEYS, TS, PART, tiebreak=["value"])
+        merge_upsert(spark, new, path, KEYS, TS, PART, tiebreak=["value"])
+        got = spark.read.parquet(path)
+        want = latest_per_key(events, KEYS, TS, tiebreak=["value"])
+        assert _rows(got) == _rows(want)
+        # exactly one row per key
+        assert got.count() == got.select("user_id").distinct().count()
+    events.unpersist()
+
+
+def test_merge_rewrites_only_touched_partitions(spark):
+    events = _signups(spark, SF_SMOKE).cache()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "latest")
+        merge_upsert(spark, events, path, KEYS, TS, PART)
+
+        untouched_dir = os.path.join(path, f"{PART}=3")
+        before = {
+            f: os.path.getmtime(os.path.join(untouched_dir, f))
+            for f in os.listdir(untouched_dir)
+        }
+
+        batch = events.filter(F.col(PART) == 5).withColumn(
+            TS, F.col(TS) + F.expr("INTERVAL 1000 DAYS")
+        )
+        merge_upsert(spark, batch, path, KEYS, TS, PART)
+
+        after = {
+            f: os.path.getmtime(os.path.join(untouched_dir, f))
+            for f in os.listdir(untouched_dir)
+        }
+        assert before == after, "untouched partition was rewritten"
+        # and the touched partition did take the newer rows
+        got = spark.read.parquet(path).filter(F.col(PART) == 5)
+        assert _rows(got) == _rows(latest_per_key(batch, KEYS, TS))
+    events.unpersist()
+
+
+def test_streaming_merge_matches_batch(spark):
+    events = _signups(spark, SF_SMOKE).cache()
+    cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
+    halves = [events.filter(F.col(TS) <= cut), events.filter(F.col(TS) > cut)]
+    with (
+        tempfile.TemporaryDirectory() as src,
+        tempfile.TemporaryDirectory() as d,
+        tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt,
+    ):
+        path = os.path.join(d, "latest")
+        schema = events.schema
+        for half in halves:
+            half.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = merge_upsert_foreach_batch(stream, path, KEYS, TS, PART, ckpt)
+            q.awaitTermination()
+        got = spark.read.parquet(path)
+        want = latest_per_key(events, KEYS, TS)
+        assert got.count() == want.count()
+        assert _rows(got) == _rows(want)
+    events.unpersist()
