@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "value_zscores",
     "tfidf_top_terms",
     "events_profile",
+    "late_order_priority_counts",
+    "small_quantity_revenue",
+    "user_trailing_hour_stats",
+    "user_event_paths",
     # dedup_clusters is correctness-gated but excluded here for the
     # same reason as ngram_jaccard: its pair source is the exact
     # quadratic verifier (the LSH path is the benched scale path)

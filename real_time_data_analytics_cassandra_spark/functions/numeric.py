@@ -63,6 +63,16 @@ def dsum_over(c: Column, w, alias: str) -> Column:
     return F.round(F.sum(c).over(w), 2).cast("decimal(15,2)").cast("double").alias(alias)
 
 
+def davg_over(c: Column, w, alias: str, scale: int = 6) -> Column:
+    """Windowed form of davg: deterministic per-frame average (exact
+    decimal sum / frame count), same rescale discipline as dsum."""
+    return F.round(
+        F.round(F.sum(c).over(w), 4).cast("decimal(15,4)").cast("double")
+        / F.count(F.lit(1)).over(w),
+        scale,
+    ).alias(alias)
+
+
 def davg(c: Column, alias: str, scale: int = 6) -> Column:
     """Deterministic AVG: exact decimal SUM rescaled to DECIMAL(15,4)
     (see dsum), cast to double, divided by count, rounded.  Both

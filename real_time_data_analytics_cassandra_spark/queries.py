@@ -27,6 +27,7 @@ from real_time_data_analytics_cassandra_spark.functions.buckets import hour_buck
 from real_time_data_analytics_cassandra_spark.functions.numeric import (
     ONE,
     davg,
+    davg_over,
     dsum,
     dsum_over,
     frac,
@@ -937,6 +938,104 @@ def purchasing_customer_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
 
 
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders with at least one
+    lineitem shipped >60 days after the order date, counted by
+    priority.  Spark-first: the EXISTS is a LEFT SEMI join with a
+    compound (equi + non-equi) condition; Catalyst keeps the equi part
+    as the join key so it hash-partitions on orderkey (no nested
+    loop), and the semi form never widens orders — at 100 TB the fact
+    side shuffles once and lineitem columns are never carried."""
+    ensure_query_confs(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity.  The textbook form is a
+    correlated scalar subquery per part; Spark-first it's ONE window
+    over l_partkey (single shuffle, agg and probe share the
+    partitioning) instead of groupBy-then-rejoin (two scans or an
+    extra shuffle)."""
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.select(
+            "l_extendedprice",
+            "l_quantity",
+            davg_over(money("l_quantity"), w, "avg_qty"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum(money("l_extendedprice"), "small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def user_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per purchase event, the count and exact
+    spend over the trailing hour for that user — the sliding-window
+    form of the reference's hourly counters (README.md:258-261),
+    evaluated per-event instead of per-bucket.  RANGE on epoch micros
+    makes tied timestamps peers of the same frame, so the result is
+    deterministic without a tie-break; one shuffle on user_id serves
+    both window aggregates."""
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    purchases = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hour_us = 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(hour_us - 1), 0)
+    )
+    return purchases.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        dsum_over(money("value"), w, "spend_trailing_hour"),
+    )
+
+
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: each user's event-type sequence in
+    time order (the clickstream/journey shape).  Spark has no ordered
+    collect inside groupBy, so sort AFTER the shuffle, per group:
+    collect_list of (ts, event_id, type) structs -> array_sort (struct
+    fields compare in declaration order = the tie-broken time order)
+    -> project the type.  Map-side partial collect still applies; the
+    sort is per-group in the reducer, never a global sort."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return events.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.transform(ordered, lambda x: x["event_type"])
+        ).alias("event_path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming pipelines surfaced as correctness-gated queries: each runs
 # the Structured Streaming pipeline to completion over the bounded
@@ -1096,6 +1195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "tfidf_top_terms": tfidf_top_terms,
         "events_profile": events_profile,
+        "late_order_priority_counts": late_order_priority_counts,
+        "small_quantity_revenue": small_quantity_revenue,
+        "user_trailing_hour_stats": user_trailing_hour_stats,
+        "user_event_paths": user_event_paths,
     }
 
 
@@ -1602,6 +1705,43 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS min_ts_iso,
                    strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS max_ts_iso
             FROM events
+        """,
+        "late_order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        "small_quantity_revenue": """
+            WITH q AS (
+                SELECT l_extendedprice, l_quantity,
+                       round(CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w, 4)
+                                  AS DECIMAL(15,4)) AS DOUBLE) / count(*) OVER w, 6) AS avg_qty
+                FROM lineitem
+                WINDOW w AS (PARTITION BY l_partkey)
+            )
+            SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                        AS DECIMAL(15,2)) AS DOUBLE) AS small_qty_revenue,
+                   count(*) AS n_items
+            FROM q WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "user_trailing_hour_stats": """
+            SELECT user_id, event_id, ts,
+                   count(*) OVER w AS n_trailing_hour,
+                   CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2)
+                        AS DECIMAL(15,2)) AS DOUBLE) AS spend_trailing_hour
+            FROM events
+            WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS event_path,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "tfidf_top_terms": """
             WITH tok AS (

@@ -101,3 +101,43 @@ def test_multi_granularity_single_scan(spark):
     per-granularity union)."""
     df = q.new_count_multi_granularity(spark, SF_SMOKE)
     assert operator_count(df, "Scan parquet") == 1
+
+
+def test_exists_semi_join_is_equi_keyed(spark):
+    """The Q4-shape EXISTS must plan as a hash-partitioned semi join
+    on orderkey (the non-equi date predicate rides along as a join
+    condition) — never a nested loop over the fact table."""
+    df = q.late_order_priority_counts(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+    assert operator_count(df, "BroadcastNestedLoopJoin") == 0, plan
+    assert operator_count(df, "CartesianProduct") == 0, plan
+
+
+def test_small_quantity_revenue_single_shuffle(spark):
+    """The Q17-shape scalar subquery is ONE window over l_partkey —
+    a single scan and a single data shuffle (the second exchange is
+    the SinglePartition gather of the already-partial-aggregated
+    global sum: a handful of rows), no self-join rescan of
+    lineitem."""
+    df = q.small_quantity_revenue(spark, SF_SMOKE)
+    assert operator_count(df, "Scan parquet") == 1, explain_str(df)
+    assert operator_count(df, "Exchange") <= 2, explain_str(df)
+    assert explain_str(df).count("hashpartitioning") == 1, explain_str(df)
+
+
+def test_trailing_hour_stats_single_shuffle(spark):
+    """Both trailing-hour window aggregates share one user_id
+    exchange."""
+    df = q.user_trailing_hour_stats(spark, SF_SMOKE)
+    assert operator_count(df, "Exchange") == 1, explain_str(df)
+    assert python_eval_free(df)
+
+
+def test_user_event_paths_partial_aggregates(spark):
+    """Ordered path agg still partial-aggregates map-side (two
+    HashAggregate/ObjectHashAggregate levels around one exchange)."""
+    df = q.user_event_paths(spark, SF_SMOKE)
+    assert operator_count(df, "Exchange") == 1, explain_str(df)
+    plan = explain_str(df)
+    assert plan.count("Aggregate") >= 2, plan
