@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from real_time_data_analytics_cassandra_spark.catalog import table
 from real_time_data_analytics_cassandra_spark.operators.latest import latest_per_key
 from real_time_data_analytics_cassandra_spark.sinks.merge import (
+    counter_foreach_batch,
+    merge_add,
     merge_upsert,
     merge_upsert_foreach_batch,
 )
@@ -84,6 +86,79 @@ def test_merge_rewrites_only_touched_partitions(spark):
         # and the touched partition did take the newer rows
         got = spark.read.parquet(path).filter(F.col(PART) == 5)
         assert _rows(got) == _rows(latest_per_key(batch, KEYS, TS))
+    events.unpersist()
+
+
+def _counts(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_merge_add_matches_batch_recompute(spark):
+    events = _signups(spark, SF_SMOKE).cache()
+    cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
+    halves = [events.filter(F.col(TS) <= cut), events.filter(F.col(TS) > cut)]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "counts")
+        for half in halves:
+            deltas = half.groupBy(PART, "user_id").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            merge_add(spark, deltas, path, ["user_id"], "cnt", PART)
+        got = spark.read.parquet(path).select("user_id", "cnt")
+        want = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        assert _counts(got) == _counts(want)
+    events.unpersist()
+
+
+def test_merge_add_rewrites_only_touched_partitions(spark):
+    events = _signups(spark, SF_SMOKE).cache()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "counts")
+        base = events.groupBy(PART, "user_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        merge_add(spark, base, path, ["user_id"], "cnt", PART)
+
+        untouched_dir = os.path.join(path, f"{PART}=3")
+        before = {
+            f: os.path.getmtime(os.path.join(untouched_dir, f))
+            for f in os.listdir(untouched_dir)
+        }
+        delta = base.filter(F.col(PART) == 5)
+        merge_add(spark, delta, path, ["user_id"], "cnt", PART)
+        after = {
+            f: os.path.getmtime(os.path.join(untouched_dir, f))
+            for f in os.listdir(untouched_dir)
+        }
+        assert before == after, "untouched partition was rewritten"
+        # touched partition doubled
+        got = spark.read.parquet(path).filter(F.col(PART) == 5)
+        want = delta.withColumn("cnt", F.col("cnt") * 2)
+        assert _counts(got.select("user_id", "cnt")) == _counts(
+            want.select("user_id", "cnt")
+        )
+    events.unpersist()
+
+
+def test_streaming_counter_matches_batch(spark):
+    events = _signups(spark, SF_SMOKE).cache()
+    cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
+    halves = [events.filter(F.col(TS) <= cut), events.filter(F.col(TS) > cut)]
+    with (
+        tempfile.TemporaryDirectory() as src,
+        tempfile.TemporaryDirectory() as d,
+        tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt,
+    ):
+        path = os.path.join(d, "counts")
+        schema = events.schema
+        for half in halves:
+            half.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = counter_foreach_batch(stream, path, ["user_id"], PART, ckpt)
+            q.awaitTermination()
+        got = spark.read.parquet(path).select("user_id", "cnt")
+        want = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        assert _counts(got) == _counts(want)
     events.unpersist()
 
 
