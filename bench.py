@@ -79,6 +79,18 @@ BENCH_QUERIES = [
     "small_quantity_revenue",
     "user_trailing_hour_stats",
     "user_event_paths",
+    "disjunctive_parts_revenue",
+    "part_supplier_variety",
+    "top_supplier_revenue",
+    "returned_items_top_customers",
+    "profit_by_nation_year",
+    "idle_high_balance_customers",
+    "hash_split_counts",
+    "stratified_sample_counts",
+    "per_type_downsample",
+    "streaming_sliding_counts",
+    "streaming_dedup",
+    "streaming_purchase_attribution",
     # dedup_clusters is correctness-gated but excluded here for the
     # same reason as ngram_jaccard: its pair source is the exact
     # quadratic verifier (the LSH path is the benched scale path)

@@ -1,0 +1,117 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB corpus is split into train/val/test, stratified-sampled per
+class, and majority-capped *before* any model sees it.  All of these
+must be (a) deterministic across reruns and engines (no RNG state —
+the assignment is a pure function of the row key), (b) map-side only
+where possible (an extra shuffle over 100 TB to "sample" it is the
+classic pipeline mistake), and (c) stable under repartitioning (a
+`rand()`-based sample changes when the partitioning does; a key-hash
+sample never does).
+
+The bucket function is the first 16 bits of md5(key) modulo
+``n_buckets``: md5 is available and bit-identical in every engine
+(Spark, DuckDB, Python), making these operators oracle-checkable —
+unlike xxhash64/crc32 which are Spark-private.  The modulo bias with
+65536 inputs is < 0.6% for 100 buckets, irrelevant for split
+purposes; use more nibbles if finer balance is ever needed.
+
+Spark mapping notes: hash_bucket is a pure projection (no shuffle, no
+UDF — md5/conv/pmod are all codegen'd JVM expressions), so split and
+stratified-sample are free at scan time and fully pushdown-friendly.
+cap_per_group is the only shuffling operator here (a per-group rank
+needs the group on one partition); its window orders by the hash so
+the kept subset is an unbiased, deterministic "random" K.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BUCKETS = 100
+
+
+def hash_bucket(key: Column | str, n_buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key.
+
+    Engine-portable analog of the reference's keyed partitioning
+    (Cassandra partitioners hash the partition key the same way on
+    every node; README.md:135-141 'query-first' keyed layout): the
+    assignment is a property of the data, not of the run.
+    """
+    h = F.md5(F.col(key).cast("string") if isinstance(key, str) else key.cast("string"))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_buckets
+
+
+def hash_bucket_sql(key_sql: str, n_buckets: int = BUCKETS) -> str:
+    """DuckDB expression computing exactly :func:`hash_bucket`."""
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 4) AS INTEGER)"
+        f" % {n_buckets})"
+    )
+
+
+def with_split(
+    df: DataFrame,
+    key: str,
+    splits: Sequence[tuple[str, int]] = (("train", 80), ("val", 90), ("test", 100)),
+    col_name: str = "split",
+) -> DataFrame:
+    """Assign a train/val/test split label per row.
+
+    ``splits`` is (label, exclusive upper bucket bound) in ascending
+    order over :data:`BUCKETS` buckets — the default is an 80/10/10
+    split.  Pure projection: no shuffle, stable under repartitioning,
+    and a row's split never changes as the corpus grows (new rows
+    hash independently).
+    """
+    b = hash_bucket(key)
+    # chained CASE, first match wins (ascending bounds)
+    case = F.when(b < splits[0][1], F.lit(splits[0][0]))
+    for label, bound in splits[1:]:
+        case = case.when(b < bound, F.lit(label))
+    return df.withColumn(col_name, case)
+
+
+def split_case_sql(
+    key_sql: str,
+    splits: Sequence[tuple[str, int]] = (("train", 80), ("val", 90), ("test", 100)),
+) -> str:
+    """DuckDB CASE expression computing exactly :func:`with_split`."""
+    b = hash_bucket_sql(key_sql)
+    whens = " ".join(f"WHEN {b} < {bound} THEN '{label}'" for label, bound in splits)
+    return f"CASE {whens} END"
+
+
+def stratified_flag(key: Column | str, percent: int) -> Column:
+    """True for a deterministic ~percent% subset (by key hash) —
+    applied per stratum via a plain filter/conditional aggregate, so
+    stratified sampling is shuffle-free."""
+    return hash_bucket(key) < percent
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: str,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically by
+    the key hash (an unbiased fixed "random" subset — class
+    rebalancing for a skewed corpus).  One shuffle on the group
+    columns; ties in the 16-bit hash break on the key itself so the
+    kept set is unique.  At 100 TB prefer pre-bucketed storage on the
+    group columns so the window re-uses the layout instead of
+    shuffling."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(key), F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -55,6 +55,9 @@ from real_time_data_analytics_cassandra_spark.operators import (
     multimodal as mm_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
+    sampling as sampling_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
     sessions as sessions_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
@@ -1036,6 +1039,239 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicates spanning both sides of a
+    join (the reference has no OR predicates at all — Cassandra cannot
+    serve them without ALLOW FILTERING, SURVEY.md §2.2; Spark gets
+    them free, and Catalyst extracts the common l_partkey=p_partkey
+    conjunct so the join stays a plain equi-join with the disjunction
+    as a post-join filter plus derivable per-side pushdowns)."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    one = F.lit(1).cast(ONE)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(5, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(10, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            dsum(money("l_extendedprice") * (one - frac("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT aggregate + NOT-IN exclusion.  The
+    NOT IN subquery (suppliers with negative balance) becomes a
+    broadcast LEFT ANTI join — no shuffle for the exclusion; the
+    count(DISTINCT) is the only shuffle (two-phase partial distinct
+    under AQE)."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    bad_suppliers = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13)
+        & (F.col("p_brand") != "Brand#2")
+        & ~F.col("p_type").like("PROMO%")
+    )
+    return (
+        li.join(
+            F.broadcast(bad_suppliers),
+            li.l_suppkey == bad_suppliers.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-subquery max — supplier(s) whose
+    quarterly revenue equals the global maximum.  The max is a 1-row
+    aggregate broadcast back over the per-supplier revenues (no
+    driver collect, no second scan of lineitem); exact decimal
+    revenue makes the equality comparison engine-portable."""
+    ensure_query_confs(spark)
+    one = F.lit(1).cast(ONE)
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(
+                money("l_extendedprice") * (one - frac("l_discount")), "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue this quarter —
+    selective fact joins + grouped revenue + global top-20
+    (TakeOrderedAndProject; c_custkey tie-break)."""
+    ensure_query_confs(spark)
+    one = F.lit(1).cast(ONE)
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(dsum(money("l_extendedprice") * (one - frac("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    order year — the widest join tree in the registry (lineitem ⋈
+    part ⋈ supplier ⋈ orders ⋈ nation).  part/nation broadcast; the
+    orders join shuffles on orderkey; profit = revenue - cost in one
+    exact decimal expression (no intermediate rounding)."""
+    ensure_query_confs(spark)
+    one = F.lit(1).cast(ONE)
+    parts = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders")
+    amount = money("l_extendedprice") * (one - frac("l_discount")) - money(
+        "p_retailprice"
+    ) * money("l_quantity")
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, "profit"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average (positive) balance
+    with no purchase activity on the event bus — scalar-subquery
+    threshold (1-row broadcast) + NOT EXISTS (LEFT ANTI join on the
+    purchase events).  The threshold uses the davg discipline so both
+    engines compare against the identical double."""
+    ensure_query_confs(spark)
+    customer = table(spark, sf_dir, "customer")
+    thr = customer.filter(F.col("c_acctbal") > 0).agg(
+        davg(money("c_acctbal"), "thr")
+    )
+    purchasers = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+    )
+    return (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(purchasers, customer.c_custkey == purchasers.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(money("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: deterministic splits / sampling (operators/
+# sampling.py) — assignment is a pure function of the row key (md5),
+# so results are identical across engines, reruns, and repartitioning.
+
+
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the document
+    corpus by key hash — shuffle-free projection + one count
+    aggregation.  A row's split never changes as the corpus grows."""
+    ensure_query_confs(spark)
+    docs = sampling_op.with_split(
+        table(spark, sf_dir, "documents"), "doc_id"
+    )
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% stratified sample per language: the sample
+    membership is a map-side flag, so per-stratum totals and sample
+    sizes come out of ONE scan with conditional aggregates (no join,
+    no second pass)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    flag = sampling_op.stratified_flag("doc_id", 20)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(flag, 1)).alias("n_sampled"),
+        F.coalesce(F.sum(F.when(flag, F.col("n_chars"))), F.lit(0)).alias(
+            "sampled_chars"
+        ),
+    )
+
+
+def per_type_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing: cap every event_type at 500 rows chosen
+    deterministically by key hash (operators/sampling.py
+    cap_per_group), then aggregate the kept subset — the majority-
+    class downsampling step of a training pipeline.  The value sum
+    proves the oracle kept the *same rows*, not just the same
+    counts."""
+    ensure_query_confs(spark)
+    capped = sampling_op.cap_per_group(
+        table(spark, sf_dir, "events"), ["event_type"], "event_id", 500
+    )
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        dsum(money("value"), "sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming pipelines surfaced as correctness-gated queries: each runs
 # the Structured Streaming pipeline to completion over the bounded
@@ -1098,24 +1334,93 @@ def streaming_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
         latest_upsert_stream,
+        run_available_now,
     )
 
     ensure_query_confs(spark)
     stream = bounded_event_stream(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_upsert_")
-    q = (
-        latest_upsert_stream(stream)
-        .writeStream.format("memory")
-        .queryName("streaming_latest_upsert_q")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    emitted = run_available_now(
+        latest_upsert_stream(stream),
+        "streaming_latest_upsert_q",
+        ckpt,
+        output_mode="update",
     )
-    q.awaitTermination()
-    emitted = spark.table("streaming_latest_upsert_q")
     return latest_op.latest_per_key(emitted, ["user_id"], "ts", ["event_id"]).select(
         "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts (1 h window / 15 min slide) over the
+    bounded replay — overlapping-window generalization of the
+    reference's tumbling counter buckets (ST2)."""
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        sliding_type_counts,
+    )
+
+    return _run_streaming(
+        spark, sf_dir, sliding_type_counts, "streaming_sliding_counts_q"
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivery dedup (the fix for the reference's at-least-once
+    double-count weakness, SURVEY.md ST4): the bounded replay is
+    unioned with itself — every event delivered exactly twice, the
+    worst-case requeue storm — and dropDuplicates on the message id
+    restores the exactly-once view, which the oracle checks against
+    the raw events table.  Append mode: dedup emits each id on first
+    sight.  (Bounded replay runs unwatermarked = accept-late-forever,
+    matching the reference's semantics ST3; production passes a
+    watermark sized to the bus's redelivery horizon.)"""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        dedup_events,
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    doubled = bounded_event_stream(spark, sf_dir).unionByName(
+        bounded_event_stream(spark, sf_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_dedup_")
+    return run_available_now(
+        dedup_events(doubled, watermark=None),
+        "streaming_dedup_q",
+        ckpt,
+        output_mode="append",
+    )
+
+
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: signups matched to the same
+    user's purchases within 6 hours (streaming/pipelines.py
+    signup_purchase_interval_join) — watermark-bounded join state on
+    both sides.  Append mode; gated against the batch range-join
+    oracle."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+        signup_purchase_interval_join,
+    )
+
+    ensure_query_confs(spark)
+    stream = bounded_event_stream(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_ssjoin_")
+    return run_available_now(
+        signup_purchase_interval_join(stream),
+        "streaming_purchase_attribution_q",
+        ckpt,
+        output_mode="append",
     )
 
 
@@ -1199,6 +1504,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": small_quantity_revenue,
         "user_trailing_hour_stats": user_trailing_hour_stats,
         "user_event_paths": user_event_paths,
+        "disjunctive_parts_revenue": disjunctive_parts_revenue,
+        "part_supplier_variety": part_supplier_variety,
+        "top_supplier_revenue": top_supplier_revenue,
+        "returned_items_top_customers": returned_items_top_customers,
+        "profit_by_nation_year": profit_by_nation_year,
+        "idle_high_balance_customers": idle_high_balance_customers,
+        "hash_split_counts": hash_split_counts,
+        "stratified_sample_counts": stratified_sample_counts,
+        "per_type_downsample": per_type_downsample,
+        "streaming_sliding_counts": streaming_sliding_counts,
+        "streaming_dedup": streaming_dedup,
+        "streaming_purchase_attribution": streaming_purchase_attribution,
     }
 
 
@@ -1817,6 +2134,141 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON b.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE b.total_qty > 150
+        """,
+        "disjunctive_parts_revenue": f"""
+            SELECT p_brand,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 30)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 5 AND 40)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 10 AND 50)
+            GROUP BY 1
+        """,
+        "part_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size IN (1, 5, 9, 13)
+              AND p_brand <> 'Brand#2'
+              AND p_type NOT LIKE 'PROMO%'
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "top_supplier_revenue": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "returned_items_top_customers": f"""
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "profit_by_nation_year": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}
+                        - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS profit,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+        """,
+        "idle_high_balance_customers": """
+            WITH thr AS (
+                SELECT round(CAST(CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 4) AS DECIMAL(15,4)) AS DOUBLE)
+                             / count(*), 6) AS thr
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS total_acctbal
+            FROM customer, thr
+            WHERE c_acctbal > thr.thr
+              AND NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c_custkey
+                                AND e.event_type = 'purchase')
+            GROUP BY 1
+        """,
+        "hash_split_counts": f"""
+            SELECT {sampling_op.split_case_sql("doc_id")} AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY 1
+        """,
+        "stratified_sample_counts": f"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(*) FILTER (WHERE {sampling_op.hash_bucket_sql("doc_id")} < 20) AS n_sampled,
+                   CAST(coalesce(sum(n_chars) FILTER (WHERE {sampling_op.hash_bucket_sql("doc_id")} < 20), 0) AS BIGINT) AS sampled_chars
+            FROM documents
+            GROUP BY 1
+        """,
+        "per_type_downsample": f"""
+            SELECT event_type,
+                   count(*) AS n_kept,
+                   CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sum_value
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY {sampling_op.hash_bucket_sql("event_id")},
+                               md5(CAST(event_id AS VARCHAR)),
+                               event_id) AS rk
+                  FROM events e)
+            WHERE rk <= 500
+            GROUP BY 1
+        """,
+        "streaming_sliding_counts": """
+            SELECT strftime(ws, '%Y%m%d%H%M') AS window_start,
+                   event_type,
+                   count(*) AS cnt
+            FROM (SELECT make_timestamp((epoch_us(ts) // 900000000 - s.s) * 900000000) AS ws,
+                         event_type
+                  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) s)
+            GROUP BY 1, 2
+        """,
+        "streaming_dedup": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+        "streaming_purchase_attribution": """
+            SELECT s.user_id,
+                   s.event_id AS signup_event_id,
+                   p.event_id AS purchase_event_id,
+                   s.ts AS signup_ts,
+                   p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM events s JOIN events p
+              ON s.user_id = p.user_id
+             AND s.event_type = 'signup'
+             AND p.event_type = 'purchase'
+             AND p.ts >= s.ts
+             AND p.ts < s.ts + INTERVAL 6 HOUR
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,

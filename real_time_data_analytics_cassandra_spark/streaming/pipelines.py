@@ -49,24 +49,48 @@ def hourly_type_counts(events: DataFrame, watermark: str | None = DEFAULT_WATERM
     )
 
 
-def run_available_now(result: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Execute a (bounded) streaming DataFrame to completion with the
     availableNow trigger into a memory sink; return the result table.
 
-    Memory sink + complete mode is the test harness path; production
-    uses update/append mode into a fault-tolerant sink (parquet/Kafka)
-    with the same checkpoint mechanics.
+    Memory sink + complete mode is the test harness path for
+    aggregations; row-emitting operators (dedup, stream-stream joins)
+    use append mode.  Production uses update/append mode into a
+    fault-tolerant sink (parquet/Kafka) with the same checkpoint
+    mechanics.
+
+    ``state_partitions`` sizes the stateful-operator parallelism for
+    THIS query (the shuffle-partition conf binds at query start and
+    is restored afterwards).  State-store commit cost is per
+    partition per micro-batch — ~0.25 s each for HDFS-backed stores —
+    so a bounded replay wants few, fat state partitions, while a
+    production stream sizes this to sustained throughput instead
+    (it cannot be changed without a new checkpoint).  Pass None to
+    inherit the session conf unchanged.
     """
     spark = result.sparkSession
-    q = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, saved)
     return spark.table(query_name)
 
 
@@ -153,6 +177,103 @@ def latest_upsert_stream(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def dedup_events(
+    events: DataFrame, watermark: str | None = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Exactly-once view of an at-least-once stream: drop redelivered
+    events by event_id.  This is the fix for the reference's known
+    double-count weakness (nack+requeue redelivery increments
+    non-idempotent counters twice, cassandra_subscriber.py:229-231,
+    SURVEY.md ST4) — dedup state keyed on the message id, bounded by
+    the watermark (a redelivery later than the watermark is outside
+    the delivery-retry horizon by construction).  Emits rows in
+    append mode as they are first seen; works identically on batch
+    inputs via dropDuplicates."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if watermark and events.isStreaming
+        else events
+    )
+    return src.dropDuplicates(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def sliding_type_counts(
+    events: DataFrame,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Hopping-window counts: 1-hour windows every 15 minutes — the
+    generalization of the reference's tumbling counter buckets
+    (cassandra_subscriber.py:86-99) to overlapping windows (each
+    event lands in 4 windows; Spark's window() generates them
+    without row explosion in the plan).  Window starts align to the
+    epoch, so the bucket labels are engine-portable."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if watermark and events.isStreaming
+        else events
+    )
+    return (
+        src.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyyMMddHHmm").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def signup_purchase_interval_join(
+    events: DataFrame, horizon: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-stream interval join: each signup matched to the same
+    user's purchases within ``horizon`` after it — real-time purchase
+    attribution (the streaming twin of operators/asof.py).  Both
+    sides carry watermarks and the join condition bounds event-time
+    distance, so the join state is evictable (size O(events within
+    watermark), not O(stream)) — the property that keeps this viable
+    on an unbounded 100 TB/day bus."""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_event_id"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return signups.join(
+        purchases,
+        F.expr(
+            f"""user_id = p_user_id
+            AND purchase_ts >= signup_ts
+            AND purchase_ts < signup_ts + INTERVAL {horizon}"""
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "signup_event_id",
+        "purchase_event_id",
+        "signup_ts",
+        "purchase_ts",
+        "purchase_value",
     )
 
 

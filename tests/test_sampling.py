@@ -1,0 +1,100 @@
+"""Deterministic sampling/split invariants (operators/sampling.py).
+
+What matters at 100 TB: the split assignment must be a pure function
+of the row key — identical across reruns, engines, partitionings, and
+corpus growth.  rand()-based sampling has none of these properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.catalog import table
+from real_time_data_analytics_cassandra_spark.operators import sampling
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return table(spark, SF_SMOKE, "documents")
+
+
+def test_split_is_stable_under_repartitioning(spark):
+    docs = _docs(spark)
+    a = sampling.with_split(docs, "doc_id").select("doc_id", "split")
+    b = sampling.with_split(docs.repartition(17, "lang"), "doc_id").select(
+        "doc_id", "split"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    """A row's split must not change when more rows arrive: the
+    assignment on a half-corpus equals the assignment of those same
+    rows on the full corpus."""
+    docs = _docs(spark)
+    full = dict(
+        sampling.with_split(docs, "doc_id").select("doc_id", "split").collect()
+    )
+    half = dict(
+        sampling.with_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert half == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_split_partition_covers_all_rows_disjointly(spark):
+    docs = _docs(spark)
+    split = sampling.with_split(docs, "doc_id")
+    counts = dict(split.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # roughly 80/10/10 (hash uniformity; generous bounds at small n)
+    frac_train = counts.get("train", 0) / docs.count()
+    assert 0.6 < frac_train < 0.95
+
+
+def test_split_matches_python_md5(spark):
+    """The bucket is plain md5 — cross-check a sample against
+    Python's hashlib (third engine besides Spark and DuckDB)."""
+    import hashlib
+
+    rows = (
+        sampling.with_split(_docs(spark), "doc_id")
+        .select("doc_id", "split")
+        .limit(50)
+        .collect()
+    )
+    for doc_id, split in rows:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert split == want, (doc_id, b, split, want)
+
+
+def test_cap_per_group_keeps_at_most_k_deterministically(spark):
+    events = table(spark, SF_SMOKE, "events")
+    k = 50
+    capped = sampling.cap_per_group(events, ["event_type"], "event_id", k)
+    by_type = dict(capped.groupBy("event_type").count().collect())
+    totals = dict(events.groupBy("event_type").count().collect())
+    for t, total in totals.items():
+        assert by_type.get(t, 0) == min(k, total), t
+    # deterministic: same kept ids on a different partitioning
+    again = sampling.cap_per_group(
+        events.repartition(13, "user_id"), ["event_type"], "event_id", k
+    )
+    assert sorted(r.event_id for r in capped.select("event_id").collect()) == sorted(
+        r.event_id for r in again.select("event_id").collect()
+    )
+
+
+def test_hash_bucket_plan_is_shuffle_free(spark):
+    """with_split is a pure projection: no Exchange in the plan."""
+    docs = _docs(spark)
+    plan = (
+        sampling.with_split(docs, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
