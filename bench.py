@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "streaming_sliding_counts",
     "streaming_dedup",
     "streaming_purchase_attribution",
+    "cheapest_supplier_per_part",
+    "value_deciles",
+    "quality_filtered_docs",
     # dedup_clusters is correctness-gated but excluded here for the
     # same reason as ngram_jaccard: its pair source is the exact
     # quadratic verifier (the LSH path is the benched scale path)

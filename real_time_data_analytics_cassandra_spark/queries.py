@@ -1218,6 +1218,60 @@ def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — for each (size-10)
+    part, the supplier offering the lowest observed price.  The
+    argmin-per-group is a rank window over the join (the batch twin
+    of latest_per_key's argmax); part and supplier are broadcast
+    dims, so the only shuffle is the per-part window."""
+    ensure_query_confs(spark)
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    parts = table(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    supplier = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_suppkey")
+    )
+    best = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.join(
+        F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey
+    ).select(
+        "p_partkey",
+        "p_name",
+        "s_suppkey",
+        "s_name",
+        F.col("l_extendedprice").alias("best_price"),
+    )
+
+
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing of event values (+ per-decile stats) —
+    ranked windowing the reference lacks entirely.  NOTE the global
+    ntile is a single-partition sort by definition; it is kept as the
+    exact superset demo, while the distributed path for distribution
+    stats at 100 TB is value_percentiles / approx_percentile
+    (aggregate + broadcast, as quality_filtered_docs does)."""
+    ensure_query_confs(spark)
+    from pyspark.sql.window import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        events.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("lo_value"),
+            F.round(F.max("value"), 6).alias("hi_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: deterministic splits / sampling (operators/
 # sampling.py) — assignment is a pure function of the row key (md5),
@@ -1252,6 +1306,31 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(flag, F.col("n_chars"))), F.lit(0)).alias(
             "sampled_chars"
         ),
+    )
+
+
+def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate the corpus at the 40th token-count percentile —
+    the canonical 'drop the bottom tail before training' step.  The
+    threshold is ONE exact-percentile aggregate broadcast back over
+    the scored scan (never a global sort/rank of the corpus), so the
+    filter is two passes of embarrassingly-parallel work at any
+    scale.  Spark `percentile` and DuckDB `quantile_cont` share the
+    interpolation rule, so the cut lands identically."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "n_tokens", F.size(text_op.tokens(F.col("text"))).cast("long")
+    )
+    thr = scored.agg(F.round(F.percentile("n_tokens", 0.4), 6).alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_tokens") >= F.col("thr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_retained"),
+            F.sum("n_chars").alias("retained_chars"),
+        )
     )
 
 
@@ -1516,6 +1595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_counts": streaming_sliding_counts,
         "streaming_dedup": streaming_dedup,
         "streaming_purchase_attribution": streaming_purchase_attribution,
+        "cheapest_supplier_per_part": cheapest_supplier_per_part,
+        "value_deciles": value_deciles,
+        "quality_filtered_docs": quality_filtered_docs,
     }
 
 
@@ -2269,6 +2351,44 @@ def oracle_sql() -> dict[str, str]:
              AND p.event_type = 'purchase'
              AND p.ts >= s.ts
              AND p.ts < s.ts + INTERVAL 6 HOUR
+        """,
+        "cheapest_supplier_per_part": """
+            SELECT p_partkey, p_name, s_suppkey, s_name, best_price
+            FROM (SELECT l_partkey, l_suppkey,
+                         l_extendedprice AS best_price,
+                         row_number() OVER (
+                             PARTITION BY l_partkey
+                             ORDER BY l_extendedprice, l_suppkey) AS rn
+                  FROM lineitem
+                  JOIN part ON l_partkey = p_partkey
+                  WHERE p_size = 10) b
+            JOIN part ON b.l_partkey = p_partkey
+            JOIN supplier ON b.l_suppkey = s_suppkey
+            WHERE rn = 1
+        """,
+        "value_deciles": """
+            SELECT decile,
+                   count(*) AS n_events,
+                   round(min(value), 6) AS lo_value,
+                   round(max(value), 6) AS hi_value
+            FROM (SELECT value,
+                         ntile(10) OVER (ORDER BY value, event_id) AS decile
+                  FROM events)
+            GROUP BY 1
+        """,
+        "quality_filtered_docs": """
+            WITH scored AS (
+                SELECT lang, n_chars,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            thr AS (SELECT round(quantile_cont(n_tokens, 0.4), 6) AS thr FROM scored)
+            SELECT lang,
+                   count(*) AS n_retained,
+                   CAST(sum(n_chars) AS BIGINT) AS retained_chars
+            FROM scored, thr
+            WHERE n_tokens >= thr.thr
+            GROUP BY 1
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
