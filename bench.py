@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "cheapest_supplier_per_part",
     "value_deciles",
     "quality_filtered_docs",
+    "chunk_documents",
+    "hourly_type_unpivot",
     # dedup_clusters is correctness-gated but excluded here for the
     # same reason as ngram_jaccard: its pair source is the exact
     # quadratic verifier (the LSH path is the benched scale path)

@@ -1334,6 +1334,54 @@ def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 256, 192
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping fixed-size character
+    chunks per document (size 256, stride 192 → 64-char overlap) —
+    the tokenize-and-pack precursor every LLM training pipeline runs.
+    Pure JVM-side row explosion (sequence + explode + substring, no
+    UDF, no shuffle); chunk identity is proven to the oracle by
+    md5(chunk), not just counts.  At 100 TB this is the shape that
+    matters: output rows ≈ corpus_bytes / stride, produced
+    map-side and written straight back out partition-parallel."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chunked = docs.select("doc_id", "text").withColumn(
+        "chunk_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int"),
+            )
+        ),
+    )
+    chunk = F.expr(f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(chunk).alias("chunk_md5"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+def hourly_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the wide per-type count matrix back to long form
+    — the inverse of hourly_type_pivot (wide feature tables → long
+    training rows).  Spark's unpivot is a zero-shuffle projection on
+    top of the pivot; the round trip is gated against the plain
+    GROUP BY oracle, which proves pivot ∘ unpivot = identity on the
+    non-zero cells."""
+    ensure_query_confs(spark)
+    wide = hourly_type_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot("hour_bucket", types, "event_type", "cnt")
+        .filter(F.col("cnt") > 0)
+    )
+
+
 def per_type_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class rebalancing: cap every event_type at 500 rows chosen
     deterministically by key hash (operators/sampling.py
@@ -1598,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier_per_part": cheapest_supplier_per_part,
         "value_deciles": value_deciles,
         "quality_filtered_docs": quality_filtered_docs,
+        "chunk_documents": chunk_documents,
+        "hourly_type_unpivot": hourly_type_unpivot,
     }
 
 
@@ -2389,6 +2439,26 @@ def oracle_sql() -> dict[str, str]:
             FROM scored, thr
             WHERE n_tokens >= thr.thr
             GROUP BY 1
+        """,
+        "chunk_documents": f"""
+            WITH idx AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(0,
+                           CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx
+                FROM documents
+                WHERE length(text) > 0
+            )
+            SELECT doc_id, chunk_idx,
+                   md5(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER), {CHUNK_SIZE})) AS chunk_md5,
+                   CAST(length(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INTEGER), {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+            FROM idx
+        """,
+        "hourly_type_unpivot": """
+            SELECT strftime(ts, '%Y%m%d%H') AS hour_bucket,
+                   event_type,
+                   count(*) AS cnt
+            FROM events
+            GROUP BY 1, 2
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
