@@ -96,9 +96,17 @@ BENCH_QUERIES = [
     "quality_filtered_docs",
     "chunk_documents",
     "hourly_type_unpivot",
-    # dedup_clusters is correctness-gated but excluded here for the
-    # same reason as ngram_jaccard: its pair source is the exact
-    # quadratic verifier (the LSH path is the benched scale path)
+    "nation_trade_volume",
+    "market_share_by_year",
+    "part_value_share",
+    "sole_return_suppliers",
+    "repetition_filter",
+    "decontaminate_overlap",
+    "pack_context_windows",
+    # dedup_clusters and dedup_cluster_representatives are
+    # correctness-gated but excluded here for the same reason as
+    # ngram_jaccard: their pair source is the exact quadratic
+    # verifier (the LSH path is the benched scale path)
 ]
 
 

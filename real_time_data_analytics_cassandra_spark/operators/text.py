@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+from real_time_data_analytics_cassandra_spark.functions.textfns import tokens, word_ngrams
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  Deterministic and intentionally minimal — the real lists
@@ -151,4 +151,80 @@ def tfidf_top_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= top_k)
         .select("doc_id", "term", F.col("tf").alias("term_freq"), "tfidf", "rnk")
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition / diversity features per document:
+    word count, distinct-word ratio, most-frequent-bigram count and
+    its fraction of all bigrams.
+
+    Shape: the distinct-word ratio is a pure projection (no shuffle);
+    the top-bigram count is explode -> two partial-aggregated
+    groupBys, both keyed by the document id, so the second groupBy
+    reuses the first's hash partitioning (one effective shuffle,
+    combiner-friendly because bigram frequency skew stays inside a
+    single doc's key space).  The per-doc scalars ride along as
+    grouping keys instead of a join back to the base table.
+    """
+    base = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct("__toks")).cast("double") / F.size("__toks"), 6
+        ).alias("distinct_word_ratio"),
+        F.explode(word_ngrams("__toks", 2)).alias("bigram"),
+    )
+    return (
+        base.groupBy(id_col, "n_words", "distinct_word_ratio", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col, "n_words", "distinct_word_ratio")
+        .agg(F.max("cnt").cast("long").alias("top_bigram_cnt"))
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.col("top_bigram_cnt").cast("double") / (F.col("n_words") - 1), 6
+            ),
+        )
+    )
+
+
+def contaminated_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    eval_group: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least
+    one word-n-gram with the held-out evaluation slice
+    (``group_col == eval_group``), with the count of distinct
+    contaminated shingles per training doc.
+
+    Scale shape: the eval shingle set (benchmarks are small relative
+    to a training corpus) is distinct-ed then broadcast, so the
+    training side is one scan + map-side semi-join — no shuffle of the
+    corpus; the only corpus-keyed aggregation is the per-doc count.
+    """
+    sh = df.select(
+        F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(F.array_distinct(word_ngrams("__toks", n))).alias("shingle"),
+    )
+    ev = (
+        sh.filter(F.col(group_col) == eval_group)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col(group_col) != eval_group)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy(id_col, group_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )

@@ -1564,6 +1564,245 @@ def recent_events_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    supplier nation on one side of the fact, customer nation on the
+    other.  Both nation lookups ride broadcast joins (supplier ⋈
+    nation prunes the fact scan before the orderkey shuffle); only the
+    orders and customer joins shuffle, and the customer side is
+    pre-filtered to the two nations of interest."""
+    ensure_query_confs(spark)
+    one = F.lit(1).cast(ONE)
+    nation = table(spark, sf_dir, "nation")
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            dsum(money("l_extendedprice") * (one - frac("l_discount")), "volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue within
+    one customer region, per order year.  Conditional decimal sum over
+    total decimal sum (promo_revenue_share's division discipline); the
+    part filter broadcasts and prunes the fact before any shuffle."""
+    ensure_query_confs(spark)
+    one = F.lit(1).cast(ONE)
+    nation = table(spark, sf_dir, "nation")
+    rev = money("l_extendedprice") * (one - frac("l_discount"))
+    zero = F.lit(0).cast("decimal(26,6)")
+    parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(table(spark, sf_dir, "region")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            F.when(F.col("supp_nation") == "NATION_5", rev.cast("decimal(26,6)"))
+            .otherwise(zero)
+            .alias("nation_rev"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.round(F.sum("nation_rev"), 4).cast("decimal(15,4)").cast("double")
+                / F.round(F.sum("rev"), 4).cast("decimal(15,4)").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            dsum(F.col("rev"), "total_revenue"),
+        )
+    )
+
+
+def part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total shipped value exceeds a
+    fraction (0.05%) of the corpus-wide total — grouped sum HAVING
+    against a global scalar, the scalar broadcast back over the
+    groups (no driver collect, no second fact scan thanks to exact
+    decimal sums being reusable)."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(dsum(money("l_extendedprice"), "part_value"))
+    total = li.agg(dsum(money("l_extendedprice"), "total_value"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * F.lit(0.0005))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in multi-supplier orders where exactly one
+    supplier's items were returned, rank suppliers by how often they
+    were that sole returner.  Both the per-order profile and the
+    blame attribution shuffle on l_orderkey, so AQE reuses one
+    exchange; conditional COUNT(DISTINCT) replaces the reference
+    query's correlated EXISTS / NOT EXISTS pair."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_return_suppliers"),
+        )
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_return_suppliers") == 1))
+        .select("l_orderkey")
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate over the corpus: word
+    count, distinct-word ratio, top-bigram fraction, and the keep
+    verdict (diverse enough AND not bigram-spammy).  See
+    operators/text.py::repetition_stats for the shuffle shape."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    stats = text_op.repetition_stats(docs, "doc_id", "text")
+    return stats.withColumn(
+        "keep",
+        (F.col("distinct_word_ratio") >= 0.5) & (F.col("top_bigram_frac") <= 0.05),
+    )
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source != 'src0')
+    sharing any word-5-gram with the held-out eval slice (source =
+    'src0'); eval shingles broadcast so the corpus side never
+    shuffles (operators/text.py::contaminated_docs)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.contaminated_docs(docs, "doc_id", "text", "source", "src0", n=5)
+
+
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: per source shard, docs in
+    doc_id order fill 256-token bins first-fit (never split).  The
+    sequential scan parallelizes across shards via applyInPandas
+    (operators/packing.py); the DuckDB oracle is the same recurrence
+    as a recursive CTE."""
+    from real_time_data_analytics_cassandra_spark.operators import (
+        packing as packing_op,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return packing_op.pack_greedy(docs, "source", "doc_id", "n_tokens", 256)
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster collapse: for every multi-document near-dup
+    cluster (connected components over the exact-Jaccard pair graph),
+    keep the best document — longest text, doc_id as tie-break — plus
+    the cluster size.  The canonical 'which copy survives' step after
+    near-dup detection in a training-data pipeline."""
+    from pyspark.sql import Window
+
+    from real_time_data_analytics_cassandra_spark.operators import (
+        graph as graph_op,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_op.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    clusters = graph_op.dedup_clusters(pairs, docs, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            ),
+        )
+    )
+    return (
+        ranked.filter((F.col("cluster_size") > 1) & (F.col("rnk") == 1))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            "cluster_size",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -1648,6 +1887,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filtered_docs": quality_filtered_docs,
         "chunk_documents": chunk_documents,
         "hourly_type_unpivot": hourly_type_unpivot,
+        "nation_trade_volume": nation_trade_volume,
+        "market_share_by_year": market_share_by_year,
+        "part_value_share": part_value_share,
+        "sole_return_suppliers": sole_return_suppliers,
+        "repetition_filter": repetition_filter,
+        "decontaminate_overlap": decontaminate_overlap,
+        "pack_context_windows": pack_context_windows,
+        "dedup_cluster_representatives": dedup_cluster_representatives,
     }
 
 
@@ -2459,6 +2706,180 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM events
             GROUP BY 1, 2
+        """,
+        "nation_trade_volume": f"""
+            SELECT supp_nation, cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS volume,
+                   count(*) AS n_items
+            FROM (
+                SELECT l.*, sn.n_name AS supp_nation, cn.n_name AS cust_nation
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+                  AND cn.n_name IN ('NATION_1', 'NATION_2')
+                  AND sn.n_name <> cn.n_name
+            )
+            GROUP BY 1, 2, 3
+        """,
+        "market_share_by_year": f"""
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(
+                       CAST(CAST(round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                                               THEN {_SQL_DECIMAL_REV}
+                                               ELSE CAST(0 AS DECIMAL(26,6)) END), 4)
+                            AS DECIMAL(15,4)) AS DOUBLE)
+                       / CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 4)
+                              AS DECIMAL(15,4)) AS DOUBLE),
+                       6) AS mkt_share,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS total_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "part_value_share": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS part_value
+                FROM lineitem GROUP BY 1
+            ),
+            total AS (
+                SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS total_value
+                FROM lineitem
+            )
+            SELECT l_partkey, part_value
+            FROM pv, total
+            WHERE part_value > total_value * 0.0005
+            ORDER BY part_value DESC, l_partkey ASC
+            LIMIT 100
+        """,
+        "sole_return_suppliers": """
+            WITH per_order AS (
+                SELECT l_orderkey
+                FROM lineitem
+                GROUP BY 1
+                HAVING count(DISTINCT l_suppkey) >= 2
+                   AND count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) = 1
+            ),
+            blamed AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+                WHERE l.l_returnflag = 'R'
+            )
+            SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+            FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s.s_suppkey ASC
+            LIMIT 20
+        """,
+        "repetition_filter": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            ints AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS i),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+                   FROM toks JOIN ints ON ints.i + 1 <= len(toks.t)),
+            topbg AS (SELECT doc_id, max(cnt) AS top_bigram_cnt
+                      FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+                      GROUP BY 1),
+            stats AS (
+                SELECT toks.doc_id AS doc_id,
+                       CAST(len(t) AS BIGINT) AS n_words,
+                       round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_word_ratio,
+                       CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+                       round(CAST(top_bigram_cnt AS DOUBLE) / (len(t) - 1), 6) AS top_bigram_frac
+                FROM toks JOIN topbg ON toks.doc_id = topbg.doc_id
+            )
+            SELECT *, (distinct_word_ratio >= 0.5 AND top_bigram_frac <= 0.05) AS keep
+            FROM stats
+        """,
+        "decontaminate_overlap": """
+            WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+            ints AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS i),
+            sh AS (SELECT DISTINCT doc_id, source,
+                          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+                   FROM toks JOIN ints ON ints.i + 4 <= len(toks.t)),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+            SELECT tr.doc_id AS doc_id, tr.source AS source,
+                   count(*) AS n_contaminated_shingles
+            FROM sh tr JOIN ev ON tr.shingle = ev.shingle
+            WHERE tr.source <> 'src0'
+            GROUP BY 1, 2
+        """,
+        "pack_context_windows": """
+            WITH RECURSIVE d AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            pack AS (
+                SELECT source, doc_id, n_tokens, rn,
+                       CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_tokens
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+                       CASE WHEN p.bin_tokens + d.n_tokens <= 256
+                            THEN p.bin_id ELSE p.bin_id + 1 END,
+                       CASE WHEN p.bin_tokens + d.n_tokens <= 256
+                            THEN p.bin_tokens + d.n_tokens ELSE d.n_tokens END
+                FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+            )
+            SELECT source, doc_id, n_tokens, bin_id, bin_tokens FROM pack
+        """,
+        "dedup_cluster_representatives": """
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            ints AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS i),
+            sh AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                   FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(CAST(n_inter AS DOUBLE)
+                            / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.5
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+            ),
+            comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1),
+            clustered AS (
+                SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id, d.n_chars
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            ),
+            ranked AS (
+                SELECT cluster_id, doc_id, n_chars,
+                       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rnk
+                FROM clustered
+            )
+            SELECT cluster_id, doc_id AS rep_doc_id,
+                   n_chars AS rep_n_chars, cluster_size
+            FROM ranked WHERE cluster_size > 1 AND rnk = 1
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
