@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "repetition_filter",
     "decontaminate_overlap",
     "pack_context_windows",
+    "forecast_revenue",
+    "geo_grouping_sets",
+    "embedding_norm_stats",
+    "streaming_multi_granularity_counts",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

@@ -1803,6 +1803,95 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join — the
+    discount-forecast revenue delta.  Every predicate pushes to the
+    parquet scan (timestamp range, double range, quantity bound); the
+    aggregate is one exact-decimal map-side partial + single-row
+    reduce, i.e. the cheapest possible plan over a 100 TB fact."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(money("l_extendedprice") * frac("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def geo_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — country-only, city-only, and grand
+    total in one pass (neither ROLLUP nor CUBE: the (country, city)
+    detail level is deliberately absent).  Spark expands the sets into
+    one Expand + single aggregation — one shuffle, not three."""
+    ensure_query_confs(spark)
+    base = _signup_geo(spark, sf_dir).select("country_region_name", "city")
+    return (
+        base.groupingSets(
+            [["country_region_name"], ["city"], []],
+            "country_region_name",
+            "city",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("new_customers_count"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("country_region_name", F.lit("ALL")).alias("country_region_name"),
+            F.coalesce("city", F.lit("ALL")).alias("city"),
+            "gid",
+            "new_customers_count",
+        )
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column profiling per label: count plus min / median /
+    max L2 norm.  The norm is the JVM-side zip_with/aggregate fold
+    (functions/vectors.py — bit-identical to DuckDB's sequential list
+    fold); the group stats are order-insensitive (min/max/percentile),
+    so no decimal detour is needed for cross-engine exactness."""
+    from real_time_data_analytics_cassandra_spark.functions.vectors import norm_expr
+
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm_expr("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.percentile("norm", 0.5), 6).alias("p50_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+def streaming_multi_granularity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three parallel counter families (5min/hourly/daily,
+    cassandra_subscriber.py:217-218) as ONE streaming query: each
+    event explodes into its three labeled buckets before a single
+    grouped count — one stateful operator, not three queries over the
+    same stream (operators/counts.py::multi_granularity_counts runs
+    unchanged on the stream; batch-equivalence gives the oracle)."""
+
+    def build(stream: DataFrame) -> DataFrame:
+        return counts_op.multi_granularity_counts(
+            stream.filter(F.col("event_type") == "purchase"), "ts"
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, "streaming_multi_granularity_q"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -1895,6 +1984,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": decontaminate_overlap,
         "pack_context_windows": pack_context_windows,
         "dedup_cluster_representatives": dedup_cluster_representatives,
+        "forecast_revenue": forecast_revenue,
+        "geo_grouping_sets": geo_grouping_sets,
+        "embedding_norm_stats": embedding_norm_stats,
+        "streaming_multi_granularity_counts": streaming_multi_granularity_counts,
     }
 
 
@@ -2880,6 +2973,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS rep_doc_id,
                    n_chars AS rep_n_chars, cluster_size
             FROM ranked WHERE cluster_size > 1 AND rnk = 1
+        """,
+        "forecast_revenue": """
+            SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                       * CAST(l_discount AS DECIMAL(9,4))), 2)
+                        AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "geo_grouping_sets": f"""
+            SELECT coalesce(country_region_name, 'ALL') AS country_region_name,
+                   coalesce(city, 'ALL') AS city,
+                   CAST(GROUPING(country_region_name, city) AS BIGINT) AS gid,
+                   count(*) AS new_customers_count
+            FROM (SELECT coalesce(r.r_name, 'Unknown') AS country_region_name,
+                         coalesce(n.n_name, 'Unknown') AS city
+                  {_GEO_ORACLE_FROM}) g
+            GROUP BY GROUPING SETS ((country_region_name), (city), ())
+        """,
+        "embedding_norm_stats": """
+            WITH norms AS (
+                SELECT label,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS norm
+                FROM embeddings
+            )
+            SELECT label,
+                   count(*) AS n_vecs,
+                   round(min(norm), 6) AS min_norm,
+                   round(quantile_cont(norm, 0.5), 6) AS p50_norm,
+                   round(max(norm), 6) AS max_norm
+            FROM norms
+            GROUP BY 1
+        """,
+        "streaming_multi_granularity_counts": """
+            SELECT '5min:' || strftime(ts, '%Y%m%d%H')
+                   || lpad(CAST((minute(ts) // 5) * 5 AS VARCHAR), 2, '0') AS time_bucket,
+                   count(*) AS product_count
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            UNION ALL
+            SELECT 'hourly:' || strftime(ts, '%Y%m%d%H'), count(*)
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+            UNION ALL
+            SELECT 'daily:' || strftime(ts, '%Y%m%d'), count(*)
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
