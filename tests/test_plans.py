@@ -141,3 +141,57 @@ def test_user_event_paths_partial_aggregates(spark):
     assert operator_count(df, "Exchange") == 1, explain_str(df)
     plan = explain_str(df)
     assert plan.count("Aggregate") >= 2, plan
+
+
+def test_forecast_revenue_filters_pushed(spark):
+    """Q6's whole predicate set must reach the parquet scan."""
+    df = q.forecast_revenue(spark, SF_SMOKE)
+    pushed = " ".join(pushed_filters(df))
+    for key in ("l_shipdate", "l_discount", "l_quantity"):
+        assert key in pushed, pushed
+
+
+def test_nation_trade_volume_broadcasts_dims(spark):
+    """Q7: both nation-side lookups broadcast; no nested loop."""
+    df = q.nation_trade_volume(spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+    assert operator_count(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The corpus side must meet the eval set in a broadcast join —
+    a shuffled corpus here would be the 100 TB bottleneck."""
+    assert has_broadcast_join(q.decontaminate_overlap(spark, SF_SMOKE))
+
+
+def test_repetition_filter_single_scan_no_join(spark):
+    """Per-doc scalars ride the grouping keys: one documents scan,
+    no join back to the base table."""
+    df = q.repetition_filter(spark, SF_SMOKE)
+    assert operator_count(df, "Scan parquet") == 1, explain_str(df)
+    plan = explain_str(df)
+    assert "Join" not in plan, plan
+
+
+def test_part_value_share_single_fact_alignment(spark):
+    """Q11: the global total is a broadcast scalar, and both
+    aggregates partial-aggregate map-side (no driver collect)."""
+    df = q.part_value_share(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert python_eval_free(df)
+
+
+def test_grouping_sets_single_shuffle(spark):
+    """GROUPING SETS expands in one Expand + one aggregation —
+    never one scan per set (each of the 4 source tables is scanned
+    exactly once)."""
+    df = q.geo_grouping_sets(spark, SF_SMOKE)
+    assert operator_count(df, "Expand") == 1, explain_str(df)
+    assert operator_count(df, "Scan parquet") == 4, explain_str(df)
+    assert operator_count(df, "HashAggregate") == 2, explain_str(df)
+
+
+def test_embedding_norm_stats_python_free(spark):
+    """The norm fold is a JVM higher-order function, not a UDF."""
+    assert python_eval_free(q.embedding_norm_stats(spark, SF_SMOKE))
