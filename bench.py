@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "geo_grouping_sets",
     "embedding_norm_stats",
     "streaming_multi_granularity_counts",
+    "hll_reaggregated_users",
+    "approx_value_percentiles",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

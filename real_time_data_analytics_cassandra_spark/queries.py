@@ -1892,6 +1892,45 @@ def streaming_multi_granularity_counts(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def hll_reaggregated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct sketches — THE 100 TB distinct-count
+    pattern: build one fixed-size HLL sketch per (day, event_type)
+    partition (Datasketches hll_sketch_agg), then merge the daily
+    sketches per type (hll_union_agg) and estimate.  The second level
+    never touches raw user ids — a year of daily sketches merges in
+    KBs, which is what makes rolling distinct counts cheap on a
+    partitioned 100 TB event log.  Approximate -> no SQL oracle;
+    tests bound the estimate against the exact distinct count."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format("ts", "yyyyMMdd").alias("day_bucket"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "n_users_merged_est"
+            ),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+    )
+
+
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of value_percentiles: mergeable
+    quantile summaries (accuracy 10000) instead of an exact global
+    sort — the scale path when the value column no longer fits a
+    sort-based exact percentile.  Approximate -> no SQL oracle; tests
+    bound it against the exact interpolated percentiles."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 10000).alias("p50_value_approx"),
+        F.approx_percentile("value", 0.9, 10000).alias("p90_value_approx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -1988,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_grouping_sets": geo_grouping_sets,
         "embedding_norm_stats": embedding_norm_stats,
         "streaming_multi_granularity_counts": streaming_multi_granularity_counts,
+        "hll_reaggregated_users": hll_reaggregated_users,
+        "approx_value_percentiles": approx_value_percentiles,
     }
 
 

@@ -63,3 +63,43 @@ def test_simhash_pairs_have_low_hamming_and_similar_text(spark):
         exact = _pairs(q.ngram_jaccard(spark, SF_ORACLE))
         sim_pairs = {(r.id_a, r.id_b) for r in rows}
         assert sim_pairs & exact, "simhash should find some true near-dups"
+
+
+def test_hll_merged_estimate_close_to_exact(spark):
+    """Merging per-day sketches must estimate within HLL error of the
+    exact distinct count (lgConfigK=12 default -> ~1.6% rsd; allow
+    5% headroom)."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    est = {
+        r["event_type"]: r["n_users_merged_est"]
+        for r in q.hll_reaggregated_users(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in q.distinct_users_per_type(spark, SF_ORACLE).collect()
+    }
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(3, 0.05 * e), (t, est[t], e)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """approx_percentile(accuracy=10000) must land within 1% relative
+    rank error of the exact interpolated percentile values."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    approx = {
+        r["event_type"]: (r["p50_value_approx"], r["p90_value_approx"])
+        for r in q.approx_value_percentiles(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50_value"], r["p90_value"])
+        for r in q.value_percentiles(spark, SF_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, (p50e, p90e) in exact.items():
+        p50a, p90a = approx[t]
+        spread = abs(p90e - p50e) + 1e-9
+        assert abs(p50a - p50e) <= 0.05 * spread, (t, p50a, p50e)
+        assert abs(p90a - p90e) <= 0.05 * spread, (t, p90a, p90e)
