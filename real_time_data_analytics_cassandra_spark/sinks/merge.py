@@ -192,3 +192,65 @@ def merge_upsert_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_topn(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    order_col: str,
+    n: int,
+    id_cols: Sequence[str],
+) -> None:
+    """Bounded recent-list MERGE: maintain the global top-N rows by
+    ``order_col`` desc — the incremental materialization of the
+    reference's ``global_recent_customers`` table (single fixed
+    partition, ``CLUSTERING ORDER BY registration_timestamp DESC``,
+    reference README.md:272-282; LIMIT-N read at
+    realtime_api.py:143-149).
+
+    Scale shape: the batch side collapses to its own top-N FIRST
+    (TakeOrderedAndProject — per-partition local top-N, no shuffle),
+    so the union is always ≤ 2N rows regardless of batch or history
+    size; the target never exceeds N rows.  Dedup on ``id_cols``
+    makes a replayed merge idempotent (re-merging rows already in the
+    list cannot evict newer ones)."""
+    from ..operators.topk import global_top_n
+
+    batch_top = global_top_n(source, order_col, n, id_cols)
+    if not _target_exists(spark, path):
+        batch_top.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    merged = (
+        existing.select(*batch_top.columns)
+        .unionByName(batch_top)
+        .dropDuplicates(list(id_cols))
+    )
+    result = global_top_n(merged, order_col, n, id_cols).localCheckpoint(eager=True)
+    result.write.mode("overwrite").parquet(path)
+
+
+def topn_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    order_col: str,
+    n: int,
+    id_cols: Sequence[str],
+    checkpoint: str,
+):
+    """Streaming recent-list maintenance: each micro-batch folds its
+    newest rows into the bounded top-N table.  Replaces the
+    reference's single-hot-partition trick (fixed_partition_key =
+    'all_customers') with a tiny bounded table that any executor can
+    rebuild from a union of two top-N sets."""
+
+    def _fold(batch: DataFrame, _batch_id: int) -> None:
+        merge_topn(batch.sparkSession, batch, path, order_col, n, id_cols)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

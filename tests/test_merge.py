@@ -183,3 +183,45 @@ def test_streaming_merge_matches_batch(spark):
         assert got.count() == want.count()
         assert _rows(got) == _rows(want)
     events.unpersist()
+
+
+def test_streaming_topn_matches_batch(spark):
+    """The bounded recent-list equals the batch top-N recompute after
+    incremental folds, and a replayed fold changes nothing."""
+    from real_time_data_analytics_cassandra_spark.operators.topk import global_top_n
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        merge_topn,
+        topn_foreach_batch,
+    )
+
+    events = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", TS, "user_id")
+        .cache()
+    )
+
+    def _r(df):
+        return sorted(map(tuple, df.select("event_id", TS, "user_id").collect()))
+
+    cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
+    halves = [events.filter(F.col(TS) <= cut), events.filter(F.col(TS) > cut)]
+    with (
+        tempfile.TemporaryDirectory() as src,
+        tempfile.TemporaryDirectory() as d,
+        tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt,
+    ):
+        path = os.path.join(d, "recent")
+        schema = events.schema
+        for half in halves:
+            half.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = topn_foreach_batch(stream, path, TS, 20, ["event_id"], ckpt)
+            q.awaitTermination()
+        got = spark.read.parquet(path)
+        want = global_top_n(events, TS, 20, ["event_id"])
+        assert _r(got) == _r(want)
+        # idempotence: re-merging an already-folded half is a no-op
+        merge_topn(spark, halves[1], path, TS, 20, ["event_id"])
+        assert _r(spark.read.parquet(path)) == _r(want)
+    events.unpersist()
