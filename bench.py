@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "streaming_multi_granularity_counts",
     "hll_reaggregated_users",
     "approx_value_percentiles",
+    "value_histogram",
+    "daily_value_ohlc",
+    "value_time_correlation",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

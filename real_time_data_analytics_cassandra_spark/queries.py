@@ -1931,6 +1931,108 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket histogram of event value: the global
+    (min, max) is a 1-row aggregate broadcast back over the scan —
+    two passes over the fact, zero driver-side math, the standard
+    distributed-histogram shape.  Bucket arithmetic is pure double
+    (identical IEEE ops in any engine)."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    rng = events.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(10.0)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("vmin")) / width), F.lit(9)
+    ).cast("long")
+    return (
+        events.crossJoin(F.broadcast(rng))
+        .select(
+            bucket.alias("bucket"),
+            F.round(F.col("vmin") + bucket * width, 6).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style rollup per (event_type, day): first / last value by
+    (ts, event_id) order plus min / max / count.  Both ranking
+    windows and the final aggregate share one (event_type, day)
+    shuffle; open/close come from conditional aggregation over the
+    rank columns, not a self-join."""
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").alias("day_bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day_bucket")
+    asc = w.orderBy(F.asc("ts"), F.asc("event_id"))
+    desc = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = keyed.select(
+        "event_type",
+        "day_bucket",
+        "value",
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+    )
+    return ranked.groupBy("event_type", "day_bucket").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open_value"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and hour-of-day, per
+    type, via single-pass decimal moment sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) — the distributed-correlation shape: each moment partial-
+    aggregates map-side, and the final formula runs on exact decimal
+    sums rescaled to doubles, so the result is engine-portable with
+    no floating-point accumulation order dependence."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    h = F.hour("ts")
+    moments = events.select(
+        "event_type",
+        v.alias("v"),
+        h.cast("long").alias("h"),
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("v"), 2).cast("decimal(15,2)").cast("double").alias("sx"),
+        F.sum("h").cast("double").alias("sy"),
+        F.round(F.sum(F.col("v") * F.col("h")), 2)
+        .cast("decimal(15,2)")
+        .cast("double")
+        .alias("sxy"),
+        F.round(F.sum(F.col("v") * F.col("v")), 2)
+        .cast("decimal(15,2)")
+        .cast("double")
+        .alias("sx2"),
+        F.sum(F.col("h") * F.col("h")).cast("double").alias("sy2"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return moments.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(corr, 6).alias("value_hour_corr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2029,6 +2131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_multi_granularity_counts": streaming_multi_granularity_counts,
         "hll_reaggregated_users": hll_reaggregated_users,
         "approx_value_percentiles": approx_value_percentiles,
+        "value_histogram": value_histogram,
+        "daily_value_ohlc": daily_value_ohlc,
+        "value_time_correlation": value_time_correlation,
     }
 
 
@@ -3062,6 +3167,56 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'daily:' || strftime(ts, '%Y%m%d'), count(*)
             FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "value_histogram": """
+            WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+            bucketed AS (
+                SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / 10.0)), 9) AS BIGINT) AS bucket,
+                       vmin, vmax
+                FROM events, rng
+            )
+            SELECT bucket,
+                   round(vmin + bucket * ((vmax - vmin) / 10.0), 6) AS bucket_lo,
+                   count(*) AS n_events
+            FROM bucketed
+            GROUP BY 1, 2
+        """,
+        "daily_value_ohlc": """
+            WITH ranked AS (
+                SELECT event_type, strftime(ts, '%Y%m%d') AS day_bucket, value,
+                       row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y%m%d')
+                                          ORDER BY ts ASC, event_id ASC) AS rn_first,
+                       row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y%m%d')
+                                          ORDER BY ts DESC, event_id DESC) AS rn_last
+                FROM events
+            )
+            SELECT event_type, day_bucket,
+                   max(CASE WHEN rn_first = 1 THEN value END) AS open_value,
+                   max(CASE WHEN rn_last = 1 THEN value END) AS close_value,
+                   max(value) AS high_value,
+                   min(value) AS low_value,
+                   count(*) AS n_events
+            FROM ranked
+            GROUP BY 1, 2
+        """,
+        "value_time_correlation": """
+            WITH moments AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sy,
+                       CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2)) * CAST(hour(ts) AS BIGINT)), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sxy,
+                       CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(15,2)) AS DOUBLE) AS sx2,
+                       CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sy2
+                FROM events
+                GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+                       AS value_hour_corr
+            FROM moments
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
