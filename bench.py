@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "daily_value_ohlc",
     "value_time_correlation",
+    "sql_revenue_by_priority",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

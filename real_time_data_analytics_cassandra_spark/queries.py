@@ -2033,6 +2033,29 @@ def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL face of the engine: the registry is DataFrame-
+    first, but `spark.sql` over registered views reaches the same
+    Catalyst plan — this query's SQL text is (modulo strftime names)
+    the same string the DuckDB oracle runs, proving the SQL surface
+    is engine-portable end to end."""
+    ensure_query_confs(spark)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(9,4)))), 2)
+                    AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM v_lineitem l
+        JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2134,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": value_histogram,
         "daily_value_ohlc": daily_value_ohlc,
         "value_time_correlation": value_time_correlation,
+        "sql_revenue_by_priority": sql_revenue_by_priority,
     }
 
 
@@ -3217,6 +3241,14 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
                        AS value_hour_corr
             FROM moments
+        """,
+        "sql_revenue_by_priority": f"""
+            SELECT o.o_orderpriority,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,

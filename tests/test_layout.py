@@ -82,3 +82,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_dim_filter_triggers_dynamic_partition_pruning(spark, events_by_type):
+    """A selective filter on a joined dim must prune the fact's hive
+    partitions at RUNTIME (dynamic partition pruning): the fact scan
+    carries a dynamicpruning subquery on the partition column, so at
+    100 TB only the dim-selected partitions are ever listed."""
+    fact = spark.read.parquet(events_by_type)
+    dim = spark.createDataFrame(
+        [("signup", 1), ("purchase", 2), ("click", 3)],
+        ["event_type", "type_rank"],
+    ).filter(F.col("type_rank") == 1)
+    joined = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+    plan = explain_str(joined).lower()
+    assert "dynamicpruning" in plan, plan
