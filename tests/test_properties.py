@@ -178,3 +178,55 @@ def test_decimal_sum_partition_invariant(spark, rows):
         for n in (1, 7)
     ]
     assert sorted(map(tuple, sums[0])) == sorted(map(tuple, sums[1]))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=1, max_value=300),  # tokens
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(lambda rows: [(g, i, t) for i, (g, t) in enumerate(rows)]),
+    budget=st.integers(min_value=50, max_value=256),
+)
+@SET
+def test_pack_greedy_matches_sequential_model(spark, rows, budget):
+    """pack_greedy must equal the sequential first-fit-in-order model
+    per group: bins are contiguous starting at 0, a bin never exceeds
+    the budget unless it holds a single oversized row, and every row
+    lands in order."""
+    from real_time_data_analytics_cassandra_spark.operators.packing import (
+        pack_greedy,
+    )
+
+    df = spark.createDataFrame(rows, ["grp", "seq", "n_tokens"])
+    got = {
+        (r["grp"], r["seq"]): (r["bin_id"], r["bin_tokens"])
+        for r in pack_greedy(df, "grp", "seq", "n_tokens", budget).collect()
+    }
+
+    by_group: dict[int, list[tuple[int, int]]] = {}
+    for g, i, t in rows:
+        by_group.setdefault(g, []).append((i, t))
+    want = {}
+    for g, items in by_group.items():
+        items.sort()
+        bin_id, fill = 0, 0
+        for pos, (i, t) in enumerate(items):
+            if pos == 0 or fill + t <= budget:
+                fill += t
+            else:
+                bin_id, fill = bin_id + 1, t
+            want[(g, i)] = (bin_id, fill)
+
+    assert got == want
+    # invariant: a bin over budget holds exactly one row
+    per_bin: dict[tuple[int, int], list[int]] = {}
+    for (g, i), (b, _) in got.items():
+        per_bin.setdefault((g, b), []).append(i)
+    tokens = {(g, i): t for g, i, t in rows}
+    for (g, b), members in per_bin.items():
+        total = sum(tokens[(g, i)] for i in members)
+        assert total <= budget or len(members) == 1
