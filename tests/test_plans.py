@@ -164,13 +164,34 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     assert has_broadcast_join(q.decontaminate_overlap(spark, SF_SMOKE))
 
 
-def test_repetition_filter_single_scan_no_join(spark):
-    """Per-doc scalars ride the grouping keys: one documents scan,
-    no join back to the base table."""
+def test_repetition_filter_pure_projection(spark):
+    """The sorted-run formulation is a pure projection: one documents
+    scan, no join, and NO shuffle at all."""
     df = q.repetition_filter(spark, SF_SMOKE)
     assert operator_count(df, "Scan parquet") == 1, explain_str(df)
     plan = explain_str(df)
     assert "Join" not in plan, plan
+    assert operator_count(df, "Exchange") == 0, plan
+
+
+def test_repetition_grouped_variant_matches(spark):
+    """The shuffle-free and grouped forms are interchangeable."""
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_grouped,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, repetition_stats(docs, "doc_id", "text").collect()))
+    cols = ["doc_id", "n_words", "distinct_word_ratio", "top_bigram_cnt", "top_bigram_frac"]
+    b = sorted(
+        map(
+            tuple,
+            repetition_stats_grouped(docs, "doc_id", "text").select(*cols).collect(),
+        )
+    )
+    assert a == b
 
 
 def test_part_value_share_single_fact_alignment(spark):
