@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "daily_value_ohlc",
     "value_time_correlation",
     "sql_revenue_by_priority",
+    "audio_window_features",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

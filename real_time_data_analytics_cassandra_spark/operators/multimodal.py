@@ -174,3 +174,61 @@ def decode_media_real(df_with_payload: DataFrame) -> DataFrame:
         "real media decoding requires codec libraries not present in this "
         "environment; use decode_media_meta (deterministic stub) instead"
     )
+
+
+AUDIO_WINDOW = 1024
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_window_features(df_with_payload: DataFrame) -> DataFrame:
+    """Audio-style windowed features over the binary column: the
+    payload is treated as 8-bit PCM (bytes centered at 128), cut into
+    fixed AUDIO_WINDOW-byte frames (tail window kept), and each frame
+    yields RMS energy + zero-crossing count — the canonical first
+    stage of an audio-curation pipeline (silence/clipping filters,
+    VAD features).
+
+    Real resampling/codec work would replace the byte interpretation
+    (STUB, same contract as ``decode_media_meta``); the pipeline
+    shape — 1:N Arrow-batched window expansion, numpy math per batch,
+    no per-row Python — is the production one.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            out_ids, out_idx, out_rms, out_zc = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                samples = (
+                    np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                )
+                if samples.size == 0:
+                    continue
+                n_win = (samples.size + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+                for w in range(n_win):
+                    frame = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                    out_ids.append(doc_id)
+                    out_idx.append(w)
+                    out_rms.append(
+                        round(float(np.sqrt(np.mean(frame * frame))), 6)
+                    )
+                    signs = np.signbit(frame[frame != 0.0])
+                    out_zc.append(int(np.count_nonzero(signs[1:] != signs[:-1])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "window_idx": pd.Series(out_idx, dtype="int64"),
+                    "rms": pd.Series(out_rms, dtype="float64"),
+                    "zero_crossings": pd.Series(out_zc, dtype="int64"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -2056,6 +2056,19 @@ def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-curation first stage over binary payloads: fixed-window
+    RMS + zero-crossing features via Arrow-batched 1:N expansion
+    (operators/multimodal.py::audio_window_features; decode is the
+    documented STUB, the Spark plumbing is real).  No SQL oracle
+    (windowed numpy math); tests cross-check a direct numpy model."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return mm_op.audio_window_features(
+        mm_op.attach_binary_payload(docs, "doc_id", "text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2158,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_value_ohlc": daily_value_ohlc,
         "value_time_correlation": value_time_correlation,
         "sql_revenue_by_priority": sql_revenue_by_priority,
+        "audio_window_features": audio_window_features,
     }
 
 

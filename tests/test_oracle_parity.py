@@ -131,3 +131,34 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema) == 4
+
+
+def test_audio_windows_match_direct_numpy(spark):
+    """The Arrow windowed-RMS stage must equal a direct numpy model
+    of the same utf-8 payloads (cross-check for the no-oracle
+    windowed query)."""
+    import numpy as np
+
+    from real_time_data_analytics_cassandra_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+    )
+
+    rows = QUERIES["audio_window_features"](spark, SF_ORACLE).collect()
+    con = _duck(SF_ORACLE)
+    texts = dict(con.sql("SELECT doc_id, text FROM documents").fetchall())
+    con.close()
+    got = {(r.doc_id, r.window_idx): (r.rms, r.zero_crossings) for r in rows}
+    n_expected = 0
+    for doc_id, text in texts.items():
+        samples = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
+            np.float64
+        ) - 128.0
+        n_win = (samples.size + AUDIO_WINDOW - 1) // AUDIO_WINDOW
+        n_expected += n_win
+        for w in range(n_win):
+            frame = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+            rms = round(float(np.sqrt(np.mean(frame * frame))), 6)
+            signs = np.signbit(frame[frame != 0.0])
+            zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
+            assert got[(doc_id, w)] == (rms, zc), (doc_id, w)
+    assert len(got) == n_expected

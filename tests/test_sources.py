@@ -73,3 +73,20 @@ def test_rate_source_feeds_pipeline(spark):
     out = spark.table("rate_smoke")
     assert out.count() >= 0  # schema materialized; rows arrive with time
     assert set(out.columns) == {"hour_bucket", "event_type", "cnt"}
+
+
+def test_cassandra_reader_shape(spark):
+    """Option construction for the production Cassandra path (no jar
+    in this environment — .load() is intentionally not called)."""
+    from real_time_data_analytics_cassandra_spark.sources.cassandra import (
+        CASSANDRA_FORMAT,
+        cassandra_options,
+        read_cassandra_table,
+    )
+
+    opts = cassandra_options("analytics", "customer_latest_info", splits_per_node=64)
+    assert opts["keyspace"] == "analytics"
+    assert opts["table"] == "customer_latest_info"
+    assert opts["spark.cassandra.input.split.sizeInMB"] == "64"
+    reader = read_cassandra_table(spark, "analytics", "customer_latest_info")
+    assert reader is not None
