@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "value_time_correlation",
     "sql_revenue_by_priority",
     "audio_window_features",
+    "hourly_value_interpolated",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

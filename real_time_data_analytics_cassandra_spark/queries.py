@@ -2069,6 +2069,71 @@ def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly average value per event type with LINEAR
+    INTERPOLATION across missing hours (head/tail gaps take the
+    nearest observation): the time-series-repair shape — distributed
+    hour spine × type, then two IGNORE-NULLS window scans (last
+    observation carried forward, next carried backward) per type
+    partition, so the fill is one shuffle keyed by the series, never
+    a driver loop."""
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / 3600).cast("long").alias("h_lo"),
+        F.floor(F.unix_timestamp(F.max("ts")) / 3600).cast("long").alias("h_hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("h_lo", "h_hi")).alias("h"))
+    types = events.select("event_type").distinct()
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(davg(F.col("value").cast("decimal(12,2)"), "avg_value"))
+    grid = spine.crossJoin(F.broadcast(types)).join(
+        hourly, ["event_type", "h"], "left"
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_value").isNotNull(), F.col("h"))
+    filled = grid.select(
+        "event_type",
+        "h",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("avg_value", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.round(
+                F.col("prev_v")
+                + (F.col("next_v") - F.col("prev_v"))
+                * (F.col("h") - F.col("prev_h")).cast("double")
+                / (F.col("next_h") - F.col("prev_h")).cast("double"),
+                6,
+            ),
+        ).otherwise(F.coalesce("prev_v", "next_v"))
+    )
+    return filled.select(
+        "event_type",
+        "h",
+        interp.alias("avg_value_filled"),
+        F.col("avg_value").isNotNull().alias("is_observed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2172,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_time_correlation": value_time_correlation,
         "sql_revenue_by_priority": sql_revenue_by_priority,
         "audio_window_features": audio_window_features,
+        "hourly_value_interpolated": hourly_value_interpolated,
     }
 
 
@@ -3255,6 +3321,55 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
                        AS value_hour_corr
             FROM moments
+        """,
+        "hourly_value_interpolated": """
+            WITH bounds AS (
+                SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS h_lo,
+                       CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS h_hi
+                FROM events
+            ),
+            spine AS (
+                SELECT h FROM bounds, unnest(generate_series(h_lo, h_hi)) AS t(h)
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                       round(CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4)
+                                  AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_value
+                FROM events
+                GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT t.event_type, s.h, hr.avg_value
+                FROM spine s CROSS JOIN types t
+                LEFT JOIN hourly hr ON hr.event_type = t.event_type AND hr.h = s.h
+            ),
+            filled AS (
+                SELECT event_type, h, avg_value,
+                       last_value(avg_value IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                       last_value(CASE WHEN avg_value IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+                       first_value(avg_value IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                       first_value(CASE WHEN avg_value IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+                FROM grid
+            )
+            SELECT event_type, h,
+                   CASE WHEN avg_value IS NOT NULL THEN avg_value
+                        WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                        THEN round(prev_v + (next_v - prev_v)
+                                   * CAST(h - prev_h AS DOUBLE)
+                                   / CAST(next_h - prev_h AS DOUBLE), 6)
+                        ELSE coalesce(prev_v, next_v) END AS avg_value_filled,
+                   (avg_value IS NOT NULL) AS is_observed
+            FROM filled
         """,
         "sql_revenue_by_priority": f"""
             SELECT o.o_orderpriority,
