@@ -254,3 +254,69 @@ def topn_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_topk_per_group(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    id_cols: Sequence[str],
+) -> None:
+    """Per-group bounded recent-list MERGE: keep the newest K rows
+    WITHIN each group — the incremental materialization of the
+    reference's ``latest_product_category_trends`` table (partition
+    per subcategory, ``CLUSTERING ORDER BY addition_timestamp DESC``,
+    reference README.md:263-270; LIMIT-10 read at
+    realtime_api.py:282-288).
+
+    Scale shape: the batch collapses to its own per-group top-K first
+    (one rank window over the batch), so the union never exceeds
+    2K rows per touched group; the target stays ≤ K·|groups| and is
+    hive-partition-able on the group key for pruned reads.  Idempotent
+    on ``id_cols`` dedup, like :func:`merge_topn`."""
+    from ..operators.topk import top_k_per_group
+
+    batch_top = top_k_per_group(source, group_cols, order_col, k, id_cols).drop("rn")
+    if not _target_exists(spark, path):
+        batch_top.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    merged = (
+        existing.select(*batch_top.columns)
+        .unionByName(batch_top)
+        .dropDuplicates(list(id_cols))
+    )
+    result = (
+        top_k_per_group(merged, group_cols, order_col, k, id_cols)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    result.write.mode("overwrite").parquet(path)
+
+
+def topk_per_group_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    id_cols: Sequence[str],
+    checkpoint: str,
+):
+    """Streaming per-group recent-list maintenance (the write path of
+    the reference's category-trends table, exactly-once per batch)."""
+
+    def _fold(batch: DataFrame, _batch_id: int) -> None:
+        merge_topk_per_group(
+            batch.sparkSession, batch, path, group_cols, order_col, k, id_cols
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -225,3 +225,51 @@ def test_streaming_topn_matches_batch(spark):
         merge_topn(spark, halves[1], path, TS, 20, ["event_id"])
         assert _r(spark.read.parquet(path)) == _r(want)
     events.unpersist()
+
+
+def test_streaming_topk_per_group_matches_batch(spark):
+    """The per-group bounded recent-list equals the batch per-group
+    top-K recompute after incremental folds; replay is a no-op."""
+    from real_time_data_analytics_cassandra_spark.operators.topk import (
+        top_k_per_group,
+    )
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        merge_topk_per_group,
+        topk_per_group_foreach_batch,
+    )
+
+    events = (
+        table(spark, SF_SMOKE, "events")
+        .select("event_id", TS, "user_id", "event_type")
+        .cache()
+    )
+
+    def _r(df):
+        return sorted(
+            map(tuple, df.select("event_id", TS, "user_id", "event_type").collect())
+        )
+
+    cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
+    halves = [events.filter(F.col(TS) <= cut), events.filter(F.col(TS) > cut)]
+    with (
+        tempfile.TemporaryDirectory() as src,
+        tempfile.TemporaryDirectory() as d,
+        tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt,
+    ):
+        path = os.path.join(d, "trends")
+        schema = events.schema
+        for half in halves:
+            half.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = topk_per_group_foreach_batch(
+                stream, path, ["event_type"], TS, 10, ["event_id"], ckpt
+            )
+            q.awaitTermination()
+        got = spark.read.parquet(path)
+        want = top_k_per_group(events, ["event_type"], TS, 10, ["event_id"]).drop("rn")
+        assert _r(got) == _r(want)
+        merge_topk_per_group(
+            spark, halves[0], path, ["event_type"], TS, 10, ["event_id"]
+        )
+        assert _r(spark.read.parquet(path)) == _r(want)
+    events.unpersist()
