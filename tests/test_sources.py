@@ -90,3 +90,43 @@ def test_cassandra_reader_shape(spark):
     assert opts["spark.cassandra.input.split.sizeInMB"] == "64"
     reader = read_cassandra_table(spark, "analytics", "customer_latest_info")
     assert reader is not None
+
+
+def test_amqp_dump_datasource_roundtrip(spark, tmp_path):
+    """The custom Python Data Source reads a multi-file JSON-lines
+    message dump with one input partition per file and the envelope
+    parsed to the declared schema."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.sources.amqp_dump import register
+
+    register(spark)
+    want = []
+    for fidx in range(3):
+        with open(tmp_path / f"dump_{fidx}.jsonl", "w") as fh:
+            for i in range(10):
+                msg = {
+                    "message_id": f"m{fidx}-{i}",
+                    "ts_epoch": 1_700_000_000 + fidx * 100 + i,
+                    "body": {"type": "customer" if i % 2 else "product", "k": i},
+                }
+                fh.write(json.dumps(msg) + "\n")
+                want.append(
+                    (
+                        msg["message_id"],
+                        msg["ts_epoch"],
+                        json.dumps(msg["body"], sort_keys=True),
+                    )
+                )
+
+    df = spark.read.format("amqp_dump").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == 3
+    got = sorted(map(tuple, df.collect()))
+    assert got == sorted(want)
+    # the envelope feeds the normal JSON decode path (S2)
+    typed = df.select(
+        F.get_json_object("body", "$.type").alias("type")
+    ).groupBy("type").count()
+    assert {r["type"] for r in typed.collect()} == {"customer", "product"}
