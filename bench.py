@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "sql_revenue_by_priority",
     "audio_window_features",
     "hourly_value_interpolated",
+    "amqp_replay_type_counts",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

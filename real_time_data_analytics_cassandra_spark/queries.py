@@ -2134,6 +2134,78 @@ def hourly_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def amqp_replay_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the custom Python Data Source
+    (sources/amqp_dump.py): the events table is dumped once per
+    sf_dir as a sharded JSON-lines bus archive (the test-fixture
+    analog of a recorded RabbitMQ dump — reference
+    cassandra_subscriber.py:237-287), read back through
+    ``format("amqp_dump")`` with one partition per shard, decoded by
+    the S2 JSON path, and counted per message type — gated against
+    the counts straight off the parquet."""
+    import json
+    import os
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.amqp_dump import (
+        register,
+    )
+
+    ensure_query_confs(spark)
+    register(spark)
+    dump_dir = os.path.join(
+        tempfile.gettempdir(), "rtdac_amqp_dump_" + sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(dump_dir, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(dump_dir, exist_ok=True)
+        events = (
+            table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_timestamp("ts").alias("ts_epoch"),
+                "event_type",
+                "user_id",
+            )
+            .toPandas()
+        )
+        n_shards = 8
+        handles = [
+            open(os.path.join(dump_dir, f"shard_{i}.jsonl"), "w") for i in range(n_shards)
+        ]
+        try:
+            for row in events.itertuples(index=False):
+                handles[row.event_id % n_shards].write(
+                    json.dumps(
+                        {
+                            "message_id": f"msg-{row.event_id}",
+                            "ts_epoch": int(row.ts_epoch),
+                            "body": {
+                                "type": row.event_type,
+                                "user_id": int(row.user_id),
+                            },
+                        }
+                    )
+                    + "\n"
+                )
+        finally:
+            for h in handles:
+                h.close()
+        open(marker, "w").close()
+    dumped = (
+        spark.read.format("amqp_dump")
+        .option("path", dump_dir)
+        .load()
+    )
+    return (
+        dumped.select(
+            F.get_json_object("body", "$.type").alias("event_type")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2238,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue_by_priority": sql_revenue_by_priority,
         "audio_window_features": audio_window_features,
         "hourly_value_interpolated": hourly_value_interpolated,
+        "amqp_replay_type_counts": amqp_replay_type_counts,
     }
 
 
@@ -3321,6 +3394,11 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
                        AS value_hour_corr
             FROM moments
+        """,
+        "amqp_replay_type_counts": """
+            SELECT event_type, count(*) AS n_messages
+            FROM events
+            GROUP BY 1
         """,
         "hourly_value_interpolated": """
             WITH bounds AS (
