@@ -63,3 +63,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound downstream stages see at least the session's
+    default parallelism.
+
+    `maxPartitionBytes` sizes scan splits for scan-bound work; a small
+    single-row-group file (this testbed's documents/embeddings tables)
+    therefore arrives as ONE split, serializing any compute-heavy
+    stage (hash folds, Arrow UDFs) on one core.  When — and only
+    when — the scan's parallelism is below the session default, a
+    round-robin repartition spreads the rows; on a production corpus
+    with many splits this is a no-op (no exchange is added), so
+    shuffle-free plans stay shuffle-free where the data is already
+    parallel.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -123,7 +123,9 @@ def minhash_signatures(
     expressions over the same shingle hash (map-side partial agg keeps
     the shuffle at one row per doc per partition).
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    sh = shingle_sets(spread(df), id_col, text_col, n)
     hashed = sh.withColumn("h", F.crc32(F.col("shingle")))
     aggs = [F.min(_permute(F.col("h"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
     return hashed.groupBy("id").agg(*aggs)
@@ -212,8 +214,12 @@ def simhash_bits(
     as ``bits`` conditional-sum aggregates in a single groupBy — one
     shuffle, map-side combined.
     """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
     tok = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        spread(df).select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
         .withColumn("h", F.xxhash64(F.col("tok")))
     )
     aggs = [

@@ -48,7 +48,9 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     Real pipelines read the blob from object storage / a parquet binary
     column; the deterministic derivation keeps tests reproducible.
     """
-    return df.select(
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    return spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )

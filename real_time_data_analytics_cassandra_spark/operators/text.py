@@ -127,7 +127,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    tok = df.select(
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    tok = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
@@ -175,17 +177,20 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     word count, distinct-word ratio, most-frequent-bigram count and
     its fraction of all bigrams.
 
-    Shape: a pure projection — ZERO shuffles.  The top-bigram
-    multiplicity is the longest equal-neighbor run of the per-row
-    SORTED bigram array (one sort_array + one aggregate fold,
-    O(n log n) per document, all JVM-side).  For bounded document
-    lengths this beats the explode + grouped-count form
-    (:func:`repetition_stats_grouped`, kept for corpora with
-    pathologically long documents where per-row sort memory matters)
-    by ~1.5x at sf0.1 while moving no data at all.
+    Shape: a pure projection — no aggregation shuffle.  The
+    top-bigram multiplicity is the longest equal-neighbor run of the
+    per-row SORTED bigram array (one sort_array + one aggregate fold,
+    O(n log n) per document, all JVM-side).  The only possible
+    exchange is catalog.spread's adaptive round-robin split when the
+    scan arrives under-parallel (single-row-group file); on a real
+    multi-split corpus the plan is shuffle-free.  For pathologically
+    long documents prefer :func:`repetition_stats_grouped` (linear,
+    no per-row sort).
     """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
     return (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        spread(df).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .filter(F.size("__toks") >= 2)
         .withColumn("__bg", word_ngrams("__toks", 2))
         .select(

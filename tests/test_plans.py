@@ -166,12 +166,15 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
 
 def test_repetition_filter_pure_projection(spark):
     """The sorted-run formulation is a pure projection: one documents
-    scan, no join, and NO shuffle at all."""
+    scan, no join, and no AGGREGATION shuffle — the only allowed
+    exchange is catalog.spread's adaptive round-robin split of an
+    under-parallel scan."""
     df = q.repetition_filter(spark, SF_SMOKE)
     assert operator_count(df, "Scan parquet") == 1, explain_str(df)
     plan = explain_str(df)
     assert "Join" not in plan, plan
-    assert operator_count(df, "Exchange") == 0, plan
+    assert "hashpartitioning" not in plan, plan
+    assert operator_count(df, "HashAggregate") == 0, plan
 
 
 def test_repetition_grouped_variant_matches(spark):
