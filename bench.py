@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "audio_window_features",
     "hourly_value_interpolated",
     "amqp_replay_type_counts",
+    "streaming_geo_hourly_counts",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

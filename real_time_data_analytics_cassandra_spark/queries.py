@@ -2206,6 +2206,52 @@ def amqp_replay_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_geo_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship geo counter table maintained by the STREAM — a
+    stream-static join (event stream ⋈ static customer dim ⋈
+    broadcast geo dim) feeding a watermarked windowed count: exactly
+    the reference's write path for ``new_customer_geo_counts_by_hour``
+    (cassandra_subscriber.py:166-180) with derived-not-incremented
+    counters.  Stream-static joins need no join state (the static
+    side is re-read per micro-batch, broadcast when small), so the
+    only streaming state is the windowed aggregation."""
+    customer = table(spark, sf_dir, "customer")
+    geo = _geo_dim(spark, sf_dir)
+
+    def build(stream: DataFrame) -> DataFrame:
+        signups = stream.filter(F.col("event_type") == "signup").withWatermark(
+            "ts", "1 hour"
+        )
+        joined = signups.join(
+            customer, signups.user_id == customer.c_custkey, "left"
+        )
+        enriched = enrich_op.broadcast_lookup(
+            joined,
+            geo,
+            "c_nationkey",
+            "n_nationkey",
+            {"city": "Unknown", "country_region_name": "Unknown"},
+        )
+        return (
+            enriched.groupBy(
+                F.window("ts", "1 hour").alias("win"),
+                "country_region_name",
+                "city",
+            )
+            .agg(F.count(F.lit(1)).alias("new_customers_count"))
+            .select(
+                F.date_format(F.col("win.start"), "yyyyMMddHH").alias("hour_bucket"),
+                "country_region_name",
+                "city",
+                "new_customers_count",
+            )
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, "streaming_geo_hourly_counts_q"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2311,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_features": audio_window_features,
         "hourly_value_interpolated": hourly_value_interpolated,
         "amqp_replay_type_counts": amqp_replay_type_counts,
+        "streaming_geo_hourly_counts": streaming_geo_hourly_counts,
     }
 
 
@@ -3399,6 +3446,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_messages
             FROM events
             GROUP BY 1
+        """,
+        "streaming_geo_hourly_counts": f"""
+            SELECT strftime(e.ts, '%Y%m%d%H') AS hour_bucket,
+                   coalesce(r.r_name, 'Unknown') AS country_region_name,
+                   coalesce(n.n_name, 'Unknown') AS city,
+                   count(*) AS new_customers_count
+            {_GEO_ORACLE_FROM}
+            GROUP BY 1, 2, 3
         """,
         "hourly_value_interpolated": """
             WITH bounds AS (
