@@ -162,3 +162,20 @@ def test_audio_windows_match_direct_numpy(spark):
             zc = int(np.count_nonzero(signs[1:] != signs[:-1]))
             assert got[(doc_id, w)] == (rms, zc), (doc_id, w)
     assert len(got) == n_expected
+
+
+def test_rolling_fingerprint_matches_python_model(spark):
+    """The JVM fold fingerprint must equal the same polynomial rolling
+    hash computed in pure Python (zlib.crc32 == java.util.zip.CRC32)."""
+    import zlib
+
+    rows = QUERIES["doc_rolling_fingerprint"](spark, SF_ORACLE).collect()
+    con = _duck(SF_ORACLE)
+    texts = dict(con.sql("SELECT doc_id, text FROM documents").fetchall())
+    con.close()
+    assert len(rows) == len(texts)
+    for r in rows:
+        acc = 0
+        for tok in texts[r.doc_id].split(" "):
+            acc = (acc * 31 + zlib.crc32(tok.encode("utf-8"))) % 1_000_000_007
+        assert r.fingerprint == acc, r.doc_id
