@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "hourly_value_interpolated",
     "amqp_replay_type_counts",
     "streaming_geo_hourly_counts",
+    "dominant_part_suppliers",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

@@ -2252,6 +2252,32 @@ def streaming_geo_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted to shipped quantities — no partsupp
+    table): suppliers providing more than 20% of a part's total
+    shipped quantity, ranked by how many parts they dominate.  Both
+    aggregates key on l_partkey (the second reuses the first's
+    partitioning under AQE); the threshold compare happens on the
+    grouped outputs — the fact is scanned once."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(money("l_quantity"), "supp_qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(dsum(money("l_quantity"), "part_qty"))
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > F.col("part_qty") * F.lit(0.2))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+        .orderBy(F.desc("n_dominated_parts"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2358,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_interpolated": hourly_value_interpolated,
         "amqp_replay_type_counts": amqp_replay_type_counts,
         "streaming_geo_hourly_counts": streaming_geo_hourly_counts,
+        "dominant_part_suppliers": dominant_part_suppliers,
     }
 
 
@@ -3228,6 +3255,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE part_value > total_value * 0.0005
             ORDER BY part_value DESC, l_partkey ASC
             LIMIT 100
+        """,
+        "dominant_part_suppliers": """
+            WITH per_ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS supp_qty
+                FROM lineitem GROUP BY 1, 2
+            ),
+            per_part AS (
+                SELECT l_partkey,
+                       CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS part_qty
+                FROM lineitem GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, count(*) AS n_dominated_parts
+            FROM per_ps ps
+            JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            WHERE ps.supp_qty > pp.part_qty * 0.2
+            GROUP BY 1, 2
+            ORDER BY n_dominated_parts DESC, s.s_suppkey ASC
+            LIMIT 20
         """,
         "sole_return_suppliers": """
             WITH per_order AS (
