@@ -219,3 +219,66 @@ def test_grouping_sets_single_shuffle(spark):
 def test_embedding_norm_stats_python_free(spark):
     """The norm fold is a JVM higher-order function, not a UDF."""
     assert python_eval_free(q.embedding_norm_stats(spark, SF_SMOKE))
+
+
+# Batch queries that intentionally use Arrow-batched Python stages
+# (mapInPandas / applyInPandas) — everything else must be JVM-only.
+_ARROW_QUERIES = {
+    "multimodal_decode_meta",
+    "multimodal_features",
+    "frame_samples",
+    "audio_window_features",
+    "embedding_near_dup",
+    "pack_context_windows",
+    "knn_bruteforce",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+}
+
+# Queries where a broadcast nested loop is the intended plan (non-equi
+# broadcast joins / tiny-side cross joins against 1-row aggregates).
+_BNLJ_OK = {
+    "knn_bruteforce",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "price_band_stats",
+    "top_supplier_revenue",
+    "part_value_share",
+    "value_histogram",
+    "idle_high_balance_customers",
+    "small_quantity_revenue",
+    "tfidf_top_terms",
+    "value_zscores",
+    "quality_filtered_docs",
+    "hourly_value_interpolated",
+    "value_deciles",
+}
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every batch registry query must plan without a CartesianProduct
+    and without row-at-a-time Python (BatchEvalPython); Arrow stages
+    are allowed only where declared.  Streaming and environment-
+    dependent queries are exercised by their own gates."""
+    skip = {n for n in q.queries() if n.startswith("streaming_")} | {
+        "amqp_replay_type_counts",  # local dump fixture, covered by its gate
+        "dedup_clusters",  # iterative; cross-checked by recursive-CTE oracle
+        "dedup_cluster_representatives",
+    }
+    failures = []
+    for name, fn in sorted(q.queries().items()):
+        if name in skip:
+            continue
+        df = fn(spark, SF_SMOKE)
+        plan = explain_str(df)
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python")
+        if name not in _ARROW_QUERIES and (
+            "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        ):
+            failures.append(f"{name}: undeclared Arrow stage")
+        if name not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, failures
