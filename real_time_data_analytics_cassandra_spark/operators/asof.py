@@ -33,37 +33,49 @@ def asof_join(
     Right rows sort before left rows at equal timestamps (inclusive
     match).  Output = left columns + ``<right_ts><suffix>`` +
     ``<payload><suffix>`` columns (NULL when no prior right row).
+
+    The right timestamp and payload travel as ONE struct carried by a
+    single ``last(..., ignorenulls=True)`` — per-column carries could
+    stitch fields from different right rows when a payload column is
+    NULL in one row but not another.  The struct itself is the final
+    ordering key, so right rows tied on timestamp resolve
+    deterministically (greatest (ts, payload...) tuple wins) in any
+    engine and any partitioning.
     """
-    l_tag = left.select(
+    r_cols = (right_ts, *right_payload)
+    r_struct_type = right.select(
+        F.struct(*[F.col(c) for c in r_cols]).alias("__r")
+    ).schema["__r"].dataType
+    l_full = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_right"),
         F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in (right_ts, *right_payload)],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    r_tag = right.select(
+    r_full = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),
-        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in (right_ts, *right_payload)],
+        F.lit(None).cast(l_full.schema["__l"].dataType).alias("__l"),
+        F.struct(*[F.col(c) for c in r_cols]).alias("__r"),
     )
-    unioned = l_tag.unionByName(r_tag)
+    unioned = l_full.unionByName(r_full)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.desc("__is_right"))
+        .orderBy(F.col("__t"), F.desc("__is_right"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "__l",
         "__is_right",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in (right_ts, *right_payload)
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r_carried"),
     )
     out = carried.filter(F.col("__is_right") == 0).select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"{c}{suffix}") for c in (right_ts, *right_payload)],
+        *[
+            F.col("__r_carried").getField(c).alias(f"{c}{suffix}")
+            for c in r_cols
+        ],
     )
     return out

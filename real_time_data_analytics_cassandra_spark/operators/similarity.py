@@ -236,13 +236,17 @@ def kmeans_centroids(
     fixed seed).  Output mimics a corpus row — (id, embedding) with
     synthetic ids — so it drops into the same assignment/probe code
     as the stride-sampled centroids.  Default cell count matches the
-    stride baseline's density (~1 cell per 50 vectors) so recall is
-    comparable at any corpus size."""
+    stride baseline's density (~1 cell per 50 vectors, capped at
+    256); the density probe counts a LIMIT-bounded prefix — at the
+    cap the result is identical to a full count, so sizing never
+    scans the whole corpus (pass n_cells explicitly to skip the
+    probe job entirely)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if n_cells is None:
-        n_cells = max(2, min(256, corpus.count() // 50))
+        # 256 * 50 rows saturate the cap; LIMIT stops the scan there
+        n_cells = max(2, min(256, corpus.limit(256 * 50).count() // 50))
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )

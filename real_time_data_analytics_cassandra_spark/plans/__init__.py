@@ -6,6 +6,7 @@ from real_time_data_analytics_cassandra_spark.plans.checks import (
     operator_count,
     pushed_filters,
     python_eval_free,
+    scan_count,
     wholestage_codegen_count,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "operator_count",
     "pushed_filters",
     "python_eval_free",
+    "scan_count",
     "wholestage_codegen_count",
 ]

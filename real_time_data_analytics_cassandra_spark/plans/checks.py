@@ -65,6 +65,31 @@ def operator_count(df: DataFrame, op_name: str) -> int:
     return len(re.findall(rf"\b{re.escape(op_name)}\b", tree))
 
 
+def scan_count(df: DataFrame, table_name: str) -> int:
+    """Number of parquet scans of a given table in the physical plan —
+    asserts exchange reuse: a fact consumed by two aggregations
+    should appear as ONE scan + a ReusedExchange, not two scans.
+
+    Parses the formatted-explain DETAILS blocks ('(n) Scan parquet' +
+    its Location line); the tree section doesn't name the file.  AQE
+    defers exchange reuse to runtime (the pre-execution adaptive plan
+    still shows both subtrees), so planning is inspected with AQE off
+    — same restore discipline as wholestage_codegen_count."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        text = explain_str(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # one chunk per '(n) Scan parquet' details block (anchored at line
+    # start — the first block can share a split chunk with the tree)
+    chunks = re.findall(
+        r"^\(\d+\) Scan parquet.*?(?=\n\n|\Z)", text, re.M | re.S
+    )
+    return sum(1 for c in chunks if table_name in c)
+
+
 def python_eval_free(df: DataFrame) -> bool:
     """True when no row-at-a-time Python evaluation is in the plan
     (Arrow-batched pandas stages report as ArrowEvalPython/MapInPandas

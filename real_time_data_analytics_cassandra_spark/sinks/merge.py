@@ -101,6 +101,9 @@ def merge_upsert(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+BATCH_ID_COL = "_applied_batch_id"
+
+
 def merge_add(
     spark: SparkSession,
     deltas: DataFrame,
@@ -108,6 +111,7 @@ def merge_add(
     keys: Sequence[str],
     count_col: str,
     partition_col: str,
+    batch_id: int | None = None,
 ) -> None:
     """Additive MERGE: fold a batch of per-key count deltas into a
     materialized counter table — the exact semantics of the
@@ -116,10 +120,21 @@ def merge_add(
     cassandra_subscriber.py:171-179, 212-221), maintained per
     micro-batch instead of per event.  Same partition-pruned
     read-modify-write as :func:`merge_upsert`; the combine is SUM
-    instead of last-write-wins."""
+    instead of last-write-wins.
+
+    SUM is not idempotent, so replays need bookkeeping: when
+    ``batch_id`` is given, every written row carries it in
+    ``_applied_batch_id``, and a partition whose recorded id is
+    already >= the incoming batch is skipped entirely — the replayed
+    fold becomes a no-op at the same atomicity granularity as the
+    dynamic partition overwrite itself (a partition's counts and its
+    applied-batch marker live in the same files, so they can never
+    disagree)."""
     grouped = deltas.groupBy(partition_col, *keys).agg(
         F.sum(count_col).alias(count_col)
     )
+    if batch_id is not None:
+        grouped = grouped.withColumn(BATCH_ID_COL, F.lit(batch_id))
     if not _target_exists(spark, path):
         grouped.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
@@ -129,13 +144,34 @@ def merge_add(
     existing = spark.read.parquet(path).filter(
         F.col(partition_col).isin(touched)
     )
+    if batch_id is not None:
+        if BATCH_ID_COL not in existing.columns:
+            existing = existing.withColumn(BATCH_ID_COL, F.lit(-1))
+        # partition values already holding this batch's counts (tiny
+        # collect: one row per touched partition, same pruning pattern
+        # as `touched` above)
+        replayed = [
+            r[0]
+            for r in existing.groupBy(partition_col)
+            .agg(F.max(BATCH_ID_COL).alias("_mx"))
+            .filter(F.col("_mx") >= batch_id)
+            .select(partition_col)
+            .collect()
+        ]
+        if replayed:
+            grouped = grouped.filter(~F.col(partition_col).isin(replayed))
+            existing = existing.filter(~F.col(partition_col).isin(replayed))
+            if not [p for p in touched if p not in set(replayed)]:
+                return
     merged = (
         existing.select(*grouped.columns)
         .unionByName(grouped)
         .groupBy(partition_col, *keys)
         .agg(F.sum(count_col).alias(count_col))
-        .localCheckpoint(eager=True)
     )
+    if batch_id is not None:
+        merged = merged.withColumn(BATCH_ID_COL, F.lit(batch_id))
+    merged = merged.localCheckpoint(eager=True)
     with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
@@ -150,14 +186,25 @@ def counter_foreach_batch(
     """Streaming counter maintenance: each micro-batch's per-key event
     counts are folded into the counter table.  Unlike the reference's
     at-least-once increments (redelivery double-counts,
-    cassandra_subscriber.py:283 ack-after-write), the checkpoint makes
-    a replayed batch fold exactly once."""
+    cassandra_subscriber.py:283 ack-after-write), replays fold exactly
+    once: foreachBatch alone is at-least-once (a batch replayed after
+    the fold but before the checkpoint commit would double-count), so
+    the fold records the batch id inside the written partitions and
+    :func:`merge_add` skips partitions that already carry it."""
 
-    def _fold(batch: DataFrame, _batch_id: int) -> None:
+    def _fold(batch: DataFrame, batch_id: int) -> None:
         deltas = batch.groupBy(partition_col, *keys).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        merge_add(batch.sparkSession, deltas, path, keys, "cnt", partition_col)
+        merge_add(
+            batch.sparkSession,
+            deltas,
+            path,
+            keys,
+            "cnt",
+            partition_col,
+            batch_id=batch_id,
+        )
 
     return (
         stream.writeStream.foreachBatch(_fold)

@@ -54,10 +54,14 @@ class AmqpDumpReader(DataSourceReader):
             raise ValueError("amqp_dump requires option 'path'")
 
     def partitions(self):
+        # accept hand-rolled .jsonl shards and Spark-written
+        # part-*.json files alike; skip markers (_SUCCESS, _complete)
+        # and hidden checksum files (.part-*.crc)
         files = sorted(
             os.path.join(self.path, f)
             for f in os.listdir(self.path)
-            if f.endswith(".jsonl")
+            if f.endswith((".jsonl", ".json"))
+            and not f.startswith(("_", "."))
         )
         # one unit of parallelism per dump file — executors read files
         # independently, like parquet splits

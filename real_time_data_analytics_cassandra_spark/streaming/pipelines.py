@@ -191,13 +191,23 @@ def dedup_events(
     the watermark (a redelivery later than the watermark is outside
     the delivery-retry horizon by construction).  Emits rows in
     append mode as they are first seen; works identically on batch
-    inputs via dropDuplicates."""
-    src = (
-        events.withWatermark("ts", watermark)
-        if watermark and events.isStreaming
-        else events
-    )
-    return src.dropDuplicates(["event_id"]).select(
+    inputs via dropDuplicates.
+
+    State eviction: plain dropDuplicates only evicts when the
+    event-time column is part of the dedup key subset, which
+    event_id-only dedup can't satisfy — its state would grow
+    unboundedly on a real stream.  The watermarked path therefore
+    uses dropDuplicatesWithinWatermark (keyed on event_id alone,
+    state evicted once an id ages past the watermark), which is
+    exactly the redelivery-horizon semantics.  The unwatermarked
+    path keeps plain dropDuplicates = accept-late-forever (ST3)."""
+    if watermark and events.isStreaming:
+        return (
+            events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+    return events.dropDuplicates(["event_id"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
 

@@ -140,6 +140,34 @@ def test_merge_add_rewrites_only_touched_partitions(spark):
     events.unpersist()
 
 
+def test_merge_add_replayed_batch_is_noop(spark):
+    """foreachBatch is at-least-once: a batch replayed after merge_add
+    completed but before the checkpoint commit must NOT double-count —
+    the batch id recorded inside the written partitions makes the
+    replay a no-op (per touched partition)."""
+    events = _signups(spark, SF_SMOKE).cache()
+    deltas = events.groupBy(PART, "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "counts")
+        merge_add(spark, deltas, path, ["user_id"], "cnt", PART, batch_id=0)
+        once = _counts(spark.read.parquet(path).select("user_id", "cnt"))
+        # replay of batch 0: identical deltas, same batch id
+        merge_add(spark, deltas, path, ["user_id"], "cnt", PART, batch_id=0)
+        assert _counts(spark.read.parquet(path).select("user_id", "cnt")) == once
+        # a genuinely new batch still folds
+        merge_add(spark, deltas, path, ["user_id"], "cnt", PART, batch_id=1)
+        doubled = _counts(
+            spark.read.parquet(path).select("user_id", F.col("cnt"))
+        )
+        assert doubled == _counts(
+            deltas.groupBy("user_id")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("cnt", F.col("cnt") * 2)
+            .select("user_id", "cnt")
+        )
+    events.unpersist()
+
+
 def test_streaming_counter_matches_batch(spark):
     events = _signups(spark, SF_SMOKE).cache()
     cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]

@@ -94,21 +94,25 @@ def test_approx_distinct_within_error_bound(spark):
 
 
 def test_multimodal_features_match_direct_numpy(spark):
-    """The Arrow feature-extraction stage must equal a direct numpy
-    histogram of the same utf-8 payloads (cross-check for the
-    no-oracle array-valued query)."""
+    """The Arrow feature-extraction stage (posexploded to scalar
+    rows) must equal a direct numpy histogram of the same utf-8
+    payloads — independent of the DuckDB oracle, which recomputes it
+    character-wise in SQL."""
     import numpy as np
 
     rows = QUERIES["multimodal_features"](spark, SF_ORACLE).collect()
     con = _duck(SF_ORACLE)
     texts = dict(con.sql("SELECT doc_id, text FROM documents").fetchall())
     con.close()
-    assert len(rows) == len(texts)
-    for r in rows[:50]:
-        payload = texts[r.doc_id].encode("utf-8")
+    assert len(rows) == len(texts) * 16
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, [0.0] * 16)[r.feature_idx] = r.value
+    for doc_id in list(got)[:50]:
+        payload = texts[doc_id].encode("utf-8")
         arr = np.frombuffer(payload, dtype=np.uint8)
         expected = np.bincount(arr >> 4, minlength=16) / arr.size
-        assert np.array_equal(np.array(r.features), expected), r.doc_id
+        assert np.array_equal(np.array(got[doc_id]), expected), doc_id
 
 
 def test_blocked_all_pairs_matches_naive(spark):

@@ -103,6 +103,30 @@ def test_multi_granularity_single_scan(spark):
     assert operator_count(df, "Scan parquet") == 1
 
 
+def test_two_level_aggregates_scan_fact_once(spark):
+    """Queries whose second aggregate re-aggregates the first's
+    grouped output (Q20/Q11/Q21 shapes) must scan the fact ONCE —
+    ReuseExchange shares the grouped shuffle; a refactor that
+    re-derives the second aggregate from the raw fact fails here."""
+    from real_time_data_analytics_cassandra_spark.plans import scan_count
+
+    for name in (
+        "dominant_part_suppliers",
+        "part_value_share",
+        "sole_return_suppliers",
+    ):
+        df = q.queries()[name](spark, SF_SMOKE)
+        assert scan_count(df, "lineitem") == 1, name
+
+
+def test_sole_return_suppliers_no_expand(spark):
+    """Q21's distinct-supplier profile comes from re-aggregating the
+    (orderkey, suppkey) groups — no Expand-based COUNT(DISTINCT)
+    touches the raw fact."""
+    df = q.sole_return_suppliers(spark, SF_SMOKE)
+    assert operator_count(df, "Expand") == 0, explain_str(df)
+
+
 def test_exists_semi_join_is_equi_keyed(spark):
     """The Q4-shape EXISTS must plan as a hash-partitioned semi join
     on orderkey (the non-equi date predicate rides along as a join

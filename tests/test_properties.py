@@ -110,6 +110,38 @@ def test_asof_join_matches_bisect_model(spark, rows, right_times):
         assert got == expected, (r.user_id, r.event_id)
 
 
+def test_asof_join_payload_is_atomic_per_row(spark):
+    """Payload columns must all come from the SAME matched right row —
+    a NULL in one payload column of the latest right row must not be
+    back-filled from an older right row (the per-column-carry bug),
+    and right rows tied on timestamp must resolve deterministically."""
+    left = spark.createDataFrame(
+        [(1, 30), (2, 30)], ["user_id", "t"]
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, 10, "x", None),
+            (1, 20, None, "y"),
+            # user 2: two right rows TIED on ts — greatest payload wins
+            (2, 10, "a", "a"),
+            (2, 10, "b", "b"),
+        ],
+        ["user_id", "t", "colA", "colB"],
+    ).select(
+        "user_id", F.timestamp_seconds("t").alias("ts"), "colA", "colB"
+    )
+    out = {
+        r.user_id: (r.colA_asof, r.colB_asof)
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", right_payload=("colA", "colB")
+        ).collect()
+    }
+    # latest right row for user 1 is ts=20 -> (None, 'y'); stitching
+    # would produce ('x', 'y')
+    assert out[1] == (None, "y"), out[1]
+    assert out[2] == ("b", "b"), out[2]
+
+
 @given(rows=events_strategy, dim=st.lists(
     st.tuples(st.integers(min_value=0, max_value=5), st.text(max_size=5)),
     max_size=6,
