@@ -1464,17 +1464,19 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The customer_latest_info upsert (ST6) as an arbitrarily-stateful
-    streaming operator (applyInPandasWithState); update-mode re-emits
-    are collapsed with the batch argmax so the result is the final
-    state — same oracle as latest_info_per_user."""
+    """The customer_latest_info upsert (ST6) as a streaming
+    aggregation on the JVM fast path (max_by over the payload struct,
+    streaming/pipelines.latest_upsert_stream_jvm — the
+    applyInPandasWithState general case is its tested twin);
+    update-mode re-emits are collapsed with the batch argmax so the
+    result is the final state — same oracle as latest_info_per_user."""
     import tempfile
 
     from real_time_data_analytics_cassandra_spark.sources.streams import (
         bounded_event_stream,
     )
     from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
-        latest_upsert_stream,
+        latest_upsert_stream_jvm,
         run_available_now,
     )
 
@@ -1482,7 +1484,7 @@ def streaming_latest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = bounded_event_stream(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_upsert_")
     emitted = run_available_now(
-        latest_upsert_stream(stream),
+        latest_upsert_stream_jvm(stream),
         "streaming_latest_upsert_q",
         ckpt,
         output_mode="update",

@@ -180,6 +180,36 @@ def latest_upsert_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def latest_upsert_stream_jvm(events: DataFrame) -> DataFrame:
+    """JVM fast path for the ST6 latest-row upsert: the per-key
+    reduction "keep the argmax row by (ts, event_id)" is exactly a
+    max-like aggregate, so it runs as a plain streaming groupBy with
+    ``max_by(payload, struct(ts, event_id))`` — whole-stage-codegen
+    JVM execution, no Python workers, no Arrow transfer, and the
+    same O(1)-per-key state via the built-in aggregation state store.
+    Update mode emits the keys whose latest row changed, identical to
+    ``latest_upsert_stream``.
+
+    Use this whenever the tie-break is argmax by orderable columns
+    (always true for the reference's customer_latest_info —
+    cassandra_subscriber.py:124-144); keep the
+    applyInPandasWithState general case for per-key reductions that
+    are NOT expressible as a max-like aggregate (e.g. conditional
+    merge of partial columns).  Tests assert the two paths and the
+    batch argmax produce identical final states."""
+    best = F.max_by(
+        F.struct("ts", "event_id", "event_type", "value", "props"),
+        F.struct("ts", "event_id"),
+    ).alias("r")
+    return (
+        events.groupBy("user_id")
+        .agg(best)
+        .select(
+            "user_id", "r.ts", "r.event_id", "r.event_type", "r.value", "r.props"
+        )
+    )
+
+
 def dedup_events(
     events: DataFrame, watermark: str | None = DEFAULT_WATERMARK
 ) -> DataFrame:

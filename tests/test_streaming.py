@@ -15,6 +15,7 @@ from real_time_data_analytics_cassandra_spark.sources.streams import bounded_eve
 from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
     hourly_type_counts,
     latest_upsert_stream,
+    latest_upsert_stream_jvm,
     multicast_foreach_batch,
     run_available_now,
     session_window_counts,
@@ -78,6 +79,26 @@ def test_latest_upsert_stream_matches_batch_argmax(spark):
         batch = latest_per_key(
             table(spark, SF_SMOKE, "events"), ["user_id"], "ts", ["event_id"]
         ).select("user_id", "ts", "event_id", "event_type", "value", "props")
+        assert _rows(final.select(*batch.columns)) == _rows(batch)
+
+
+def test_latest_upsert_jvm_fast_path_matches_general_case(spark):
+    """The max_by JVM fast path and the applyInPandasWithState
+    general case must converge to the SAME final state (and to the
+    batch argmax) over the bounded replay — the fast path is a pure
+    execution-strategy swap, not a semantics change."""
+    batch = latest_per_key(
+        table(spark, SF_SMOKE, "events"), ["user_id"], "ts", ["event_id"]
+    ).select("user_id", "ts", "event_id", "event_type", "value", "props")
+    stream = bounded_event_stream(spark, SF_SMOKE)
+    with tempfile.TemporaryDirectory() as ckpt:
+        emitted = run_available_now(
+            latest_upsert_stream_jvm(stream),
+            "latest_upsert_jvm_test",
+            ckpt,
+            output_mode="update",
+        )
+        final = latest_per_key(emitted, ["user_id"], "ts", ["event_id"])
         assert _rows(final.select(*batch.columns)) == _rows(batch)
 
 
