@@ -13,10 +13,12 @@ Spark-first scale story (the part that matters at 100 TB):
 1. The target is hive-partitioned on a batch-stable column (e.g. a
    date bucket derived from the key's first-seen time).  A source
    micro-batch touches few partitions.
-2. Collect the *distinct partition values* in the source (tiny —
-   bounded by partitions-per-batch, not rows), and read ONLY those
-   partitions of the target: the `isin` filter is partition pruning,
-   so 99.9% of a 100 TB target is never listed, read, or written.
+2. Read ONLY the target partitions the source touches: up to
+   MAX_LITERAL_PARTITIONS distinct values, a collected literal `isin`
+   filter prunes at planning time; beyond that, a broadcast semi join
+   prunes at runtime (dynamic partition pruning) with no driver-side
+   materialization — so 99.9% of a 100 TB target is never listed,
+   read, or written, and no batch can blow up the driver.
 3. Union + last-write-wins dedup (one shuffle, sized to affected
    partitions only), then write back with
    ``partitionOverwriteMode=dynamic`` — Spark replaces exactly the
@@ -63,6 +65,38 @@ def _conf(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, old)
 
 
+# Above this many touched partitions per batch, the pruned read
+# switches from a collected literal `isin` list (planning-time
+# partition pruning, zero-risk) to a broadcast semi join on the
+# partition column (runtime pruning via dynamic partition pruning) —
+# the driver never materializes an unbounded value list.
+MAX_LITERAL_PARTITIONS = 1024
+
+
+def _pruned_target(
+    spark: SparkSession, path: str, source: DataFrame, partition_col: str
+) -> DataFrame:
+    """Read ONLY the target partitions the source touches.
+
+    The touched-value list is bounded by partitions-per-batch, not
+    rows, but at 100 TB a hot batch can still touch many partitions —
+    so the driver-side collect is capped at MAX_LITERAL_PARTITIONS
+    (+1 probe row).  Under the cap: literal `isin` filter, pruned at
+    planning time.  Over it: broadcast LEFT SEMI join against the
+    (executor-side, never collected) distinct partition values —
+    file-source dynamic partition pruning skips the untouched
+    partitions at runtime, and correctness never depends on the
+    pruning firing."""
+    touched_df = source.select(partition_col).distinct()
+    probe = [
+        r[0] for r in touched_df.limit(MAX_LITERAL_PARTITIONS + 1).collect()
+    ]
+    target = spark.read.parquet(path)
+    if len(probe) <= MAX_LITERAL_PARTITIONS:
+        return target.filter(F.col(partition_col).isin(probe))
+    return target.join(F.broadcast(touched_df), partition_col, "left_semi")
+
+
 def merge_upsert(
     spark: SparkSession,
     source: DataFrame,
@@ -81,12 +115,7 @@ def merge_upsert(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
 
-    touched = [
-        r[0] for r in source.select(partition_col).distinct().collect()
-    ]
-    existing = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(touched)
-    )
+    existing = _pruned_target(spark, path, source, partition_col)
     merged = latest_per_key(
         existing.unionByName(source.select(*existing.columns)),
         keys,
@@ -129,7 +158,13 @@ def merge_add(
     fold becomes a no-op at the same atomicity granularity as the
     dynamic partition overwrite itself (a partition's counts and its
     applied-batch marker live in the same files, so they can never
-    disagree)."""
+    disagree).
+
+    A target once written WITH batch ids must keep receiving them:
+    folding without a ``batch_id`` would silently drop the
+    ``_applied_batch_id`` column from the partitions it overwrites
+    (per-partition schema drift + lost replay markers), so that call
+    raises instead."""
     grouped = deltas.groupBy(partition_col, *keys).agg(
         F.sum(count_col).alias(count_col)
     )
@@ -138,31 +173,30 @@ def merge_add(
     if not _target_exists(spark, path):
         grouped.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
-    touched = [
-        r[0] for r in grouped.select(partition_col).distinct().collect()
-    ]
-    existing = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(touched)
-    )
+    existing = _pruned_target(spark, path, grouped, partition_col)
+    if batch_id is None and BATCH_ID_COL in existing.columns:
+        raise ValueError(
+            f"target {path!r} carries {BATCH_ID_COL}: folding without a "
+            "batch_id would drop the replay markers from the partitions "
+            "it overwrites — pass the batch_id (or rebuild the target "
+            "without replay protection)"
+        )
     if batch_id is not None:
         if BATCH_ID_COL not in existing.columns:
             existing = existing.withColumn(BATCH_ID_COL, F.lit(-1))
-        # partition values already holding this batch's counts (tiny
-        # collect: one row per touched partition, same pruning pattern
-        # as `touched` above)
-        replayed = [
-            r[0]
-            for r in existing.groupBy(partition_col)
+        # partition values already holding this batch's counts — one
+        # row per touched partition, broadcast into the anti joins,
+        # never collected to the driver
+        replayed = (
+            existing.groupBy(partition_col)
             .agg(F.max(BATCH_ID_COL).alias("_mx"))
             .filter(F.col("_mx") >= batch_id)
             .select(partition_col)
-            .collect()
-        ]
-        if replayed:
-            grouped = grouped.filter(~F.col(partition_col).isin(replayed))
-            existing = existing.filter(~F.col(partition_col).isin(replayed))
-            if not [p for p in touched if p not in set(replayed)]:
-                return
+        )
+        grouped = grouped.join(F.broadcast(replayed), partition_col, "left_anti")
+        existing = existing.join(F.broadcast(replayed), partition_col, "left_anti")
+        if grouped.isEmpty():
+            return
     merged = (
         existing.select(*grouped.columns)
         .unionByName(grouped)

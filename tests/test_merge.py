@@ -168,6 +168,84 @@ def test_merge_add_replayed_batch_is_noop(spark):
     events.unpersist()
 
 
+def test_merge_join_pruning_path_matches_literal_path(spark):
+    """Over MAX_LITERAL_PARTITIONS touched partitions, the pruned
+    read switches from the collected `isin` list to a broadcast semi
+    join — the two paths must merge identically.  Exercised by
+    shrinking the cap so the semi-join path runs on the normal
+    fixture sizes."""
+    from real_time_data_analytics_cassandra_spark.sinks import merge as M
+
+    events = _signups(spark, SF_SMOKE).cache()
+    cut = events.selectExpr(
+        f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c"
+    ).collect()[0][0]
+    old, new = events.filter(F.col(TS) <= cut), events.filter(F.col(TS) > cut)
+    saved = M.MAX_LITERAL_PARTITIONS
+    M.MAX_LITERAL_PARTITIONS = 2  # 8 touched partitions > cap -> join path
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "latest")
+            merge_upsert(spark, old, path, KEYS, TS, PART, tiebreak=["value"])
+            merge_upsert(spark, new, path, KEYS, TS, PART, tiebreak=["value"])
+            got = spark.read.parquet(path)
+            want = latest_per_key(events, KEYS, TS, tiebreak=["value"])
+            assert _rows(got) == _rows(want)
+            # merge_add's replay protection through the join path too
+            deltas = events.groupBy(PART, "user_id").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            cpath = os.path.join(d, "counts")
+            merge_add(spark, deltas, cpath, ["user_id"], "cnt", PART, batch_id=0)
+            once = _counts(spark.read.parquet(cpath).select("user_id", "cnt"))
+            merge_add(spark, deltas, cpath, ["user_id"], "cnt", PART, batch_id=0)
+            assert (
+                _counts(spark.read.parquet(cpath).select("user_id", "cnt")) == once
+            )
+    finally:
+        M.MAX_LITERAL_PARTITIONS = saved
+    events.unpersist()
+
+
+def test_merge_add_thousand_plus_touched_partitions(spark):
+    """A hot batch touching >1k partitions (over the literal cap at
+    its production value) must still fold correctly — the driver
+    never materializes the partition list."""
+    src = (
+        spark.range(2200)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 1100).alias(PART),
+            F.lit(1).alias("cnt"),
+        )
+        .cache()
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "counts")
+        merge_add(spark, src, path, ["user_id"], "cnt", PART, batch_id=0)
+        merge_add(spark, src, path, ["user_id"], "cnt", PART, batch_id=1)
+        got = spark.read.parquet(path)
+        assert got.count() == 2200
+        assert got.agg(F.sum("cnt")).collect()[0][0] == 4400
+    src.unpersist()
+
+
+def test_merge_add_mixed_batch_id_usage_raises(spark):
+    """A target written WITH batch ids refuses a fold without one —
+    silently dropping the replay markers (and per-partition schema)
+    is worse than failing."""
+    import pytest
+
+    events = _signups(spark, SF_SMOKE).cache()
+    deltas = events.groupBy(PART, "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "counts")
+        merge_add(spark, deltas, path, ["user_id"], "cnt", PART, batch_id=0)
+        with pytest.raises(ValueError, match="_applied_batch_id"):
+            merge_add(spark, deltas, path, ["user_id"], "cnt", PART)
+    events.unpersist()
+
+
 def test_streaming_counter_matches_batch(spark):
     events = _signups(spark, SF_SMOKE).cache()
     cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
