@@ -98,15 +98,26 @@ def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash of
-    the token stream, ``acc = (acc * 31 + crc32(token)) mod 1e9+7``.
+    the token stream, ``acc = (acc * 31 + token_hash) mod 1e9+7`` where
+    ``token_hash`` is itself a char-level fold ``h = (h * 131 +
+    codepoint) mod 1e9+7``.
 
     Unlike md5-of-text this survives in O(1) state per doc and extends
-    to streaming/chunked ingestion.
+    to streaming/chunked ingestion.  The hash is engine-portable on
+    purpose — plain bigint arithmetic over codepoints (no crc32/xxhash,
+    which are Spark-private), so any ANSI engine reproduces it exactly;
+    both folds stay < 2^63 (acc*31 + h < 3.3e10, h*131 + c < 1.4e11).
+    The empty-token guard avoids Spark's sequence(1, 0) descending-step
+    pitfall.
     """
     with_toks = df.withColumn("__toks", tokens(F.col(text_col)))
     fp = F.expr(
-        "aggregate(__toks, CAST(0 AS BIGINT), "
-        "(acc, t) -> (acc * 31 + crc32(t)) % 1000000007)"
+        "aggregate(__toks, CAST(0 AS BIGINT), (acc, t) -> "
+        "(acc * 31 + aggregate("
+        "  CASE WHEN length(t) = 0 THEN array() "
+        "       ELSE transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))) END, "
+        "  CAST(0 AS BIGINT), (h, c) -> (h * 131 + c) % 1000000007"
+        ")) % 1000000007)"
     )
     return with_toks.select(F.col(id_col), fp.alias("fingerprint"))
 

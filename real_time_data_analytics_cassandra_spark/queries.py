@@ -471,8 +471,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling-hash fingerprint of the token stream.  No
-    SQL oracle (crc32 is Spark-side); rows-only check."""
+    """Polynomial rolling-hash fingerprint of the token stream
+    (engine-portable char-level fold — see operators/text.py
+    rolling_fingerprint); full DuckDB oracle via list_reduce."""
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
     return text_op.rolling_fingerprint(docs, "doc_id", "text")
@@ -3689,8 +3690,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
         """,
+        "doc_rolling_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                         t -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(range(1, length(t) + 1),
+                                                 i -> CAST(unicode(t[i]) AS BIGINT))),
+                                (h, c) -> (h * 131 + c) % 1000000007))),
+                     (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
+            FROM documents
+        """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
-        # results): minhash_lsh, simhash_near_dup, doc_rolling_fingerprint,
-        # ann_ivf, approx_distinct_users — driver records rows-only checks;
+        # results): minhash_lsh, simhash_near_dup, ann_ivf,
+        # approx_distinct_users — driver records rows-only checks;
         # tests cross-validate them against their exact counterparts.
     }

@@ -170,16 +170,19 @@ def test_audio_windows_match_direct_numpy(spark):
 
 def test_rolling_fingerprint_matches_python_model(spark):
     """The JVM fold fingerprint must equal the same polynomial rolling
-    hash computed in pure Python (zlib.crc32 == java.util.zip.CRC32)."""
-    import zlib
-
+    hash computed in pure Python (char-level codepoint fold — the
+    engine-portable hash the DuckDB oracle reproduces too)."""
     rows = QUERIES["doc_rolling_fingerprint"](spark, SF_ORACLE).collect()
     con = _duck(SF_ORACLE)
     texts = dict(con.sql("SELECT doc_id, text FROM documents").fetchall())
     con.close()
     assert len(rows) == len(texts)
+    M = 1_000_000_007
     for r in rows:
         acc = 0
         for tok in texts[r.doc_id].split(" "):
-            acc = (acc * 31 + zlib.crc32(tok.encode("utf-8"))) % 1_000_000_007
+            h = 0
+            for ch in tok:
+                h = (h * 131 + ord(ch)) % M
+            acc = (acc * 31 + h) % M
         assert r.fingerprint == acc, r.doc_id
