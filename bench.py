@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "amqp_replay_type_counts",
     "streaming_geo_hourly_counts",
     "dominant_part_suppliers",
+    "doc_rolling_fingerprint",
+    "embedding_near_dup_cells",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

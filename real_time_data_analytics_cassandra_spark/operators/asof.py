@@ -41,6 +41,14 @@ def asof_join(
     ordering key, so right rows tied on timestamp resolve
     deterministically (greatest (ts, payload...) tuple wins) in any
     engine and any partitioning.
+
+    Contract: because the payload struct participates in the sort,
+    every ``right_payload`` column must be an ORDERABLE type — an
+    atomic, struct, or array column.  A map-typed payload fails
+    analysis (Spark cannot sort maps); wrap it, e.g. pass
+    ``map_entries(m)`` (sorted arrays of entries are orderable) or
+    ``to_json(m)``, or project the specific map keys you need into
+    plain columns before the join.
     """
     r_cols = (right_ts, *right_payload)
     r_struct_type = right.select(

@@ -97,6 +97,28 @@ def cosine_near_dup_pairs(
     )
 
 
+def _seq_dots(a_mat, b_mat):
+    """(na, nb) dot-product matrix accumulated dimension-by-dimension
+    so the summation order matches a sequential left fold — bit-
+    identical to the SQL ``aggregate(zip_with(...))`` expression and
+    DuckDB's ``list_dot_product``."""
+    import numpy as np
+
+    acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+    for d in range(a_mat.shape[1]):
+        acc += a_mat[:, d, None] * b_mat[None, :, d]
+    return acc
+
+
+def _seq_norms(mat):
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
 def cosine_all_pairs_blocked(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -150,20 +172,7 @@ def cosine_all_pairs_blocked(
         import pandas as pd
 
         i, j = int(key[0]), int(key[1])
-
-        def seq_dots(a_mat, b_mat):
-            # (na, nb) dot matrix, accumulated dimension-by-dimension so
-            # the summation order matches a sequential left fold
-            acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
-            for d in range(a_mat.shape[1]):
-                acc += a_mat[:, d, None] * b_mat[None, :, d]
-            return acc
-
-        def seq_norms(mat):
-            acc = np.zeros(mat.shape[0])
-            for d in range(mat.shape[1]):
-                acc += mat[:, d] * mat[:, d]
-            return np.sqrt(acc)
+        seq_dots, seq_norms = _seq_dots, _seq_norms
 
         def block(which):
             sub = pdf[pdf["blk"] == which]
@@ -205,23 +214,120 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
-    """Nearest-centroid assignment: (vec_id, embedding, cell)."""
-    cent = centroids.select(
-        F.col(id_col).alias("cell"),
-        F.col(vec_col).alias("c_emb"),
-        norm_expr(vec_col).alias("c_norm"),
+    """Nearest-centroid assignment: (vec_id, embedding, cell).
+
+    ``probes > 1`` multi-assigns every vector to its ``probes``
+    nearest cells (one output row per cell) — the standard recall
+    lever for cell-pruned pair search: pairs that straddle a cell
+    boundary still share their second-nearest cell.
+
+    The centroid table is by construction tiny (<= 256 cells), so it
+    rides to every executor inside the Arrow-batched mapInPandas
+    closure and each input batch scores ALL cells in one numpy GEMM —
+    a per-batch (rows x cells) matrix product instead of a
+    corpus x cells join of interpreted per-dimension folds (the join
+    form was ~10x slower at 64 dims; no shuffle either way, but the
+    GEMM stays vectorized).  Ties on cell similarity break toward the
+    lower cell id (lexsort), matching the former window ordering.
+    """
+    cent_rows = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_emb")
+    ).collect()
+
+    import numpy as np
+
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in cent_rows])
+    cent_unit = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    n_probe = min(probes, len(cell_ids))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            sims = (mat @ cent_unit.T) / np.linalg.norm(mat, axis=1, keepdims=True)
+            # per row: order cells by (-sim, cell_id), keep the first n_probe
+            order = np.lexsort((np.broadcast_to(cell_ids, sims.shape), -sims), axis=1)
+            top = order[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy().repeat(n_probe),
+                    "__vec": [v for v in pdf["__vec"].to_numpy() for _ in range(n_probe)],
+                    "cell": cell_ids[top].reshape(-1),
+                }
+            )
+
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(assign, f"__id {id_type}, __vec {vec_type}, cell long")
+    return out.select(
+        F.col("__id").alias(id_col), F.col("__vec").alias(vec_col), "cell"
     )
-    scored = corpus.withColumn("v_norm", norm_expr(vec_col)).join(
-        F.broadcast(cent)
-    ).withColumn(
-        "c_sim", dot_expr(vec_col, "c_emb") / (F.col("v_norm") * F.col("c_norm"))
+
+
+def cosine_near_dup_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    assign_probes: int = 2,
+) -> DataFrame:
+    """Cell-pruned near-duplicate pairs — the scale path for embedding
+    near-dup (the exact blocked GEMM stays as verify/baseline).
+
+    Every vector is multi-assigned to its ``assign_probes`` nearest
+    coarse cells (broadcast centroid table, one IVF-style pass); each
+    cell becomes ONE grouped task that compares only its own members
+    with the same sequential-fold numpy math as
+    ``cosine_all_pairs_blocked`` — any emitted sim is bit-identical to
+    the exact form, so the output is a strict subset of the exact
+    pairs (zero false positives; recall is bounded by cell geometry
+    and tested in tests/test_crossval.py).  Pair space shrinks from
+    O(n^2) to sum(n_c^2) over cells; at 100 TB the cell count grows
+    with the corpus so n_c stays executor-sized.  A pair whose members
+    share several probed cells is emitted once per shared cell with
+    the identical sim; the final dropDuplicates collapses them.
+    """
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col, vec_col, probes=assign_probes
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cell"))
+    slack = threshold - 1e-6
+
+    def cell_gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vid"].to_numpy()
+        mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        sims = _seq_dots(mat, mat)
+        norms = _seq_norms(mat)
+        sims = sims / (norms[:, None] * norms[None, :])
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (sims >= slack))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "raw_sim": sims[ia, ib]}
+        )
+
+    raw = (
+        assigned.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"), "cell"
+        )
+        .groupBy("cell")
+        .applyInPandas(cell_gemm, "id_a long, id_b long, raw_sim double")
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cell")
+        raw.withColumn("sim", F.round("raw_sim", 6))
+        .filter(F.col("sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sim")
     )
 
 
@@ -231,27 +337,62 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_cells: int | None = None,
     seed: int = 42,
+    max_iter: int = 10,
+    train_cap: int = 4096,
 ) -> DataFrame:
-    """Coarse IVF centroids via pyspark.ml KMeans (k-means|| init,
-    fixed seed).  Output mimics a corpus row — (id, embedding) with
-    synthetic ids — so it drops into the same assignment/probe code
-    as the stride-sampled centroids.  Default cell count matches the
-    stride baseline's density (~1 cell per 50 vectors, capped at
-    256); the density probe counts a LIMIT-bounded prefix — at the
-    cap the result is identical to a full count, so sizing never
-    scans the whole corpus (pass n_cells explicitly to skip the
-    probe job entirely)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Coarse IVF centroids trained driver-side on a BOUNDED sample —
+    the standard IVF recipe (FAISS trains its coarse quantizer the
+    same way): coarse-cell quality needs only a few thousand training
+    points regardless of corpus size, so training reads a stride-
+    sampled, LIMIT-capped ``train_cap`` vectors (4096 x 64 doubles ~
+    2 MB on the driver at ANY corpus scale) and runs seeded kmeans++
+    + Lloyd in numpy in milliseconds.  This replaced a pyspark.ml fit
+    whose per-iteration job overhead dominated at small SF and whose
+    full-corpus passes add nothing at 100 TB.
 
+    Default cell count matches the stride baseline's density (~1 cell
+    per 50 vectors, capped at 256); the density probe counts a
+    LIMIT-bounded prefix — at the cap the result is identical to a
+    full count, so sizing never scans the whole corpus (pass n_cells
+    explicitly to skip the probe job entirely).  Output mimics a
+    corpus row — (id, embedding) with synthetic ids — so it drops
+    into the same assignment/probe code as stride centroids.
+    """
+    import numpy as np
+
+    probe_n = corpus.limit(max(256 * 50, train_cap * 8)).count()
     if n_cells is None:
-        # 256 * 50 rows saturate the cap; LIMIT stops the scan there
-        n_cells = max(2, min(256, corpus.limit(256 * 50).count() // 50))
-    feats = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        n_cells = max(2, min(256, probe_n // 50))
+    stride = max(1, probe_n // train_cap)
+    sample = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .limit(train_cap)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
-    centers = model.clusterCenters()
+    pts = np.stack(sample["v"].to_numpy())
+
+    rs = np.random.RandomState(seed)
+    # kmeans++ init: each next center drawn ~ squared distance to the
+    # nearest already-chosen center
+    centers = pts[rs.randint(len(pts))][None, :]
+    d2 = ((pts - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        nxt = pts[rs.choice(len(pts), p=probs)]
+        centers = np.vstack([centers, nxt])
+        d2 = np.minimum(d2, ((pts - nxt) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        # assign to nearest center, recompute means; re-seed any empty
+        # cell to the currently-farthest point
+        dists = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        for c in range(n_cells):
+            members = pts[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+            else:
+                centers[c] = pts[dists.min(axis=1).argmax()]
     sc_df = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         [id_col, "c"],

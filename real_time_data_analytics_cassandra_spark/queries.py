@@ -621,6 +621,23 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.cosine_all_pairs_blocked(emb, threshold=0.35)
 
 
+def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned embedding near-dup — the 100 TB primary path:
+    trained KMeans cells (fixed seed) bound the pair space to
+    within-cell GEMM blocks, multi-probe assignment (4 nearest cells —
+    threshold 0.35 is a loose cosine bound, so boundary pairs need
+    several probes) recovers straddling pairs.  Emitted sims are
+    bit-identical
+    to the exact blocked form, so output is a strict subset of
+    embedding_near_dup.  Approximate (cell pruning can miss pairs) ->
+    no SQL oracle; recall vs the exact pairs tested in
+    tests/test_crossval.py."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim_op.kmeans_centroids(emb)
+    return sim_op.cosine_near_dup_cells(emb, cents, threshold=0.35, assign_probes=4)
+
+
 def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: 1:N Arrow-batched expansion of
     video-like payloads into per-frame rows (stub decoder)."""
@@ -2343,14 +2360,71 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the external verification driver gates
-    the FIRST 50 entries each round.  Round 1 verified the original
-    first 50 (recorded in CORRECTNESS_r01.json); this round the
-    previously-ungated entries move to the front so every query ends
-    up with a driver row across the two rounds.  The round-1-verified
-    entries stay continuously covered by tests/test_oracle_parity.py
-    (auto-parametrized over every oracle)."""
+    the FIRST 50 entries each round.  Rotation policy: entries with
+    the OLDEST (or no) driver evidence go first.  Round 3 window =
+    the two sketch queries that never held a driver row, the two
+    entries that changed this round (new cell-pruned near-dup; the
+    fingerprint whose oracle graduated from rows-only to hash-checked),
+    then the round-1-verified entries whose rows are now two rounds
+    old.  The round-2-verified block (CORRECTNESS_r02.json) moves
+    behind the window; everything stays continuously covered by
+    tests/test_oracle_parity.py (auto-parametrized over every
+    oracle) either way."""
     return {
-        # --- round-2 gate: previously-ungated entries first ---------
+        # --- round-3 gate: never-gated sketches first ---------------
+        "hll_reaggregated_users": hll_reaggregated_users,
+        "approx_value_percentiles": approx_value_percentiles,
+        # --- changed this round: new / upgraded evidence ------------
+        "embedding_near_dup_cells": embedding_near_dup_cells,
+        "doc_rolling_fingerprint": doc_rolling_fingerprint,
+        # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
+        "geo_hourly_counts": geo_hourly_counts,
+        "geo_hourly_country_totals": geo_hourly_country_totals,
+        "latest_info_per_user": latest_info_per_user,
+        "latest_info_point_lookup": latest_info_point_lookup,
+        "global_recent_customers": global_recent_customers,
+        "recent_by_category": recent_by_category,
+        "new_count_multi_granularity": new_count_multi_granularity,
+        "new_count_current_bucket": new_count_current_bucket,
+        "json_extract_props": json_extract_props,
+        "subcategory_enrichment": subcategory_enrichment,
+        "pricing_summary": pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
+        "top_revenue_orders": top_revenue_orders,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "ngram_jaccard": ngram_jaccard,
+        "text_quality": text_quality,
+        "token_count": token_count,
+        "lang_id": lang_id,
+        "knn_bruteforce": knn_bruteforce,
+        "ann_ivf": ann_ivf,
+        "multimodal_decode_meta": multimodal_decode_meta,
+        "purchase_attribution": purchase_attribution,
+        "user_sessions": user_sessions,
+        "geo_rollup": geo_rollup,
+        "distinct_users_per_type": distinct_users_per_type,
+        "approx_distinct_users": approx_distinct_users,
+        "signup_purchase_overlap": signup_purchase_overlap,
+        "signup_only_users": signup_only_users,
+        "embedding_near_dup": embedding_near_dup,
+        "frame_samples": frame_samples,
+        "recent_events_iso": recent_events_iso,
+        "purchase_running_spend": purchase_running_spend,
+        "hourly_type_pivot": hourly_type_pivot,
+        "price_band_stats": price_band_stats,
+        "filtered_parts_stats": filtered_parts_stats,
+        "value_percentiles": value_percentiles,
+        "geo_hourly_counts_salted": geo_hourly_counts_salted,
+        "streaming_hourly_type_counts": streaming_hourly_type_counts,
+        "streaming_session_windows": streaming_session_windows,
+        "streaming_latest_upsert": streaming_latest_upsert,
+        "type_hour_cube": type_hour_cube,
+        "hourly_signups_zero_filled": hourly_signups_zero_filled,
+        "purchasing_customer_profiles": purchasing_customer_profiles,
+        "customer_order_distribution": customer_order_distribution,
+        "promo_revenue_share": promo_revenue_share,
+        # --- round-2-verified (CORRECTNESS_r02.json) ----------------
         "multimodal_features": multimodal_features,
         "stale_parts": stale_parts,
         "large_volume_customers": large_volume_customers,
@@ -2401,61 +2475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amqp_replay_type_counts": amqp_replay_type_counts,
         "streaming_geo_hourly_counts": streaming_geo_hourly_counts,
         "dominant_part_suppliers": dominant_part_suppliers,
-        # --- round-1-verified (CORRECTNESS_r01.json) -----------------
-        "geo_hourly_counts": geo_hourly_counts,
-        "geo_hourly_country_totals": geo_hourly_country_totals,
-        "latest_info_per_user": latest_info_per_user,
-        "latest_info_point_lookup": latest_info_point_lookup,
-        "global_recent_customers": global_recent_customers,
-        "recent_by_category": recent_by_category,
-        "new_count_multi_granularity": new_count_multi_granularity,
-        "new_count_current_bucket": new_count_current_bucket,
-        "json_extract_props": json_extract_props,
-        "subcategory_enrichment": subcategory_enrichment,
-        "pricing_summary": pricing_summary,
-        "revenue_by_nation": revenue_by_nation,
-        "top_revenue_orders": top_revenue_orders,
-        "dedup_exact": dedup_exact,
-        "dedup_fingerprint": dedup_fingerprint,
-        "ngram_jaccard": ngram_jaccard,
+        # --- rows-only near-dup pair finders (window overflow: their
+        #     crossval tests — subset-of-exact + recall — carry more
+        #     signal than a driver rows-only row, so they yield their
+        #     slots; rotate into the r04 window) ----------------------
         "minhash_lsh": minhash_lsh,
         "simhash_near_dup": simhash_near_dup,
-        "text_quality": text_quality,
-        "token_count": token_count,
-        "lang_id": lang_id,
-        "doc_rolling_fingerprint": doc_rolling_fingerprint,
-        "knn_bruteforce": knn_bruteforce,
-        "ann_ivf": ann_ivf,
-        "multimodal_decode_meta": multimodal_decode_meta,
-        "purchase_attribution": purchase_attribution,
-        "user_sessions": user_sessions,
-        "geo_rollup": geo_rollup,
-        "distinct_users_per_type": distinct_users_per_type,
-        "approx_distinct_users": approx_distinct_users,
-        "signup_purchase_overlap": signup_purchase_overlap,
-        "signup_only_users": signup_only_users,
-        "embedding_near_dup": embedding_near_dup,
-        "frame_samples": frame_samples,
-        "recent_events_iso": recent_events_iso,
-        "purchase_running_spend": purchase_running_spend,
-        "hourly_type_pivot": hourly_type_pivot,
-        "price_band_stats": price_band_stats,
-        "filtered_parts_stats": filtered_parts_stats,
-        "value_percentiles": value_percentiles,
-        "geo_hourly_counts_salted": geo_hourly_counts_salted,
-        "streaming_hourly_type_counts": streaming_hourly_type_counts,
-        "streaming_session_windows": streaming_session_windows,
-        "streaming_latest_upsert": streaming_latest_upsert,
-        "type_hour_cube": type_hour_cube,
-        "hourly_signups_zero_filled": hourly_signups_zero_filled,
-        "purchasing_customer_profiles": purchasing_customer_profiles,
-        "customer_order_distribution": customer_order_distribution,
-        "promo_revenue_share": promo_revenue_share,
-        # --- rows-only sketches (error-bound cross-checked in tests;
-        #     a driver rows-only row adds least signal, so they yield
-        #     their gated slots to oracle-backed queries) -------------
-        "hll_reaggregated_users": hll_reaggregated_users,
-        "approx_value_percentiles": approx_value_percentiles,
     }
 
 
@@ -2719,7 +2744,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g.doc_id,
                    g.feature_idx,
-                   CAST(coalesce(c.k, 0) AS DOUBLE) / g.n AS value
+                   -- empty doc guard: Spark emits 0.0 features for a
+                   -- zero-length payload; 0/0 here would yield NULL
+                   CASE WHEN g.n = 0 THEN 0.0
+                        ELSE CAST(coalesce(c.k, 0) AS DOUBLE) / g.n END AS value
             FROM grid g
             LEFT JOIN counts c
               ON c.doc_id = g.doc_id AND c.bucket = g.feature_idx
@@ -3705,6 +3733,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, ann_ivf,
-        # approx_distinct_users — driver records rows-only checks;
-        # tests cross-validate them against their exact counterparts.
+        # embedding_near_dup_cells, approx_distinct_users — driver
+        # records rows-only checks; tests cross-validate them against
+        # their exact counterparts.
     }

@@ -54,6 +54,19 @@ def test_ann_kmeans_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"recall {recall:.3f}"
 
 
+def test_near_dup_cells_subset_and_recall_of_exact(spark):
+    """Cell-pruned near-dup pairs must be a strict subset of the exact
+    blocked-GEMM pairs (the within-cell math is bit-identical, so a
+    false positive is impossible) with recall >= 0.9 at 4-probe
+    assignment."""
+    exact = _pairs(q.embedding_near_dup(spark, SF_ORACLE))
+    cells = _pairs(q.embedding_near_dup_cells(spark, SF_ORACLE))
+    assert cells <= exact, f"false positives: {sorted(cells - exact)[:5]}"
+    assert exact, "fixture must contain near-duplicate embedding pairs"
+    recall = len(cells) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
 def test_simhash_pairs_have_low_hamming_and_similar_text(spark):
     """SimHash survivors must be verified (hamming <= 3 by
     construction) and should overlap the exact Jaccard pairs."""

@@ -253,6 +253,7 @@ _ARROW_QUERIES = {
     "frame_samples",
     "audio_window_features",
     "embedding_near_dup",
+    "embedding_near_dup_cells",
     "pack_context_windows",
     "knn_bruteforce",
     "ann_ivf",

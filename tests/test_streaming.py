@@ -102,6 +102,80 @@ def test_latest_upsert_jvm_fast_path_matches_general_case(spark):
         assert _rows(final.select(*batch.columns)) == _rows(batch)
 
 
+def test_dedup_watermarked_horizon_semantics(spark):
+    """The dropDuplicatesWithinWatermark branch of dedup_events
+    (watermark != None), driven file-per-micro-batch so the global
+    watermark advances between deliveries.  Codifies the three
+    horizon behaviors (verified against Spark's streaming dedup
+    operator semantics):
+
+    1. a redelivery inside the retry horizon is DROPPED (id 1 at
+       10:00 again in batch 2 — its state is alive);
+    2. a redelivery whose event time is BEHIND the watermark is
+       dropped as late data even after its dedup state expired
+       (id 2 at 10:05 again in batch 4, watermark by then 11:20);
+    3. an id re-arriving with a FRESH event time after its state
+       aged out (eviction happens end-of-batch, so one batch of
+       separation) is emitted again (id 1 at 11:40 in batch 4) —
+       the one-sided guarantee: dedup is exact within the horizon,
+       best-effort beyond it.
+    """
+    import json as _json
+    import os
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+
+        def write(name, rows, mtime):
+            p = os.path.join(src, name)
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(p, (mtime, mtime))
+
+        def ev(eid, ts, val=1.0):
+            return {
+                "event_id": eid,
+                "ts": ts,
+                "user_id": eid,
+                "event_type": "t",
+                "value": val,
+            }
+
+        base = 1_700_000_000  # distinct mtimes order the micro-batches
+        write("f1.json", [ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00")], base)
+        write("f2.json", [ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 11:00:00")], base + 10)
+        write("f3.json", [ev(4, "2024-01-01 11:30:00")], base + 20)
+        write("f4.json", [ev(1, "2024-01-01 11:40:00"), ev(2, "2024-01-01 10:05:00")], base + 30)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+            dedup_events,
+        )
+
+        emitted = run_available_now(
+            dedup_events(stream, watermark="10 minutes"),
+            "wm_dedup_test",
+            ckpt,
+            output_mode="append",
+        )
+        got = sorted((r.event_id, str(r.ts)) for r in emitted.collect())
+        assert got == [
+            (1, "2024-01-01 10:00:00"),  # first delivery
+            (1, "2024-01-01 11:40:00"),  # beyond-horizon re-arrival (3)
+            (2, "2024-01-01 10:05:00"),  # once only: late redelivery dropped (2)
+            (3, "2024-01-01 11:00:00"),
+            (4, "2024-01-01 11:30:00"),
+        ], got
+
+
 def test_multicast_restart_is_exactly_once(spark):
     """ST4: resuming the multicast from its checkpoint after new data
     lands must process ONLY the new file — every event appears exactly
