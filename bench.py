@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "dominant_part_suppliers",
     "doc_rolling_fingerprint",
     "embedding_near_dup_cells",
+    "bm25_search",
+    "weighted_token_sample",
+    "purchase_session_interval",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

@@ -94,6 +94,62 @@ def stratified_flag(key: Column | str, percent: int) -> Column:
     return hash_bucket(key) < percent
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): every row draws u ~ Uniform(0,1) from md5(salt ||
+    key) and the k rows with the largest ``ln(u)/w`` win — each row's
+    inclusion probability is proportional to its weight, exactly the
+    reservoir-sampling-by-weight result but as a pure projection +
+    distributed top-k (TakeOrderedAndProject), no RNG state, no
+    shuffle of the corpus, stable under repartitioning and across
+    engines.  (``ln(u)/w`` is the monotone log form of the usual
+    ``u^(1/w)`` A-ES key — one libm call and no overflow for huge
+    weights.)
+
+    The training-mix use case: token-budget-proportional or
+    quality-score-proportional corpus subsampling, where "sample 50k
+    docs by weight" must give byte-identical corpora on every rerun
+    at any parallelism.
+
+    Output: input columns + ``sample_key`` (rounded 6dp) + ``rnk``.
+    Weights must be > 0.
+    """
+    from pyspark.sql import Window
+
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v.cast("double") + 0.5) / F.lit(float(16**8))
+    skey = F.log(u) / F.col(weight_col)
+    keyed = df.withColumn("__skey", skey)
+    top = keyed.orderBy(F.desc("__skey"), F.asc(key)).limit(k)
+    w = Window.orderBy(F.desc("__skey"), F.asc(key))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("sample_key", F.round("__skey", 6))
+        .drop("__skey")
+    )
+
+
+def weighted_sample_key_sql(key_sql: str, weight_sql: str, salt: str = "ws") -> str:
+    """DuckDB expression computing exactly the A-ES ``ln(u)/w`` key of
+    :func:`weighted_sample_topk` (same md5-derived uniform)."""
+    return (
+        f"ln((CAST('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) + 0.5) / {float(16**8)!r}) / {weight_sql}"
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

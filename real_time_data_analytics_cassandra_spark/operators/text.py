@@ -167,6 +167,88 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25
+    (Robertson/Sparck-Jones idf, the standard full-text ranking
+    function) — the lexical-retrieval complement to the embedding
+    kNN operators.
+
+    Scale shape: document length comes from ``size(tokens)`` (a pure
+    projection, no explode); the posting explode filters to the query
+    terms IN-list *in the scan stage*, so only matching postings ever
+    shuffle — the per-(doc,term) agg over a 100 TB corpus touches
+    |query| terms' postings, not the corpus.  Corpus stats (N, avgdl)
+    are a 1-row broadcast (tfidf's pattern); the per-term document
+    frequency table is |query|-rows, broadcast.
+
+    Engine portability: every input to the score is integral (tf,
+    dl, df, N) except avgdl (sum/count of int64 — identical IEEE
+    division in any engine); the per-term contributions fold in
+    sorted term order, so the cross-term double sum is bit-identical
+    too (same trick as the rolling fingerprint).  Rounded at 6dp,
+    ranked (score desc, doc id) for determinism.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tok = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    m = (
+        tok.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    contrib = (
+        m.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.expr(
+                f"ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))"
+                f" * (tf * ({k1} + 1))"
+                f" / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))"
+            ),
+        )
+    )
+    folded = contrib.groupBy("doc_id").agg(
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, c))), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)"
+            ),
+            6,
+        ).alias("score")
+    )
+    from pyspark.sql import Window
+
+    # orderBy+limit plans as TakeOrderedAndProject (distributed top-k,
+    # no single-partition global window over all matching docs); the
+    # rank window then runs over <= top_k rows only
+    top = folded.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "rnk"
+    )
+
+
 # Longest run of equal neighbors in the sorted bigram array == the
 # top bigram's multiplicity, computed in one JVM-side fold.
 _MAX_RUN_EXPR = """

@@ -46,6 +46,9 @@ from real_time_data_analytics_cassandra_spark.operators import (
     enrich as enrich_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
+    intervals as intervals_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
     joins as joins_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
@@ -477,6 +480,68 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
     return text_op.rolling_fingerprint(docs, "doc_id", "text")
+
+
+BM25_QUERY_TERMS = ("stream", "merge", "window")
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/text.py bm25_topk): top-10
+    documents for a fixed bag-of-terms query.  Postings filter to the
+    query's IN-list inside the scan stage, corpus stats are 1-row
+    broadcasts, and per-term contributions fold in sorted term order
+    so the score is engine-portable bit-for-bit."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.bm25_topk(docs, "doc_id", "text", BM25_QUERY_TERMS)
+
+
+def weighted_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-proportional corpus sampling (operators/
+    sampling.py weighted_sample_topk): a deterministic Efraimidis-
+    Spirakis weighted sample of 100 documents with weight = token
+    count — the training-mix primitive for 'sample N docs
+    proportionally to their token budget', reproducible across
+    engines, reruns, and partitionings."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return sampling_op.weighted_sample_topk(weighted, "doc_id", "n_tokens", k=100)
+
+
+def purchase_session_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join (operators/intervals.py): every purchase
+    matched to the containing 30-min-gap session of the same user —
+    the bucketed equi-join form of a range join (explode intervals to
+    overlapped hour buckets, hash-join on (user, bucket), residual
+    BETWEEN), not a per-key nested loop."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    sessions = sessions_op.sessionize(events, "user_id", "ts", gap_minutes=30)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = intervals_op.interval_join(
+        purchases,
+        sessions.select(
+            "user_id", "session_idx", "session_start", "session_end", "n_events"
+        ),
+        key="user_id",
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "session_idx",
+        "session_start",
+        "session_end",
+        "n_events",
+    )
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2377,6 +2442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed this round: new / upgraded evidence ------------
         "embedding_near_dup_cells": embedding_near_dup_cells,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
+        "bm25_search": bm25_search,
+        "weighted_token_sample": weighted_token_sample,
+        "purchase_session_interval": purchase_session_interval,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -2398,15 +2466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": token_count,
         "lang_id": lang_id,
         "knn_bruteforce": knn_bruteforce,
-        "ann_ivf": ann_ivf,
         "multimodal_decode_meta": multimodal_decode_meta,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,
         "distinct_users_per_type": distinct_users_per_type,
-        "approx_distinct_users": approx_distinct_users,
         "signup_purchase_overlap": signup_purchase_overlap,
-        "signup_only_users": signup_only_users,
         "embedding_near_dup": embedding_near_dup,
         "frame_samples": frame_samples,
         "recent_events_iso": recent_events_iso,
@@ -2475,12 +2540,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amqp_replay_type_counts": amqp_replay_type_counts,
         "streaming_geo_hourly_counts": streaming_geo_hourly_counts,
         "dominant_part_suppliers": dominant_part_suppliers,
-        # --- rows-only near-dup pair finders (window overflow: their
-        #     crossval tests — subset-of-exact + recall — carry more
-        #     signal than a driver rows-only row, so they yield their
-        #     slots; rotate into the r04 window) ----------------------
+        # --- window overflow, rotate into the r04 window ------------
+        # rows-only entries whose crossval / error-bound tests carry
+        # more signal than a driver rows-only row (minhash_lsh,
+        # simhash_near_dup, ann_ivf, approx_distinct_users), plus
+        # signup_only_users (the EXCEPT twin of the gated INTERSECT
+        # shape, r01-green)
         "minhash_lsh": minhash_lsh,
         "simhash_near_dup": simhash_near_dup,
+        "ann_ivf": ann_ivf,
+        "approx_distinct_users": approx_distinct_users,
+        "signup_only_users": signup_only_users,
     }
 
 
@@ -3730,6 +3800,86 @@ def oracle_sql() -> dict[str, str]:
                                 (h, c) -> (h * 131 + c) % 1000000007))),
                      (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
             FROM documents
+        """,
+        "bm25_search": f"""
+            WITH dl AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+                GROUP BY 1, 2
+            ),
+            dfq AS (SELECT term, count(*) AS dfreq FROM m GROUP BY 1),
+            contrib AS (
+                SELECT m.doc_id, m.term,
+                       ln(1 + (stats.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+                       * (m.tf * (1.2 + 1))
+                       / (m.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS c
+                FROM m JOIN dl USING (doc_id) JOIN dfq USING (term)
+                CROSS JOIN stats
+            ),
+            folded AS (
+                SELECT doc_id,
+                       round(list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY score DESC, doc_id) AS rnk FROM folded)
+            WHERE rnk <= 10
+        """,
+        "weighted_token_sample": f"""
+            WITH w AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                FROM documents
+            ),
+            keyed AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       {sampling_op.weighted_sample_key_sql("doc_id", "n_tokens")} AS skey
+                FROM w
+            )
+            SELECT doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk,
+                   round(skey, 6) AS sample_key
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY skey DESC, doc_id) AS rnk FROM keyed)
+            WHERE rnk <= 100
+        """,
+        "purchase_session_interval": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            ),
+            sessions AS (
+                SELECT user_id, session_idx,
+                       min(ts) AS session_start,
+                       max(ts) AS session_end,
+                       count(*) AS n_events
+                FROM numbered GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts, s.session_idx,
+                   s.session_start, s.session_end, s.n_events
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.session_start AND s.session_end
+            WHERE e.event_type = 'purchase'
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, ann_ivf,

@@ -8,13 +8,23 @@ partition-key and clustering-key predicates down to CQL — the
 connector-side analog of the reference's point/slice reads — and
 scans token ranges in parallel for full-table analytics.
 
-The connector jar
-(com.datastax.spark:spark-cassandra-connector_2.13) is not installed
-in this environment, so ``read_cassandra_table`` only *builds* the
-reader (format + options — cheap, jar-free); calling ``.load()``
-without the jar raises Spark's ClassNotFound.  Tests cover the
-option construction; the parquet catalog (catalog.py) is the gated
-data path.
+The connector jar is not installed in this environment, so
+``read_cassandra_table`` only *builds* the reader (format + options —
+cheap, jar-free); calling ``.load()`` without the jar raises Spark's
+ClassNotFound.  Tests cover the option construction; the parquet
+catalog (catalog.py) is the gated data path.
+
+Deploying for real needs exactly one extra submit-time line (no code
+change here)::
+
+    spark-submit --packages \
+        com.datastax.spark:spark-cassandra-connector_2.13:3.5.1 \
+        --conf spark.cassandra.connection.host=<contact-points> ...
+
+(connector 3.5.x tracks Spark 3.5/4.x and Scala 2.13; for catalog
+SQL add ``spark.sql.catalog.cass=com.datastax.spark.connector.
+datasource.CassandraCatalog`` and query ``cass.<ks>.<table>``
+directly.)
 """
 
 from __future__ import annotations

@@ -273,6 +273,7 @@ _BNLJ_OK = {
     "idle_high_balance_customers",
     "small_quantity_revenue",
     "tfidf_top_terms",
+    "bm25_search",
     "value_zscores",
     "quality_filtered_docs",
     "hourly_value_interpolated",

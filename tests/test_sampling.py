@@ -98,3 +98,45 @@ def test_hash_bucket_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_matches_python_aes_model(spark):
+    """weighted_sample_topk must select exactly the rows the pure-
+    Python Efraimidis-Spirakis model selects (same md5 uniform, same
+    ln(u)/w key), independent of partitioning."""
+    import hashlib
+    import math
+
+    docs = _docs(spark).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    k = 40
+    got = sampling.weighted_sample_topk(docs, "doc_id", "n_tokens", k).collect()
+    weights = {r.doc_id: r.n_tokens for r in docs.collect()}
+
+    def skey(doc_id, w):
+        h = hashlib.md5(f"ws{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 16**8
+        return math.log(u) / w
+
+    want = sorted(weights, key=lambda d: (-skey(d, weights[d]), d))[:k]
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rnk)] == want
+    for r in got:
+        assert r.sample_key == round(skey(r.doc_id, weights[r.doc_id]), 6)
+    # stability: same selection from a different partitioning
+    again = sampling.weighted_sample_topk(
+        docs.repartition(13, "n_tokens"), "doc_id", "n_tokens", k
+    ).collect()
+    assert {r.doc_id for r in again} == set(want)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Inclusion must skew toward weight: the sampled docs' mean
+    weight exceeds the corpus mean (a uniform sample would match it)."""
+    docs = _docs(spark).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    got = sampling.weighted_sample_topk(docs, "doc_id", "n_tokens", 100)
+    sampled_mean = got.agg(F.avg("n_tokens")).first()[0]
+    corpus_mean = docs.agg(F.avg("n_tokens")).first()[0]
+    assert sampled_mean > corpus_mean
