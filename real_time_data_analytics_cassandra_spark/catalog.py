@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from real_time_data_analytics_cassandra_spark.session import ensure_query_confs
 
@@ -36,10 +36,38 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
-# columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
-# rejects; read via spark.sql.legacy.parquet.nanosAsLong and convert
-# with integer division (truncation — matching DuckDB's nanos->micros)
+# columns that SOME testdata generations store as parquet
+# TIMESTAMP(NANOS), which Spark's reader rejects; read via
+# spark.sql.legacy.parquet.nanosAsLong and convert with integer
+# division (truncation — matching DuckDB's nanos->micros)
 _NANO_TS_COLS = {"events": ("ts",)}
+
+
+def normalize_time_cols(df: DataFrame, nano_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Canonicalize timestamps to TimestampType, robust to the parquet
+    physical encoding the generator happened to use.
+
+    Two encodings appear across testdata generations:
+    - TIMESTAMP(NANOS) surfaced as long (via the nanosAsLong legacy
+      conf) -> truncate to micros, reinterpret as a UTC instant;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaced as
+      TIMESTAMP_NTZ -> cast, which interprets the naive wall-clock in
+      the session timezone (pinned UTC by ensure_query_confs), i.e.
+      the identical instant.
+
+    Every engine column is TimestampType afterwards, so downstream
+    `unix_micros` / window / watermark code never branches on the
+    storage flavor — the same posture a production lakehouse needs
+    when upstream writers disagree on timestamp annotation.
+    """
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif f.name in nano_cols and isinstance(f.dataType, LongType):
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            )
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,10 +75,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_query_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    return df
+    return normalize_time_cols(df, _NANO_TS_COLS.get(name, ()))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -2282,8 +2282,15 @@ def build_amqp_dump_fixture(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     ensure_query_confs(spark)
+    # key the cache on the source file's identity (mtime+size), not
+    # just its path — a regenerated testdata drop must invalidate the
+    # dump or the replay would be gated against fresher parquet
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    stamp = f"{int(st.st_mtime)}_{st.st_size}"
     dump_dir = os.path.join(
-        tempfile.gettempdir(), "rtdac_amqp_dump_" + sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "rtdac_amqp_dump_" + sf_dir.strip("/").replace("/", "_") + "_" + stamp,
     )
     marker = os.path.join(dump_dir, "_complete")
     if not os.path.exists(marker):

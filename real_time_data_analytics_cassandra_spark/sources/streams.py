@@ -18,8 +18,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
+from real_time_data_analytics_cassandra_spark.catalog import normalize_time_cols
 from real_time_data_analytics_cassandra_spark.session import ensure_query_confs
 
 
@@ -84,12 +84,10 @@ def rate_event_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFr
 def bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with its batch-inferred
     schema (streaming sources require an explicit schema).  Applies
-    the same TIMESTAMP(NANOS) -> microsecond conversion as
+    the same storage-encoding -> TimestampType normalization as
     catalog.table so event-time ops see a real timestamp column."""
     ensure_query_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(_stream_dir(path))
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_time_cols(df, ("ts",))
