@@ -575,6 +575,29 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::pq_topk):
+    16 subspaces x 32 codes, asymmetric-distance shortlist, exact
+    cosine rerank — the memory-bound ANN scale path (vectors stream
+    as m bytes of codes, not floats; 16 B vs 256 B at 64 dims).  The
+    synthetic near-uniform embeddings are quantization-hostile, so
+    the code budget is sized for recall ~1 there (recall 0.98 at
+    sf0.001; real clustered corpora need fewer).  Approximate
+    candidate choice -> no SQL oracle; recall vs knn_bruteforce
+    tested in tests/test_crossval.py."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    out = sim_op.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        m=16,
+        n_codes=32,
+        rerank_depth=60,
+    )
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary multimodal plumbing: attach payload bytes, decode
     metadata via Arrow-batched mapInPandas (deterministic stub decoder
@@ -2452,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": bm25_search,
         "weighted_token_sample": weighted_token_sample,
         "purchase_session_interval": purchase_session_interval,
+        "ann_pq": ann_pq,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
