@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "bm25_search",
     "weighted_token_sample",
     "purchase_session_interval",
+    "ann_pq",
+    "corpus_bigram_stats",
+    "length_bucket_stats",
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

@@ -371,3 +371,101 @@ def contaminated_docs(
         .groupBy(id_col, group_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
+
+
+def corpus_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with total and document
+    frequency — the counting pass of vocabulary induction (the
+    pair-frequency statistics BPE-style tokenizer training starts
+    from) and of n-gram LM estimation.
+
+    Scale shape: n-grams expand JVM-side (explode over the same
+    ``word_ngrams`` expression the dedup shingles use), counts
+    partial-aggregate map-side, so the single shuffle carries one row
+    per distinct (n-gram) — not per occurrence; the distinct-doc count
+    rides the same aggregation via count(DISTINCT).  The global top-k
+    is an orderBy+limit => TakeOrderedAndProject over |vocab| rows,
+    never a full sort of the corpus.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    ng = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select("doc_id", F.explode(word_ngrams("__toks", n)).alias("ngram"))
+    )
+    agg = ng.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.desc("occurrences"), F.asc("ngram")).limit(top_k)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to a
+    token-length bucket at exact percentile boundaries and report the
+    padding waste of batching each bucket to its max length —
+    the planning statistic behind sorted batching (bucketing
+    similar-length sequences cuts padding FLOPs).
+
+    Scale shape: NO global sort (contrast `value_deciles`, the NTILE
+    demo) — the boundary vector is ONE exact-percentile aggregate row
+    broadcast back over the scan, and the bucket id is a pure
+    comparison fold, so the only shuffle is the |buckets|-row final
+    aggregation.  Exact interpolated percentile matches DuckDB's
+    quantile_cont (parity proven by value_percentiles).
+    """
+    # token count via separator counting (len - len(without spaces) + 1)
+    # instead of materializing the token array: this operator scans the
+    # corpus twice (boundary agg + assignment), so the tokenize cost
+    # doubles — the char-count form is a cheap codegen'd scalar and
+    # agrees with size(split(text, ' ')) for single-space text,
+    # including the empty-string edge (split('') -> [''], size 1)
+    n_tok = (
+        F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(" "))) + 1
+    )
+    lengths = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = lengths.agg(
+        F.expr(
+            f"percentile(n_tokens, array({', '.join(str(x) for x in qs)}))"
+        ).alias("__qs")
+    )
+    bucket = F.lit(1)
+    for j in range(len(qs)):
+        bucket = bucket + (
+            F.col("n_tokens") > F.element_at("__qs", j + 1)
+        ).cast("int")
+    assigned = lengths.join(F.broadcast(bounds)).withColumn(
+        "bucket", bucket.cast("long")
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (
+                F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )

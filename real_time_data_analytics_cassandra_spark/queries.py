@@ -496,6 +496,27 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.bm25_topk(docs, "doc_id", "text", BM25_QUERY_TERMS)
 
 
+def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 bigrams with occurrence + document
+    frequency (operators/text.py corpus_ngram_stats) — the counting
+    pass of vocabulary induction / n-gram LM estimation.  One
+    map-side-combined shuffle over distinct bigrams, TakeOrdered
+    top-k."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.corpus_ngram_stats(docs, "doc_id", "text", n=2, top_k=100)
+
+
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (operators/text.py
+    length_bucket_stats): exact-percentile token-length buckets and
+    the padding waste of batching each bucket to its max — no global
+    sort, the boundary vector is one broadcast aggregate row."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.length_bucket_stats(docs, "doc_id", "text", n_buckets=10)
+
+
 def weighted_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-proportional corpus sampling (operators/
     sampling.py weighted_sample_topk): a deterministic Efraimidis-
@@ -2476,6 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_token_sample": weighted_token_sample,
         "purchase_session_interval": purchase_session_interval,
         "ann_pq": ann_pq,
+        "corpus_bigram_stats": corpus_bigram_stats,
+        "length_bucket_stats": length_bucket_stats,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3866,6 +3889,60 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                       ORDER BY score DESC, doc_id) AS rnk FROM folded)
             WHERE rnk <= 10
+        """,
+        "corpus_bigram_stats": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            ints AS (SELECT unnest(generate_series(
+                        1, (SELECT max(len(t)) FROM toks))) AS i),
+            ng AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS ngram
+                FROM toks JOIN ints ON ints.i + 1 <= len(toks.t)
+            )
+            SELECT ngram,
+                   count(*) AS occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM ng
+            GROUP BY ngram
+            ORDER BY occurrences DESC, ngram
+            LIMIT 100
+        """,
+        "length_bucket_stats": """
+            WITH lengths AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            b AS (
+                SELECT quantile_cont(n_tokens,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+                FROM lengths
+            ),
+            assigned AS (
+                SELECT doc_id, n_tokens,
+                       CAST(1
+                         + CAST(n_tokens > qs[1] AS INT)
+                         + CAST(n_tokens > qs[2] AS INT)
+                         + CAST(n_tokens > qs[3] AS INT)
+                         + CAST(n_tokens > qs[4] AS INT)
+                         + CAST(n_tokens > qs[5] AS INT)
+                         + CAST(n_tokens > qs[6] AS INT)
+                         + CAST(n_tokens > qs[7] AS INT)
+                         + CAST(n_tokens > qs[8] AS INT)
+                         + CAST(n_tokens > qs[9] AS INT) AS BIGINT) AS bucket
+                FROM lengths CROSS JOIN b
+            )
+            SELECT bucket,
+                   count(*) AS n_docs,
+                   min(n_tokens) AS min_tokens,
+                   max(n_tokens) AS max_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(max(n_tokens) * count(*) - sum(n_tokens)
+                        AS BIGINT) AS padding_waste
+            FROM assigned
+            GROUP BY bucket
+            ORDER BY bucket
         """,
         "weighted_token_sample": f"""
             WITH w AS (

@@ -258,6 +258,7 @@ _ARROW_QUERIES = {
     "knn_bruteforce",
     "ann_ivf",
     "ann_ivf_kmeans",
+    "ann_pq",
 }
 
 # Queries where a broadcast nested loop is the intended plan (non-equi
@@ -274,6 +275,7 @@ _BNLJ_OK = {
     "small_quantity_revenue",
     "tfidf_top_terms",
     "bm25_search",
+    "length_bucket_stats",
     "value_zscores",
     "quality_filtered_docs",
     "hourly_value_interpolated",
