@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "ann_pq",
     "corpus_bigram_stats",
     "length_bucket_stats",
+    "hourly_value_ewma",
+    # udtf_token_windows is excluded: it exists to exercise the Python
+    # UDTF surface end-to-end; chunk_documents is the benched JVM path
+    # for the same semantics
     # dedup_clusters and dedup_cluster_representatives are
     # correctness-gated but excluded here for the same reason as
     # ngram_jaccard: their pair source is the exact quadratic

@@ -67,3 +67,35 @@ def pack_greedy(
         .groupBy(group_col)
         .applyInPandas(pack, schema)
     )
+
+
+def token_windows_udtf():
+    """Strided overlapping token windows as a Python UDTF — the
+    user-extensibility surface (SURVEY.md §2.8): a custom 1:N
+    table function plugged into SQL with ``LATERAL``, the escape
+    hatch for chunking logic a JVM expression can't express (real
+    tokenizers, sentence splitters).
+
+    Arrow-optimized (``useArrow``): batches cross the Python boundary
+    as Arrow record batches, though eval itself is per-row — so the
+    JVM ``sequence+explode`` form (chunk_documents) remains the hot
+    path for plain token windows; this demonstrates the API with
+    matching semantics (windows of 30 tokens every 20, emitted while
+    start < n_tokens).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, win_idx bigint, n_tokens bigint, chunk string"
+        ),
+        useArrow=True,
+    )
+    class TokenWindows:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF signature
+            toks = text.split(" ")
+            for idx, start in enumerate(range(0, len(toks), 20)):
+                w = toks[start : start + 30]
+                yield doc_id, idx, len(w), " ".join(w)
+
+    return TokenWindows

@@ -2311,6 +2311,70 @@ def hourly_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of the hourly
+    average value per event type — the classic smoothing/forecast
+    primitive (y_t = a*x_t + (1-a)*y_{t-1}).
+
+    EWMA is inherently sequential per series, so the fold runs as ONE
+    JVM ``aggregate`` over each type's sorted hour array, emitting the
+    whole prefix series in a single pass — one shuffle for the hourly
+    agg, one for the per-type fold; no driver loop, no Python.  State
+    per series is its own (bounded) hour vector; an unbounded series
+    would cap the fold window or switch to the streaming form.  Both
+    engines fold identical 6dp doubles with the identical multiply/
+    multiply/add order, so the oracle (a recursive CTE walking
+    rn -> rn+1) matches bit-for-bit after the final 6dp round.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(davg(F.col("value").cast("decimal(12,2)"), "avg_value"))
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("h", "avg_value"))).alias("__arr")
+    )
+    folded = series.withColumn(
+        "__ew",
+        F.expr(
+            "aggregate(__arr, array_repeat(CAST(0 AS DOUBLE), 0), "
+            "(acc, x) -> concat(acc, array(CASE WHEN size(acc) = 0 "
+            "THEN x.avg_value "
+            "ELSE CAST(0.3 AS DOUBLE) * x.avg_value "
+            "   + CAST(0.7 AS DOUBLE) * element_at(acc, -1) END)))"
+        ),
+    )
+    return folded.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("__arr", "__ew")).alias("__i", "__z"),
+    ).select(
+        "event_type",
+        F.col("__z.__arr.h").alias("h"),
+        F.col("__z.__arr.avg_value").alias("avg_value"),
+        F.round(F.col("__z.__ew"), 6).alias("ewma"),
+    )
+
+
+def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (operators/packing.py token_windows_udtf):
+    strided overlapping token windows via a registered table function
+    in a LATERAL join — the custom-operator escape hatch, exercised
+    end-to-end against a pure-SQL oracle."""
+    from real_time_data_analytics_cassandra_spark.catalog import register_views
+    from real_time_data_analytics_cassandra_spark.operators import (
+        packing as packing_op,
+    )
+
+    ensure_query_confs(spark)
+    register_views(spark, sf_dir)
+    spark.udtf.register("token_windows", packing_op.token_windows_udtf())
+    return spark.sql(
+        "SELECT w.doc_id, w.win_idx, w.n_tokens, w.chunk "
+        "FROM documents d, LATERAL token_windows(d.doc_id, d.text) w"
+    )
+
+
 def build_amqp_dump_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir, marker-guarded) the sharded JSON-lines
     bus archive that stands in for a recorded RabbitMQ dump
@@ -2499,6 +2563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": ann_pq,
         "corpus_bigram_stats": corpus_bigram_stats,
         "length_bucket_stats": length_bucket_stats,
+        "hourly_value_ewma": hourly_value_ewma,
+        "udtf_token_windows": udtf_token_windows,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3889,6 +3955,49 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                       ORDER BY score DESC, doc_id) AS rnk FROM folded)
             WHERE rnk <= 10
+        """,
+        "udtf_token_windows": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(0, len(t) - 1, 20)) AS s
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(s / 20 AS BIGINT) AS win_idx,
+                   CAST(len(t[s + 1 : s + 30]) AS BIGINT) AS n_tokens,
+                   array_to_string(t[s + 1 : s + 30], ' ') AS chunk
+            FROM starts
+        """,
+        "hourly_value_ewma": """
+            WITH RECURSIVE hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                       round(CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4)
+                                  AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_value
+                FROM events
+                GROUP BY 1, 2
+            ),
+            ordered AS (
+                SELECT event_type, h, avg_value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h) AS rn
+                FROM hourly
+            ),
+            ew(event_type, rn, h, avg_value, ewma) AS (
+                SELECT event_type, rn, h, avg_value, avg_value
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.event_type, o.rn, o.h, o.avg_value,
+                       CAST(0.3 AS DOUBLE) * o.avg_value
+                       + CAST(0.7 AS DOUBLE) * e.ewma
+                FROM ordered o
+                JOIN ew e ON o.event_type = e.event_type AND o.rn = e.rn + 1
+            )
+            SELECT event_type, h, avg_value, round(ewma, 6) AS ewma
+            FROM ew
         """,
         "corpus_bigram_stats": """
             WITH toks AS (

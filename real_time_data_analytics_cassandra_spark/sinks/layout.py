@@ -62,3 +62,64 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet location so every
+    output file approaches ``target_file_bytes`` — the maintenance
+    pass every streaming/incremental sink needs (micro-batch appends
+    and MERGE write-backs accrete small files; at 100 TB the file
+    count, not the byte count, is what kills scan planning and
+    shuffle-map overhead).
+
+    File count is sized from the location's actual bytes
+    (filesystem metadata only — no data read), then rows are
+    round-robin repartitioned into exactly that many files
+    (per-partition-directory when ``partition_col`` is given, so
+    hive pruning survives).  Returns {files_before, files_after,
+    bytes} from the filesystem, letting callers assert the
+    compaction actually happened.  The rewrite stages into the same
+    directory via overwrite — on object storage use a
+    format with atomic commit (the operation is a pure rewrite, so
+    any snapshot/commit protocol slots in unchanged).
+    """
+    import glob
+    import os
+
+    def _stats():
+        files = [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+        return len(files), sum(os.path.getsize(f) for f in files)
+
+    files_before, total_bytes = _stats()
+    df = spark.read.parquet(path)
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    if partition_col is not None:
+        out = df.repartition(n_files, partition_col)
+        (
+            out.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path + "__compact")
+        )
+    else:
+        out = df.repartition(n_files)
+        out.write.mode("overwrite").parquet(path + "__compact")
+    # atomic-ish local swap; object stores swap via their commit protocol
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(path + "__compact", path)
+    files_after, _ = _stats()
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -97,3 +97,34 @@ def test_dim_filter_triggers_dynamic_partition_pruning(spark, events_by_type):
     joined = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
     plan = explain_str(joined).lower()
     assert "dynamicpruning" in plan, plan
+
+
+def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path_factory):
+    """Small-file compaction: a fragmented partitioned location (64
+    input tasks x partitions) compacts to ~1 file per partition dir,
+    byte-identical data, hive pruning intact."""
+    from real_time_data_analytics_cassandra_spark.sinks.layout import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path_factory.mktemp("compact") / "events_frag")
+    events = table(spark, SF_SMOKE, "events")
+    # fragment on purpose: every one of 64 tasks writes into every
+    # partition directory (the streaming-append pathology)
+    events.repartition(64).write.partitionBy("event_type").parquet(path)
+
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    checksum = before.agg(F.sum(F.hash("event_id", "user_id"))).collect()[0][0]
+    n_purchase = before.filter(F.col("event_type") == "purchase").count()
+
+    stats = compact_partitions(
+        spark, path, target_file_bytes=256 * 1024 * 1024, partition_col="event_type"
+    )
+    assert stats["files_before"] > 5 * stats["files_after"], stats
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum(F.hash("event_id", "user_id"))).collect()[0][0] == checksum
+    # hive layout survived -> partition filter still prunes
+    assert after.filter(F.col("event_type") == "purchase").count() == n_purchase

@@ -259,6 +259,7 @@ _ARROW_QUERIES = {
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_pq",
+    "udtf_token_windows",
 }
 
 # Queries where a broadcast nested loop is the intended plan (non-equi
@@ -304,7 +305,9 @@ def test_registry_wide_plan_hygiene(spark):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python")
         if name not in _ARROW_QUERIES and (
-            "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+            "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+            or "ArrowEvalPython" in plan
         ):
             failures.append(f"{name}: undeclared Arrow stage")
         if name not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
