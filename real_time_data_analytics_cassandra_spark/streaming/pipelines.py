@@ -353,3 +353,78 @@ def multicast_foreach_batch(events: DataFrame, out_dir: str, checkpoint_dir: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_stats_stream_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats on the transformWithState API (Spark 4
+    state v2: typed state variables on the RocksDB store) — the
+    modern custom-stateful-operator surface, complementing
+    ``applyInPandasWithState`` (state v1, latest_upsert_stream).
+
+    State per key is one typed value-state record (n, cents, last_us)
+    — O(1) per key like the v1 path, but declared through the handle
+    so the engine owns layout/TTL/timers.  The value total
+    accumulates in integer CENTS (the data is 2-decimal), so the
+    result is order-independent and matches the batch decimal-sum
+    oracle EXACTLY despite double inputs.  Each micro-batch emits the
+    keys it touched (update semantics); n_events grows monotonically
+    per key, so re-emits collapse with max_by(..., n_events).
+
+    ENV-GATED (same pattern as sources/cassandra.py): requires
+    spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider (bundled with Spark) AND the
+    ``protobuf`` Python package — transformWithState's Python workers
+    speak a protobuf state-server protocol, so in environments
+    without it the query crashes at initialization
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  The test is
+    skipped when protobuf is absent; ``latest_upsert_stream``
+    (state v1, applyInPandasWithState) is the dependency-free
+    custom-stateful path and stays the gated one.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n bigint, cents bigint, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._st.get()
+            n, cents, last_us = prev if prev is not None else (0, 0, -(2**62))
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                n += len(pdf)
+                vals = pdf["value"].dropna().to_numpy(dtype="float64")
+                if len(vals):
+                    cents += int(np.round(vals * 100).astype("int64").sum())
+                ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+                last_us = max(last_us, int(ts_us.max()))
+            self._st.update((n, cents, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                    "last_ts": [pd.Timestamp(last_us * 1000)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, "
+            "total_value double, last_ts timestamp"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

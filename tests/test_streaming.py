@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from real_time_data_analytics_cassandra_spark.catalog import table
 from real_time_data_analytics_cassandra_spark.operators.latest import latest_per_key
 from real_time_data_analytics_cassandra_spark.operators.sessions import sessionize
@@ -226,3 +228,72 @@ def test_multicast_foreach_batch_writes_all_views(spark):
 
         buckets = spark.read.parquet(f"{out}/bucket_count_delta")
         assert buckets.filter(buckets.time_bucket.startswith("daily:")).count() > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState Python workers need the protobuf package",
+)
+def test_user_stats_tws_matches_batch(spark, tmp_path):
+    """State-v2 custom operator (transformWithStateInPandas on
+    RocksDB): final per-user stats must equal the batch aggregation —
+    exact, because the value total accumulates in integer cents."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+        user_stats_stream_tws,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(conf_key)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = bounded_event_stream(spark, SF_SMOKE)
+        emitted = run_available_now(
+            user_stats_stream_tws(stream),
+            "tws_user_stats_q",
+            str(tmp_path / "ckpt"),
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set(conf_key, saved)
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value", "last_ts"), F.col("n_events")
+            ).alias("r")
+        )
+        .select("user_id", "r.n_events", "r.total_value", "r.last_ts")
+    )
+    events = table(spark, SF_SMOKE, "events")
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.coalesce(
+                F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2), F.lit(0)
+            )
+            .cast("decimal(15,2)")
+            .cast("double")
+        ).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"]) for r in batch.collect()}
+    assert got == want
