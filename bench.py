@@ -160,6 +160,11 @@ def main() -> None:
     # (one-time interpreter/Arrow startup, same class of session cost
     # as the JVM warmup above) — the benched sf_dir read stays cold.
     force(q.amqp_replay_type_counts(spark, "/root/testdata/sf0.001"))
+    # Warm the Arrow/pandas worker pool the same way: the first
+    # mapInPandas pays ~2 s of per-core Python interpreter startup
+    # that belongs to the session, not to whichever Arrow query runs
+    # first in the list.
+    force(q.multimodal_decode_meta(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

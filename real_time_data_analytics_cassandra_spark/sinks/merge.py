@@ -401,3 +401,43 @@ def topk_per_group_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_sketches(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    id_col: str,
+    partition_col: str,
+) -> None:
+    """Sketch-table MERGE: fold per-key HLL sketches of ``id_col``
+    into a materialized sketch table — the incremental form of
+    hll_reaggregated_users (SURVEY.md §8.2), i.e. a distinct-count
+    table you can maintain per micro-batch and roll up at read time
+    without ever re-touching raw ids.  At 100 TB this is THE
+    distinct-count maintenance pattern: each partition holds one
+    KB-sized sketch per key, reads merge sketches (hll_union_agg),
+    and the raw id column never leaves its original scan.
+
+    Unlike additive counters (merge_add), sketch union is
+    IDEMPOTENT — registers combine by max, so replaying a batch is a
+    no-op by construction and no batch-id bookkeeping is needed (the
+    test replays a batch and asserts byte-stable estimates).  Same
+    partition-pruned read-modify-write shape as merge_upsert.
+    """
+    grouped = batch.groupBy(partition_col, *keys).agg(
+        F.hll_sketch_agg(id_col).alias("sketch")
+    )
+    if not _target_exists(spark, path):
+        grouped.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    existing = _pruned_target(spark, path, grouped, partition_col)
+    combined = (
+        existing.unionByName(grouped)
+        .groupBy(partition_col, *keys)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+    combined = combined.localCheckpoint(eager=True)
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        combined.write.mode("overwrite").partitionBy(partition_col).parquet(path)

@@ -379,3 +379,60 @@ def test_streaming_topk_per_group_matches_batch(spark):
         )
         assert _r(spark.read.parquet(path)) == _r(want)
     events.unpersist()
+
+
+def test_merge_sketches_incremental_equals_single_pass_and_is_idempotent(spark):
+    """Incremental HLL sketch table: two half-batches folded via
+    merge_sketches must estimate exactly what one single-pass sketch
+    build estimates (register-max union is deterministic), and
+    replaying a batch must leave the estimates unchanged (union is
+    idempotent — no batch-id bookkeeping needed, unlike merge_add)."""
+    from real_time_data_analytics_cassandra_spark.sinks.merge import merge_sketches
+
+    events = table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").alias("day_bucket"),
+    )
+    half_a = events.filter(F.col("user_id") % 2 == 0)
+    half_b = events.filter(F.col("user_id") % 2 == 1)
+
+    path = os.path.join(tempfile.mkdtemp(prefix="rtdac_sketch_tbl_"), "t")
+    for batch in (half_a, half_b):
+        merge_sketches(
+            spark, batch, path,
+            keys=["event_type"], id_col="user_id", partition_col="day_bucket",
+        )
+
+    def estimates(df):
+        # str() normalizes hive partition-dir type inference (the
+        # yyyyMMdd string comes back as int from the directory names)
+        return {
+            (str(r["day_bucket"]), r["event_type"]): r["est"]
+            for r in df.groupBy("day_bucket", "event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+            .collect()
+        }
+
+    single = events.groupBy("day_bucket", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    got = estimates(spark.read.parquet(path))
+    want = estimates(single)
+    assert got == want
+
+    # replay half_b: register-max union makes it a no-op
+    merge_sketches(
+        spark, half_b, path,
+        keys=["event_type"], id_col="user_id", partition_col="day_bucket",
+    )
+    assert estimates(spark.read.parquet(path)) == want
+
+    # the rolled-up estimate tracks the true distinct count
+    exact = events.select("user_id").distinct().count()
+    merged_total = (
+        spark.read.parquet(path)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(merged_total - exact) / exact < 0.05
