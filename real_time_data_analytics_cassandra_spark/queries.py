@@ -2542,12 +2542,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the external verification driver gates
     the FIRST 50 entries each round.  Rotation policy: entries with
     the OLDEST (or no) driver evidence go first.  Round 3 window =
-    the two sketch queries that never held a driver row, the two
-    entries that changed this round (new cell-pruned near-dup; the
-    fingerprint whose oracle graduated from rows-only to hash-checked),
-    then the round-1-verified entries whose rows are now two rounds
-    old.  The round-2-verified block (CORRECTNESS_r02.json) moves
-    behind the window; everything stays continuously covered by
+    the two sketch queries that never held a driver row, then every
+    entry that is new or changed this round (cell-pruned near-dup,
+    upgraded fingerprint oracle, bm25, weighted sample, interval
+    join, PQ ANN, n-gram stats, length buckets, EWMA, UDTF), then
+    the round-1-verified entries whose rows are now two rounds old.
+    The round-2-verified block (CORRECTNESS_r02.json) moves behind
+    the window; everything stays continuously covered by
     tests/test_oracle_parity.py (auto-parametrized over every
     oracle) either way."""
     return {
