@@ -441,3 +441,32 @@ def merge_sketches(
     combined = combined.localCheckpoint(eager=True)
     with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         combined.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def sketch_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    id_col: str,
+    partition_col: str,
+    checkpoint: str,
+):
+    """Streaming distinct-count maintenance: each micro-batch folds
+    its per-key HLL sketches into the sketch table
+    (:func:`merge_sketches`).  No batch-id bookkeeping, unlike
+    :func:`counter_foreach_batch`: register-max union is idempotent,
+    so the at-least-once replay window between fold and checkpoint
+    commit is harmless by construction — the one incremental sink
+    where exactly-once comes free."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        merge_sketches(
+            batch.sparkSession, batch, path, keys, id_col, partition_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -436,3 +436,45 @@ def test_merge_sketches_incremental_equals_single_pass_and_is_idempotent(spark):
         .collect()[0]["e"]
     )
     assert abs(merged_total - exact) / exact < 0.05
+
+
+def test_sketch_foreach_batch_matches_batch_build(spark):
+    """Streaming sketch maintenance: the availableNow replay folded
+    through sketch_foreach_batch must estimate exactly what the
+    single-pass batch sketch build estimates."""
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        sketch_foreach_batch,
+    )
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="rtdac_sketch_stream_")
+    path = os.path.join(base, "t")
+    stream = bounded_event_stream(spark, SF_SMOKE).select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").alias("day_bucket"),
+    )
+    q = sketch_foreach_batch(
+        stream, path,
+        keys=["event_type"], id_col="user_id", partition_col="day_bucket",
+        checkpoint=os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+
+    def estimates(df):
+        return {
+            (str(r["day_bucket"]), r["event_type"]): r["est"]
+            for r in df.groupBy("day_bucket", "event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+            .collect()
+        }
+
+    events = table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", F.date_format("ts", "yyyyMMdd").alias("day_bucket")
+    )
+    single = events.groupBy("day_bucket", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    assert estimates(spark.read.parquet(path)) == estimates(single)
