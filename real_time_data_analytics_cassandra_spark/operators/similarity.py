@@ -638,3 +638,196 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_vec_id", F.col(id_col).alias("n_vec_id"), "sim", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 32,
+    rerank_depth: int = 60,
+    seed: int = 42,
+    train_cap: int = 4096,
+) -> DataFrame:
+    """IVF-PQ ANN — coarse cells + residual product quantization +
+    exact rerank: the billion-scale composition (FAISS IVFPQ) of the
+    two scale levers this module already has.
+
+    Vectors are unit-normalized, so L2 on the sphere ranks exactly
+    like cosine (||a-b||^2 = 2 - 2cos); each vector is assigned to
+    its nearest coarse cell and its RESIDUAL (x - centroid) is PQ-
+    encoded — residuals are tighter than raw vectors, so the same
+    code budget quantizes finer.  All training (coarse cells via
+    kmeans_centroids's bounded sample, residual codebooks via the
+    same stride sample) is driver-side and corpus-size-independent.
+
+    Plan shape and why it scales:
+    1. ONE corpus scan: assignment + residual encode run as chained
+       Arrow stages with no exchange between them;
+    2. the ONLY shuffle groups (id, cell, codes) by cell — m bytes of
+       codes per vector, never the embeddings;
+    3. each cell task scores only the queries that probe it (query →
+       nprobe cells, precomputed driver-side on the tiny centroid
+       table) with per-(query, cell) ADC tables of residual-L2
+       partial distances — a numpy gather+sum per batch;
+    4. per-cell top-``rerank_depth`` candidates → global window →
+       exact JVM-fold cosine rerank (pq_topk's pattern), so returned
+       sims are exact and comparable across all ANN variants.
+    """
+    import numpy as np
+
+    # --- driver-side training on bounded samples ------------------
+    cents_df = kmeans_centroids(
+        corpus, id_col, vec_col, n_cells=n_cells, seed=seed, train_cap=train_cap
+    )
+    cent_rows = cents_df.collect()
+    cell_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+    cent = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    cent_unit = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    probe_n = corpus.limit(train_cap * 8).count()
+    stride = max(1, probe_n // train_cap)
+    sample = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .limit(train_cap)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()
+    )
+    pts = np.stack(sample["v"].to_numpy())
+    pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
+    d = pts.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    d_sub = d // m
+    near = (pts @ cent_unit.T).argmax(axis=1)
+    residuals = pts - cent_unit[near]
+    rs = np.random.RandomState(seed)
+    books = np.stack(
+        [
+            _lloyd(residuals[:, s * d_sub : (s + 1) * d_sub].copy(), n_codes, rs, 10)
+            for s in range(m)
+        ]
+    )
+    book_sq = np.stack([(books[s] ** 2).sum(axis=1) for s in range(m)])
+
+    # --- query-side: probed cells + per-(query, cell) ADC tables ---
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    q_cell_sims = q_unit @ cent_unit.T
+    order = np.lexsort(
+        (np.broadcast_to(cell_ids, q_cell_sims.shape), -q_cell_sims), axis=1
+    )
+    probes = order[:, : min(nprobe, len(cell_ids))]  # (nq, nprobe) col indices
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for ci in probes[qi]:
+            cell_to_q.setdefault(int(cell_ids[ci]), []).append(qi)
+    cell_pos = {int(c): i for i, c in enumerate(cell_ids)}
+    depth = rerank_depth
+
+    # --- one corpus scan: assign + residual-encode (chained Arrow) --
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = (mat @ cent_unit.T).argmax(axis=1)
+            res = mat - cent_unit[cells]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                dots = res[:, s * d_sub : (s + 1) * d_sub] @ books[s].T
+                codes[:, s] = (book_sq[s][None, :] - 2.0 * dots).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["__id"].to_numpy(),
+                    "cell": cell_ids[cells],
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(encode, "vid long, cell long, codes array<int>")
+
+    # --- per-cell ADC scoring of the probing queries ---------------
+    def score_cell(key, pdf):
+        import pandas as pd
+
+        cell = int(key[0])
+        probing = cell_to_q.get(cell, [])
+        if not probing or not len(pdf):
+            return pd.DataFrame(
+                {"q_vec_id": [], "cand_id": [], "approx_dist": []}
+            ).astype({"q_vec_id": "int64", "cand_id": "int64", "approx_dist": "float64"})
+        ids = pdf["vid"].to_numpy()
+        codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+        c_vec = cent_unit[cell_pos[cell]]
+        out_q, out_c, out_d = [], [], []
+        for qi in probing:
+            qres = q_unit[qi] - c_vec
+            # ADC: dist^2 partials || qres_s - book[s][c] ||^2
+            approx = np.zeros(len(ids))
+            for s in range(m):
+                qs = qres[s * d_sub : (s + 1) * d_sub]
+                tbl = ((books[s] - qs[None, :]) ** 2).sum(axis=1)  # (n_codes,)
+                approx += tbl[codes[:, s]]
+            keep = np.lexsort((ids, approx))[: min(depth, len(ids))]
+            keep = keep[ids[keep] != q_ids[qi]]
+            out_q.append(np.full(len(keep), q_ids[qi], dtype=np.int64))
+            out_c.append(ids[keep])
+            out_d.append(approx[keep])
+        return pd.DataFrame(
+            {
+                "q_vec_id": np.concatenate(out_q),
+                "cand_id": np.concatenate(out_c),
+                "approx_dist": np.concatenate(out_d),
+            }
+        )
+
+    cand = encoded.groupBy("cell").applyInPandas(
+        score_cell, "q_vec_id long, cand_id long, approx_dist double"
+    )
+    wq = Window.partitionBy("q_vec_id").orderBy(F.asc("approx_dist"), F.asc("cand_id"))
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= depth)
+        .select("q_vec_id", "cand_id")
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_emb"),
+        norm_expr(vec_col).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_vec_id"),
+        F.col(vec_col).alias("n_emb"),
+        norm_expr(vec_col).alias("n_norm"),
+    )
+    exact = (
+        c.join(F.broadcast(shortlist), F.col("n_vec_id") == F.col("cand_id"))
+        .join(F.broadcast(qdf), ["q_vec_id"])
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("n_vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "n_vec_id", "sim", "rank")
+    )

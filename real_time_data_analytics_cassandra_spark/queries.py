@@ -619,6 +619,23 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py::ivfpq_topk): coarse cells
+    + residual product quantization + exact rerank — the composition
+    of the IVF and PQ scale levers (one corpus scan, codes-only
+    shuffle).  nprobe=8: the synthetic near-uniform embeddings are
+    the IVF adversarial case (neighbors smear across cells), so the
+    probe budget is a large cell fraction here; clustered real
+    corpora probe far fewer.  Approximate -> no SQL oracle; recall
+    vs knn_bruteforce tested in tests/test_crossval.py."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    out = sim_op.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=8, rerank_depth=60
+    )
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary multimodal plumbing: attach payload bytes, decode
     metadata via Arrow-batched mapInPandas (deterministic stub decoder
@@ -2566,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_stats": length_bucket_stats,
         "hourly_value_ewma": hourly_value_ewma,
         "udtf_token_windows": udtf_token_windows,
+        "ann_ivfpq": ann_ivfpq,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,

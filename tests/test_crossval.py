@@ -80,6 +80,26 @@ def test_ann_pq_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"recall {recall:.3f}"
 
 
+def test_ann_ivfpq_recall_vs_bruteforce(spark):
+    """IVF-PQ (residual codes, nprobe=8, exact rerank) top-5 per
+    query vs exact knn; reranked sims must equal the exact ones."""
+    exact_rows = q.knn_bruteforce(spark, SF_ORACLE).collect()
+    exact = {}
+    exact_sims = {}
+    for r in exact_rows:
+        exact.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+        exact_sims[(r.q_vec_id, r.n_vec_id)] = r.sim
+    approx = {}
+    for r in q.ann_ivfpq(spark, SF_ORACLE).collect():
+        approx.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+        if (r.q_vec_id, r.n_vec_id) in exact_sims:
+            assert r.sim == exact_sims[(r.q_vec_id, r.n_vec_id)]
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    recall = hits / total
+    assert recall >= 0.8, f"recall {recall:.3f}"
+
+
 def test_near_dup_cells_subset_and_recall_of_exact(spark):
     """Cell-pruned near-dup pairs must be a strict subset of the exact
     blocked-GEMM pairs (the within-cell math is bit-identical, so a

@@ -259,6 +259,7 @@ _ARROW_QUERIES = {
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_pq",
+    "ann_ivfpq",
     "udtf_token_windows",
 }
 
