@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "length_bucket_stats",
     "hourly_value_ewma",
     "ann_ivfpq",
+    "embedding_pca_norms",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

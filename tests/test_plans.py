@@ -260,6 +260,7 @@ _ARROW_QUERIES = {
     "ann_ivf_kmeans",
     "ann_pq",
     "ann_ivfpq",
+    "embedding_pca_norms",
     "udtf_token_windows",
 }
 
