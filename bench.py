@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "hourly_value_ewma",
     "ann_ivfpq",
     "embedding_pca_norms",
+    "retention_cohorts",
+    "signup_conversion_funnel",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

@@ -2422,6 +2422,70 @@ def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic activation analytics shape:
+    users cohorted by first-seen day, distinct active users counted at
+    each day offset.  Two aggregations and one key-partitioned join;
+    the distinct day-activity set shrinks the fact side before any
+    join, so the shuffle carries (user, day) pairs, not events."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day").cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> purchase conversion funnel by signup day: how many
+    of each day's first-signups later purchased, and the average lag
+    in hours (exact decimal avg over microsecond lags).  One scan
+    builds both per-user firsts via conditional aggregation — no
+    self-join of the fact table."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase_any"
+        ),
+    )
+    converted = (
+        F.col("first_purchase_any").isNotNull()
+        & (F.col("first_purchase_any") >= F.col("first_signup"))
+    )
+    lag_us = F.when(
+        converted,
+        F.unix_micros("first_purchase_any") - F.unix_micros("first_signup"),
+    )
+    return (
+        per_user.filter(F.col("first_signup").isNotNull())
+        .groupBy(F.to_date("first_signup").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(converted.cast("long")).alias("n_converted"),
+            F.round(
+                F.sum(converted.cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("conversion_rate"),
+            F.round(
+                (F.sum(lag_us) / F.count(lag_us)).cast("double")
+                / 3600000000.0,
+                6,
+            ).alias("avg_lag_hours"),
+        )
+    )
+
+
 def build_amqp_dump_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir, marker-guarded) the sharded JSON-lines
     bus archive that stands in for a recorded RabbitMQ dump
@@ -2615,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_token_windows": udtf_token_windows,
         "ann_ivfpq": ann_ivfpq,
         "embedding_pca_norms": embedding_pca_norms,
+        "retention_cohorts": retention_cohorts,
+        "signup_conversion_funnel": signup_conversion_funnel,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -4005,6 +4071,50 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                       ORDER BY score DESC, doc_id) AS rnk FROM folded)
             WHERE rnk <= 10
+        """,
+        "retention_cohorts": """
+            WITH first_seen AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                FROM events GROUP BY 1
+            ),
+            activity AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            )
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT)
+                       AS day_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM activity a JOIN first_seen f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "signup_conversion_funnel": """
+            WITH per_user AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END)
+                           AS first_signup,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS first_purchase_any
+                FROM events GROUP BY 1
+            ),
+            flagged AS (
+                SELECT *,
+                       (first_purchase_any IS NOT NULL
+                        AND first_purchase_any >= first_signup) AS conv,
+                       CASE WHEN first_purchase_any IS NOT NULL
+                                 AND first_purchase_any >= first_signup
+                            THEN epoch_us(first_purchase_any)
+                                 - epoch_us(first_signup) END AS lag_us
+                FROM per_user WHERE first_signup IS NOT NULL
+            )
+            SELECT CAST(first_signup AS DATE) AS signup_day,
+                   count(*) AS n_signups,
+                   CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_converted,
+                   round(sum(CASE WHEN conv THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS conversion_rate,
+                   round((sum(lag_us) / count(lag_us)) / 3600000000.0, 6)
+                       AS avg_lag_hours
+            FROM flagged GROUP BY 1
         """,
         "udtf_token_windows": """
             WITH toks AS (
