@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "embedding_pca_norms",
     "retention_cohorts",
     "signup_conversion_funnel",
+    "rfm_scores",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

@@ -2486,6 +2486,68 @@ def signup_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile scoring — the
+    classic customer-value segmentation: each user scored 1-4 per
+    dimension at exact quartile boundaries, composite = 100r+10f+m.
+
+    Scale shape: one per-user aggregation (recency kept as exact
+    integer micros from the data's own max ts — no wall clock, no
+    floats), then the 9 quartile boundaries arrive as ONE broadcast
+    aggregate row and scoring is a comparison fold — the
+    length_bucket_stats idiom, never a global sort/NTILE."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("anchor_ts"))
+    per_user = (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("anchor_ts")) - F.unix_micros(F.col("ts"))
+            ).alias("recency_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).cast("decimal(12,2)"),
+                "monetary",
+            ),
+        )
+        .withColumn("monetary", F.coalesce("monetary", F.lit(0.0)))
+    )
+    bounds = per_user.agg(
+        F.expr("percentile(recency_us, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def asc_score(col, q):
+        s = F.lit(1)
+        for j in (1, 2, 3):
+            s = s + (F.col(col) > F.element_at(q, j)).cast("int")
+        return s
+
+    scored = per_user.join(F.broadcast(bounds)).select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary",
+        # lower recency is better -> reverse the ascending bucket
+        (F.lit(5) - asc_score("recency_us", F.col("rq")))
+        .cast("long")
+        .alias("r_score"),
+        asc_score("frequency", F.col("fq")).cast("long").alias("f_score"),
+        asc_score("monetary", F.col("mq")).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )
+
+
 def build_amqp_dump_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir, marker-guarded) the sharded JSON-lines
     bus archive that stands in for a recorded RabbitMQ dump
@@ -2681,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_norms": embedding_pca_norms,
         "retention_cohorts": retention_cohorts,
         "signup_conversion_funnel": signup_conversion_funnel,
+        "rfm_scores": rfm_scores,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -4071,6 +4134,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                       ORDER BY score DESC, doc_id) AS rnk FROM folded)
             WHERE rnk <= 10
+        """,
+        "rfm_scores": """
+            WITH anchor AS (SELECT max(ts) AS anchor_ts FROM events),
+            per_user AS (
+                SELECT user_id,
+                       min(epoch_us(anchor_ts) - epoch_us(ts)) AS recency_us,
+                       count(*) AS frequency,
+                       coalesce(CAST(CAST(round(sum(
+                           CASE WHEN event_type = 'purchase'
+                                THEN CAST(value AS DECIMAL(12,2)) END), 2)
+                           AS DECIMAL(15,2)) AS DOUBLE), 0.0) AS monetary
+                FROM events CROSS JOIN anchor
+                GROUP BY user_id
+            ),
+            b AS (
+                SELECT quantile_cont(recency_us, [0.25, 0.5, 0.75]) AS rq,
+                       quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+                       quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+                FROM per_user
+            ),
+            scored AS (
+                SELECT user_id, recency_us, frequency, monetary,
+                       CAST(5 - (1 + CAST(recency_us > rq[1] AS INT)
+                                   + CAST(recency_us > rq[2] AS INT)
+                                   + CAST(recency_us > rq[3] AS INT))
+                            AS BIGINT) AS r_score,
+                       CAST(1 + CAST(frequency > fq[1] AS INT)
+                              + CAST(frequency > fq[2] AS INT)
+                              + CAST(frequency > fq[3] AS INT)
+                            AS BIGINT) AS f_score,
+                       CAST(1 + CAST(monetary > mq[1] AS INT)
+                              + CAST(monetary > mq[2] AS INT)
+                              + CAST(monetary > mq[3] AS INT)
+                            AS BIGINT) AS m_score
+                FROM per_user CROSS JOIN b
+            )
+            SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+                          AS rfm
+            FROM scored
         """,
         "retention_cohorts": """
             WITH first_seen AS (
