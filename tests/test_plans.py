@@ -279,6 +279,7 @@ _BNLJ_OK = {
     "tfidf_top_terms",
     "bm25_search",
     "length_bucket_stats",
+    "rfm_scores",
     "value_zscores",
     "quality_filtered_docs",
     "hourly_value_interpolated",
