@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "signup_conversion_funnel",
     "rfm_scores",
+    "session_conversion",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

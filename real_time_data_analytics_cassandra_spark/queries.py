@@ -2548,6 +2548,60 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-SESSION conversion: every session classified as
+    no_signup / signup_only / converted (a purchase at-or-after the
+    session's first signup).  The interesting shape: a window over a
+    DERIVED key — events are session-numbered (lag+cumsum, the
+    sessionize rule), then the session's first-signup timestamp is a
+    second window over (user, session_idx) that each purchase row
+    compares against — all inside the same two shuffles, no
+    self-join of events."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = events.withColumn(
+        "__new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) >= gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_idx")
+    with_first = numbered.withColumn(
+        "__first_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w_sess),
+    )
+    per_session = with_first.groupBy("user_id", "session_idx").agg(
+        F.max(F.col("__first_signup").isNotNull().cast("int")).alias("has_signup"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & F.col("__first_signup").isNotNull()
+                & (F.col("ts") >= F.col("__first_signup"))
+            ).cast("int")
+        ).alias("converted"),
+    )
+    category = (
+        F.when(F.col("has_signup") == 0, F.lit("no_signup"))
+        .when(F.col("converted") == 1, F.lit("converted"))
+        .otherwise(F.lit("signup_only"))
+    )
+    return (
+        per_session.select(category.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
 def build_amqp_dump_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir, marker-guarded) the sharded JSON-lines
     bus archive that stands in for a recorded RabbitMQ dump
@@ -2744,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": retention_cohorts,
         "signup_conversion_funnel": signup_conversion_funnel,
         "rfm_scores": rfm_scores,
+        "session_conversion": session_conversion,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -4134,6 +4189,46 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                       ORDER BY score DESC, doc_id) AS rnk FROM folded)
             WHERE rnk <= 10
+        """,
+        "session_conversion": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, CAST(sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            ),
+            with_first AS (
+                SELECT *,
+                       min(CASE WHEN event_type = 'signup' THEN ts END)
+                           OVER (PARTITION BY user_id, session_idx)
+                           AS first_signup
+                FROM numbered
+            ),
+            per_session AS (
+                SELECT user_id, session_idx,
+                       max(CASE WHEN first_signup IS NOT NULL
+                                THEN 1 ELSE 0 END) AS has_signup,
+                       max(CASE WHEN event_type = 'purchase'
+                                     AND first_signup IS NOT NULL
+                                     AND ts >= first_signup
+                                THEN 1 ELSE 0 END) AS converted
+                FROM with_first GROUP BY 1, 2
+            )
+            SELECT CASE WHEN has_signup = 0 THEN 'no_signup'
+                        WHEN converted = 1 THEN 'converted'
+                        ELSE 'signup_only' END AS category,
+                   count(*) AS n_sessions
+            FROM per_session
+            GROUP BY 1
         """,
         "rfm_scores": """
             WITH anchor AS (SELECT max(ts) AS anchor_ts FROM events),
