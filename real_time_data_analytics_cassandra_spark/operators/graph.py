@@ -16,9 +16,19 @@ near-dup components are tiny in practice (pathological chains are
 bounded by ``max_iterations``).
 
 At 100 TB: each iteration is a standard shuffle join on node id —
-partition-parallel, AQE-sized; caching the stable edge list avoids
-re-reading the source.  (GraphFrames/Pregel would be the library
-route; the point here is that plain DataFrame ops suffice.)
+partition-parallel, AQE-sized.  Crucially the per-iteration label
+frame is ``localCheckpoint(eager=True)``-ed, which TRUNCATES the
+logical lineage: without it the plan doubles every iteration
+(20 iterations → an unrolled ~200-exchange plan whose analysis cost
+is quadratic in depth and which risks driver StackOverflow on deep
+components).  With the checkpoint every iteration's plan is O(1) —
+one join + one aggregate over two materialized inputs — so the loop
+is genuinely O(iterations) at any scale.  On a real cluster with
+long-running executors, swap ``localCheckpoint`` for
+``df.checkpoint()`` against a reliable ``spark.sparkContext
+.setCheckpointDir`` location to also survive executor loss.
+(GraphFrames/Pregel would be the library route; the point here is
+that plain DataFrame ops suffice.)
 """
 
 from __future__ import annotations
@@ -37,16 +47,20 @@ def connected_components(
     appears in ``edges``.  Output: (id, component) — isolated nodes
     (absent from edges) are the caller's concern.
     """
+    # Materialize the (stable) bidirectional edge list once and cut it
+    # loose from the upstream pair-generation plan (which can itself be
+    # a large LSH/minhash pipeline).
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         bidir.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         # neighbor labels: for each node u, the labels of its neighbors
@@ -54,23 +68,24 @@ def connected_components(
             bidir.join(labels, bidir.v == labels.id)
             .select(F.col("u").alias("id"), "component")
         )
+        # Eager checkpoint: materializes this iteration's labels AND
+        # truncates lineage, so the next iteration plans against a leaf
+        # (ExistingRDD) instead of the whole unrolled history.
         new_labels = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
         labels = new_labels
         if changed == 0:
             break
-    bidir.unpersist()
     return labels
 
 

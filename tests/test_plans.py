@@ -287,6 +287,30 @@ _BNLJ_OK = {
 }
 
 
+def test_connected_components_plan_is_o1_not_o_iterations(spark):
+    """Lineage truncation: the iterative label-propagation loop must
+    localCheckpoint each iteration, so the RETURNED frame's plan is a
+    leaf scan — not an unrolled O(iterations) join tree (previously
+    ~208 exchanges for dedup_clusters; a driver-side scale-killer)."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        connected_components,
+    )
+
+    # A path graph: 0-1-2-...-12 forces ~log-diameter iterations of
+    # min-label propagation before convergence.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges)
+    plan = explain_str(comp)
+    n_exchanges = plan.count("Exchange") // 2  # tree + detail listing
+    assert n_exchanges <= 2, f"unrolled plan leaked through: {plan[:2000]}"
+    assert "ExistingRDD" in plan or "Scan" in plan
+    # correctness unchanged: one component labelled by the min id
+    rows = comp.collect()
+    assert len(rows) == 13 and all(r.component == 0 for r in rows)
+
+
 def test_registry_wide_plan_hygiene(spark):
     """Every batch registry query must plan without a CartesianProduct
     and without row-at-a-time Python (BatchEvalPython); Arrow stages
