@@ -74,7 +74,11 @@ MAX_LITERAL_PARTITIONS = 1024
 
 
 def _pruned_target(
-    spark: SparkSession, path: str, source: DataFrame, partition_col: str
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    partition_col: str,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read ONLY the target partitions the source touches.
 
@@ -86,12 +90,23 @@ def _pruned_target(
     (executor-side, never collected) distinct partition values —
     file-source dynamic partition pruning skips the untouched
     partitions at runtime, and correctness never depends on the
-    pruning firing."""
+    pruning firing.
+
+    ``merge_schema=True`` forces parquet footer merging: required when
+    per-partition schemas can legitimately differ (merge_add's
+    ``_applied_batch_id`` marker appears only in partitions written
+    after replay protection was turned on) — default schema inference
+    samples ONE footer and would silently drop the column from the
+    read.  Footer merging is a metadata-only distributed job, cheap
+    relative to the fold itself."""
     touched_df = source.select(partition_col).distinct()
     probe = [
         r[0] for r in touched_df.limit(MAX_LITERAL_PARTITIONS + 1).collect()
     ]
-    target = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    target = reader.parquet(path)
     if len(probe) <= MAX_LITERAL_PARTITIONS:
         return target.filter(F.col(partition_col).isin(probe))
     return target.join(F.broadcast(touched_df), partition_col, "left_semi")
@@ -164,7 +179,11 @@ def merge_add(
     folding without a ``batch_id`` would silently drop the
     ``_applied_batch_id`` column from the partitions it overwrites
     (per-partition schema drift + lost replay markers), so that call
-    raises instead."""
+    raises instead.  The converse sequence (markerless era, then batch
+    ids turned on) is legal and leaves the table mixed-schema, so the
+    pruned read always merges footers — otherwise schema inference
+    could sample a markerless file and silently drop every replay
+    marker from the read (double-count on replay, no error)."""
     grouped = deltas.groupBy(partition_col, *keys).agg(
         F.sum(count_col).alias(count_col)
     )
@@ -173,7 +192,9 @@ def merge_add(
     if not _target_exists(spark, path):
         grouped.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
-    existing = _pruned_target(spark, path, grouped, partition_col)
+    existing = _pruned_target(
+        spark, path, grouped, partition_col, merge_schema=True
+    )
     if batch_id is None and BATCH_ID_COL in existing.columns:
         raise ValueError(
             f"target {path!r} carries {BATCH_ID_COL}: folding without a "

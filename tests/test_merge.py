@@ -246,6 +246,37 @@ def test_merge_add_mixed_batch_id_usage_raises(spark):
     events.unpersist()
 
 
+def test_merge_add_replay_protection_survives_mixed_schema(spark):
+    """Replay-idempotence must survive a MIXED write sequence: a
+    target first written WITHOUT batch ids (no replay markers), then
+    folded WITH one.  The partitions are then mixed-schema (old files
+    lack _applied_batch_id), and naive parquet schema inference can
+    sample an old file and silently DROP the markers from the read —
+    degrading replay protection without error.  merge_add must read
+    with schema merging so the marker column always survives."""
+    events = _signups(spark, SF_SMOKE).cache()
+    deltas = events.groupBy(PART, "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "counts")
+        # era 1: no replay protection (no marker column anywhere)
+        merge_add(spark, deltas, path, ["user_id"], "cnt", PART)
+        # era 2: turn on batch ids, touching ONE partition
+        delta5 = deltas.filter(F.col(PART) == 5)
+        merge_add(spark, delta5, path, ["user_id"], "cnt", PART, batch_id=7)
+        once = _counts(spark.read.parquet(path).select("user_id", "cnt"))
+        # replay of batch 7 must be a no-op even though most files
+        # carry no marker column
+        merge_add(spark, delta5, path, ["user_id"], "cnt", PART, batch_id=7)
+        assert (
+            _counts(spark.read.parquet(path).select("user_id", "cnt")) == once
+        ), "replay double-counted: marker column lost to schema inference"
+        # and a genuinely newer batch still folds
+        merge_add(spark, delta5, path, ["user_id"], "cnt", PART, batch_id=8)
+        tripled = _counts(spark.read.parquet(path).select("user_id", "cnt"))
+        assert tripled != once
+    events.unpersist()
+
+
 def test_streaming_counter_matches_batch(spark):
     events = _signups(spark, SF_SMOKE).cache()
     cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]
