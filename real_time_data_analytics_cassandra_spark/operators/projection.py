@@ -21,12 +21,22 @@ from pyspark.sql import functions as F
 
 
 def _sample_matrix(corpus: DataFrame, id_col: str, vec_col: str, train_cap: int):
+    """Bounded deterministic training sample.
+
+    Sampling is keyed on a HASH of the id, not the raw id modulo a
+    stride — raw-modulo assumes dense contiguous ids and can return
+    far fewer than ``train_cap`` rows on sparse id spaces (every id
+    even, snowflake-style ids, ...).  xxhash64 spreads any id
+    distribution uniformly over the stride classes, stays
+    deterministic, and needs no ordering pass."""
     import numpy as np
 
     probe_n = corpus.limit(train_cap * 8).count()
+    if probe_n == 0:
+        raise ValueError("cannot fit a projection on an empty corpus")
     stride = max(1, probe_n // train_cap)
     sample = (
-        corpus.filter((F.col(id_col) % stride) == 0)
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
         .limit(train_cap)
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .toPandas()
@@ -131,6 +141,8 @@ def random_projection(
     import numpy as np
 
     first = corpus.select(F.col(vec_col)).first()
+    if first is None or first[0] is None:
+        raise ValueError("cannot project an empty corpus")
     d = len(first[0])
     rs = np.random.RandomState(seed)
     w = rs.normal(0.0, 1.0, size=(out_dim, d)) / np.sqrt(out_dim)

@@ -363,14 +363,7 @@ def kmeans_centroids(
     probe_n = corpus.limit(max(256 * 50, train_cap * 8)).count()
     if n_cells is None:
         n_cells = max(2, min(256, probe_n // 50))
-    stride = max(1, probe_n // train_cap)
-    sample = (
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .limit(train_cap)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .toPandas()
-    )
-    pts = np.stack(sample["v"].to_numpy())
+    pts = _train_sample(corpus, id_col, vec_col, train_cap, probe_n)
 
     rs = np.random.RandomState(seed)
     centers = _lloyd(pts, n_cells, rs, max_iter)
@@ -379,6 +372,32 @@ def kmeans_centroids(
         [id_col, "c"],
     )
     return sc_df.select(id_col, F.col("c").cast("array<float>").alias(vec_col))
+
+
+def _train_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, train_cap: int, probe_n: int
+):
+    """Bounded deterministic training sample, shared by every
+    driver-side trainer here (coarse quantizer, PQ codebooks, IVF-PQ
+    residuals).  Sampling is keyed on a HASH of the id, not the raw id
+    modulo a stride — raw modulo assumes dense contiguous ids and can
+    return far fewer than ``train_cap`` rows on sparse id spaces
+    (every id even, snowflake-style ids); xxhash64 spreads any id
+    distribution uniformly across the stride classes while staying
+    deterministic.  Raises on an empty corpus instead of a cryptic
+    numpy stack error."""
+    import numpy as np
+
+    if probe_n == 0:
+        raise ValueError("cannot train on an empty corpus")
+    stride = max(1, probe_n // train_cap)
+    sample = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .limit(train_cap)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()
+    )
+    return np.stack(sample["v"].to_numpy())
 
 
 def _lloyd(pts, k: int, rs, max_iter: int = 10):
@@ -431,14 +450,7 @@ def pq_train_codebooks(
     import numpy as np
 
     probe_n = corpus.limit(train_cap * 8).count()
-    stride = max(1, probe_n // train_cap)
-    sample = (
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .limit(train_cap)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .toPandas()
-    )
-    pts = np.stack(sample["v"].to_numpy())
+    pts = _train_sample(corpus, id_col, vec_col, train_cap, probe_n)
     pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
     d = pts.shape[1]
     if d % m:
@@ -534,17 +546,21 @@ def pq_topk(
             approx = np.zeros((len(q_ids), len(ids)))
             for s in range(m):
                 approx += adc[:, s, codes[:, s]]
-            loc = min(depth, len(ids))
-            # per query: local top-loc by (-approx, id) for determinism
+            # per query: drop the query's own vector BEFORE the local
+            # top-depth slice, so the batch containing the query still
+            # contributes the full candidate budget (masking after the
+            # slice silently cost one candidate); then top-depth by
+            # (-approx, id) for determinism
             for qi in range(len(q_ids)):
-                row = approx[qi]
-                top = np.lexsort((ids, -row))[:loc]
-                sel = top[ids[top] != q_ids[qi]]
+                mask = ids != q_ids[qi]
+                cand_ids = ids[mask]
+                row = approx[qi][mask]
+                top = np.lexsort((cand_ids, -row))[: min(depth, len(cand_ids))]
                 yield pd.DataFrame(
                     {
-                        "q_vec_id": np.full(len(sel), q_ids[qi], dtype=np.int64),
-                        "cand_id": ids[sel],
-                        "approx_sim": row[sel],
+                        "q_vec_id": np.full(len(top), q_ids[qi], dtype=np.int64),
+                        "cand_id": cand_ids[top],
+                        "approx_sim": row[top],
                     }
                 )
 
@@ -691,14 +707,7 @@ def ivfpq_topk(
     cent_unit = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
     probe_n = corpus.limit(train_cap * 8).count()
-    stride = max(1, probe_n // train_cap)
-    sample = (
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .limit(train_cap)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
-        .toPandas()
-    )
-    pts = np.stack(sample["v"].to_numpy())
+    pts = _train_sample(corpus, id_col, vec_col, train_cap, probe_n)
     pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
     d = pts.shape[1]
     if d % m:
@@ -783,11 +792,17 @@ def ivfpq_topk(
                 qs = qres[s * d_sub : (s + 1) * d_sub]
                 tbl = ((books[s] - qs[None, :]) ** 2).sum(axis=1)  # (n_codes,)
                 approx += tbl[codes[:, s]]
-            keep = np.lexsort((ids, approx))[: min(depth, len(ids))]
-            keep = keep[ids[keep] != q_ids[qi]]
+            # drop the query's own vector BEFORE the slice so its home
+            # cell still yields the full depth-candidate budget
+            mask = ids != q_ids[qi]
+            cand_ids = ids[mask]
+            cand_approx = approx[mask]
+            keep = np.lexsort((cand_ids, cand_approx))[
+                : min(depth, len(cand_ids))
+            ]
             out_q.append(np.full(len(keep), q_ids[qi], dtype=np.int64))
-            out_c.append(ids[keep])
-            out_d.append(approx[keep])
+            out_c.append(cand_ids[keep])
+            out_d.append(cand_approx[keep])
         return pd.DataFrame(
             {
                 "q_vec_id": np.concatenate(out_q),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -77,46 +78,82 @@ def compact_partitions(
     count, not the byte count, is what kills scan planning and
     shuffle-map overhead).
 
-    File count is sized from the location's actual bytes
-    (filesystem metadata only — no data read), then rows are
-    round-robin repartitioned into exactly that many files
-    (per-partition-directory when ``partition_col`` is given, so
-    hive pruning survives).  Returns {files_before, files_after,
-    bytes} from the filesystem, letting callers assert the
-    compaction actually happened.  The rewrite stages into the same
-    directory via overwrite — on object storage use a
-    format with atomic commit (the operation is a pure rewrite, so
-    any snapshot/commit protocol slots in unchanged).
+    File counts are sized from the location's actual bytes
+    (filesystem metadata only — no data read).  Without
+    ``partition_col``, rows are repartitioned into
+    ceil(total_bytes / target) files.  With it, each hive partition
+    DIRECTORY is sized independently from its own bytes, and rows are
+    hashed on (partition value, salt) with the salt bounded by that
+    directory's file count — so a large partition still splits into
+    ~target-sized files instead of collapsing to one file per
+    distinct partition value, and hive pruning survives.  Returns
+    {files_before, files_after, bytes} from the filesystem, letting
+    callers assert the compaction actually happened.
+
+    Swap protocol (crash-safe on a rename-atomic filesystem): write
+    to ``path__compact``, rename the live dir aside to ``path__old``,
+    rename the compacted dir in, then delete the old dir.  A crash
+    between the two renames leaves the original intact at
+    ``path__old`` (recoverable by hand); the unrecoverable window of
+    the previous delete-then-rename protocol is gone.  On object
+    storage use a table format with an atomic commit protocol — the
+    operation is a pure rewrite, so any snapshot mechanism slots in
+    unchanged.
     """
     import glob
     import os
+    import shutil
 
-    def _stats():
+    def _stats(root=None):
         files = [
             f
-            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            for f in glob.glob(
+                os.path.join(root or path, "**", "*.parquet"), recursive=True
+            )
             if os.path.isfile(f)
         ]
         return len(files), sum(os.path.getsize(f) for f in files)
 
+    def _ceil_files(nbytes: int) -> int:
+        return max(1, -(-nbytes // target_file_bytes))
+
     files_before, total_bytes = _stats()
     df = spark.read.parquet(path)
-    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    compact = path + "__compact"
     if partition_col is not None:
-        out = df.repartition(n_files, partition_col)
-        (
-            out.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path + "__compact")
+        # per-directory file counts from per-directory bytes; the
+        # literal map is bounded by the table's partition count (the
+        # same bound hive pruning itself relies on)
+        per_dir = []
+        for d in glob.glob(os.path.join(path, f"{partition_col}=*")):
+            if not os.path.isdir(d):
+                continue
+            val = os.path.basename(d).split("=", 1)[1]
+            per_dir.append((val, _ceil_files(_stats(d)[1])))
+        n_total = max(1, sum(n for _, n in per_dir))
+        fmap = F.create_map(
+            *[x for val, n in per_dir for x in (F.lit(val), F.lit(n))]
         )
+        salted = df.withColumn(
+            "__nf",
+            F.coalesce(fmap[F.col(partition_col).cast("string")], F.lit(1)),
+        ).withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__nf")),
+        )
+        out = salted.repartition(n_total, partition_col, "__salt").drop(
+            "__nf", "__salt"
+        )
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(compact)
     else:
-        out = df.repartition(n_files)
-        out.write.mode("overwrite").parquet(path + "__compact")
-    # atomic-ish local swap; object stores swap via their commit protocol
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(path + "__compact", path)
+        out = df.repartition(_ceil_files(total_bytes))
+        out.write.mode("overwrite").parquet(compact)
+    # rename-aside swap: the live data is never in a deleted-only state
+    old = path + "__old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover of a prior crash
+    os.rename(path, old)
+    os.rename(compact, path)
+    shutil.rmtree(old)
     files_after, _ = _stats()
     return {
         "files_before": files_before,

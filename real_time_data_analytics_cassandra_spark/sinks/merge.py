@@ -108,8 +108,22 @@ def _pruned_target(
         reader = reader.option("mergeSchema", "true")
     target = reader.parquet(path)
     if len(probe) <= MAX_LITERAL_PARTITIONS:
-        return target.filter(F.col(partition_col).isin(probe))
-    return target.join(F.broadcast(touched_df), partition_col, "left_semi")
+        pruned = target.filter(F.col(partition_col).isin(probe))
+    else:
+        pruned = target.join(
+            F.broadcast(touched_df), partition_col, "left_semi"
+        )
+    # hive partition-type inference reads the directory names, not the
+    # written dtype (a string day_bucket like '20240101' comes back as
+    # int) — cast back to the SOURCE's dtype AFTER pruning so the
+    # table keeps one stable schema across merges instead of leaning
+    # on implicit union coercion that flips the dtype between writes
+    src_type = source.schema[partition_col].dataType
+    if pruned.schema[partition_col].dataType != src_type:
+        pruned = pruned.withColumn(
+            partition_col, F.col(partition_col).cast(src_type)
+        )
+    return pruned
 
 
 def merge_upsert(

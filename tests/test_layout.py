@@ -128,3 +128,37 @@ def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path_factory
     assert after.agg(F.sum(F.hash("event_id", "user_id"))).collect()[0][0] == checksum
     # hive layout survived -> partition filter still prunes
     assert after.filter(F.col("event_type") == "purchase").count() == n_purchase
+    # swap protocol leaves no staging or aside directories behind
+    import os
+
+    assert not os.path.exists(path + "__compact")
+    assert not os.path.exists(path + "__old")
+
+
+def test_compact_partitions_splits_large_partitions(spark, tmp_path_factory):
+    """A hive partition bigger than target_file_bytes must compact to
+    MULTIPLE ~target-sized files, not collapse to one file per
+    partition value (the salt bounds per-directory file counts from
+    per-directory bytes)."""
+    import glob
+    import os
+
+    from real_time_data_analytics_cassandra_spark.sinks.layout import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path_factory.mktemp("compact") / "events_big")
+    events = table(spark, SF_SMOKE, "events")
+    events.repartition(16).write.partitionBy("event_type").parquet(path)
+    n_rows = spark.read.parquet(path).count()
+
+    # tiny target: every partition dir holds several targets' worth
+    compact_partitions(
+        spark, path, target_file_bytes=64 * 1024, partition_col="event_type"
+    )
+    for d in glob.glob(os.path.join(path, "event_type=*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        nbytes = sum(os.path.getsize(f) for f in files)
+        if nbytes > 2 * 64 * 1024:
+            assert len(files) > 1, (d, len(files), nbytes)
+    assert spark.read.parquet(path).count() == n_rows

@@ -147,6 +147,42 @@ def test_asof_join_payload_is_atomic_per_row(spark):
     assert out[2] == ("b", "b"), out[2]
 
 
+def test_asof_join_map_payload_raises_and_entries_workaround_works(spark):
+    """The payload struct participates in the ordering key, so a
+    map-typed payload column is rejected at analysis time (Spark
+    cannot sort maps) — the error must surface clearly, and the
+    documented workaround (pass map_entries(m) instead) must produce
+    the same data in orderable form."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    left = spark.createDataFrame([(1, 30)], ["user_id", "t"]).select(
+        "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    right = (
+        spark.createDataFrame([(1, 10, [("k", "v")])],
+                              "user_id long, t long, kv array<struct<k string, v string>>")
+        .select(
+            "user_id",
+            F.timestamp_seconds("t").alias("ts"),
+            F.map_from_entries("kv").alias("props_map"),
+        )
+    )
+    # DataFrame analysis is eager: the ordering-type rejection fires
+    # at construction time, before any action
+    with pytest.raises(AnalysisException, match="INVALID_ORDERING_TYPE"):
+        asof_join(left, right, "user_id", "ts", "ts",
+                  right_payload=("props_map",)).collect()
+    # workaround: sorted entry arrays are orderable
+    ok = asof_join(
+        left,
+        right.select("user_id", "ts",
+                     F.map_entries("props_map").alias("props")),
+        "user_id", "ts", "ts", right_payload=("props",),
+    ).collect()
+    assert ok[0].props_asof == [("k", "v")]
+
+
 @given(rows=events_strategy, dim=st.lists(
     st.tuples(st.integers(min_value=0, max_value=5), st.text(max_size=5)),
     max_size=6,
