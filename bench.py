@@ -133,6 +133,13 @@ BENCH_QUERIES = [
     "signup_conversion_funnel",
     "rfm_scores",
     "session_conversion",
+    # round 4 additions
+    "event_transition_matrix",
+    "first_last_touch",
+    "hourly_anomaly_streaks",
+    "vocab_oov_rate",
+    "bigram_lm_doc_scores",
+    "streaming_transition_counts",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

@@ -1595,7 +1595,9 @@ def per_type_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (batch-equivalence, SURVEY.md §5.2), not just its batch twin.
 
 
-def _run_streaming(spark: SparkSession, sf_dir: str, build, name: str) -> DataFrame:
+def _run_streaming(
+    spark: SparkSession, sf_dir: str, build, name: str, **run_kwargs
+) -> DataFrame:
     import tempfile
 
     from real_time_data_analytics_cassandra_spark.sources.streams import (
@@ -1608,7 +1610,7 @@ def _run_streaming(spark: SparkSession, sf_dir: str, build, name: str) -> DataFr
     ensure_query_confs(spark)
     stream = bounded_event_stream(spark, sf_dir)
     ckpt = tempfile.mkdtemp(prefix=f"rtdac_ckpt_{name}_")
-    return run_available_now(build(stream), name, ckpt)
+    return run_available_now(build(stream), name, ckpt, **run_kwargs)
 
 
 def streaming_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2761,6 +2763,310 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts + probabilities — the
+    empirical Markov transition matrix of the event stream (the
+    behavioral-analytics generalization of the reference's per-type
+    counters, cassandra_subscriber.py:171-179: instead of "how many X"
+    it answers "what follows X").
+
+    Scale shape: ONE shuffle partitions events by user for the lag
+    window; the transition aggregate then moves only per-(prev, next)
+    partial counts (map-side combined), and the probability divides
+    grouped bigints inside a window over the |types|^2-row result —
+    no second pass over events.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    counted = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return counted.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp),
+            6,
+        ).alias("p_transition"),
+    ).orderBy("prev_type", "next_type")
+
+
+def first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: for every user who
+    purchased, the type of their EARLIEST event and of the LAST event
+    strictly before their first purchase, aggregated to (first_touch,
+    last_touch) -> user counts — the standard marketing-attribution
+    rollup over an event log.
+
+    Scale shape: one shuffle on user_id feeds every window (the
+    conditional-min first-purchase timestamp, and both row_number
+    ranks reuse the same exchange with per-window sorts); the
+    per-user reduction then groups BY THE WINDOW'S OWN PARTITION KEY,
+    so it is exchange-free, and only the |types|^2 rollup shuffles
+    again.  No event self-join at any step.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seq = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "fp_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(wu),
+    )
+    prior = seq.filter(
+        F.col("fp_ts").isNotNull() & (F.col("ts") < F.col("fp_ts"))
+    )
+    ranked = prior.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("event_type"))).alias(
+            "first_touch"
+        ),
+        F.max(F.when(F.col("rn_last") == 1, F.col("event_type"))).alias(
+            "last_touch"
+        ),
+    )
+    return (
+        per_user.groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+def hourly_anomaly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection with streaks: per event type, hours
+    whose event count deviates more than 2 sigma from that type's
+    hourly mean, grouped into CONSECUTIVE-hour runs (gaps-and-islands)
+    with run length and peak |z| — the monitoring query a pipeline
+    runs over its own ingest volumes.
+
+    Scale shape: events collapse to (type, hour) counts in one
+    map-side-combined shuffle; everything after — the per-type
+    mean/variance windows, the z filter, the island numbering — runs
+    over that tiny aggregate (|types| x |hours| rows).  The squared
+    sum goes through decimal(38,0) so the moments stay exact (and
+    overflow-proof) in both engines; z is then pure double arithmetic
+    on exact integer inputs, bit-identical across engines.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "*",
+        (
+            F.sum("cnt").over(wt).cast("double")
+            / F.count(F.lit(1)).over(wt)
+        ).alias("mean_c"),
+        (
+            F.sum(
+                (F.col("cnt") * F.col("cnt")).cast("decimal(38,0)")
+            ).over(wt).cast("double")
+            / F.count(F.lit(1)).over(wt)
+        ).alias("mean_sq"),
+    )
+    scored = stats.withColumn(
+        "z",
+        (F.col("cnt") - F.col("mean_c"))
+        / F.sqrt(F.col("mean_sq") - F.col("mean_c") * F.col("mean_c")),
+    ).filter(F.abs("z") > 2)
+    wh = Window.partitionBy("event_type").orderBy("hour")
+    islands = scored.withColumn(
+        "grp",
+        (F.unix_timestamp("hour") / 3600).cast("long")
+        - F.row_number().over(wh),
+    )
+    return (
+        islands.groupBy("event_type", "grp")
+        .agg(
+            F.date_format(F.min("hour"), "yyyyMMddHH").alias("streak_start"),
+            F.count(F.lit(1)).cast("long").alias("streak_hours"),
+            F.round(F.max(F.abs("z")), 6).alias("peak_abs_z"),
+        )
+        .select("event_type", "streak_start", "streak_hours", "peak_abs_z")
+        .orderBy("event_type", "streak_start")
+    )
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: induce the top-1000-term
+    vocabulary from the corpus itself, then score every document's
+    out-of-vocabulary token rate — the coverage check run before
+    committing a tokenizer/vocab to a training corpus.
+
+    Scale shape: the vocabulary is a TakeOrdered top-k over map-side-
+    combined term counts (bounded 1000 rows however large the corpus),
+    broadcast back over the token stream; the per-doc aggregate
+    re-shuffles only (doc, count) partials.  The corpus is scanned
+    twice (vocab induction + scoring) and never self-joined.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(1000)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model quality score: mean log-probability
+    under an add-one-smoothed bigram model trained on the corpus
+    itself — the CCNet/Wenzek-style LM-perplexity filter used to rank
+    web documents for LLM training, with the model reduced to exact
+    counts so both engines reproduce it bit-for-bit.
+
+    score(doc) = sum over bigram instances of
+    ln((C(w1,w2) + 1) / (C(w1) + V)) / n_bigrams, with corpus bigram
+    counts C, unigram counts C(w1), vocabulary size V.
+
+    Scale shape: count tables are map-side-combined aggregates; the
+    per-doc bigram frequencies join the count tables on the bigram /
+    first-word keys (hash equi-joins, no broadcast of corpus-sized
+    tables needed — only the 1-row V is broadcast).  Every input to
+    the log is integral, and per-doc contributions fold in sorted
+    bigram order (bm25_topk's trick), so the cross-term double sum is
+    bit-identical in any engine.  Docs with < 2 tokens have no
+    bigrams and are absent, matching the oracle by construction.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import (
+        tokens,
+        word_ngrams,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    bi = toks.select(
+        "doc_id", F.explode(word_ngrams("__toks", 2)).alias("bigram")
+    )
+    doc_bi = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus counts re-aggregate the per-doc counts (exact integer
+    # sums) instead of re-exploding the corpus — one less full-width
+    # shuffle, same numbers
+    bi_counts = doc_bi.groupBy("bigram").agg(F.sum("tf").alias("c_bi"))
+    uni_counts = (
+        toks.select(F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    vocab_n = uni_counts.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        doc_bi.join(bi_counts, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(uni_counts, F.col("w1") == F.col("term"))
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn(
+            "contrib",
+            F.col("tf")
+            * F.log(
+                (F.col("c_bi") + 1).cast("double")
+                / (F.col("c_uni") + F.col("v"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(bigram, contrib))), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logp"),
+        )
+        .select("doc_id", "n_bigrams", "avg_logp")
+        .orderBy("doc_id")
+    )
+
+
+def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_transition_matrix maintained by the STREAM: the per-user
+    lag becomes O(1)-per-user state in a custom stateful operator
+    (streaming/pipelines.py::transition_log_stream), whose emitted
+    transition log is then rolled up to the same (prev, next, n, p)
+    table — hash-gated against the SAME SQL oracle as the batch form.
+    The bounded replay delivers the table in one micro-batch, so the
+    stateful path must reproduce the batch lag exactly; cross-batch
+    state is exercised by tests/test_streaming.py."""
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        transition_log_stream,
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return transition_log_stream(
+            stream.select("user_id", "ts", "event_id", "event_type")
+        )
+
+    log = _run_streaming(
+        spark, sf_dir, build, "streaming_transition_counts_q",
+        output_mode="append",
+    )
+    counted = log.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counted.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp),
+            6,
+        ).alias("p_transition"),
+    ).orderBy("prev_type", "next_type")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -2768,37 +3074,22 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the external verification driver gates
     the FIRST 50 entries each round.  Rotation policy: entries with
-    the OLDEST (or no) driver evidence go first.  Round 3 window =
-    the two sketch queries that never held a driver row, then every
-    entry that is new or changed this round (cell-pruned near-dup,
-    upgraded fingerprint oracle, bm25, weighted sample, interval
-    join, PQ ANN, n-gram stats, length buckets, EWMA, UDTF), then
-    the round-1-verified entries whose rows are now two rounds old.
-    The round-2-verified block (CORRECTNESS_r02.json) moves behind
-    the window; everything stays continuously covered by
+    the OLDEST (or no) driver evidence go first.  Round 4 window =
+    the five queries NEW this round (transition matrix, attribution,
+    anomaly streaks, vocab coverage, bigram LM scores — no driver
+    evidence yet), then the round-1-verified entries whose rows are
+    three rounds old.  The round-3-verified block moves behind the
+    window; everything stays continuously covered by
     tests/test_oracle_parity.py (auto-parametrized over every
     oracle) either way."""
     return {
-        # --- round-3 gate: never-gated sketches first ---------------
-        "hll_reaggregated_users": hll_reaggregated_users,
-        "approx_value_percentiles": approx_value_percentiles,
-        # --- changed this round: new / upgraded evidence ------------
-        "embedding_near_dup_cells": embedding_near_dup_cells,
-        "doc_rolling_fingerprint": doc_rolling_fingerprint,
-        "bm25_search": bm25_search,
-        "weighted_token_sample": weighted_token_sample,
-        "purchase_session_interval": purchase_session_interval,
-        "ann_pq": ann_pq,
-        "corpus_bigram_stats": corpus_bigram_stats,
-        "length_bucket_stats": length_bucket_stats,
-        "hourly_value_ewma": hourly_value_ewma,
-        "udtf_token_windows": udtf_token_windows,
-        "ann_ivfpq": ann_ivfpq,
-        "embedding_pca_norms": embedding_pca_norms,
-        "retention_cohorts": retention_cohorts,
-        "signup_conversion_funnel": signup_conversion_funnel,
-        "rfm_scores": rfm_scores,
-        "session_conversion": session_conversion,
+        # --- round-4 gate: new this round, never driver-gated -------
+        "event_transition_matrix": event_transition_matrix,
+        "first_last_touch": first_last_touch,
+        "hourly_anomaly_streaks": hourly_anomaly_streaks,
+        "vocab_oov_rate": vocab_oov_rate,
+        "bigram_lm_doc_scores": bigram_lm_doc_scores,
+        "streaming_transition_counts": streaming_transition_counts,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -2843,6 +3134,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchasing_customer_profiles": purchasing_customer_profiles,
         "customer_order_distribution": customer_order_distribution,
         "promo_revenue_share": promo_revenue_share,
+        # --- round-3-verified (CORRECTNESS_r03.json) ----------------
+        "hll_reaggregated_users": hll_reaggregated_users,
+        "approx_value_percentiles": approx_value_percentiles,
+        "embedding_near_dup_cells": embedding_near_dup_cells,
+        "doc_rolling_fingerprint": doc_rolling_fingerprint,
+        "bm25_search": bm25_search,
+        "weighted_token_sample": weighted_token_sample,
+        "purchase_session_interval": purchase_session_interval,
+        "ann_pq": ann_pq,
+        "corpus_bigram_stats": corpus_bigram_stats,
+        "length_bucket_stats": length_bucket_stats,
+        "hourly_value_ewma": hourly_value_ewma,
+        "udtf_token_windows": udtf_token_windows,
+        "ann_ivfpq": ann_ivfpq,
+        "embedding_pca_norms": embedding_pca_norms,
+        "retention_cohorts": retention_cohorts,
+        "signup_conversion_funnel": signup_conversion_funnel,
+        "rfm_scores": rfm_scores,
+        "session_conversion": session_conversion,
         # --- round-2-verified (CORRECTNESS_r02.json) ----------------
         "multimodal_features": multimodal_features,
         "stale_parts": stale_parts,
@@ -2930,7 +3240,158 @@ def oracle_sql() -> dict[str, str]:
         f"THEN '{lang}'"
         for lang in langs
     )
-    return {
+    d = {
+        "event_transition_matrix": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ),
+            counted AS (
+                SELECT prev_type, event_type AS next_type,
+                       count(*) AS n_transitions
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n_transitions,
+                   round(CAST(n_transitions AS DOUBLE)
+                         / sum(n_transitions) OVER (PARTITION BY prev_type),
+                         6) AS p_transition
+            FROM counted
+            ORDER BY prev_type, next_type
+        """,
+        "first_last_touch": """
+            WITH seq AS (
+                SELECT user_id, ts, event_id, event_type,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           OVER (PARTITION BY user_id) AS fp_ts
+                FROM events
+            ),
+            ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn_first,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn_last
+                FROM seq
+                WHERE fp_ts IS NOT NULL AND ts < fp_ts
+            ),
+            per_user AS (
+                SELECT user_id,
+                       max(CASE WHEN rn_first = 1 THEN event_type END)
+                           AS first_touch,
+                       max(CASE WHEN rn_last = 1 THEN event_type END)
+                           AS last_touch
+                FROM ranked GROUP BY user_id
+            )
+            SELECT first_touch, last_touch, count(*) AS n_users
+            FROM per_user
+            GROUP BY 1, 2
+            ORDER BY first_touch, last_touch
+        """,
+        "hourly_anomaly_streaks": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT *,
+                       CAST(sum(cnt) OVER w AS DOUBLE)
+                           / count(*) OVER w AS mean_c,
+                       CAST(sum(CAST(cnt * cnt AS DECIMAL(38,0))) OVER w
+                            AS DOUBLE) / count(*) OVER w AS mean_sq
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type)
+            ),
+            scored AS (
+                SELECT *,
+                       (cnt - mean_c) / sqrt(mean_sq - mean_c * mean_c) AS z
+                FROM stats
+            ),
+            islands AS (
+                SELECT *,
+                       CAST(epoch(hour) / 3600 AS BIGINT)
+                       - row_number() OVER (
+                             PARTITION BY event_type ORDER BY hour
+                         ) AS grp
+                FROM scored WHERE abs(z) > 2
+            )
+            SELECT event_type,
+                   strftime(min(hour), '%Y%m%d%H') AS streak_start,
+                   CAST(count(*) AS BIGINT) AS streak_hours,
+                   round(max(abs(z)), 6) AS peak_abs_z
+            FROM islands
+            GROUP BY event_type, grp
+            ORDER BY event_type, streak_start
+        """,
+        "vocab_oov_rate": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            vocab AS (
+                SELECT term FROM (
+                    SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+                ) ORDER BY cnt DESC, term LIMIT 1000
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS oov_rate
+            FROM tok t LEFT JOIN vocab v ON v.term = t.term
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
+        """,
+        "bigram_lm_doc_scores": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            ints AS (
+                SELECT unnest(generate_series(
+                    1, (SELECT max(len(t)) FROM toks))) AS i
+            ),
+            bi AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+                FROM toks JOIN ints ON ints.i + 1 <= len(toks.t)
+            ),
+            doc_bi AS (
+                SELECT doc_id, bigram, count(*) AS tf FROM bi GROUP BY 1, 2
+            ),
+            bi_counts AS (
+                SELECT bigram, count(*) AS c_bi FROM bi GROUP BY 1
+            ),
+            uni AS (SELECT unnest(t) AS term FROM toks),
+            uni_counts AS (
+                SELECT term, count(*) AS c_uni FROM uni GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS v FROM uni_counts),
+            scored AS (
+                SELECT doc_bi.doc_id, doc_bi.bigram, doc_bi.tf,
+                       doc_bi.tf * ln(CAST(c_bi + 1 AS DOUBLE)
+                                      / (c_uni + v.v)) AS contrib
+                FROM doc_bi
+                JOIN bi_counts USING (bigram)
+                JOIN uni_counts
+                  ON uni_counts.term = split_part(doc_bi.bigram, ' ', 1)
+                CROSS JOIN v
+            )
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(contrib ORDER BY bigram)),
+                       (a, b) -> a + b) / sum(tf), 6) AS avg_logp
+            FROM scored
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
         "geo_hourly_counts": f"""
             SELECT strftime(e.ts, '%Y%m%d%H') AS hour_bucket,
                    coalesce(r.r_name, 'Unknown') AS country_region_name,
@@ -4461,3 +4922,7 @@ def oracle_sql() -> dict[str, str]:
         # records rows-only checks; tests cross-validate them against
         # their exact counterparts.
     }
+    # the stateful-streaming transition rollup must reproduce the batch
+    # lag-window result bit-for-bit -> it shares the batch oracle
+    d["streaming_transition_counts"] = d["event_transition_matrix"]
+    return d

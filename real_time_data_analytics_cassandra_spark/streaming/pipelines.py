@@ -180,6 +180,66 @@ def latest_upsert_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def transition_log_stream(events: DataFrame) -> DataFrame:
+    """Streaming event-type transition log: one output row per
+    observed (prev_type -> next_type) step in each user's event
+    sequence — the stateful-streaming form of
+    queries.event_transition_matrix's lag window (a lag over an
+    unbounded stream is inherently stateful: the state is each user's
+    last-seen event).
+
+    applyInPandasWithState keeps O(1) state per user (last event's
+    ts/id/type, micros in state for Arrow stability); each micro-batch
+    sorts its rows per user by (ts, event_id) — vectorized lexsort, no
+    per-row Python — chains them after the remembered last event, and
+    emits the transitions (append mode: every emitted row is final).
+    Batch-equivalence holds when delivery is per-user in event-time
+    order across micro-batches (in-batch disorder is repaired by the
+    sort); the registry gate replays the whole table in one batch, the
+    cross-batch test feeds ts-ordered files.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, prev_type string, next_type string, ts timestamp"
+    )
+    state_schema = "ts_us bigint, event_id bigint, event_type string"
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
+        types = pdf["event_type"].to_numpy()[order]
+        ts_o = ts_us[order]
+        ev_o = pdf["event_id"].to_numpy()[order]
+        last = tuple(state.get) if state.exists else None
+        # prev[i] = types[i-1], with the remembered last event (if
+        # any) in front; the first row of a user's history has no
+        # predecessor and emits nothing
+        prevs = np.concatenate(([last[2] if last else None], types[:-1]))
+        mask = prevs != None  # noqa: E711 - elementwise vs object array
+        state.update((int(ts_o[-1]), int(ev_o[-1]), str(types[-1])))
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(int(mask.sum()), key[0], dtype="int64"),
+                    "prev_type": prevs[mask],
+                    "next_type": types[mask],
+                    "ts": pd.Series(ts_o[mask] * 1000).astype("datetime64[ns]"),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def latest_upsert_stream_jvm(events: DataFrame) -> DataFrame:
     """JVM fast path for the ST6 latest-row upsert: the per-key
     reduction "keep the argmax row by (ts, event_id)" is exactly a

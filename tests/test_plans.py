@@ -284,6 +284,7 @@ _BNLJ_OK = {
     "quality_filtered_docs",
     "hourly_value_interpolated",
     "value_deciles",
+    "bigram_lm_doc_scores",  # 1-row vocabulary-size broadcast
 }
 
 

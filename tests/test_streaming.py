@@ -178,6 +178,75 @@ def test_dedup_watermarked_horizon_semantics(spark):
         ], got
 
 
+def test_transition_log_state_spans_micro_batches(spark):
+    """The stateful transition operator must chain a user's events
+    ACROSS micro-batches (the remembered last event is the
+    predecessor of the next batch's first row), repair in-batch
+    disorder by (ts, event_id) sorting, and emit nothing for a user's
+    first-ever event.  Driven file-per-micro-batch in event-time
+    order, compared against the batch lag window over the union."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        transition_log_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        # user 1: click -> view in batch 1 (OUT OF ORDER in the file),
+        # then purchase in batch 2, error in batch 3
+        {"f": 1, "event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "view"},
+        {"f": 1, "event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click"},
+        {"f": 2, "event_id": 3, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "purchase"},
+        {"f": 3, "event_id": 5, "ts": "2024-01-01 10:20:00", "user_id": 1, "event_type": "error"},
+        # user 2: single event in batch 1 (emits nothing), then view
+        {"f": 1, "event_id": 4, "ts": "2024-01-01 10:01:00", "user_id": 2, "event_type": "signup"},
+        {"f": 3, "event_id": 6, "ts": "2024-01-01 10:30:00", "user_id": 2, "event_type": "view"},
+    ]
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        base = 1_700_000_000
+        for fno in (1, 2, 3):
+            p = os.path.join(src, f"f{fno}.json")
+            with open(p, "w") as fh:
+                for r in rows:
+                    if r["f"] == fno:
+                        fh.write(_json.dumps({k: v for k, v in r.items() if k != "f"}) + "\n")
+            os.utime(p, (base + fno * 10, base + fno * 10))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        emitted = run_available_now(
+            transition_log_stream(stream),
+            "transition_log_test",
+            ckpt,
+            output_mode="append",
+        )
+        got = sorted(
+            (r.user_id, r.prev_type, r.next_type, str(r.ts))
+            for r in emitted.collect()
+        )
+
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        (r.user_id, r.prev_type, r.event_type, str(r.ts))
+        for r in batch.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    )
+    assert got == want and len(got) == 4, (got, want)
+
+
 def test_multicast_restart_is_exactly_once(spark):
     """ST4: resuming the multicast from its checkpoint after new data
     lands must process ONLY the new file — every event appears exactly
