@@ -135,6 +135,61 @@ def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path_factory
     assert not os.path.exists(path + "__old")
 
 
+def test_zorder_layout_clusters_all_dimensions(spark, tmp_path_factory):
+    """Z-ordered files must shrink per-file min/max spans on EVERY
+    z-ordered dimension simultaneously (that is the point: parquet
+    file/row-group skipping then works for predicates on any of
+    them), while a time-sorted layout leaves uncorrelated columns at
+    ~full span per file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from real_time_data_analytics_cassandra_spark.sinks.layout import (
+        write_zordered,
+    )
+
+    events = table(spark, SF_SMOKE, "events")
+    base = str(tmp_path_factory.mktemp("zorder"))
+    zpath, spath = base + "/z", base + "/bytime"
+    write_zordered(events, zpath, ["user_id", "value"], n_files=8)
+    (
+        events.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(spath)
+    )
+
+    def mean_file_span(path, col):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cc = md.row_group(rg).column(ci)
+                    if cc.path_in_schema == col and cc.statistics is not None:
+                        mins.append(cc.statistics.min)
+                        maxs.append(cc.statistics.max)
+            if mins:
+                spans.append(float(max(maxs)) - float(min(mins)))
+        return sum(spans) / len(spans)
+
+    g = events.agg(
+        (F.max("user_id") - F.min("user_id")).cast("double").alias("u"),
+        (F.max("value") - F.min("value")).alias("v"),
+    ).collect()[0]
+    # time-sorted baseline: time-uncorrelated columns stay near-full
+    # span per file (mild ts/value drift keeps this above 0.6x global)
+    assert mean_file_span(spath, "user_id") > 0.6 * g.u
+    assert mean_file_span(spath, "value") > 0.6 * g.v
+    # z-order: BOTH dimensions shrink per file, well below the
+    # single-column-sort layout (measured ~0.4x at this fixture)
+    assert mean_file_span(zpath, "user_id") < 0.6 * mean_file_span(spath, "user_id")
+    assert mean_file_span(zpath, "value") < 0.6 * mean_file_span(spath, "value")
+    # and the data survives the round trip
+    assert spark.read.parquet(zpath).count() == events.count()
+
+
 def test_compact_partitions_splits_large_partitions(spark, tmp_path_factory):
     """A hive partition bigger than target_file_bytes must compact to
     MULTIPLE ~target-sized files, not collapse to one file per

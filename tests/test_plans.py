@@ -312,6 +312,45 @@ def test_connected_components_plan_is_o1_not_o_iterations(spark):
     assert len(rows) == 13 and all(r.component == 0 for r in rows)
 
 
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Shuffle-pruning posture for big x big joins at scale: when the
+    build side carries a selective filter and the join cannot
+    broadcast, Catalyst injects a runtime BLOOM FILTER on the probe
+    side (might_contain over a bloom_filter_agg subquery), so the big
+    side's shuffle writes only rows that can possibly match — the
+    Spark-native analog of a semi-join reducer.  Thresholds are
+    production-scale; the test lowers the probe-side floor so the
+    optimization fires on fixture sizes, then asserts the plan shape."""
+    from real_time_data_analytics_cassandra_spark.catalog import table as t
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = t(spark, SF_SMOKE, "lineitem")
+        orders = t(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = explain_str(joined).lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_registry_wide_plan_hygiene(spark):
     """Every batch registry query must plan without a CartesianProduct
     and without row-at-a-time Python (BatchEvalPython); Arrow stages
