@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "vocab_oov_rate",
     "bigram_lm_doc_scores",
     "streaming_transition_counts",
+    "source_mixture_weights",
+    "user_info_scd2",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

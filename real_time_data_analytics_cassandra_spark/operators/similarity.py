@@ -695,9 +695,30 @@ def ivfpq_topk(
        exact JVM-fold cosine rerank (pq_topk's pattern), so returned
        sims are exact and comparable across all ANN variants.
     """
+    cent_unit, cell_ids, books = _ivfpq_train(
+        corpus, id_col, vec_col, n_cells, m, n_codes, seed, train_cap
+    )
+    encoded = _ivfpq_encode(corpus, id_col, vec_col, cent_unit, cell_ids, books)
+    return _ivfpq_probe(
+        encoded, corpus, queries, cent_unit, cell_ids, books,
+        id_col, vec_col, k, nprobe, rerank_depth,
+    )
+
+
+def _ivfpq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int | None,
+    m: int,
+    n_codes: int,
+    seed: int,
+    train_cap: int,
+):
+    """Driver-side IVF-PQ model fit on bounded samples: returns
+    (cent_unit (C, d), cell_ids (C,), books (m, n_codes, d/m))."""
     import numpy as np
 
-    # --- driver-side training on bounded samples ------------------
     cents_df = kmeans_centroids(
         corpus, id_col, vec_col, n_cells=n_cells, seed=seed, train_cap=train_cap
     )
@@ -722,7 +743,76 @@ def ivfpq_topk(
             for s in range(m)
         ]
     )
+    return cent_unit, cell_ids, books
+
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_unit,
+    cell_ids,
+    books,
+) -> DataFrame:
+    """ONE corpus scan: cell assignment + residual PQ encode as
+    chained Arrow stages -> (vid, cell, codes) with m small ints per
+    vector.  This is the index's data table; everything downstream
+    ships codes, never embeddings."""
+    import numpy as np
+
+    m = books.shape[0]
+    d_sub = books.shape[2]
     book_sq = np.stack([(books[s] ** 2).sum(axis=1) for s in range(m)])
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            cells = (mat @ cent_unit.T).argmax(axis=1)
+            res = mat - cent_unit[cells]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s in range(m):
+                dots = res[:, s * d_sub : (s + 1) * d_sub] @ books[s].T
+                codes[:, s] = (book_sq[s][None, :] - 2.0 * dots).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["__id"].to_numpy(),
+                    "cell": cell_ids[cells],
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(encode, "vid long, cell long, codes array<int>")
+
+
+def _ivfpq_probe(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    cent_unit,
+    cell_ids,
+    books,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+    rerank_depth: int,
+) -> DataFrame:
+    """Probe path shared by the in-memory operator and the persistent
+    index: per-cell ADC scoring of the probing queries over the codes
+    table, global shortlist, exact JVM-fold cosine rerank."""
+    import numpy as np
+
+    m = books.shape[0]
+    d_sub = books.shape[2]
 
     # --- query-side: probed cells + per-(query, cell) ADC tables ---
     q_rows = queries.select(
@@ -742,33 +832,6 @@ def ivfpq_topk(
             cell_to_q.setdefault(int(cell_ids[ci]), []).append(qi)
     cell_pos = {int(c): i for i, c in enumerate(cell_ids)}
     depth = rerank_depth
-
-    # --- one corpus scan: assign + residual-encode (chained Arrow) --
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            cells = (mat @ cent_unit.T).argmax(axis=1)
-            res = mat - cent_unit[cells]
-            codes = np.empty((len(mat), m), dtype=np.int32)
-            for s in range(m):
-                dots = res[:, s * d_sub : (s + 1) * d_sub] @ books[s].T
-                codes[:, s] = (book_sq[s][None, :] - 2.0 * dots).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vid": pdf["__id"].to_numpy(),
-                    "cell": cell_ids[cells],
-                    "codes": list(codes),
-                }
-            )
-
-    encoded = corpus.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(encode, "vid long, cell long, codes array<int>")
 
     # --- per-cell ADC scoring of the probing queries ---------------
     def score_cell(key, pdf):
@@ -845,4 +908,107 @@ def ivfpq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "n_vec_id", "sim", "rank")
+    )
+
+
+def ann_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    m: int = 16,
+    n_codes: int = 32,
+    seed: int = 42,
+    train_cap: int = 4096,
+) -> dict:
+    """Build and PERSIST an IVF-PQ index: the production build-once /
+    probe-many shape (a FAISS index directory re-expressed as three
+    parquet tables), so query workloads never retrain or re-encode.
+
+    Layout under ``path``:
+    - ``codes/``      (vid, cell, codes array<int>) — m small ints per
+      corpus vector, hive-partitioned BY CELL so a probe reads only
+      the nprobe cells it touches (partition pruning = the inverted
+      list seek);
+    - ``centroids/``  (cell_id, vector) — C rows;
+    - ``codebooks/``  (subspace, code, vector) — m * n_codes rows.
+
+    The build is ONE corpus scan (chained Arrow assign+encode) plus a
+    cell-partitioned write; training is driver-side on bounded
+    samples, corpus-size-independent.  Returns {n_cells, m, n_codes}.
+    """
+    spark = corpus.sparkSession
+    cent_unit, cell_ids, books = _ivfpq_train(
+        corpus, id_col, vec_col, n_cells, m, n_codes, seed, train_cap
+    )
+    encoded = _ivfpq_encode(corpus, id_col, vec_col, cent_unit, cell_ids, books)
+    (
+        encoded.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [
+            (int(cell_ids[i]), [float(x) for x in cent_unit[i]])
+            for i in range(len(cell_ids))
+        ],
+        "cell_id long, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return {"n_cells": len(cell_ids), "m": int(books.shape[0]),
+            "n_codes": int(books.shape[1])}
+
+
+def ann_index_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_depth: int = 60,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (``ann_index_build``): loads the
+    KB-sized model tables (centroids + codebooks) to the driver,
+    prunes the codes table to the probed cells (hive partition
+    pruning — the inverted-list seek), ADC-scores, and exact-reranks
+    against the corpus by candidate id.  No training, no re-encode:
+    probe cost is independent of how the index was built.
+
+    ``corpus`` supplies the raw vectors for the exact rerank only —
+    at scale that is a broadcast-shortlist join touching
+    |queries| * rerank_depth rows of it.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    cell_ids = np.array([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    cent_unit = np.stack(
+        [np.asarray(r["vector"], dtype=np.float64) for r in cent_rows]
+    )
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in book_rows)
+    n_codes = 1 + max(r["code"] for r in book_rows)
+    d_sub = len(book_rows[0]["vector"])
+    books = np.zeros((m, n_codes, d_sub))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = np.asarray(r["vector"], dtype=np.float64)
+    encoded = spark.read.parquet(f"{path}/codes")
+    return _ivfpq_probe(
+        encoded, corpus, queries, cent_unit, cell_ids, books,
+        id_col, vec_col, k, nprobe, rerank_depth,
     )

@@ -3067,6 +3067,84 @@ def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev_type", "next_type")
 
 
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture audit: per corpus source, document and
+    token counts, the source's token share, and the per-document
+    sampling weight that would rebalance the mixture to UNIFORM token
+    share across sources — the "data mixology" step before sampling a
+    training set from heterogeneous sources.
+
+    Scale shape: one map-side-combined aggregate over a projection
+    (token counts are size(split(..)) — no explode); the share/weight
+    divide grouped bigints against a 1-row broadcast total.  Exact
+    integer inputs -> identical doubles in any engine.
+    """
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    per_source = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("token_share"),
+            # weight that rebalances to uniform token share: a source
+            # holding share s gets weight (1/S)/s per token
+            F.round(
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("n_tokens").cast("double") / F.col("total_tokens")),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def user_info_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension view of per-user state: every
+    event opens a validity interval [valid_from, valid_to) closed by
+    the user's next event (NULL = current row) — the temporal-table
+    generalization of the reference's last-write-wins
+    ``customer_latest_info`` upsert (cassandra_subscriber.py:124-144
+    keeps only the final interval; this keeps the full history, which
+    is what point-in-time training-data joins need).
+
+    Scale shape: ONE shuffle on user_id; lead() runs inside the same
+    window sort.  is_current falls out of the same lead, no
+    self-join.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "event_id", "event_type", "value", "ts")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -3090,6 +3168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_rate": vocab_oov_rate,
         "bigram_lm_doc_scores": bigram_lm_doc_scores,
         "streaming_transition_counts": streaming_transition_counts,
+        "source_mixture_weights": source_mixture_weights,
+        "user_info_scd2": user_info_scd2,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3241,6 +3321,40 @@ def oracle_sql() -> dict[str, str]:
         for lang in langs
     )
     d = {
+        "source_mixture_weights": """
+            WITH per_source AS (
+                SELECT source,
+                       count(*) AS n_docs,
+                       sum(len(string_split(text, ' '))) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            totals AS (
+                SELECT sum(n_tokens) AS total_tokens,
+                       count(*) AS n_sources
+                FROM per_source
+            )
+            SELECT source,
+                   n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / total_tokens, 6)
+                       AS token_share,
+                   round((1.0 / n_sources)
+                         / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
+                       AS uniform_weight
+            FROM per_source CROSS JOIN totals
+            ORDER BY source
+        """,
+        "user_info_scd2": """
+            SELECT user_id, event_id, event_type, value,
+                   ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) IS NULL AS is_current
+            FROM events
+        """,
         "event_transition_matrix": """
             WITH seq AS (
                 SELECT user_id, event_type,

@@ -100,6 +100,33 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"recall {recall:.3f}"
 
 
+def test_persistent_ann_index_probe_equals_fresh_ivfpq(spark):
+    """ann_index_build + ann_index_probe (the build-once/probe-many
+    production shape) must return EXACTLY what the in-memory
+    ivfpq_topk computes with the same hyperparameters: same seeded
+    training, same codes, same ADC + exact rerank — persistence must
+    not change a single row."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators.similarity import (
+        ann_index_build,
+        ann_index_probe,
+        ivfpq_topk,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    path = tempfile.mkdtemp(prefix="rtdac_annidx_") + "/idx"
+    stats = ann_index_build(emb, path)
+    assert stats["m"] == 16 and stats["n_codes"] == 32
+    got = sorted(
+        tuple(r) for r in ann_index_probe(emb, queries, path).collect()
+    )
+    want = sorted(tuple(r) for r in ivfpq_topk(emb, queries).collect())
+    assert got == want and len(got) > 0
+
+
 def test_near_dup_cells_subset_and_recall_of_exact(spark):
     """Cell-pruned near-dup pairs must be a strict subset of the exact
     blocked-GEMM pairs (the within-cell math is bit-identical, so a
