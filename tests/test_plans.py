@@ -285,6 +285,7 @@ _BNLJ_OK = {
     "hourly_value_interpolated",
     "value_deciles",
     "bigram_lm_doc_scores",  # 1-row vocabulary-size broadcast
+    "source_mixture_weights",  # 1-row totals broadcast
 }
 
 
