@@ -3145,6 +3145,67 @@ def user_info_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8) audit: quantize every embedding
+    to int8 codes with a per-vector scale (max|x|/127 — the standard
+    symmetric SQ recipe), dequantize, and report the cosine between
+    original and reconstruction plus the max absolute element error —
+    the go/no-go check before switching an ANN corpus to 4x-smaller
+    int8 storage (the scalar sibling of the PQ family).
+
+    Scale shape: a pure projection — fold/transform higher-order
+    functions per row, no shuffle at all except the output sort.
+    Every fold is sequential left-to-right (bit-identical to DuckDB's
+    list functions) and the max-folds are order-independent.
+    """
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("CAST(embedding AS array<double>)").alias("e")
+    )
+    scaled = e.withColumn(
+        "scale",
+        F.expr(
+            "aggregate(e, CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, abs(v)))"
+        )
+        / 127,
+    )
+    coded = scaled.withColumn(
+        "d",
+        F.expr(
+            "CASE WHEN scale = 0 THEN transform(e, v -> CAST(0 AS DOUBLE)) "
+            "ELSE transform(e, v -> "
+            "CAST(CAST(round(v / scale) AS INT) AS DOUBLE) * scale) END"
+        ),
+    )
+    dot_ed = (
+        "aggregate(zip_with(e, d, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dot_ee = (
+        "aggregate(zip_with(e, e, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dot_dd = (
+        "aggregate(zip_with(d, d, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return coded.select(
+        "vec_id",
+        F.round(
+            F.expr(dot_ed) / (F.sqrt(F.expr(dot_ee)) * F.sqrt(F.expr(dot_dd))),
+            6,
+        ).alias("cos_sim"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(e, d, (x, y) -> abs(x - y)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+            ),
+            6,
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -3170,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_transition_counts": streaming_transition_counts,
         "source_mixture_weights": source_mixture_weights,
         "user_info_scd2": user_info_scd2,
+        "embedding_sq8_error": embedding_sq8_error,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3321,6 +3383,37 @@ def oracle_sql() -> dict[str, str]:
         for lang in langs
     )
     d = {
+        "embedding_sq8_error": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, e,
+                       list_aggregate(list_transform(e, v -> abs(v)), 'max')
+                           / 127 AS scale
+                FROM e
+            ),
+            dq AS (
+                SELECT vec_id, e, scale,
+                       CASE WHEN scale = 0
+                            THEN list_transform(e, v -> CAST(0 AS DOUBLE))
+                            ELSE list_transform(e, v ->
+                                CAST(CAST(round(v / scale) AS INTEGER)
+                                     AS DOUBLE) * scale)
+                       END AS d
+                FROM s
+            )
+            SELECT vec_id,
+                   round(list_dot_product(e, d)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(d, d))), 6) AS cos_sim,
+                   round(list_max(list_transform(list_zip(e, d),
+                                                 p -> abs(p[1] - p[2]))),
+                         6) AS max_abs_err
+            FROM dq
+            ORDER BY vec_id
+        """,
         "source_mixture_weights": """
             WITH per_source AS (
                 SELECT source,

@@ -100,6 +100,16 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"recall {recall:.3f}"
 
 
+def test_sq8_reconstruction_quality_floor(spark):
+    """Int8 scalar quantization must reconstruct every fixture
+    embedding with cosine >= 0.995 — the quality bar that makes SQ8
+    storage a safe default for ANN corpora (correctness itself is
+    oracle-gated; this pins the operator's usefulness)."""
+    rows = q.embedding_sq8_error(spark, SF_ORACLE).collect()
+    assert rows and min(r.cos_sim for r in rows) >= 0.995
+    assert max(r.max_abs_err for r in rows) < 0.05
+
+
 def test_persistent_ann_index_probe_equals_fresh_ivfpq(spark):
     """ann_index_build + ann_index_probe (the build-once/probe-many
     production shape) must return EXACTLY what the in-memory
