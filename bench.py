@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "source_mixture_weights",
     "user_info_scd2",
     "embedding_sq8_error",
+    "heavy_hitter_tokens",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

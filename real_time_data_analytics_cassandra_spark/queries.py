@@ -3206,6 +3206,27 @@ def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top corpus tokens via a mergeable Misra-Gries frequency sketch
+    (operators/sketches.py) — O(k) state per partition and k rows
+    shipped per partition instead of shuffling the vocabulary: the
+    frequency sibling of the HLL cardinality sketches.  No oracle
+    (per-partition lower bounds depend on the physical split);
+    tests/test_crossval.py asserts the MG guarantees (lower bound,
+    bounded undercount, completeness above the error mass) against
+    exact counts."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+    from real_time_data_analytics_cassandra_spark.operators import (
+        sketches as sk_op,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = spread(docs).select(F.explode(tokens(F.col("text"))).alias("term"))
+    return sk_op.top_heavy_hitters(tok, "term", k=64, top=20)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -3232,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_weights": source_mixture_weights,
         "user_info_scd2": user_info_scd2,
         "embedding_sq8_error": embedding_sq8_error,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -5125,9 +5147,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, ann_ivf,
-        # embedding_near_dup_cells, approx_distinct_users — driver
-        # records rows-only checks; tests cross-validate them against
-        # their exact counterparts.
+        # embedding_near_dup_cells, approx_distinct_users,
+        # heavy_hitter_tokens — driver records rows-only checks; tests
+        # cross-validate them against their exact counterparts.
     }
     # the stateful-streaming transition rollup must reproduce the batch
     # lag-window result bit-for-bit -> it shares the batch oracle

@@ -100,6 +100,42 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"recall {recall:.3f}"
 
 
+def test_misra_gries_heavy_hitter_guarantees(spark):
+    """The merged Misra-Gries summary must satisfy, against exact
+    counts: (1) every estimate is a lower bound, (2) undercount is
+    bounded by the summed error mass, (3) every value whose true
+    count exceeds the error mass is PRESENT in the summary."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import spread, table
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    tok = spread(table(spark, SF_ORACLE, "documents")).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    exact = {r.term: r.n for r in
+             tok.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # k=8 < vocabulary size, so the MG decrement path actually fires
+    # (k=64 would hold the whole fixture vocabulary exactly, err 0)
+    rows = heavy_hitters(tok, "term", k=8).collect()
+    assert rows
+    err = rows[0].max_err
+    assert err > 0, "fixture must exercise the compress/decrement path"
+    est = {r.value: r.est_count for r in rows}
+    for v, e in est.items():
+        assert e <= exact[v], (v, e, exact[v])
+        assert exact[v] - e <= err, (v, e, exact[v], err)
+    for v, n in exact.items():
+        if n > err:
+            assert v in est, (v, n, err)
+    # and the sketch actually surfaces the true top tokens
+    true_top5 = {v for v, _ in sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:5]}
+    assert true_top5 <= set(est)
+
+
 def test_sq8_reconstruction_quality_floor(spark):
     """Int8 scalar quantization must reconstruct every fixture
     embedding with cosine >= 0.995 — the quality bar that makes SQ8

@@ -262,6 +262,7 @@ _ARROW_QUERIES = {
     "ann_ivfpq",
     "embedding_pca_norms",
     "udtf_token_windows",
+    "heavy_hitter_tokens",  # Misra-Gries partition summaries
 }
 
 # Queries where a broadcast nested loop is the intended plan (non-equi
@@ -286,6 +287,7 @@ _BNLJ_OK = {
     "value_deciles",
     "bigram_lm_doc_scores",  # 1-row vocabulary-size broadcast
     "source_mixture_weights",  # 1-row totals broadcast
+    "heavy_hitter_tokens",  # 1-row error-mass broadcast
 }
 
 

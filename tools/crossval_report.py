@@ -167,6 +167,45 @@ def main() -> None:
         "gate": "tests/test_crossval.py::test_approx_percentiles_close_to_exact",
     }
 
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import spread, table
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    tok = spread(table(spark, SF, "documents")).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    exact_tok = {
+        r.term: r.n
+        for r in tok.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hh_rows = heavy_hitters(tok, "term", k=8).collect()
+    hh_err = hh_rows[0].max_err if hh_rows else None
+    hh_est = {r.value: r.est_count for r in hh_rows}
+    true_top5 = {
+        v for v, _ in sorted(exact_tok.items(), key=lambda x: (-x[1], x[0]))[:5]
+    }
+    report["heavy_hitter_tokens"] = {
+        "metric": "Misra-Gries guarantees at k=8 (registry query uses "
+                  "k=64): lower-bound estimates, undercount <= summed "
+                  "error mass, completeness above it",
+        "floor": "all three hold + true top-5 present",
+        "value": {
+            "max_err": int(hh_err),
+            "worst_undercount": max(
+                exact_tok[v] - e for v, e in hh_est.items()
+            ),
+            "lower_bound_violations": sum(
+                1 for v, e in hh_est.items() if e > exact_tok[v]
+            ),
+            "true_top5_present": true_top5 <= set(hh_est),
+        },
+        "gate": "tests/test_crossval.py::test_misra_gries_heavy_hitter_guarantees",
+    }
+
     a = {r["vec_id"]: r["pca_norm"]
          for r in q.embedding_pca_norms(spark, SF).collect()}
     b = {r["vec_id"]: r["pca_norm"]
