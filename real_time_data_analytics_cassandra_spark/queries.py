@@ -2997,19 +2997,23 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_uni"))
     )
     vocab_n = uni_counts.agg(F.count(F.lit(1)).alias("v"))
-    scored = (
-        doc_bi.join(bi_counts, "bigram")
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    # assemble the LM as ONE bigram -> log-prob model table (joins run
+    # over the distinct-bigram aggregate, not the per-doc rows), then
+    # score docs with a single equi-join against it
+    model = (
+        bi_counts.withColumn("w1", F.substring_index("bigram", " ", 1))
         .join(uni_counts, F.col("w1") == F.col("term"))
         .crossJoin(F.broadcast(vocab_n))
-        .withColumn(
-            "contrib",
-            F.col("tf")
-            * F.log(
+        .select(
+            "bigram",
+            F.log(
                 (F.col("c_bi") + 1).cast("double")
                 / (F.col("c_uni") + F.col("v"))
-            ),
+            ).alias("logp"),
         )
+    )
+    scored = doc_bi.join(model, "bigram").withColumn(
+        "contrib", F.col("tf") * F.col("logp")
     )
     return (
         scored.groupBy("doc_id")
