@@ -3231,6 +3231,54 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk_op.top_heavy_hitters(tok, "term", k=64, top=20)
 
 
+def cross_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition diagnostic: for every document, the
+    share of its distinct 3-gram shingles that also occur in at least
+    one OTHER document — the corpus-level boilerplate signal used to
+    tune fuzzy-dedup thresholds (a doc made of shingles every other
+    doc has is template/boilerplate; a doc of unique shingles is
+    original content).
+
+    Scale shape: one shingle explode feeds (a) the per-doc distinct
+    shingle set and (b) the corpus shingle document-frequency — the
+    join back runs doc-shingles against the AGGREGATED df table on the
+    shingle key (hash equi-join, no broadcast of corpus-sized state),
+    then one per-doc count.  Same envelope as vocab_oov_rate.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import (
+        tokens,
+        word_ngrams,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("__toks"))
+        .select("doc_id", F.explode(word_ngrams("__toks", 3)).alias("shingle"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -3258,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_info_scd2": user_info_scd2,
         "embedding_sq8_error": embedding_sq8_error,
         "heavy_hitter_tokens": heavy_hitter_tokens,
+        "cross_doc_repetition": cross_doc_repetition,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3409,6 +3458,30 @@ def oracle_sql() -> dict[str, str]:
         for lang in langs
     )
     d = {
+        "cross_doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            ints AS (
+                SELECT unnest(generate_series(
+                    1, (SELECT max(len(t)) FROM toks))) AS i
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)
+            ),
+            dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+            SELECT sh.doc_id,
+                   count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared,
+                   round(CAST(sum(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS shared_ratio
+            FROM sh JOIN dfreq USING (shingle)
+            GROUP BY sh.doc_id
+            ORDER BY sh.doc_id
+        """,
         "embedding_sq8_error": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -247,6 +247,53 @@ def test_transition_log_state_spans_micro_batches(spark):
     assert got == want and len(got) == 4, (got, want)
 
 
+def test_transition_counter_table_matches_batch_matrix(spark):
+    """Full write path composition: the stateful transition log
+    (applyInPandasWithState) feeds the replay-protected incremental
+    counter sink (counter_foreach_batch/merge_add) — the maintained
+    (prev, next) counter table must equal the batch lag-window
+    transition matrix over the same events."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        counter_foreach_batch,
+    )
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        transition_log_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as base:
+        log = transition_log_stream(
+            bounded_event_stream(spark, SF_SMOKE).select(
+                "user_id", "ts", "event_id", "event_type"
+            )
+        )
+        path = os.path.join(base, "transition_counts")
+        query = counter_foreach_batch(
+            log,
+            path,
+            keys=["next_type"],
+            partition_col="prev_type",
+            checkpoint=os.path.join(base, "ckpt"),
+        )
+        query.awaitTermination()
+        got = {
+            (r.prev_type, r.next_type): r.cnt
+            for r in spark.read.parquet(path).collect()
+        }
+    want = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in q.event_transition_matrix(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_multicast_restart_is_exactly_once(spark):
     """ST4: resuming the multicast from its checkpoint after new data
     lands must process ONLY the new file — every event appears exactly
