@@ -303,3 +303,40 @@ def test_pack_greedy_matches_sequential_model(spark, rows, budget):
     for (g, b), members in per_bin.items():
         total = sum(tokens[(g, i)] for i in members)
         assert total <= budget or len(members) == 1
+
+
+@given(
+    values=st.lists(
+        st.sampled_from("abcdefgh"), min_size=1, max_size=120
+    ),
+    n_parts=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=2, max_value=5),
+)
+@SET
+def test_misra_gries_guarantees_under_any_partitioning(
+    spark, values, n_parts, k
+):
+    """The mergeable-summary property: for ANY physical partitioning
+    and any k, the merged Misra-Gries summary gives lower-bound
+    estimates with undercount <= the summed error mass, and every
+    value more frequent than that mass is present."""
+    from collections import Counter
+
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], "value_in string"
+    ).repartition(n_parts)
+    rows = heavy_hitters(df, "value_in", k=k).collect()
+    exact = Counter(values)
+    assert rows
+    err = rows[0].max_err
+    est = {r.value: r.est_count for r in rows}
+    for v, e in est.items():
+        assert e <= exact[v]
+        assert exact[v] - e <= err
+    for v, n in exact.items():
+        if n > err:
+            assert v in est
