@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "embedding_sq8_error",
     "heavy_hitter_tokens",
     "cross_doc_repetition",
+    "boilerplate_scrub",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

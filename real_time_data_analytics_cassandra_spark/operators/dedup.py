@@ -279,3 +279,76 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return verified
+
+
+def segment_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (ExactSubstr-lite, after
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better", reduced to fixed token granularity so it is exact,
+    deterministic and oracle-checkable): split every document into
+    non-overlapping ``seg_len``-token segments, count in how many
+    DISTINCT documents each segment occurs corpus-wide, and rebuild
+    each document from only the segments seen in <= ``max_docs``
+    documents.  Unlike cross_doc_repetition (a diagnostic share),
+    this emits the scrubbed document itself.
+
+    Output: (id, n_segments, n_removed, clean_text) — one row per
+    document with >= 1 token; clean_text is '' when everything was
+    boilerplate.  Segment order is preserved.
+
+    Scale shape: segment explosion is map-side; the corpus-wide
+    distinct-doc count is one hash aggregate keyed on md5(segment)
+    (16-byte keys, partial aggregation applies); the verdict join
+    back to per-doc segments is a second shuffle on the same compact
+    key.  Reconstruction is a per-doc aggregate (array_sort over
+    (seg_idx, seg) structs — no global sort).  No UDFs, no driver
+    collects: the same plan runs at 100 TB, where the counts table
+    is itself corpus-scale and AQE picks the join strategy.
+    """
+    base = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    segs = base.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("toks") - 1) / seg_len).cast("int"),
+            )
+        ).alias("seg_idx"),
+        F.col("toks"),
+    ).select(
+        "id",
+        "seg_idx",
+        F.concat_ws(
+            " ", F.slice("toks", F.col("seg_idx") * seg_len + 1, seg_len)
+        ).alias("seg"),
+    ).withColumn("seg_hash", F.md5("seg"))
+    counts = segs.groupBy("seg_hash").agg(
+        F.countDistinct("id").alias("n_docs")
+    )
+    flagged = segs.join(counts, "seg_hash")
+    kept_struct = F.when(
+        F.col("n_docs") <= max_docs, F.struct("seg_idx", "seg")
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("n_docs") > max_docs).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("id", "n_segments", "n_removed", "clean_text")
+    )

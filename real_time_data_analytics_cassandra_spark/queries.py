@@ -3279,6 +3279,35 @@ def cross_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (operators/dedup.py::
+    segment_scrub — ExactSubstr-lite): every document is rebuilt from
+    only its 8-token segments that occur in no other document; the
+    scrubbed text is proven to the oracle by md5, not just counts.
+    The transformation counterpart of the cross_doc_repetition
+    diagnostic — this is the operator a training pipeline actually
+    runs to strip shared template spans before tokenization.
+
+    Scale shape (see segment_scrub docstring): map-side segment
+    explode, one hash aggregate on 16-byte md5 keys, one equi-join
+    back, one per-doc reconstruction aggregate.  No UDFs, no
+    collects."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = dedup_op.segment_scrub(
+        spread(docs), "doc_id", "text", seg_len=8, max_docs=1
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -3307,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sq8_error": embedding_sq8_error,
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "cross_doc_repetition": cross_doc_repetition,
+        "boilerplate_scrub": boilerplate_scrub,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3458,6 +3488,41 @@ def oracle_sql() -> dict[str, str]:
         for lang in langs
     )
     d = {
+        "boilerplate_scrub": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents WHERE length(text) > 0
+            ),
+            segs AS (
+                SELECT doc_id, toks,
+                       CAST(unnest(generate_series(0,
+                           CAST(floor((len(toks) - 1) / 8) AS BIGINT))) AS BIGINT) AS seg_idx
+                FROM toks
+            ),
+            seg_text AS (
+                SELECT doc_id, seg_idx,
+                       array_to_string(list_slice(toks, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ') AS seg
+                FROM segs
+            ),
+            counts AS (
+                SELECT md5(seg) AS seg_hash, count(DISTINCT doc_id) AS n_docs
+                FROM seg_text GROUP BY 1
+            ),
+            flagged AS (
+                SELECT s.doc_id, s.seg_idx, s.seg, c.n_docs
+                FROM seg_text s JOIN counts c ON md5(s.seg) = c.seg_hash
+            )
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   count(*) FILTER (WHERE n_docs > 1) AS n_removed,
+                   md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                                    FILTER (WHERE n_docs <= 1), '')) AS clean_md5,
+                   CAST(length(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                                    FILTER (WHERE n_docs <= 1), '')) AS BIGINT) AS clean_len
+            FROM flagged
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
         "cross_doc_repetition": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -1,0 +1,92 @@
+"""Semantic tests for cross-document boilerplate removal
+(operators/dedup.py::segment_scrub) on crafted corpora where the
+expected scrubbed text is known by hand — the oracle-parity test
+proves engine agreement; these prove the operator does the RIGHT
+thing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.operators.dedup import segment_scrub
+
+# an 8-token span shared verbatim by several docs (the "template")
+BP = "subscribe to our newsletter for all the updates"
+U1 = "alpha beta gamma delta epsilon zeta eta theta"
+U2 = "one two three four five six seven eight"
+U3 = "red orange yellow green blue indigo violet mauve"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_segment_removed_unique_kept(spark):
+    df = _docs(
+        spark,
+        [
+            (1, f"{BP} {U1}"),
+            (2, f"{BP} {U2}"),
+            (3, U3),
+        ],
+    )
+    out = {
+        r["id"]: r
+        for r in segment_scrub(df, "doc_id", "text", seg_len=8).collect()
+    }
+    assert out[1]["clean_text"] == U1
+    assert out[2]["clean_text"] == U2
+    assert out[3]["clean_text"] == U3
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+    assert out[3]["n_removed"] == 0
+
+
+def test_all_boilerplate_doc_becomes_empty(spark):
+    df = _docs(spark, [(1, BP), (2, BP), (3, U1)])
+    out = {
+        r["id"]: r
+        for r in segment_scrub(df, "doc_id", "text", seg_len=8).collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == ""
+    assert out[3]["clean_text"] == U1
+
+
+def test_segment_order_preserved(spark):
+    # doc 1 interleaves unique and shared segments; scrub must keep
+    # the unique ones in original order
+    df = _docs(spark, [(1, f"{U1} {BP} {U2}"), (2, BP), (3, U3)])
+    out = {
+        r["id"]: r
+        for r in segment_scrub(df, "doc_id", "text", seg_len=8).collect()
+    }
+    assert out[1]["clean_text"] == f"{U1} {U2}"
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 1
+
+
+def test_max_docs_threshold(spark):
+    # with max_docs=2, a segment shared by exactly 2 docs survives
+    df = _docs(spark, [(1, f"{BP} {U1}"), (2, f"{BP} {U2}")])
+    out = {
+        r["id"]: r
+        for r in segment_scrub(df, "doc_id", "text", seg_len=8, max_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == f"{BP} {U1}"
+    assert out[1]["n_removed"] == 0
+
+
+def test_tail_segment_shorter_than_seg_len(spark):
+    # 10 tokens -> one full 8-token segment + one 2-token tail segment
+    df = _docs(spark, [(1, f"{U1} tail end"), (2, U2)])
+    out = {
+        r["id"]: r
+        for r in segment_scrub(df, "doc_id", "text", seg_len=8).collect()
+    }
+    assert out[1]["n_segments"] == 2
+    assert out[1]["clean_text"] == f"{U1} tail end"
+
+
+def test_empty_text_rows_absent(spark):
+    df = _docs(spark, [(1, ""), (2, U1)])
+    got = segment_scrub(df, "doc_id", "text", seg_len=8).collect()
+    assert [r["id"] for r in got] == [2]
