@@ -3308,6 +3308,97 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al.): every
+    document assigned to the head / middle / tail THIRD of the
+    corpus by its bigram-LM quality score — the bucket label LLM
+    pipelines use to oversample high-quality text and drop the tail.
+
+    Scale shape: the per-doc score table (bigram_lm_doc_scores) is
+    computed once and cached; the two tercile boundaries arrive as
+    ONE broadcast aggregate row (exact percentile — the rfm_scores /
+    length_bucket_stats idiom) and bucketing is a comparison against
+    that row — no NTILE, no global sort.  At 100 TB the score table
+    would be a persisted intermediate and the boundaries an
+    approx-percentile; the comparison plan is unchanged.
+    Boundaries are rounded to the scores' own 6-decimal grain so the
+    bucket edges are engine-exact."""
+    ensure_query_confs(spark)
+    scores = bigram_lm_doc_scores(spark, sf_dir).cache()
+    bounds = scores.agg(
+        F.expr(
+            "percentile(avg_logp, array(CAST(1.0/3 AS DOUBLE),"
+            " CAST(2.0/3 AS DOUBLE)))"
+        ).alias("qs")
+    )
+    return (
+        scores.join(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_logp",
+            F.when(
+                F.col("avg_logp") > F.round(F.element_at("qs", 2), 6), "head"
+            )
+            .when(
+                F.col("avg_logp") > F.round(F.element_at("qs", 1), 6),
+                "middle",
+            )
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Shared DuckDB CTE chain for the add-one-smoothed bigram LM doc
+# scores (oracle of bigram_lm_doc_scores, reused by the bucket
+# assignment oracle).  Ends with the `lm_scores` CTE:
+# (doc_id, n_bigrams, avg_logp).
+_BIGRAM_LM_CTES = """toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            ints AS (
+                SELECT unnest(generate_series(
+                    1, (SELECT max(len(t)) FROM toks))) AS i
+            ),
+            bi AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+                FROM toks JOIN ints ON ints.i + 1 <= len(toks.t)
+            ),
+            doc_bi AS (
+                SELECT doc_id, bigram, count(*) AS tf FROM bi GROUP BY 1, 2
+            ),
+            bi_counts AS (
+                SELECT bigram, count(*) AS c_bi FROM bi GROUP BY 1
+            ),
+            uni AS (SELECT unnest(t) AS term FROM toks),
+            uni_counts AS (
+                SELECT term, count(*) AS c_uni FROM uni GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS v FROM uni_counts),
+            scored AS (
+                SELECT doc_bi.doc_id, doc_bi.bigram, doc_bi.tf,
+                       doc_bi.tf * ln(CAST(c_bi + 1 AS DOUBLE)
+                                      / (c_uni + v.v)) AS contrib
+                FROM doc_bi
+                JOIN bi_counts USING (bigram)
+                JOIN uni_counts
+                  ON uni_counts.term = split_part(doc_bi.bigram, ' ', 1)
+                CROSS JOIN v
+            ),
+            lm_scores AS (
+                SELECT doc_id,
+                       CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                       round(list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                                        list(contrib ORDER BY bigram)),
+                           (a, b) -> a + b) / sum(tf), 6) AS avg_logp
+                FROM scored
+                GROUP BY doc_id
+            )"""
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 
@@ -3337,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "cross_doc_repetition": cross_doc_repetition,
         "boilerplate_scrub": boilerplate_scrub,
+        "lm_quality_buckets": lm_quality_buckets,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3720,48 +3812,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.doc_id
             ORDER BY t.doc_id
         """,
-        "bigram_lm_doc_scores": """
-            WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS t FROM documents
-            ),
-            ints AS (
-                SELECT unnest(generate_series(
-                    1, (SELECT max(len(t)) FROM toks))) AS i
-            ),
-            bi AS (
-                SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
-                FROM toks JOIN ints ON ints.i + 1 <= len(toks.t)
-            ),
-            doc_bi AS (
-                SELECT doc_id, bigram, count(*) AS tf FROM bi GROUP BY 1, 2
-            ),
-            bi_counts AS (
-                SELECT bigram, count(*) AS c_bi FROM bi GROUP BY 1
-            ),
-            uni AS (SELECT unnest(t) AS term FROM toks),
-            uni_counts AS (
-                SELECT term, count(*) AS c_uni FROM uni GROUP BY 1
-            ),
-            v AS (SELECT count(*) AS v FROM uni_counts),
-            scored AS (
-                SELECT doc_bi.doc_id, doc_bi.bigram, doc_bi.tf,
-                       doc_bi.tf * ln(CAST(c_bi + 1 AS DOUBLE)
-                                      / (c_uni + v.v)) AS contrib
-                FROM doc_bi
-                JOIN bi_counts USING (bigram)
-                JOIN uni_counts
-                  ON uni_counts.term = split_part(doc_bi.bigram, ' ', 1)
-                CROSS JOIN v
-            )
-            SELECT doc_id,
-                   CAST(sum(tf) AS BIGINT) AS n_bigrams,
-                   round(list_reduce(
-                       list_prepend(CAST(0 AS DOUBLE),
-                                    list(contrib ORDER BY bigram)),
-                       (a, b) -> a + b) / sum(tf), 6) AS avg_logp
-            FROM scored
-            GROUP BY doc_id
+        "bigram_lm_doc_scores": f"""
+            WITH {_BIGRAM_LM_CTES}
+            SELECT doc_id, n_bigrams, avg_logp FROM lm_scores
             ORDER BY doc_id
+        """,
+        "lm_quality_buckets": f"""
+            WITH {_BIGRAM_LM_CTES},
+            q AS (
+                SELECT quantile_cont(avg_logp,
+                    [CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)]) AS qs
+                FROM lm_scores
+            )
+            SELECT s.doc_id, s.n_bigrams, s.avg_logp,
+                   CASE WHEN s.avg_logp > round(qs[2], 6) THEN 'head'
+                        WHEN s.avg_logp > round(qs[1], 6) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lm_scores s CROSS JOIN q
+            ORDER BY s.doc_id
         """,
         "geo_hourly_counts": f"""
             SELECT strftime(e.ts, '%Y%m%d%H') AS hour_bucket,
