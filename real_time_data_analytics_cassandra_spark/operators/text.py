@@ -469,3 +469,52 @@ def length_bucket_stats(
         )
         .orderBy("bucket")
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition,
+# non-capturing groups and \b word boundaries only — no lookarounds,
+# no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction — the compliance pass every web-scale training
+    pipeline runs before tokenization (C4/FineWeb-style): emails,
+    IPv4 addresses and NANP-style phone numbers are replaced with
+    typed placeholder tags; per-document hit counts are reported so
+    the pipeline can route PII-heavy documents to quarantine instead
+    of training.
+
+    Counts are independent pattern hits on the RAW text; redaction
+    applies email -> IPv4 -> phone in that order so an address inside
+    an already-redacted span is not re-matched.  All four expressions
+    are JVM regexp built-ins inside whole-stage codegen — no UDFs, no
+    shuffle: the operator is a pure map over the corpus and scales
+    with scan bandwidth.
+
+    Output: (id, n_emails, n_ipv4, n_phones, clean_text).
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        redacted.alias("clean_text"),
+    )

@@ -3308,6 +3308,29 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (operators/text.py::pii_scrub): per-doc
+    email / IPv4 / phone hit counts and the md5 of the redacted
+    text.  A pure scan-bandwidth map (JVM regexes in whole-stage
+    codegen, no shuffle).  The synthetic corpus is PII-free, so this
+    gate proves the patterns produce NO spurious matches and leave
+    clean text byte-identical in both engines; the positive-match
+    behavior is unit-tested on crafted fixtures (tests/test_pii.py).
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = text_op.pii_scrub(spread(docs), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus partitioning (Wenzek et al.): every
     document assigned to the head / middle / tail THIRD of the
@@ -3429,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_repetition": cross_doc_repetition,
         "boilerplate_scrub": boilerplate_scrub,
         "lm_quality_buckets": lm_quality_buckets,
+        "pii_scrub_stats": pii_scrub_stats,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3815,6 +3839,24 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_doc_scores": f"""
             WITH {_BIGRAM_LM_CTES}
             SELECT doc_id, n_bigrams, avg_logp FROM lm_scores
+            ORDER BY doc_id
+        """,
+        "pii_scrub_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'))
+                       AS clean_md5
+            FROM documents
             ORDER BY doc_id
         """,
         "lm_quality_buckets": f"""
