@@ -1012,3 +1012,77 @@ def ann_index_probe(
         encoded, corpus, queries, cent_unit, cell_ids, books,
         id_col, vec_col, k, nprobe, rerank_depth,
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): embedding-space
+    deduplication that drops documents SEMANTICALLY equivalent to a
+    kept one, not just textually near-identical.  Every vector is
+    assigned to its nearest coarse cell (single probe — the paper's
+    k-means partitioning); within each cell a greedy sweep in
+    ascending id order keeps a vector iff its cosine to every
+    ALREADY-KEPT vector in the cell stays below ``threshold``,
+    otherwise records the kept vector it duplicates.
+
+    Output: (id, cell, keep, dup_of) — one row per corpus vector;
+    ``dup_of`` is the lowest-id kept vector with maximal similarity
+    (None for kept rows).  Deterministic: single assignment + id-
+    ordered greedy makes the verdict independent of partitioning.
+
+    Scale shape: the centroid table is bounded (<= 256 rows) and
+    rides in the assignment closure; each cell is ONE grouped task
+    whose greedy loop is numpy dot products against the kept-set
+    matrix — O(n_c * kept_c) flops, executor-local.  Cells stay
+    executor-sized because cell count grows with the corpus (same
+    argument as cosine_near_dup_cells).  One shuffle total (the
+    groupBy cell); nothing corpus-sized touches the driver.
+    """
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col, probes=1)
+
+    def cell_greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vid"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)[order]
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        kept_idx: list[int] = []
+        keep = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for i in range(len(ids)):
+            if kept_idx:
+                sims = np.round(unit[kept_idx] @ unit[i], 6)
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    dup_of[i] = ids[kept_idx[j]]
+                    continue
+            keep[i] = True
+            kept_idx.append(i)
+        out = pd.DataFrame(
+            {
+                "id": ids,
+                "cell": pdf["cell"].to_numpy()[order],
+                "keep": keep,
+                "dup_of": dup_of,
+            }
+        )
+        out.loc[out["keep"], "dup_of"] = None
+        return out
+
+    return (
+        assigned.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"), "cell"
+        )
+        .groupBy("cell")
+        .applyInPandas(cell_greedy, "id long, cell long, keep boolean, dup_of long")
+        .select(F.col("id").alias(id_col), "cell", "keep", "dup_of")
+    )

@@ -3308,6 +3308,22 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-space semantic deduplication
+    (operators/similarity.py::semantic_dedup) — kmeans cells (fixed
+    seed) + per-cell greedy keep/drop sweep at cosine 0.35, one
+    verdict row per vector with the kept vector it duplicates.
+    Approximate by construction (cell partitioning) -> no SQL
+    oracle; the greedy invariants (drops really exceed the
+    threshold against their dup_of, kept sets are mutually
+    sub-threshold within a cell, determinism) are asserted in
+    tests/test_crossval.py."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim_op.kmeans_centroids(emb)
+    return sim_op.semantic_dedup(emb, cents, threshold=0.35).orderBy("vec_id")
+
+
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction audit (operators/text.py::pii_scrub): per-doc
     email / IPv4 / phone hit counts and the md5 of the redacted
@@ -3453,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": boilerplate_scrub,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
+        "semantic_dedup": semantic_dedup,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,

@@ -235,3 +235,59 @@ def test_approx_percentiles_close_to_exact(spark):
         spread = abs(p90e - p50e) + 1e-9
         assert abs(p50a - p50e) <= 0.05 * spread, (t, p50a, p50e)
         assert abs(p90a - p90e) <= 0.05 * spread, (t, p90a, p90e)
+
+
+def test_semantic_dedup_greedy_invariants(spark):
+    """SemDeDup verdicts: (1) every dropped vector really exceeds the
+    threshold against its recorded (kept, lower-id, same-cell)
+    dup_of; (2) kept vectors within a cell are mutually
+    sub-threshold (the greedy invariant); (3) the sweep is
+    deterministic; (4) verdicts partition the corpus."""
+    import numpy as np
+
+    rows = q.semantic_dedup(spark, SF_ORACLE).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in q.table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cos(a, b):
+        return float(
+            round(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+        )
+
+    verdict = {r.vec_id: r for r in rows}
+    assert len(verdict) == len(emb), "one verdict per corpus vector"
+    kept_by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        if r.keep:
+            assert r.dup_of is None
+            kept_by_cell.setdefault(r.cell, []).append(r.vec_id)
+    for r in rows:
+        if not r.keep:
+            d = verdict[r.dup_of]
+            assert d.keep and d.cell == r.cell and r.dup_of < r.vec_id
+            assert cos(emb[r.vec_id], emb[r.dup_of]) >= 0.35 - 1e-6
+    for cell, kept in kept_by_cell.items():
+        kept = sorted(kept)
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                assert cos(emb[a], emb[b]) < 0.35 + 1e-6, (cell, a, b)
+
+    again = {
+        (r.vec_id, r.cell, r.keep, r.dup_of)
+        for r in q.semantic_dedup(spark, SF_ORACLE).collect()
+    }
+    assert again == {(r.vec_id, r.cell, r.keep, r.dup_of) for r in rows}
+
+
+def test_semantic_dedup_finds_duplicates(spark):
+    """The fixture corpus contains near-duplicate embeddings (the
+    exact pair query proves so); the semantic sweep must drop a
+    non-trivial share of them."""
+    dropped = [
+        r for r in q.semantic_dedup(spark, SF_ORACLE).collect() if not r.keep
+    ]
+    assert len(dropped) > 0

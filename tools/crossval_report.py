@@ -115,6 +115,21 @@ def main() -> None:
         "gate": "tests/test_crossval.py::test_near_dup_cells_subset_and_recall_of_exact",
     }
 
+    sem_rows = q.semantic_dedup(spark, SF).collect()
+    drop_pairs = {(r.dup_of, r.vec_id) for r in sem_rows if not r.keep}
+    report["semantic_dedup"] = {
+        "metric": "dropped (dup_of, id) verdicts that are exact near-dup "
+                  "pairs (cos >= 0.35, blocked-GEMM ground truth)",
+        "floor": "greedy invariants hold (drops exceed threshold vs "
+                 "dup_of, kept sets mutually sub-threshold, deterministic)",
+        "value": {
+            "n_vectors": len(sem_rows),
+            "n_dropped": len(drop_pairs),
+            "drop_pairs_in_exact": len(drop_pairs & exact_emb),
+        },
+        "gate": "tests/test_crossval.py::test_semantic_dedup_greedy_invariants",
+    }
+
     exact_d = {
         r.event_type: r.n_users
         for r in q.distinct_users_per_type(spark, SF).collect()
