@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "lm_quality_buckets",
     "pii_scrub_stats",
     "semantic_dedup",
+    "cms_token_counts",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

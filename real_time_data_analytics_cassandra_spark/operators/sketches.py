@@ -104,3 +104,101 @@ def top_heavy_hitters(
         .limit(top)
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the OVERESTIMATE
+# counterpart to Misra-Gries (which underestimates): depth hash rows x
+# width counters, est(v) = min over rows of the counter v hashes to.
+# est(v) >= true(v) always; est(v) <= true(v) + e*N/width with
+# probability 1 - e^-depth per value.  Counters are plain sums, so
+# sketches MERGE by element-wise addition (unionByName + groupBy sum)
+# — the same mergeable-summaries property the MG summary has, with the
+# opposite error sign.
+#
+# Spark-first: unlike MG (an Arrow fold), the CMS needs NO Python at
+# all — bucket assignment is an md5-derived hash expression inside
+# whole-stage codegen and the sketch is ONE map-side-combined
+# aggregate of d*width bounded size.  md5 (not xxhash64) keeps the
+# hash family reproducible in ANY engine, which is what makes the
+# whole sketch oracle-checkable bit-for-bit in DuckDB.
+
+
+def cms_bucket(c, row: int, width: int):
+    """Hash row ``row``'s bucket for value ``c``: the first 8 md5 hex
+    digits of 'value:row' as an integer, mod width.  Engine-portable
+    (md5 + hex parse + mod exist everywhere with identical results)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{row}"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt), at most depth*width rows
+    regardless of input size.  One explode (depth structs per input
+    row, map-side) + one map-side-combined count aggregate — the only
+    shuffle ships the partial d*width counter blocks, never values."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        cms_bucket(F.col(col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return pairs.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise sum of two sketches built with the same
+    (width, depth) — counters are sums, so merge is exact."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``values[col]``:
+    (value, est_count) with est_count = min over hash rows.  Probes
+    explode map-side and equi-join the bounded sketch (broadcast-able:
+    <= depth*width rows); values never seen by the sketch estimate 0
+    via the left join."""
+    probes = values.select(F.col(col).alias("value")).distinct().select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        cms_bucket(F.col("value"), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("value", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

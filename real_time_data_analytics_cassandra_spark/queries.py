@@ -3308,6 +3308,30 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (operators/sketches.py)
+    — frequency estimation with depth*width bounded state, the
+    overestimating twin of the Misra-Gries summary.  The md5-derived
+    hash family makes the ENTIRE sketch pipeline engine-portable, so
+    unlike most sketches this one has a full DuckDB oracle: build
+    sketch, probe every distinct token, compare est_count
+    bit-for-bit.  Overestimate/error-bound/merge guarantees are
+    additionally property-tested in tests/test_cms.py."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+    from real_time_data_analytics_cassandra_spark.operators import sketches
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = spread(docs).select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = sketches.cms_sketch(tok, "term", width=2048, depth=4)
+    return (
+        sketches.cms_estimate(sketch, tok, "term", width=2048, depth=4)
+        .select(F.col("value").alias("term"), "est_count")
+        .orderBy("term")
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: embedding-space semantic deduplication
     (operators/similarity.py::semantic_dedup) — kmeans cells (fixed
@@ -3470,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
+        "cms_token_counts": cms_token_counts,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3857,6 +3882,33 @@ def oracle_sql() -> dict[str, str]:
             WITH {_BIGRAM_LM_CTES}
             SELECT doc_id, n_bigrams, avg_logp FROM lm_scores
             ORDER BY doc_id
+        """,
+        "cms_token_counts": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            rows_ AS (SELECT unnest(generate_series(0, 3)) AS row_i),
+            probes AS (
+                SELECT term, row_i,
+                       CAST(('0x' || substr(md5(term || ':' || row_i), 1, 8))
+                            AS BIGINT) % 2048 AS bucket
+                FROM toks CROSS JOIN rows_
+            ),
+            sketch AS (
+                SELECT row_i, bucket, count(*) AS cnt
+                FROM probes GROUP BY 1, 2
+            ),
+            dv AS (SELECT DISTINCT term FROM toks),
+            dprobes AS (
+                SELECT term, row_i,
+                       CAST(('0x' || substr(md5(term || ':' || row_i), 1, 8))
+                            AS BIGINT) % 2048 AS bucket
+                FROM dv CROSS JOIN rows_
+            )
+            SELECT term, CAST(min(cnt) AS BIGINT) AS est_count
+            FROM dprobes JOIN sketch USING (row_i, bucket)
+            GROUP BY term
+            ORDER BY term
         """,
         "pii_scrub_stats": r"""
             SELECT doc_id,
