@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "pii_scrub_stats",
     "semantic_dedup",
     "cms_token_counts",
+    "vocab_encode_docs",
+    "incremental_ingest_dedup",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

@@ -352,3 +352,79 @@ def segment_scrub(
         )
         .select("id", "n_segments", "n_removed", "clean_text")
     )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingestion dedup: every NEW-batch document checked
+    for near-duplication against the EXISTING corpus — the shape a
+    continuously-crawling pipeline runs on each snapshot, where
+    re-deduplicating the full corpus per batch would be O(corpus)
+    instead of O(batch).
+
+    Shingle sets explode on both sides and equi-join on the shingle
+    key, but the sides are asymmetric: the history side is the
+    corpus-scale shingle INDEX (in production a persisted table,
+    bucketed by shingle via sinks/layout.py, so ingesting a batch
+    shuffles ONLY the batch's shingles — the index is read
+    co-located); per (new, hist) candidate the exact Jaccard verifies
+    and each new doc keeps its best match (jaccard desc, lowest
+    hist id tie-break — a window over the batch-sized candidate set).
+
+    Output: one row per new doc — (id, matched_id, best_jaccard,
+    is_known); matched_id/best_jaccard NULL when the doc shares no
+    shingle with history, is_known = best_jaccard >= threshold.
+    """
+    from pyspark.sql import Window
+
+    sh_new = shingle_sets(new_docs, id_col, text_col, n)
+    sh_hist = shingle_sets(history, id_col, text_col, n)
+    size_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
+    size_hist = sh_hist.groupBy("id").agg(F.count(F.lit(1)).alias("n_hist"))
+    inter = (
+        sh_new.select(F.col("id").alias("new_id"), "shingle")
+        .join(
+            sh_hist.select(F.col("id").alias("hist_id"), "shingle"),
+            "shingle",
+        )
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(size_new.withColumnRenamed("id", "new_id"), "new_id")
+        .join(size_hist.withColumnRenamed("id", "hist_id"), "hist_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_new") + F.col("n_hist") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("hist_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "hist_id", "jaccard")
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("id"))
+        .join(best, F.col("id") == F.col("new_id"), "left")
+        .select(
+            "id",
+            F.col("hist_id").alias("matched_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.coalesce(
+                F.col("jaccard") >= threshold, F.lit(False)
+            ).alias("is_known"),
+        )
+    )

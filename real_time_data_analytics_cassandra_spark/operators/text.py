@@ -518,3 +518,63 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("n_phones"),
         redacted.alias("clean_text"),
     )
+
+
+def build_vocab(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: the top ``vocab_size``
+    tokens by (count desc, token asc), assigned ids 1..V by that
+    rank (0 is reserved for UNK).  The counting pass is one
+    map-side-combined aggregate (one row per DISTINCT token on the
+    shuffle); the rank window runs over the vocab-sized aggregate —
+    TakeOrdered-scale data, never the corpus."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= vocab_size)
+        .select("token", "token_id")
+    )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    unk_id: int = 0,
+) -> DataFrame:
+    """Vocabulary-mapped tokenization — the text -> token-id step
+    between cleaning and packing in every LLM data pipeline.  Tokens
+    posexplode JVM-side, the (model-sized, broadcast) vocab maps each
+    token to its id with UNK fallback, and per-doc id sequences
+    reassemble ORDER-PRESERVINGLY via array_sort over (pos, id)
+    structs — one shuffle (the per-doc regroup), no UDFs, no driver
+    state.  At 100 TB the vocab is a fixed model table (50k-200k
+    rows, squarely broadcast-sized) and the encode is embarrassingly
+    parallel.
+
+    Output: (id, n_tokens, n_unk, token_ids: array<long>).
+    """
+    pos_tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    enc = pos_tok.join(F.broadcast(vocab), "token", "left").select(
+        "id", "pos", F.coalesce("token_id", F.lit(unk_id)).alias("tid")
+    )
+    return enc.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tid") == unk_id).cast("long")).alias("n_unk"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda x: x["tid"],
+        ).alias("token_ids"),
+    )

@@ -3308,6 +3308,55 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup (operators/dedup.py::
+    incremental_near_dups): the src0 slice plays the NEW crawl batch,
+    every other source the existing corpus; each new doc reports its
+    best exact-Jaccard match against history and whether it clears
+    the 0.5 near-dup bar.  O(batch) per snapshot instead of
+    re-deduplicating the corpus."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = dedup_op.incremental_near_dups(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "matched_id", "best_jaccard", "is_known"
+    ).orderBy("doc_id")
+
+
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-mapped tokenization (operators/text.py::
+    build_vocab + encode_with_vocab): the corpus's top-20 tokens
+    become ids 1..20 (0 = UNK) and every document is encoded to its
+    id sequence — the text -> token-id step between cleaning and
+    packing.  The id sequence is proven to the oracle by md5 of the
+    comma-joined ids, so ORDER is gated, not just counts.  Vocab is
+    broadcast; one shuffle for the per-doc regroup."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    ensure_query_confs(spark)
+    docs = spread(table(spark, sf_dir, "documents"))
+    vocab = text_op.build_vocab(docs, "doc_id", "text", vocab_size=20)
+    enc = text_op.encode_with_vocab(docs, vocab, "doc_id", "text")
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_unk",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the token stream (operators/sketches.py)
     — frequency estimation with depth*width bounded state, the
@@ -3495,6 +3544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
         "cms_token_counts": cms_token_counts,
+        "vocab_encode_docs": vocab_encode_docs,
+        "incremental_ingest_dedup": incremental_ingest_dedup,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3881,6 +3932,84 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_doc_scores": f"""
             WITH {_BIGRAM_LM_CTES}
             SELECT doc_id, n_bigrams, avg_logp FROM lm_scores
+            ORDER BY doc_id
+        """,
+        "incremental_ingest_dedup": """
+            WITH toks AS (
+                SELECT doc_id, source, string_split(text, ' ') AS t
+                FROM documents
+            ),
+            ints AS (
+                SELECT unnest(generate_series(
+                    1, (SELECT max(len(t)) FROM toks))) AS i
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, source,
+                       t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ),
+            inter AS (
+                SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+                       count(*) AS n_inter
+                FROM sh a
+                JOIN sh b ON a.shingle = b.shingle
+                WHERE a.source = 'src0' AND b.source <> 'src0'
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT new_id, hist_id,
+                       round(CAST(n_inter AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = new_id
+                JOIN sizes sb ON sb.doc_id = hist_id
+            ),
+            best AS (
+                SELECT new_id, hist_id, jaccard,
+                       row_number() OVER (PARTITION BY new_id
+                           ORDER BY jaccard DESC, hist_id) AS rn
+                FROM scored
+                QUALIFY rn = 1
+            )
+            SELECT d.doc_id,
+                   b.hist_id AS matched_id,
+                   b.jaccard AS best_jaccard,
+                   coalesce(b.jaccard >= 0.5, false) AS is_known
+            FROM documents d
+            LEFT JOIN best b ON b.new_id = d.doc_id
+            WHERE d.source = 'src0'
+            ORDER BY d.doc_id
+        """,
+        "vocab_encode_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, unnest(t) AS term,
+                       generate_subscripts(t, 1) AS pos
+                FROM toks
+            ),
+            counts AS (SELECT term, count(*) AS n FROM pos GROUP BY 1),
+            vocab AS (
+                SELECT term,
+                       row_number() OVER (ORDER BY n DESC, term) AS token_id
+                FROM counts
+                QUALIFY token_id <= 20
+            ),
+            enc AS (
+                SELECT p.doc_id, p.pos, coalesce(v.token_id, 0) AS tid
+                FROM pos p LEFT JOIN vocab v USING (term)
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   count(*) FILTER (WHERE tid = 0) AS n_unk,
+                   md5(string_agg(CAST(tid AS VARCHAR), ','
+                                  ORDER BY pos)) AS ids_md5
+            FROM enc
+            GROUP BY doc_id
             ORDER BY doc_id
         """,
         "cms_token_counts": """

@@ -263,6 +263,7 @@ _ARROW_QUERIES = {
     "embedding_pca_norms",
     "udtf_token_windows",
     "heavy_hitter_tokens",  # Misra-Gries partition summaries
+    "semantic_dedup",  # cell assignment + per-cell greedy sweep
 }
 
 # Queries where a broadcast nested loop is the intended plan (non-equi
@@ -286,6 +287,7 @@ _BNLJ_OK = {
     "hourly_value_interpolated",
     "value_deciles",
     "bigram_lm_doc_scores",  # 1-row vocabulary-size broadcast
+    "lm_quality_buckets",  # same + 1-row tercile-boundary broadcast
     "source_mixture_weights",  # 1-row totals broadcast
     "heavy_hitter_tokens",  # 1-row error-mass broadcast
 }
