@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "cms_token_counts",
     "vocab_encode_docs",
     "incremental_ingest_dedup",
+    "streaming_cms_token_counts",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

@@ -3308,6 +3308,48 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch MAINTAINED BY THE STREAM: cms_sketch's
+    explode + counter aggregate runs unchanged as a Structured
+    Streaming aggregation over the bounded documents replay
+    (incremental, exactly-once via checkpointing — the streaming
+    form of a continuously-updated frequency sketch), then the
+    finished sketch table is probed with the same cms_estimate as
+    the batch query.  Because the md5 hash family is deterministic,
+    this STREAMING sketch shares the batch query's full DuckDB
+    oracle — bit-for-bit, which streaming sketches normally cannot
+    claim.  Counters are sums, so update-mode increments merge
+    exactly at any micro-batch boundary."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+    from real_time_data_analytics_cassandra_spark.operators import sketches
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_table_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    doc_stream = bounded_table_stream(spark, sf_dir, "documents")
+    tok_stream = doc_stream.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch_q = sketches.cms_sketch(tok_stream, "term", width=2048, depth=4)
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_streaming_cms_")
+    sketch = run_available_now(
+        sketch_q, "streaming_cms_token_counts_q", ckpt, output_mode="complete"
+    )
+    tok_batch = spread(table(spark, sf_dir, "documents")).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        sketches.cms_estimate(sketch, tok_batch, "term", width=2048, depth=4)
+        .select(F.col("value").alias("term"), "est_count")
+        .orderBy("term")
+    )
+
+
 def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup (operators/dedup.py::
     incremental_near_dups): the src0 slice plays the NEW crawl batch,
@@ -3546,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": cms_token_counts,
         "vocab_encode_docs": vocab_encode_docs,
         "incremental_ingest_dedup": incremental_ingest_dedup,
+        "streaming_cms_token_counts": streaming_cms_token_counts,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -5604,4 +5647,7 @@ def oracle_sql() -> dict[str, str]:
     # the stateful-streaming transition rollup must reproduce the batch
     # lag-window result bit-for-bit -> it shares the batch oracle
     d["streaming_transition_counts"] = d["event_transition_matrix"]
+    # the streamed CMS maintains the identical md5-hashed counters ->
+    # it shares the batch sketch oracle bit-for-bit
+    d["streaming_cms_token_counts"] = d["cms_token_counts"]
     return d

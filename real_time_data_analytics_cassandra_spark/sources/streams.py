@@ -81,13 +81,24 @@ def rate_event_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFr
     )
 
 
-def bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with its batch-inferred
-    schema (streaming sources require an explicit schema).  Applies
-    the same storage-encoding -> TimestampType normalization as
-    catalog.table so event-time ops see a real timestamp column."""
+def bounded_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    time_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """readStream over any testdata parquet table with its
+    batch-inferred schema (streaming sources require an explicit
+    schema), normalizing the named storage-encoded time columns to
+    TimestampType the same way catalog.table does."""
     ensure_query_confs(spark)
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{name}.parquet"
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(_stream_dir(path))
-    return normalize_time_cols(df, ("ts",))
+    return normalize_time_cols(df, time_cols) if time_cols else df
+
+
+def bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet; event-time ops see a real
+    timestamp column (see bounded_table_stream)."""
+    return bounded_table_stream(spark, sf_dir, "events", ("ts",))
