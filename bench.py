@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "vocab_encode_docs",
     "incremental_ingest_dedup",
     "streaming_cms_token_counts",
+    "training_shard_shuffle",
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics

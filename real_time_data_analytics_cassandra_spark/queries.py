@@ -3308,6 +3308,39 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def training_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every
+    document lands in one of 8 hash shards (md5-derived — the
+    engine-portable family cms_bucket uses) with a deterministic
+    position inside its shard (md5 order, doc_id tie-break) — the
+    sharded-output-files shape training pipelines actually write,
+    reproducible across runs and cluster sizes.
+
+    Scale shape: shard assignment is a codegen hash map; the
+    within-shard rank is a window PARTITIONED BY shard — 100 TB /
+    n_shards per window task with range-partitioned sort inside, no
+    single global window (the naive global row_number would funnel
+    the corpus through one partition).  Epoch reshuffles are a
+    different salt, not a different plan."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(8)
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id", key.alias("shuffle_key"), shard.alias("shard")
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
+        .orderBy("doc_id")
+    )
+
+
 def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-min sketch MAINTAINED BY THE STREAM: cms_sketch's
     explode + counter aggregate runs unchanged as a Structured
@@ -3589,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode_docs": vocab_encode_docs,
         "incremental_ingest_dedup": incremental_ingest_dedup,
         "streaming_cms_token_counts": streaming_cms_token_counts,
+        "training_shard_shuffle": training_shard_shuffle,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
         "geo_hourly_country_totals": geo_hourly_country_totals,
@@ -3975,6 +4009,24 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_doc_scores": f"""
             WITH {_BIGRAM_LM_CTES}
             SELECT doc_id, n_bigrams, avg_logp FROM lm_scores
+            ORDER BY doc_id
+        """,
+        "training_shard_shuffle": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key
+                FROM documents
+            ),
+            sharded AS (
+                SELECT doc_id, shuffle_key,
+                       CAST(('0x' || substr(shuffle_key, 1, 8)) AS BIGINT)
+                           % 8 AS shard
+                FROM keyed
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                       ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+            FROM sharded
             ORDER BY doc_id
         """,
         "incremental_ingest_dedup": """
