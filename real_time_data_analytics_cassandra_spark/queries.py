@@ -3594,11 +3594,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the external verification driver gates
     the FIRST 50 entries each round.  Rotation policy: entries with
     the OLDEST (or no) driver evidence go first.  Round 4 window =
-    the five queries NEW this round (transition matrix, attribution,
-    anomaly streaks, vocab coverage, bigram LM scores — no driver
-    evidence yet), then the round-1-verified entries whose rows are
-    three rounds old.  The round-3-verified block moves behind the
-    window; everything stays continuously covered by
+    everything NEW this round (behavioral/LM/sketch adds, then the
+    boilerplate-scrub / LM-bucket / PII / SemDeDup / CMS / vocab-
+    encode / incremental-dedup / streamed-CMS / shard-shuffle
+    family — no driver evidence yet), then the round-1-verified
+    entries whose rows are three rounds old.  Later-verified blocks
+    sit behind the window; everything stays continuously covered by
     tests/test_oracle_parity.py (auto-parametrized over every
     oracle) either way."""
     return {
