@@ -428,3 +428,82 @@ def incremental_near_dups(
             ).alias("is_known"),
         )
     )
+
+
+def keep_first_segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 8,
+) -> DataFrame:
+    """Keep-FIRST span dedup (C4-style, after Raffel et al. "Exploring
+    the Limits of Transfer Learning…" §2.2, which drops all but one
+    occurrence of every repeated three-sentence span; here at fixed
+    ``seg_len``-token granularity so the rule is exact, deterministic
+    and oracle-checkable): every distinct segment survives in exactly
+    ONE document — the lexicographically-first (id, seg_idx)
+    occurrence corpus-wide — and is scrubbed from every later one.
+
+    Contrast with ``segment_scrub`` (max_docs=1), which removes ALL
+    occurrences of a cross-document segment including the first; that
+    is boilerplate removal, this is duplication removal — total
+    corpus-wide information is preserved exactly once.
+
+    Output: (id, n_segments, n_removed, clean_text) — one row per
+    document with >= 1 token, segment order preserved, clean_text ''
+    when every segment first appeared elsewhere.
+
+    Scale shape: map-side segment explode; ONE hash aggregate on the
+    16-byte md5 key computing min(struct(id, seg_idx)) — an
+    associative partial-aggregatable min, so map-side combine applies
+    corpus-wide; one equi-join back on the same compact key (AQE
+    picks the strategy); per-doc reconstruction aggregate (array_sort
+    over (seg_idx, seg) structs — no global sort).  No UDFs, no
+    driver collects; two shuffles total regardless of corpus size.
+    """
+    base = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    segs = (
+        base.select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / seg_len).cast("int"),
+                )
+            ).alias("seg_idx"),
+            F.col("toks"),
+        )
+        .select(
+            "id",
+            "seg_idx",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("seg_idx") * seg_len + 1, seg_len)
+            ).alias("seg"),
+        )
+        .withColumn("seg_hash", F.md5("seg"))
+    )
+    firsts = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("id", "seg_idx")).alias("first")
+    )
+    flagged = segs.join(firsts, "seg_hash")
+    is_first = (F.col("id") == F.col("first.id")) & (
+        F.col("seg_idx") == F.col("first.seg_idx")
+    )
+    kept_struct = F.when(is_first, F.struct("seg_idx", "seg"))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((~is_first).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("id", "n_segments", "n_removed", "clean_text")
+    )

@@ -3118,6 +3118,42 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_resample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (operators/sampling.py::
+    temperature_resample, tau=0.5 — the mT5/UniMax mixture rule):
+    the en-heavy corpus is down-sampled per language toward the
+    n^tau mixture, scarcest language kept in full, with
+    deterministic md5-Bernoulli per-doc verdicts.  Reports per
+    language the keep rate, kept count, and realized share.
+
+    Scale shape: one map-side count per language, a 1-row budget
+    reduce, the 5-row rate table broadcast back over the scan, and a
+    codegen verdict projection — the corpus itself never shuffles."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return sampling_op.temperature_resample(
+        docs, "doc_id", "lang", tau=0.5, salt="temp"
+    ).orderBy("lang")
+
+
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist (bad-word) filtering audit (operators/text.py::
+    blocklist_stats — the C4 §2.2 rule): documents containing any
+    blocklisted token are dropped; per source, how many documents /
+    characters survive.  The blocklist is a (production-shaped)
+    2-term table here; the plan — distinct-token explode, broadcast
+    semi-join, per-source aggregate — is unchanged for a
+    thousand-term list."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame(
+        [("slow",), ("dup",)], "term string"
+    )
+    return text_op.blocklist_stats(
+        docs, "doc_id", "text", "source", blocklist
+    ).orderBy("source")
+
+
 def user_info_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension view of per-user state: every
     event opens a validity interval [valid_from, valid_to) closed by
@@ -3298,6 +3334,35 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = dedup_op.segment_scrub(
         spread(docs), "doc_id", "text", seg_len=8, max_docs=1
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first span dedup (operators/dedup.py::
+    keep_first_segment_dedup — C4-style): every repeated 8-token
+    segment survives only in its corpus-wide first (doc_id, seg_idx)
+    occurrence; later occurrences are scrubbed.  The duplication-
+    removal counterpart of boilerplate_scrub (which drops ALL
+    occurrences) — after this pass the corpus carries each span's
+    information exactly once.  Scrubbed text proven to the oracle by
+    md5.
+
+    Scale shape: map-side explode, one min-struct hash aggregate on
+    16-byte md5 keys (partial-aggregatable), one equi-join back, one
+    per-doc reconstruction aggregate.  Two shuffles, no UDFs."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = dedup_op.keep_first_segment_dedup(
+        spread(docs), "doc_id", "text", seg_len=8
     )
     return out.select(
         F.col("id").alias("doc_id"),
@@ -3616,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "cross_doc_repetition": cross_doc_repetition,
         "boilerplate_scrub": boilerplate_scrub,
+        "span_dedup_keep_first": span_dedup_keep_first,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -3806,6 +3872,40 @@ def oracle_sql() -> dict[str, str]:
                                     FILTER (WHERE n_docs <= 1), '')) AS clean_md5,
                    CAST(length(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
                                     FILTER (WHERE n_docs <= 1), '')) AS BIGINT) AS clean_len
+            FROM flagged
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "span_dedup_keep_first": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents WHERE length(text) > 0
+            ),
+            segs AS (
+                SELECT doc_id, toks,
+                       CAST(unnest(generate_series(0,
+                           CAST(floor((len(toks) - 1) / 8) AS BIGINT))) AS BIGINT) AS seg_idx
+                FROM toks
+            ),
+            seg_text AS (
+                SELECT doc_id, seg_idx,
+                       array_to_string(list_slice(toks, seg_idx * 8 + 1, seg_idx * 8 + 8), ' ') AS seg
+                FROM segs
+            ),
+            flagged AS (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (
+                           PARTITION BY md5(seg)
+                           ORDER BY doc_id, seg_idx) = 1 AS is_first
+                FROM seg_text
+            )
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   count(*) FILTER (WHERE NOT is_first) AS n_removed,
+                   md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                                    FILTER (WHERE is_first), '')) AS clean_md5,
+                   CAST(length(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                                    FILTER (WHERE is_first), '')) AS BIGINT) AS clean_len
             FROM flagged
             GROUP BY doc_id
             ORDER BY doc_id

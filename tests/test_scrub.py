@@ -90,3 +90,54 @@ def test_empty_text_rows_absent(spark):
     df = _docs(spark, [(1, ""), (2, U1)])
     got = segment_scrub(df, "doc_id", "text", seg_len=8).collect()
     assert [r["id"] for r in got] == [2]
+
+
+def test_keep_first_span_dedup_semantics(spark):
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        keep_first_segment_dedup,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, f"{BP} {U1}"),
+            (2, f"{BP} {U2}"),
+            (3, f"{U3} {BP}"),
+            (4, U2),
+        ],
+    )
+    out = {
+        r["id"]: r
+        for r in keep_first_segment_dedup(
+            df, "doc_id", "text", seg_len=8
+        ).collect()
+    }
+    # doc 1 is the corpus-wide first occurrence of BP: kept in full
+    assert out[1]["clean_text"] == f"{BP} {U1}"
+    assert out[1]["n_removed"] == 0
+    # later occurrences of BP are scrubbed, unique spans survive
+    assert out[2]["clean_text"] == U2
+    assert out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == U3
+    assert out[3]["n_removed"] == 1
+    # doc 4 repeats doc 2's unique span; doc 2 owns it (lower doc_id)
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_removed"] == 1
+    # corpus-wide: every distinct segment survives exactly once
+    kept = " ".join(
+        t for i in sorted(out) for t in out[i]["clean_text"].split() if t
+    )
+    all_segs = {BP, U1, U2, U3}
+    assert sorted(kept.split()) == sorted(" ".join(all_segs).split())
+
+
+def test_keep_first_within_doc_repeat(spark):
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        keep_first_segment_dedup,
+    )
+
+    # the SAME doc repeats a span: second occurrence scrubbed too
+    df = _docs(spark, [(7, f"{BP} {BP}")])
+    row = keep_first_segment_dedup(df, "doc_id", "text", seg_len=8).collect()[0]
+    assert row["clean_text"] == BP
+    assert row["n_segments"] == 2 and row["n_removed"] == 1
