@@ -171,3 +171,99 @@ def cap_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def uniform01(key: Column | str, salt: str = "u01") -> Column:
+    """Deterministic u ~ Uniform(0,1) from md5(salt || key) — the
+    same 32-bit-prefix construction :func:`weighted_sample_topk`
+    uses, factored out for rate-based (Bernoulli) samplers."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (v.cast("double") + 0.5) / F.lit(float(16**8))
+
+
+def uniform01_sql(key_sql: str, salt: str = "u01") -> str:
+    """DuckDB expression computing exactly :func:`uniform01`."""
+    return (
+        f"((CAST('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), "
+        f"1, 8) AS BIGINT) + 0.5) / {float(16**8)!r})"
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    tau: float = 0.7,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual /
+    multi-source rebalancing rule of mT5 / UniMax): group g holding
+    n_g of N docs gets target share p_g = n_g^tau / sum_h n_h^tau;
+    realized by pure DOWN-sampling with per-group keep rate
+    r_g = p_g * T / n_g where T = min_g n_g / p_g is the largest
+    budget reachable without upsampling (the scarcest group is kept
+    in full, rate exactly 1).  tau=1 is a no-op, tau=0 targets the
+    uniform mixture.
+
+    Per-doc keep verdicts are deterministic Bernoulli(r_g) draws from
+    :func:`uniform01` (md5 of the doc id) — byte-identical corpora on
+    any engine, rerun, or partitioning.  Rates are rounded to 6dp
+    BEFORE the comparison so the (libm-pow-derived) threshold admits
+    no cross-engine last-ulp ambiguity.
+
+    Output: one row per group — (group, n_docs, keep_rate, n_kept)
+    plus the realized post-sampling share.  The per-doc verdict is
+    the ``u < keep_rate`` predicate inline; materializing the kept
+    corpus is the same plan minus the final aggregate.
+
+    Scale shape: one map-side-combined count per group; the 1-row
+    budget reduce and the per-group rate table broadcast back over
+    the corpus scan (groups are few); verdicts are a codegen
+    projection — no corpus shuffle at all.  100 TB = two scans.
+    """
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    shared = counts.withColumn("p_raw", F.pow(F.col("n_g").cast("double"), tau))
+    tot = shared.agg(
+        F.min(F.col("n_g") / F.col("p_raw")).alias("t_over_z"),
+    )
+    # T = min_g n_g/p_g with p_g = p_raw/z => T/z = min_g n_g/p_raw and
+    # rate_g = p_g*T/n_g = p_raw * (T/z) / n_g  (z cancels — one fewer
+    # float op to keep oracle-identical)
+    rates = shared.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n_g",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("p_raw") * F.col("t_over_z") / F.col("n_g"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    verdicts = (
+        df.select(F.col(id_col).alias("id"), F.col(group_col).alias("g"))
+        .join(F.broadcast(rates), "g")
+        .withColumn("u", uniform01("id", salt))
+        .withColumn("kept", F.col("u") < F.col("keep_rate"))
+    )
+    out = verdicts.groupBy("g", "n_g", "keep_rate").agg(
+        F.sum(F.col("kept").cast("long")).alias("n_kept")
+    )
+    k_tot = out.agg(F.sum("n_kept").alias("k_total"))
+    return out.crossJoin(F.broadcast(k_tot)).select(
+        F.col("g").alias(group_col),
+        F.col("n_g").cast("long").alias("n_docs"),
+        "keep_rate",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round(
+            F.col("n_kept").cast("double") / F.col("k_total"), 6
+        ).alias("realized_share"),
+    )

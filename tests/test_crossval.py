@@ -291,3 +291,21 @@ def test_semantic_dedup_finds_duplicates(spark):
         r for r in q.semantic_dedup(spark, SF_ORACLE).collect() if not r.keep
     ]
     assert len(dropped) > 0
+
+
+def test_srp_near_dup_subset_and_recall_of_exact(spark):
+    """Every SRP-LSH pair is cosine-verified with the exact fold
+    (zero false positives, bit-identical sims); banding (64 bits /
+    8 bands) must recover most exact pairs at threshold 0.35."""
+    exact = {(r.id_a, r.id_b): r.sim for r in q.embedding_near_dup(
+        spark, SF_ORACLE).collect()}
+    srp = {(r.id_a, r.id_b): r.sim for r in q.srp_near_dup(
+        spark, SF_ORACLE).collect()}
+    assert set(srp) <= set(exact), (
+        f"false positives: {sorted(set(srp) - set(exact))[:5]}"
+    )
+    for k, sim in srp.items():
+        assert sim == exact[k], f"sim mismatch on {k}: {sim} vs {exact[k]}"
+    assert exact, "fixture must contain near-duplicate pairs"
+    recall = len(srp) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.3f}"

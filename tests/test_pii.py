@@ -80,3 +80,33 @@ def test_duckdb_agrees_on_fixtures(spark):
     )
     con.close()
     assert spark_rows == duck_rows
+
+
+def test_blocklist_stats_semantics(spark):
+    from real_time_data_analytics_cassandra_spark.operators.text import (
+        blocklist_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here", "s1"),
+            (2, "this one mentions badword inside", "s1"),
+            (3, "badword badword twice counts once", "s2"),
+            (4, "also fine", "s2"),
+            (5, "other prohibited term", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bl = spark.createDataFrame([("badword",), ("prohibited",)], "term string")
+    out = {
+        r["source"]: r
+        for r in blocklist_stats(
+            docs, "doc_id", "text", "source", bl
+        ).collect()
+    }
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_blocked"] == 1
+    assert out["s1"]["retained_docs"] == 1
+    assert out["s1"]["retained_chars"] == len("clean words only here")
+    assert out["s2"]["n_docs"] == 3 and out["s2"]["n_blocked"] == 2
+    assert out["s2"]["block_ratio"] == round(2 / 3, 6)
+    assert out["s2"]["retained_chars"] == len("also fine")

@@ -264,6 +264,7 @@ _ARROW_QUERIES = {
     "udtf_token_windows",
     "heavy_hitter_tokens",  # Misra-Gries partition summaries
     "semantic_dedup",  # cell assignment + per-cell greedy sweep
+    "srp_near_dup",  # sign-bit GEMM signatures (dim x n_bits BLAS)
 }
 
 # Queries where a broadcast nested loop is the intended plan (non-equi
@@ -280,6 +281,7 @@ _BNLJ_OK = {
     "small_quantity_revenue",
     "tfidf_top_terms",
     "bm25_search",
+    "bm25_search_persisted",  # same 1-row corpus-stats broadcast
     "length_bucket_stats",
     "rfm_scores",
     "value_zscores",
@@ -290,6 +292,7 @@ _BNLJ_OK = {
     "lm_quality_buckets",  # same + 1-row tercile-boundary broadcast
     "source_mixture_weights",  # 1-row totals broadcast
     "heavy_hitter_tokens",  # 1-row error-mass broadcast
+    "temperature_resample_langs",  # 1-row budget + kept-total broadcasts
 }
 
 

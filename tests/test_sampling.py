@@ -140,3 +140,46 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     sampled_mean = got.agg(F.avg("n_tokens")).first()[0]
     corpus_mean = docs.agg(F.avg("n_tokens")).first()[0]
     assert sampled_mean > corpus_mean
+
+
+def test_temperature_resample_rates_and_floor(spark):
+    # groups: a=16 docs, b=4 docs, tau=0.5 -> p_raw (4, 2),
+    # T/z = min(16/4, 4/2) = 2 -> rate_a = 4*2/16 = 0.5, rate_b = 1.0
+    rows = [(i, "a") for i in range(16)] + [(100 + i, "b") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = {
+        r["grp"]: r
+        for r in sampling.temperature_resample(
+            df, "doc_id", "grp", tau=0.5
+        ).collect()
+    }
+    assert out["a"]["keep_rate"] == 0.5
+    assert out["b"]["keep_rate"] == 1.0
+    # the scarcest group survives in full
+    assert out["b"]["n_kept"] == 4
+    # kept counts follow the deterministic Bernoulli draws exactly
+    u = sampling.uniform01("doc_id", "temp")
+    expect_a = (
+        df.filter(F.col("grp") == "a").select("doc_id").withColumn("u", u)
+        .filter(F.col("u") < 0.5).count()
+    )
+    assert out["a"]["n_kept"] == expect_a
+
+
+def test_temperature_resample_tau1_keeps_everything(spark):
+    rows = [(i, "a") for i in range(10)] + [(50 + i, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = sampling.temperature_resample(df, "doc_id", "grp", tau=1.0).collect()
+    for r in out:
+        assert r["keep_rate"] == 1.0
+        assert r["n_kept"] == r["n_docs"]
+
+
+def test_temperature_resample_stable_under_repartitioning(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    a = sampling.temperature_resample(df, "doc_id", "grp", tau=0.3).collect()
+    b = sampling.temperature_resample(
+        df.repartition(13, "doc_id"), "doc_id", "grp", tau=0.3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -115,6 +115,16 @@ def main() -> None:
         "gate": "tests/test_crossval.py::test_near_dup_cells_subset_and_recall_of_exact",
     }
 
+    srp = _pairs(q.srp_near_dup(spark, SF))
+    report["srp_near_dup"] = {
+        "metric": "recall vs exact blocked-GEMM pairs (subset by "
+                  "construction: same cosine verify expression)",
+        "floor": 0.85,
+        "value": round(len(srp) / len(exact_emb), 4) if exact_emb else None,
+        "false_positives": len(srp - exact_emb),
+        "gate": "tests/test_crossval.py::test_srp_near_dup_subset_and_recall_of_exact",
+    }
+
     sem_rows = q.semantic_dedup(spark, SF).collect()
     drop_pairs = {(r.dup_of, r.vec_id) for r in sem_rows if not r.keep}
     report["semantic_dedup"] = {
