@@ -154,6 +154,16 @@ BENCH_QUERIES = [
     "incremental_ingest_dedup",
     "streaming_cms_token_counts",
     "training_shard_shuffle",
+    "span_dedup_keep_first",
+    "temperature_resample_langs",
+    "blocklist_filter_stats",
+    "join_key_skew_report",
+    "bm25_search_persisted",
+    # srp_near_dup is excluded like ngram_jaccard: at this corpus's
+    # loose 0.35 threshold its 4-bit bands admit n^2/16-scale
+    # candidate volume (see the operator's parameter-economics note);
+    # embedding_near_dup_cells is the benched loose-threshold path
+    # and IS in the list below.
     # udtf_token_windows is excluded: it exists to exercise the Python
     # UDTF surface end-to-end; chunk_documents is the benched JVM path
     # for the same semantics
@@ -183,6 +193,10 @@ def main() -> None:
     # in for an already-recorded bus archive, so its one-time write
     # must not land inside amqp_replay_type_counts's timed section.
     q.build_amqp_dump_fixture(spark, sf_dir)
+    # Pre-build the persisted BM25 index the same way: the index is
+    # the write-once half; bm25_search_persisted's timed section
+    # measures the partition-pruned search, not the build.
+    q.build_text_index_fixture(spark, sf_dir)
     # Warm the Python DataSource worker pool on the TINY sf0.001 dump
     # (one-time interpreter/Arrow startup, same class of session cost
     # as the JVM warmup above) — the benched sf_dir read stays cold.

@@ -215,6 +215,25 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    return bm25_rank(m, dl, dfreq, stats, k1=k1, b=b, top_k=top_k)
+
+
+def bm25_rank(
+    m: DataFrame,
+    dl: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Rank documents from BM25 ingredients: ``m`` (doc_id, term, tf)
+    postings restricted to the query terms, ``dl`` (doc_id, dl),
+    ``dfreq`` (term, dfreq), ``stats`` one row (n_docs, avgdl).
+    Factored out of :func:`bm25_topk` so the PERSISTED-index search
+    path (operators/index.py) scores with literally the same
+    expressions — parity is by construction, not by reimplementation.
+    """
     contrib = (
         m.join(dl, "doc_id")
         .join(F.broadcast(dfreq), "term")
@@ -577,4 +596,64 @@ def encode_with_vocab(
             F.array_sort(F.collect_list(F.struct("pos", "tid"))),
             lambda x: x["tid"],
         ).alias("token_ids"),
+    )
+
+
+def blocklist_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    blocklist: DataFrame,
+    term_col: str = "term",
+) -> DataFrame:
+    """Blocklist (bad-word) filtering audit — the C4 §2.2 "List of
+    Dirty, Naughty …" rule: a document containing ANY blocklisted
+    token is dropped; the audit reports, per corpus ``group_col``,
+    how many documents and characters the rule removes.
+
+    The blocklist arrives as a DATAFRAME (the production shape: a
+    maintained table, not a code literal).  Per-doc hit counting is a
+    distinct-token explode broadcast-hash-joined against the list —
+    the corpus never shuffles; only (doc, matched-term) pairs leave
+    the map side.  For the usual few-thousand-term list this is one
+    broadcast + one per-doc partial count; a corpus-scale blocklist
+    would swap the broadcast for a bucketed sort-merge join with no
+    other plan change.
+
+    Output: (group, n_docs, n_blocked, block_ratio, retained_docs,
+    retained_chars) — one row per group.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    hits = (
+        docs.select("id", F.explode_outer(F.array_distinct("__toks")).alias("tok"))
+        .join(
+            F.broadcast(blocklist.select(F.col(term_col).alias("tok"))),
+            "tok",
+            "left_semi",
+        )
+        .select("id")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    flagged = docs.drop("__toks").join(hits, "id", "left").withColumn(
+        "blocked", F.coalesce("blocked", F.lit(False))
+    )
+    return flagged.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+        F.round(
+            F.sum(F.col("blocked").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("block_ratio"),
+        F.sum((~F.col("blocked")).cast("long")).alias("retained_docs"),
+        F.sum(
+            F.when(~F.col("blocked"), F.col("n_chars")).otherwise(F.lit(0))
+        ).alias("retained_chars"),
     )

@@ -46,6 +46,9 @@ from real_time_data_analytics_cassandra_spark.operators import (
     enrich as enrich_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
+    index as index_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
     intervals as intervals_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
@@ -496,6 +499,46 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.bm25_topk(docs, "doc_id", "text", BM25_QUERY_TERMS)
 
 
+def build_text_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir, marker-guarded, mtime-keyed like the
+    amqp dump fixture) the persisted inverted BM25 index
+    (operators/index.py) for the documents table and return its path.
+    Kept separate from the gated query so bench.py can pre-build it —
+    the index build is the write-once half; the measured path is the
+    partition-pruned search."""
+    import os
+    import tempfile
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = f"{int(st.st_mtime)}_{st.st_size}"
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_bm25_idx_" + sf_dir.strip("/").replace("/", "_") + "_" + stamp,
+    )
+    marker = os.path.join(idx_dir, "_complete")
+    if not os.path.exists(marker):
+        docs = table(spark, sf_dir, "documents")
+        index_op.build_text_index(docs, idx_dir, "doc_id", "text")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return idx_dir
+
+
+def bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search over the PERSISTED inverted index (operators/
+    index.py::bm25_search_index): the build-once/search-many shape —
+    query terms hash to their hive buckets driver-side, the postings
+    scan partition-prunes to those directories and pushes the term
+    IN-list, and scoring runs through literally the same bm25_rank
+    the fresh path uses.  Same oracle as bm25_search: the persisted
+    path must be bit-identical to scoring the corpus from scratch."""
+    ensure_query_confs(spark)
+    idx_dir = build_text_index_fixture(spark, sf_dir)
+    return index_op.bm25_search_index(spark, idx_dir, BM25_QUERY_TERMS)
+
+
 def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-100 bigrams with occurrence + document
     frequency (operators/text.py corpus_ngram_stats) — the counting
@@ -775,6 +818,24 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     emb = table(spark, sf_dir, "embeddings")
     return sim_op.cosine_all_pairs_blocked(emb, threshold=0.35)
+
+
+def srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH
+    (operators/similarity.py::srp_near_dup_pairs): 64 Gaussian
+    hyperplanes -> sign bits -> 16 x 4-bit banded keys (sized for
+    this corpus's loose 0.35-0.5 cosine regime; see the operator's
+    parameter-economics note) -> bucket collisions -> exact JVM
+    cosine verify.  The cosine analogue of minhash_lsh's
+    band-bucket-verify shape; output is a strict subset of
+    embedding_near_dup (same verify expression).  Approximate
+    (banding can miss pairs) -> no SQL oracle; recall vs the exact
+    pairs is floor-tested in tests/test_crossval.py."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_op.srp_near_dup_pairs(emb, threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3118,6 +3179,62 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for the fact table's join/groupBy key
+    candidates: for each of user_id, event_type, and event hour, the
+    key cardinality, heaviest-key share, and coefficient of variation
+    of per-key row counts — the numbers that decide salting / AQE
+    skew-join settings BEFORE a 100 TB shuffle is attempted (a
+    max_share near 1/parallelism means one reducer owns the stage).
+
+    Determinism: cv is derived from exact integer sums (n*sum(c^2) -
+    sum(c)^2 under one sqrt) — never a distributed stddev whose merge
+    order could wobble the last ulp.  (The bigint c^2 path is exact
+    up to ~3e9 rows on a single key / ~9e18 total squared mass; a
+    corpus beyond that swaps the same expressions onto decimal(38,0),
+    no plan change.)  Scale shape: one map-side-combined count per
+    key column plus a key-cardinality-sized summary agg; the three
+    candidates union AFTER aggregation, so nothing but (key, count)
+    pairs ever shuffles."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+
+    def per_key(col: F.Column, label: str) -> DataFrame:
+        counts = events.groupBy(col.alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("total_rows"),
+            F.max("c").alias("max_rows"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("max_share"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c"))
+                        - F.sum("c") * F.sum("c")
+                    ).cast("double")
+                )
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("cv"),
+        )
+
+    return (
+        per_key(F.col("user_id").cast("string"), "user_id")
+        .unionByName(per_key(F.col("event_type"), "event_type"))
+        .unionByName(
+            per_key(
+                F.date_trunc("hour", F.col("ts")).cast("string"), "event_hour"
+            )
+        )
+        .orderBy("key_col")
+    )
+
+
 def temperature_resample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based language rebalancing (operators/sampling.py::
     temperature_resample, tau=0.5 — the mT5/UniMax mixture rule):
@@ -3682,6 +3799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_repetition": cross_doc_repetition,
         "boilerplate_scrub": boilerplate_scrub,
         "span_dedup_keep_first": span_dedup_keep_first,
+        "temperature_resample_langs": temperature_resample_langs,
+        "blocklist_filter_stats": blocklist_filter_stats,
+        "join_key_skew_report": join_key_skew_report,
+        "bm25_search_persisted": bm25_search_persisted,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -3738,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_reaggregated_users": hll_reaggregated_users,
         "approx_value_percentiles": approx_value_percentiles,
         "embedding_near_dup_cells": embedding_near_dup_cells,
+        "srp_near_dup": srp_near_dup,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "bm25_search": bm25_search,
         "weighted_token_sample": weighted_token_sample,
@@ -3875,6 +3997,88 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "join_key_skew_report": """
+            WITH per AS (
+                SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS k
+                FROM events
+                UNION ALL
+                SELECT 'event_type', event_type FROM events
+                UNION ALL
+                SELECT 'event_hour', CAST(date_trunc('hour', ts) AS VARCHAR)
+                FROM events
+            ),
+            counts AS (
+                SELECT key_col, k, count(*) AS c FROM per GROUP BY 1, 2
+            )
+            SELECT key_col,
+                   count(*) AS n_keys,
+                   CAST(sum(c) AS BIGINT) AS total_rows,
+                   CAST(max(c) AS BIGINT) AS max_rows,
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS max_share,
+                   round(sqrt(CAST(count(*) * sum(c * c)
+                                   - sum(c) * sum(c) AS DOUBLE))
+                         / CAST(sum(c) AS DOUBLE), 6) AS cv
+            FROM counts GROUP BY key_col ORDER BY key_col
+        """,
+        "temperature_resample_langs": f"""
+            WITH counts AS (
+                SELECT lang AS g, count(*) AS n_g FROM documents GROUP BY 1
+            ),
+            shared AS (
+                SELECT g, n_g, pow(CAST(n_g AS DOUBLE), 0.5) AS p_raw
+                FROM counts
+            ),
+            tot AS (SELECT min(n_g / p_raw) AS t_over_z FROM shared),
+            rates AS (
+                SELECT g, n_g,
+                       round(least(1.0, p_raw * t_over_z / n_g), 6) AS keep_rate
+                FROM shared, tot
+            ),
+            verdicts AS (
+                SELECT d.lang AS g, r.n_g, r.keep_rate,
+                       ({sampling_op.uniform01_sql("d.doc_id", "temp")}
+                        < r.keep_rate) AS kept
+                FROM documents d JOIN rates r ON d.lang = r.g
+            ),
+            agg AS (
+                SELECT g, n_g, keep_rate,
+                       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+                FROM verdicts GROUP BY 1, 2, 3
+            )
+            SELECT g AS lang,
+                   CAST(n_g AS BIGINT) AS n_docs,
+                   keep_rate,
+                   CAST(n_kept AS BIGINT) AS n_kept,
+                   round(CAST(n_kept AS DOUBLE)
+                         / (SELECT sum(n_kept) FROM agg), 6) AS realized_share
+            FROM agg ORDER BY lang
+        """,
+        "blocklist_filter_stats": """
+            WITH bl(term) AS (VALUES ('slow'), ('dup')),
+            hits AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                ) t JOIN bl ON t.tok = bl.term
+            ),
+            flagged AS (
+                SELECT d.source, length(d.text) AS n_chars,
+                       (h.doc_id IS NOT NULL) AS blocked
+                FROM documents d LEFT JOIN hits h USING (doc_id)
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_blocked,
+                   round(CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS block_ratio,
+                   CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END)
+                        AS BIGINT) AS retained_docs,
+                   CAST(sum(CASE WHEN NOT blocked THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS retained_chars
+            FROM flagged GROUP BY source ORDER BY source
         """,
         "span_dedup_keep_first": """
             WITH toks AS (
@@ -5803,4 +6007,7 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS maintains the identical md5-hashed counters ->
     # it shares the batch sketch oracle bit-for-bit
     d["streaming_cms_token_counts"] = d["cms_token_counts"]
+    # the persisted-index search scores through the same bm25_rank as
+    # the fresh path -> it shares the fresh oracle bit-for-bit
+    d["bm25_search_persisted"] = d["bm25_search"]
     return d

@@ -1,0 +1,83 @@
+"""Persisted inverted-index invariants (operators/index.py): a
+build-once/search-many BM25 index must return bit-identical results to
+scoring the corpus from scratch, while its search plan reads ONLY the
+hive partitions holding the query's term buckets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.catalog import table
+from real_time_data_analytics_cassandra_spark.operators import index as idx
+from real_time_data_analytics_cassandra_spark.operators import text as text_op
+from real_time_data_analytics_cassandra_spark.plans import explain_str
+from tests.conftest import SF_SMOKE
+
+TERMS = ("stream", "merge", "window")
+
+
+@pytest.fixture(scope="module")
+def text_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index") / "bm25")
+    docs = table(spark, SF_SMOKE, "documents")
+    meta = idx.build_text_index(docs, path, "doc_id", "text")
+    return path, meta
+
+
+def test_persisted_search_equals_fresh_bm25(spark, text_index):
+    path, _ = text_index
+    docs = table(spark, SF_SMOKE, "documents")
+    fresh = text_op.bm25_topk(docs, "doc_id", "text", TERMS).collect()
+    persisted = idx.bm25_search_index(spark, path, TERMS).collect()
+    assert [tuple(r) for r in persisted] == [tuple(r) for r in fresh]
+
+
+def test_search_prunes_to_term_buckets(spark, text_index):
+    path, meta = text_index
+    df = idx.bm25_search_index(spark, path, TERMS)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in part_section, plan
+    # the term IN-list must also push into the postings scan
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "term" in pushed, plan
+
+
+def test_index_stats_match_corpus(spark, text_index):
+    path, meta = text_index
+    docs = table(spark, SF_SMOKE, "documents")
+    assert meta["n_docs"] == docs.count()
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    dl = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    ).agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    row = dl.collect()[0]
+    assert stats["n_docs"] == row["n"]
+    assert stats["avgdl"] == row["avgdl"]
+    # dfreq of a probe term agrees with a direct count
+    probe = TERMS[0]
+    direct = docs.filter(
+        F.array_contains(F.split("text", " "), probe)
+    ).count()
+    got = (
+        spark.read.parquet(f"{path}/termstats")
+        .filter(F.col("term") == probe)
+        .collect()[0]["dfreq"]
+    )
+    assert got == direct
+
+
+def test_incremental_terms_not_in_corpus_are_harmless(spark, text_index):
+    path, _ = text_index
+    out = idx.bm25_search_index(
+        spark, path, ("stream", "zzz_not_a_term")
+    ).collect()
+    docs = table(spark, SF_SMOKE, "documents")
+    fresh = text_op.bm25_topk(
+        docs, "doc_id", "text", ("stream", "zzz_not_a_term")
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in fresh]
