@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "blocklist_filter_stats",
     "join_key_skew_report",
     "bm25_search_persisted",
+    "incremental_span_dedup",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale
     # candidate volume (see the operator's parameter-economics note);

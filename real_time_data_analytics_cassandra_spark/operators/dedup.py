@@ -430,6 +430,38 @@ def incremental_near_dups(
     )
 
 
+def _segment_rows(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int
+) -> DataFrame:
+    """Shared map-side segment explode: (id, seg_idx, seg, seg_hash)
+    rows of non-overlapping ``seg_len``-token segments, md5-keyed —
+    the common front half of segment_scrub, keep_first_segment_dedup,
+    and the incremental span_index_dedup_batch."""
+    base = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    return (
+        base.select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / seg_len).cast("int"),
+                )
+            ).alias("seg_idx"),
+            F.col("toks"),
+        )
+        .select(
+            "id",
+            "seg_idx",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("seg_idx") * seg_len + 1, seg_len)
+            ).alias("seg"),
+        )
+        .withColumn("seg_hash", F.md5("seg"))
+    )
+
+
 def keep_first_segment_dedup(
     df: DataFrame,
     id_col: str,
@@ -461,29 +493,7 @@ def keep_first_segment_dedup(
     over (seg_idx, seg) structs — no global sort).  No UDFs, no
     driver collects; two shuffles total regardless of corpus size.
     """
-    base = df.filter(F.length(text_col) > 0).select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
-    segs = (
-        base.select(
-            "id",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.floor((F.size("toks") - 1) / seg_len).cast("int"),
-                )
-            ).alias("seg_idx"),
-            F.col("toks"),
-        )
-        .select(
-            "id",
-            "seg_idx",
-            F.concat_ws(
-                " ", F.slice("toks", F.col("seg_idx") * seg_len + 1, seg_len)
-            ).alias("seg"),
-        )
-        .withColumn("seg_hash", F.md5("seg"))
-    )
+    segs = _segment_rows(df, id_col, text_col, seg_len)
     firsts = segs.groupBy("seg_hash").agg(
         F.min(F.struct("id", "seg_idx")).alias("first")
     )
@@ -507,3 +517,137 @@ def keep_first_segment_dedup(
         )
         .select("id", "n_segments", "n_removed", "clean_text")
     )
+
+
+SPAN_INDEX_BATCH_COL = "_applied_batch_id"
+
+
+def span_index_dedup_batch(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 8,
+    batch_id: int = 0,
+) -> DataFrame:
+    """ONE incremental step of arrival-first span dedup against a
+    PERSISTED first-occurrence index — the continuously-ingesting form
+    of :func:`keep_first_segment_dedup`: a batch's segments are
+    scrubbed if ANY earlier batch (or an earlier (id, seg_idx) within
+    this batch) already owns the segment, and the index is extended
+    with the segments this batch saw first.  When batches arrive in
+    id order the concatenated outputs equal the one-shot batch
+    operator exactly (tested); under arbitrary arrival the rule is
+    first-ARRIVAL-wins — the only causally implementable rule, since
+    emitted documents cannot be retracted.
+
+    Index layout: parquet partitioned by ``bucket`` (first 2 hex
+    chars of the md5 -> 256 dirs), rows (seg_hash, first_id,
+    first_seg_idx, _applied_batch_id).  A batch reads ONLY the
+    buckets its own segments hash into (same pruned-read shape as
+    sinks/merge.py) and dynamically overwrites only those buckets.
+
+    Replay-safe: index rows carry the writing batch id; on a replay
+    of batch b, rows stamped b are ignored when deciding ownership
+    (they ARE this batch's own earlier write) and are rewritten
+    identically, so verdicts and index state are bit-stable under
+    foreachBatch's at-least-once redelivery.
+
+    Scale shape: per batch — map-side segment explode, one min-struct
+    aggregate over the BATCH's hashes, a bucket-pruned index read +
+    one equi-join on the 16-byte hash, a dynamic overwrite of touched
+    buckets, and the per-doc reconstruction aggregate.  Work is
+    O(batch + touched index slice), never O(corpus): the re-dedup
+    economics of incremental_near_dups, applied to exact span dedup.
+    """
+    import os
+
+    segs = _segment_rows(batch_docs, id_col, text_col, seg_len)
+    batch_first = segs.groupBy("seg_hash").agg(
+        F.min(F.struct(F.col("id"), F.col("seg_idx"))).alias("first")
+    ).select(
+        "seg_hash",
+        F.col("first.id").alias("first_id"),
+        F.col("first.seg_idx").alias("first_seg_idx"),
+    ).withColumn("bucket", F.substring("seg_hash", 1, 2)).withColumn(
+        SPAN_INDEX_BATCH_COL, F.lit(batch_id).cast("long")
+    )
+
+    exists = os.path.exists(os.path.join(index_path, "_SUCCESS"))
+    if exists:
+        target = spark.read.parquet(index_path)
+        touched = batch_first.select("bucket").distinct()
+        probe = [r[0] for r in touched.limit(257).collect()]
+        if len(probe) <= 256:
+            pruned = target.filter(F.col("bucket").isin(probe))
+        else:  # pragma: no cover - 256 buckets max by construction
+            pruned = target.join(F.broadcast(touched), "bucket", "left_semi")
+        pruned = pruned.withColumn(
+            "bucket", F.col("bucket").cast("string")
+        )
+        earlier = pruned.filter(F.col(SPAN_INDEX_BATCH_COL) < batch_id)
+    else:
+        earlier = None
+
+    if earlier is not None:
+        owned = earlier.select(
+            "seg_hash",
+            F.col("first_id").alias("owner_id"),
+            F.col("first_seg_idx").alias("owner_seg_idx"),
+        )
+        winners_new = batch_first.join(
+            owned.select("seg_hash"), "seg_hash", "left_anti"
+        )
+        new_index_rows = earlier.unionByName(winners_new)
+    else:
+        winners_new = batch_first
+        new_index_rows = batch_first
+
+    # verdict: a segment survives iff its hash is NEWLY owned by this
+    # batch AND this occurrence is the batch-first one
+    flagged = segs.join(
+        winners_new.select("seg_hash", "first_id", "first_seg_idx"),
+        "seg_hash",
+        "left",
+    )
+    is_first = (
+        F.col("first_id").isNotNull()
+        & (F.col("id") == F.col("first_id"))
+        & (F.col("seg_idx") == F.col("first_seg_idx"))
+    )
+    kept_struct = F.when(is_first, F.struct("seg_idx", "seg"))
+    out = (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((~is_first).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("id", "n_segments", "n_removed", "clean_text")
+    )
+    # materialize the output BEFORE the index overwrite invalidates
+    # the plan's source (same localCheckpoint discipline as merge.py)
+    out = out.localCheckpoint(eager=True)
+
+    new_index_rows = new_index_rows.localCheckpoint(eager=True)
+    if earlier is None:
+        new_index_rows.write.mode("overwrite").partitionBy("bucket").parquet(
+            index_path
+        )
+    else:
+        from real_time_data_analytics_cassandra_spark.sinks.merge import _conf
+
+        with _conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            new_index_rows.write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(index_path)
+    return out

@@ -3490,6 +3490,54 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup (operators/dedup.py::
+    span_index_dedup_batch): the corpus arrives as two id-ordered
+    ingestion batches, each scrubbed against — and extending — a
+    persisted first-occurrence segment index.  Because arrival is id-
+    ordered, the accumulated output equals the one-shot
+    keep_first_segment_dedup bit-for-bit, so this query SHARES the
+    span_dedup_keep_first oracle: the incremental machinery (bucket-
+    pruned index reads, replay-stamped dynamic overwrites) is what's
+    being gated.  The index lives in a tmp dir keyed on the corpus
+    file's identity; re-invocations replay idempotently (batch ids
+    stamp the index rows)."""
+    import os
+    import tempfile
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_span_idx_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    docs = table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long")
+    ).collect()[0][0]
+    parts = [
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+    ]
+    outs = [
+        dedup_op.span_index_dedup_batch(
+            spark, p, idx_dir, "doc_id", "text", 8, batch_id=i
+        )
+        for i, p in enumerate(parts)
+    ]
+    merged = outs[0].unionByName(outs[1])
+    return merged.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
 def training_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle for training order: every
     document lands in one of 8 hash shards (md5-derived — the
@@ -3803,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter_stats": blocklist_filter_stats,
         "join_key_skew_report": join_key_skew_report,
         "bm25_search_persisted": bm25_search_persisted,
+        "incremental_span_dedup": incremental_span_dedup,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -6010,4 +6059,7 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index search scores through the same bm25_rank as
     # the fresh path -> it shares the fresh oracle bit-for-bit
     d["bm25_search_persisted"] = d["bm25_search"]
+    # id-ordered incremental ingestion reproduces the one-shot
+    # keep-first result exactly -> shares its oracle
+    d["incremental_span_dedup"] = d["span_dedup_keep_first"]
     return d

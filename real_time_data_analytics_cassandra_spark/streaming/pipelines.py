@@ -488,3 +488,50 @@ def user_stats_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def span_dedup_foreach_batch(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+):
+    """Continuously-ingesting span dedup: every micro-batch of
+    documents is scrubbed against the persisted first-occurrence
+    segment index (operators/dedup.py::span_index_dedup_batch) and
+    appended to ``out_path``; the index extends with the segments the
+    batch saw first.  foreachBatch's batch_id feeds the index's
+    replay stamp, so at-least-once redelivery rewrites identical
+    verdicts and identical index rows (tested).
+
+    This is the streaming form of keep_first_segment_dedup: when the
+    stream delivers documents in id order the accumulated output
+    equals the one-shot batch operator bit-for-bit; under arbitrary
+    arrival it is first-arrival-wins — the only rule an append-only
+    emitter can honor.
+    """
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        span_index_dedup_batch,
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        out = span_index_dedup_batch(
+            batch.sparkSession,
+            batch,
+            index_path,
+            id_col,
+            text_col,
+            seg_len,
+            batch_id=batch_id,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -141,3 +141,78 @@ def test_keep_first_within_doc_repeat(spark):
     row = keep_first_segment_dedup(df, "doc_id", "text", seg_len=8).collect()[0]
     assert row["clean_text"] == BP
     assert row["n_segments"] == 2 and row["n_removed"] == 1
+
+
+def test_span_index_dedup_incremental_equals_batch(spark, tmp_path):
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        keep_first_segment_dedup,
+        span_index_dedup_batch,
+    )
+
+    rows = [
+        (1, f"{BP} {U1}"),
+        (2, f"{BP} {U2}"),
+        (3, f"{U3} {BP}"),
+        (4, U2),
+        (5, f"{U1} {U3}"),
+        (6, f"{BP} {BP}"),
+    ]
+    df = _docs(spark, rows)
+    expect = {
+        r["id"]: tuple(r)
+        for r in keep_first_segment_dedup(df, "doc_id", "text", 8).collect()
+    }
+    idx = str(tmp_path / "span_idx")
+    got = {}
+    # id-ordered arrival in three batches -> must equal one-shot batch
+    for b, lo, hi in ((0, 1, 2), (1, 3, 4), (2, 5, 6)):
+        part = df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        )
+        out = span_index_dedup_batch(
+            spark, part, idx, "doc_id", "text", 8, batch_id=b
+        )
+        for r in out.collect():
+            got[r["id"]] = tuple(r)
+    assert got == expect
+
+
+def test_span_index_dedup_replay_is_idempotent(spark, tmp_path):
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        span_index_dedup_batch,
+    )
+
+    idx = str(tmp_path / "span_idx_replay")
+    b0 = _docs(spark, [(1, f"{BP} {U1}"), (2, U2)])
+    b1 = _docs(spark, [(3, f"{BP} {U3}"), (4, U2)])
+    span_index_dedup_batch(spark, b0, idx, "doc_id", "text", 8, batch_id=0)
+    first = sorted(
+        map(
+            tuple,
+            span_index_dedup_batch(
+                spark, b1, idx, "doc_id", "text", 8, batch_id=1
+            ).collect(),
+        )
+    )
+    index_after = sorted(
+        map(tuple, spark.read.parquet(idx).drop("bucket").collect())
+    )
+    # redeliver batch 1 (foreachBatch at-least-once): same verdicts,
+    # identical index state
+    replay = sorted(
+        map(
+            tuple,
+            span_index_dedup_batch(
+                spark, b1, idx, "doc_id", "text", 8, batch_id=1
+            ).collect(),
+        )
+    )
+    index_replay = sorted(
+        map(tuple, spark.read.parquet(idx).drop("bucket").collect())
+    )
+    assert replay == first
+    assert index_replay == index_after
+    # doc 3 lost BP (owned by batch 0's doc 1), doc 4 lost U2
+    by_id = {t[0]: t for t in first}
+    assert by_id[3][3] == U3
+    assert by_id[4][3] == ""

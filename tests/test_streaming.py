@@ -413,3 +413,65 @@ def test_user_stats_tws_matches_batch(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"]) for r in batch.collect()}
     assert got == want
+
+
+def test_span_dedup_stream_matches_batch_keep_first(spark):
+    """Continuous span dedup: an id-ordered file stream folded
+    through span_dedup_foreach_batch must accumulate exactly the
+    one-shot keep_first_segment_dedup result."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        keep_first_segment_dedup,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        span_dedup_foreach_batch,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="rtdac_span_stream_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    # three id-ordered files; distinct mtimes pin the arrival order
+    bounds = [(0, 170), (171, 340), (341, 10**9)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}")
+        )
+    files = []
+    for i in range(3):
+        d = os.path.join(src, f"b{i}")
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        tgt = os.path.join(src, f"part{i}.parquet")
+        os.rename(os.path.join(d, f), tgt)
+        os.utime(tgt, (1000000 + i * 100, 1000000 + i * 100))
+        files.append(tgt)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = span_dedup_foreach_batch(
+        stream,
+        os.path.join(base, "idx"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["id"]: tuple(r)
+        for r in spark.read.parquet(os.path.join(base, "out")).collect()
+    }
+    expect = {
+        r["id"]: tuple(r)
+        for r in keep_first_segment_dedup(docs, "doc_id", "text", 8).collect()
+    }
+    assert got == expect
