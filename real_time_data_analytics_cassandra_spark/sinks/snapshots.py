@@ -1,0 +1,201 @@
+"""Snapshot-versioned parquet tables: append/overwrite commits, time
+travel, and safe expiry — the transaction-log half of a lakehouse
+table format, reduced to what a single writer on a rename-atomic
+filesystem actually needs.
+
+Why it exists here: the reference's tables are mutate-in-place
+(Cassandra upserts, realtime_api.py reads whatever is current); a
+training pipeline needs the OPPOSITE — immutable, reproducible
+snapshots ("train on exactly the corpus as of v12") with readers
+never observing a half-written commit.  The mechanism below is the
+standard manifest design (Iceberg/Delta reduced): data files are
+immutable and write-once, a commit is ONE atomic rename of a manifest
+file, and a version's file list is resolved eagerly into its manifest
+so reads touch exactly one small JSON before planning the scan.
+
+Guarantees (single writer, rename-atomic store):
+- readers see only fully-committed versions (the manifest is renamed
+  into place AFTER every data file is durable);
+- a crashed write leaves orphan data files but NO new version —
+  invisible to readers, reclaimed by ``expire_snapshots``;
+- any retained version stays byte-stable forever (files are never
+  rewritten, only added or de-referenced).
+
+Multi-writer coordination (a lock service / conditional put) is out of
+scope, as it is for every filesystem-only table format.
+
+At scale the O(files-per-version) manifest is the only driver-side
+cost; a 100 TB table wants file counts managed anyway
+(sinks/layout.py::compact_partitions) and the listing comes from
+``DataFrame.inputFiles()`` on the just-written commit directory —
+never a recursive walk of the whole table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:06d}.json")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed versions, ascending (empty for a fresh/absent table)."""
+    d = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as a new snapshot version; returns the version.
+
+    ``mode='append'``: the new version references the parent's files
+    plus this commit's.  ``mode='overwrite'``: the new version
+    references ONLY this commit's files — the parent version remains
+    fully readable (logical overwrite, physical append: that is what
+    makes time travel free).
+
+    The data lands in a fresh ``data/snap-<uuid>/`` directory, so
+    concurrent readers of older versions never race the writer, and
+    the commit is the single atomic rename of the manifest.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot mode: {mode}")
+    commit_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex}")
+    df.write.mode("error").parquet(commit_dir)
+    spark = df.sparkSession
+    new_files = sorted(spark.read.parquet(commit_dir).inputFiles())
+
+    versions = snapshot_versions(path)
+    parent = versions[-1] if versions else None
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _load_manifest(path, parent)["files"] + files
+    version = (parent + 1) if parent is not None else 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": mode,
+        "schema": df.schema.json(),
+        "files": files,
+    }
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = _manifest_path(path, version)
+    if os.path.exists(final):  # single-writer contract violated
+        os.remove(tmp)
+        raise RuntimeError(
+            f"snapshot version {version} already committed — "
+            "concurrent writers need external coordination"
+        )
+    os.rename(tmp, final)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest committed).
+
+    Planning reads ONE manifest; the scan lists exactly that
+    version's files — no directory walking, no exposure to
+    uncommitted data, byte-stable for as long as the version is
+    retained."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    manifest = _load_manifest(path, v)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*manifest["files"])
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest ``keep_last`` versions and delete data
+    files no retained version references (orphans from crashed
+    writes included).  Returns {"dropped_versions": [...],
+    "deleted_files": n}.
+
+    Safety order: manifests are removed FIRST, so a crash mid-expiry
+    can only leave unreferenced files (re-collectable), never a
+    manifest pointing at deleted data."""
+    versions = snapshot_versions(path)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    drop = [v for v in versions if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(path, v)["files"])
+    for v in drop:
+        os.remove(_manifest_path(path, v))
+    from urllib.parse import urlparse
+
+    def _local(p: str) -> str:
+        return urlparse(p).path if p.startswith("file:") else p
+
+    referenced = {_local(p) for p in referenced}
+
+    def _is_referenced(p: str) -> bool:
+        return p in referenced
+
+    deleted = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        import shutil
+
+        for snap in os.listdir(data_root):
+            snap_dir = os.path.join(data_root, snap)
+            kept_any = False
+            doomed = []
+            for root, _dirs, names in os.walk(snap_dir):
+                for name in names:
+                    p = os.path.join(root, name)
+                    if name.endswith(".parquet"):
+                        if _is_referenced(p):
+                            kept_any = True
+                        else:
+                            doomed.append(p)
+            if not kept_any:
+                # whole commit dir unreferenced (dropped version or a
+                # crashed write's orphan) -> remove the tree
+                deleted += len(doomed)
+                shutil.rmtree(snap_dir)
+            else:
+                # partially referenced (append lineage): remove only
+                # the unreferenced parquet, keep markers/checksums of
+                # the survivors intact
+                for p in doomed:
+                    os.remove(p)
+                    deleted += 1
+    return {"dropped_versions": drop, "deleted_files": deleted}

@@ -1,0 +1,107 @@
+"""Snapshot-versioned table invariants (sinks/snapshots.py): atomic
+commits, time travel, crash invisibility, and reference-safe expiry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.sinks import snapshots as snap
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_versions_accumulate_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = snap.write_snapshot(_df(spark, 0, 5), path, mode="append")
+    v2 = snap.write_snapshot(_df(spark, 5, 8), path, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(8))
+    assert _ids(snap.read_snapshot(spark, path, version=1)) == list(range(5))
+    assert snap.snapshot_versions(path) == [1, 2]
+
+
+def test_overwrite_is_logical_old_version_still_readable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 5), path, mode="append")
+    v2 = snap.write_snapshot(_df(spark, 100, 103), path, mode="overwrite")
+    assert v2 == 2
+    assert _ids(snap.read_snapshot(spark, path)) == [100, 101, 102]
+    # time travel: v1 is byte-stable after the overwrite
+    assert _ids(snap.read_snapshot(spark, path, version=1)) == list(range(5))
+
+
+def test_crashed_write_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 5), path, mode="append")
+    # simulate a crash: data files land but no manifest is committed
+    orphan_dir = os.path.join(path, "data", "snap-orphan")
+    _df(spark, 900, 905).write.parquet(orphan_dir)
+    assert snap.snapshot_versions(path) == [1]
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(5))
+    # expiry reclaims the orphan files
+    report = snap.expire_snapshots(path, keep_last=1)
+    assert report["deleted_files"] > 0
+    assert not os.path.exists(orphan_dir)
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(5))
+
+
+def test_expire_keeps_shared_files_of_retained_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 5), path, mode="append")
+    snap.write_snapshot(_df(spark, 5, 8), path, mode="append")
+    snap.write_snapshot(_df(spark, 8, 9), path, mode="append")
+    report = snap.expire_snapshots(path, keep_last=1)
+    assert report["dropped_versions"] == [1, 2]
+    # v3's file list includes v1/v2's files (append lineage): all of
+    # them must survive expiry
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(9))
+    with pytest.raises(ValueError):
+        snap.read_snapshot(spark, path, version=1)
+
+
+def test_expire_deletes_files_of_dropped_overwritten_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 5), path, mode="append")
+    snap.write_snapshot(_df(spark, 50, 53), path, mode="overwrite")
+    report = snap.expire_snapshots(path, keep_last=1)
+    assert report["dropped_versions"] == [1]
+    assert report["deleted_files"] > 0  # v1's files are unreferenced now
+    assert _ids(snap.read_snapshot(spark, path)) == [50, 51, 52]
+
+
+def test_single_writer_conflict_raises(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 3), path)
+    snap.write_snapshot(_df(spark, 3, 5), path)
+    # simulate the race: this writer listed versions BEFORE the other
+    # writer committed v2, so it also tries to commit v2
+    real = snap.snapshot_versions
+    monkeypatch.setattr(
+        snap, "snapshot_versions", lambda p: [v for v in real(p) if v < 2]
+    )
+    with pytest.raises(RuntimeError, match="concurrent"):
+        snap.write_snapshot(_df(spark, 5, 8), path)
+    monkeypatch.setattr(snap, "snapshot_versions", real)
+    # the losing writer's tmp manifest was cleaned up; table intact
+    assert snap.snapshot_versions(path) == [1, 2]
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(5))
+
+
+def test_schema_travels_with_the_manifest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 3), path)
+    got = snap.read_snapshot(spark, path)
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+    assert dict(got.dtypes)["v"] == "bigint"
