@@ -3490,6 +3490,44 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def snapshot_docs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC through the versioned-table sink (sinks/
+    snapshots.py): the documents corpus is committed as snapshot v1
+    (the id-lower half) then v2 (append of the rest) into a
+    marker-guarded tmp table, and the query returns
+    ``snapshot_diff(v1, v2)`` — exactly the inserted upper half, read
+    back through version manifests rather than directory listings.
+    Gates the whole snapshot machinery (atomic commit, manifest-
+    resolved reads, CDC join) behind a full SQL oracle.  The split
+    predicate is pure integer arithmetic (doc_id*2 vs min+max) so
+    both engines cut identically."""
+    import os
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks import snapshots as snap_op
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tbl = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_snap_docs_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    docs = table(spark, sf_dir, "documents")
+    if not snap_op.snapshot_versions(tbl):
+        s = docs.agg((F.min("doc_id") + F.max("doc_id")).cast("long")).collect()[0][0]
+        snap_op.write_snapshot(
+            docs.filter(F.col("doc_id") * 2 <= s), tbl, mode="append"
+        )
+        snap_op.write_snapshot(
+            docs.filter(F.col("doc_id") * 2 > s), tbl, mode="append"
+        )
+    out = snap_op.snapshot_diff(spark, tbl, 1, 2, ["doc_id"])
+    return out.orderBy("doc_id")
+
+
 def incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental span dedup (operators/dedup.py::
     span_index_dedup_batch): the corpus arrives as two id-ordered
@@ -3852,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_skew_report": join_key_skew_report,
         "bm25_search_persisted": bm25_search_persisted,
         "incremental_span_dedup": incremental_span_dedup,
+        "snapshot_docs_changes": snapshot_docs_changes,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -4046,6 +4085,24 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "snapshot_docs_changes": """
+            WITH bounds AS (
+                SELECT min(doc_id) + max(doc_id) AS s FROM documents
+            )
+            SELECT d.doc_id,
+                   'insert' AS _change,
+                   d.text AS text_new,
+                   d.lang AS lang_new,
+                   d.source AS source_new,
+                   d.n_chars AS n_chars_new,
+                   CAST(NULL AS VARCHAR) AS text_old,
+                   CAST(NULL AS VARCHAR) AS lang_old,
+                   CAST(NULL AS VARCHAR) AS source_old,
+                   CAST(NULL AS BIGINT) AS n_chars_old
+            FROM documents d, bounds
+            WHERE d.doc_id * 2 > bounds.s
+            ORDER BY d.doc_id
         """,
         "join_key_skew_report": """
             WITH per AS (

@@ -199,3 +199,80 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
                     os.remove(p)
                     deleted += 1
     return {"dropped_versions": drop, "deleted_files": deleted}
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """CDC between two committed versions: one row per key that was
+    inserted, deleted, or updated going v_from -> v_to, tagged
+    ``_change`` in ('insert', 'delete', 'update').  The incremental-
+    refresh primitive: "which documents changed since the version I
+    last trained on" without replaying a log — the two manifests ARE
+    the log.
+
+    Plan shape: full outer join on the key columns over the two
+    version scans; unchanged rows (every non-key column equal) drop
+    out via a struct comparison, so only changed keys survive the
+    join output.  At scale both sides are manifest-pruned scans of
+    immutable files — no state, no replay."""
+    a = read_snapshot(spark, path, v_from)
+    b = read_snapshot(spark, path, v_to)
+    from pyspark.sql import functions as F
+
+    payload = [c for c in a.columns if c not in keys]
+    la = a.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*payload).alias("__old"),
+    )
+    lb = b.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*payload).alias("__new"),
+    )
+    joined = la.join(lb, keys, "full_outer")
+    return (
+        joined.withColumn(
+            "_change",
+            F.when(F.col("__old").isNull(), F.lit("insert"))
+            .when(F.col("__new").isNull(), F.lit("delete"))
+            .when(F.col("__old") != F.col("__new"), F.lit("update")),
+        )
+        .filter(F.col("_change").isNotNull())
+        .select(
+            *keys,
+            "_change",
+            *[F.col(f"__new.{c}").alias(f"{c}_new") for c in payload],
+            *[F.col(f"__old.{c}").alias(f"{c}_old") for c in payload],
+        )
+    )
+
+
+def snapshot_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Stream into a snapshot-versioned table: every micro-batch
+    commits as ONE append version, so readers flip atomically from
+    version N to N+1 between batches and never observe a batch half-
+    written — the exactly-once-visible sink the multi-file parquet
+    append cannot give by itself.  (A replayed batch would commit a
+    duplicate version; pair with an idempotent upstream — e.g.
+    dedup_events — or diff-check the parent manifest when the source
+    can redeliver.)"""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_snapshot(batch, path, mode="append")
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

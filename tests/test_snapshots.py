@@ -105,3 +105,62 @@ def test_schema_travels_with_the_manifest(spark, tmp_path):
     got = snap.read_snapshot(spark, path)
     assert [f.name for f in got.schema.fields] == ["id", "v"]
     assert dict(got.dtypes)["v"] == "bigint"
+
+
+def test_snapshot_diff_detects_insert_update_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1_rows = [(1, "a"), (2, "b"), (3, "c")]
+    v2_rows = [(2, "B"), (3, "c"), (4, "d")]  # 1 deleted, 2 updated, 4 new
+    snap.write_snapshot(
+        spark.createDataFrame(v1_rows, "k long, v string"), path
+    )
+    snap.write_snapshot(
+        spark.createDataFrame(v2_rows, "k long, v string"),
+        path,
+        mode="overwrite",
+    )
+    diff = {
+        r["k"]: (r["_change"], r["v_new"], r["v_old"])
+        for r in snap.snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert diff == {
+        1: ("delete", None, "a"),
+        2: ("update", "B", "b"),
+        4: ("insert", "d", None),
+    }
+
+
+def test_snapshot_foreach_batch_commits_one_version_per_batch(spark, tmp_path):
+    import os
+
+    from real_time_data_analytics_cassandra_spark.sinks.snapshots import (
+        snapshot_foreach_batch,
+    )
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+    from tests.conftest import SF_SMOKE
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    base = str(tmp_path)
+    path = os.path.join(base, "t")
+    stream = bounded_event_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type", "user_id"
+    )
+    q = snapshot_foreach_batch(stream, path, os.path.join(base, "ckpt"))
+    q.awaitTermination()
+    versions = snap.snapshot_versions(path)
+    assert versions, "stream must have committed at least one version"
+    got = sorted(
+        r["event_id"] for r in snap.read_snapshot(spark, path).collect()
+    )
+    expect = sorted(
+        r["event_id"]
+        for r in table(spark, SF_SMOKE, "events").select("event_id").collect()
+    )
+    assert got == expect
+    # each intermediate version is a strict prefix of the next
+    sizes = [
+        snap.read_snapshot(spark, path, v).count() for v in versions
+    ]
+    assert sizes == sorted(sizes)
