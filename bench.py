@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "bm25_search_persisted",
     "incremental_span_dedup",
     "snapshot_docs_changes",
+    "data_quality_report",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale
     # candidate volume (see the operator's parameter-economics note);

@@ -3490,6 +3490,78 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (operators/expectations.py —
+    Deequ-lite): row predicates, key uniqueness, and referential
+    integrity over the warehouse tables, one report row per check —
+    the admission gate before a corpus drop or table publish.
+
+    Scan economics: all row checks against a table fold into ONE
+    conditional aggregate over ONE scan (k checks != k passes);
+    uniqueness is a distinct-count agg; the FK check ships only the
+    parent key column through a LEFT ANTI join.  NULL predicate
+    results count as violations (three-valued logic would let nulls
+    slide through range checks unseen)."""
+    from real_time_data_analytics_cassandra_spark.operators import (
+        expectations as exp_op,
+    )
+
+    ensure_query_confs(spark)
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+    customer = table(spark, sf_dir, "customer")
+    report = exp_op.combine_reports(
+        exp_op.row_checks(
+            orders,
+            {
+                "orders.custkey_not_null": F.col("o_custkey").isNotNull(),
+                "orders.totalprice_positive": F.col("o_totalprice") > 0,
+            },
+        ),
+        exp_op.row_checks(
+            lineitem,
+            {
+                "lineitem.quantity_in_1_50": F.col("l_quantity").between(
+                    1, 50
+                ),
+                "lineitem.discount_in_0_1": F.col("l_discount").between(
+                    0, 1
+                ),
+                "lineitem.price_positive": F.col("l_extendedprice") > 0,
+            },
+        ),
+        exp_op.row_checks(
+            events,
+            {
+                "events.type_in_domain": F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                "events.ts_not_null": F.col("ts").isNotNull(),
+            },
+        ),
+        exp_op.uniqueness_check(
+            customer, "customer.custkey_unique", ["c_custkey"]
+        ),
+        exp_op.uniqueness_check(
+            events, "events.event_id_unique", ["event_id"]
+        ),
+        exp_op.referential_check(
+            lineitem,
+            orders,
+            "lineitem.orderkey_fk_orders",
+            "l_orderkey",
+            "o_orderkey",
+        ),
+    )
+    return report.select(
+        "check",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        "passed",
+    )
+
+
 def snapshot_docs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC through the versioned-table sink (sinks/
     snapshots.py): the documents corpus is committed as snapshot v1
@@ -3891,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_persisted": bm25_search_persisted,
         "incremental_span_dedup": incremental_span_dedup,
         "snapshot_docs_changes": snapshot_docs_changes,
+        "data_quality_report": data_quality_report,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -4085,6 +4158,67 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "data_quality_report": """
+            WITH rows AS (
+                SELECT 'orders.custkey_not_null' AS "check",
+                       count(*) AS n_rows,
+                       sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL,
+                                FALSE) THEN 1 ELSE 0 END) AS n_violations
+                FROM orders
+                UNION ALL
+                SELECT 'orders.totalprice_positive', count(*),
+                       sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                                THEN 1 ELSE 0 END)
+                FROM orders
+                UNION ALL
+                SELECT 'lineitem.quantity_in_1_50', count(*),
+                       sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50,
+                                FALSE) THEN 1 ELSE 0 END)
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem.discount_in_0_1', count(*),
+                       sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 1,
+                                FALSE) THEN 1 ELSE 0 END)
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem.price_positive', count(*),
+                       sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                                THEN 1 ELSE 0 END)
+                FROM lineitem
+                UNION ALL
+                SELECT 'events.type_in_domain', count(*),
+                       sum(CASE WHEN NOT coalesce(event_type IN
+                                ('click','view','purchase','signup','error'),
+                                FALSE) THEN 1 ELSE 0 END)
+                FROM events
+                UNION ALL
+                SELECT 'events.ts_not_null', count(*),
+                       sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                FROM events
+                UNION ALL
+                SELECT 'customer.custkey_unique', count(*),
+                       count(*) - count(DISTINCT c_custkey)
+                FROM customer
+                UNION ALL
+                SELECT 'events.event_id_unique', count(*),
+                       count(*) - count(DISTINCT event_id)
+                FROM events
+                UNION ALL
+                SELECT 'lineitem.orderkey_fk_orders',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem l
+                        WHERE l.l_orderkey IS NOT NULL
+                          AND NOT EXISTS (SELECT 1 FROM orders o
+                                          WHERE o.o_orderkey = l.l_orderkey))
+                       + (SELECT count(*) FROM lineitem
+                          WHERE l_orderkey IS NULL)
+            )
+            SELECT "check",
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   n_violations = 0 AS passed
+            FROM rows ORDER BY "check"
         """,
         "snapshot_docs_changes": """
             WITH bounds AS (

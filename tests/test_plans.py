@@ -293,6 +293,7 @@ _BNLJ_OK = {
     "source_mixture_weights",  # 1-row totals broadcast
     "heavy_hitter_tokens",  # 1-row error-mass broadcast
     "temperature_resample_langs",  # 1-row budget + kept-total broadcasts
+    "data_quality_report",  # 1-row orphan/null-count broadcasts (FK check)
 }
 
 
