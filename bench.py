@@ -162,6 +162,10 @@ BENCH_QUERIES = [
     "incremental_span_dedup",
     "snapshot_docs_changes",
     "data_quality_report",
+    "doc_char_entropy",
+    "hourly_seasonal_trend",
+    "bpe_learned_merges",
+    "bpe_encode_docs",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale
     # candidate volume (see the operator's parameter-economics note);

@@ -3490,6 +3490,167 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BPE_MEMO: dict[str, list] = {}
+_BPE_K = 12
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
+    """Train-once-per-corpus memo for the BPE queries (keyed on the
+    corpus file identity, like the on-disk fixtures): the learned
+    merge list is k driver-side tuples — bounded state."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{sf_dir}_{int(st.st_mtime)}_{st.st_size}"
+    if key not in _BPE_MEMO:
+        from real_time_data_analytics_cassandra_spark.operators import bpe as bpe_op
+
+        docs = table(spark, sf_dir, "documents")
+        _BPE_MEMO[key] = bpe_op.train_bpe_merges(docs, "text", k=_BPE_K)
+    return _BPE_MEMO[key]
+
+
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (operators/bpe.py — Sennrich et al. 2016):
+    the k=12 learned merges with their pair counts, in training
+    order.  Iterative driver-coordinated loop over the VOCAB-sized
+    word-frequency table (the real algorithm's economics — one
+    corpus pass total), so no SQL oracle; tests/test_bpe.py asserts
+    the merge sequence is IDENTICAL to a pure-Python reference
+    trainer on the same corpus."""
+    ensure_query_confs(spark)
+    merges = _bpe_merges_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, cnt)
+            for i, (left, right, cnt) in enumerate(merges)
+        ],
+        "step long, left string, right string, pair_count long",
+    ).orderBy("step")
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus with the learned merges
+    (operators/bpe.py::apply_bpe_merges): per document the word and
+    subword counts plus the md5 of the full subword sequence — one
+    shuffle-free projection with the k merge folds chained in a
+    single stage.  No SQL oracle (inherits the trained merges);
+    tests/test_bpe.py proves encode parity with the Python tokenizer
+    word-for-word."""
+    from real_time_data_analytics_cassandra_spark.operators import bpe as bpe_op
+
+    ensure_query_confs(spark)
+    merges = _bpe_merges_for(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    return bpe_op.apply_bpe_merges(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_subwords",
+        "subwords_md5",
+    ).orderBy("doc_id")
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    classic gibberish/compressibility quality signal (low entropy =
+    repeated filler, high = random noise; both tails get dropped
+    before training).
+
+    Determinism: character probabilities are exact integer ratios;
+    the per-doc sum of -p*ln(p) folds over the DISTINCT characters in
+    sorted order (the bm25/fingerprint trick), so the double
+    accumulation is bit-identical in any engine and partitioning.
+    Scale shape: one char explode -> one (doc, char) count aggregate
+    -> one per-doc fold; all map-side-combinable, no joins."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+    return (
+        counts.withColumn("term", term)
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(ch, term))), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)"
+                ),
+                6,
+            ).alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            "entropy",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def hourly_seasonal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of event values: the
+    hour-of-day PROFILE (per event type) is estimated over the whole
+    corpus, subtracted from every event, and the residuals average
+    per (type, day) — the deseasonalized daily TREND that anomaly
+    review actually wants (a raw daily mean confounds load shape
+    with drift).
+
+    Determinism: the profile mean is a deterministic double (davg)
+    pinned to decimal(18,6); the per-day adjustment sum c_h * m_h is
+    then EXACT decimal arithmetic (order-free), and one final
+    round->decimal->double division yields the residual mean — no
+    double is ever summed across rows.  Scale shape: two grouped
+    aggregates over (type, hod) / (type, day, hod) cells plus a
+    24-row broadcast join; events never shuffle twice."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    v = money("value")
+    keyed = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+        v.alias("v"),
+    )
+    profile = keyed.groupBy("event_type", "hod").agg(
+        davg(F.col("v"), "m_h", 6)
+    ).withColumn("m_dec", F.col("m_h").cast("decimal(18,6)"))
+    cells = keyed.groupBy("event_type", "day", "hod").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sum("v"), 4).cast("decimal(15,4)").alias("s"),
+    )
+    joined = cells.join(
+        F.broadcast(profile.select("event_type", "hod", "m_dec")),
+        ["event_type", "hod"],
+    )
+    return (
+        joined.groupBy("event_type", "day")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.round(
+                F.round(
+                    F.sum(F.col("s").cast("decimal(24,6)"))
+                    - F.sum(F.col("m_dec") * F.col("c")),
+                    4,
+                )
+                .cast("decimal(15,4)")
+                .cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("mean_residual"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py —
     Deequ-lite): row predicates, key uniqueness, and referential
@@ -3964,6 +4125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_span_dedup": incremental_span_dedup,
         "snapshot_docs_changes": snapshot_docs_changes,
         "data_quality_report": data_quality_report,
+        "doc_char_entropy": doc_char_entropy,
+        "hourly_seasonal_trend": hourly_seasonal_trend,
+        "bpe_learned_merges": bpe_learned_merges,
+        "bpe_encode_docs": bpe_encode_docs,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -4158,6 +4323,63 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "doc_char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, strlen(text) AS n,
+                       unnest(string_split(text, '')) AS ch
+                FROM documents WHERE length(text) > 0
+            ),
+            counts AS (
+                SELECT doc_id, n, ch, count(*) AS c
+                FROM chars GROUP BY 1, 2, 3
+            ),
+            terms AS (
+                SELECT doc_id, n, ch,
+                       -(CAST(c AS DOUBLE) / n)
+                           * ln(CAST(c AS DOUBLE) / n) AS term
+                FROM counts
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_chars,
+                   count(*) AS n_distinct_chars,
+                   round(list_reduce(list(term ORDER BY ch),
+                                     (a, b) -> a + b), 6) AS entropy
+            FROM terms
+            GROUP BY doc_id, n
+            ORDER BY doc_id
+        """,
+        "hourly_seasonal_trend": """
+            WITH keyed AS (
+                SELECT event_type,
+                       CAST(ts AS DATE) AS day,
+                       extract(hour FROM ts) AS hod,
+                       CAST(value AS DECIMAL(15,4)) AS v
+                FROM events
+            ),
+            profile AS (
+                SELECT event_type, hod,
+                       CAST(round(
+                           CAST(round(sum(v), 4) AS DECIMAL(15,4))
+                               ::DOUBLE / count(*), 6) AS DECIMAL(18,6))
+                           AS m_dec
+                FROM keyed GROUP BY 1, 2
+            ),
+            cells AS (
+                SELECT event_type, day, hod, count(*) AS c,
+                       CAST(round(sum(v), 4) AS DECIMAL(15,4)) AS s
+                FROM keyed GROUP BY 1, 2, 3
+            )
+            SELECT c.event_type, c.day,
+                   CAST(sum(c.c) AS BIGINT) AS n_events,
+                   round(CAST(round(sum(CAST(c.s AS DECIMAL(24,6)))
+                                    - sum(p.m_dec * c.c), 4)
+                              AS DECIMAL(15,4))::DOUBLE
+                         / sum(c.c), 6) AS mean_residual
+            FROM cells c JOIN profile p
+              ON c.event_type = p.event_type AND c.hod = p.hod
+            GROUP BY c.event_type, c.day
+            ORDER BY c.event_type, c.day
         """,
         "data_quality_report": """
             WITH rows AS (

@@ -115,6 +115,32 @@ def main() -> None:
         "gate": "tests/test_crossval.py::test_near_dup_cells_subset_and_recall_of_exact",
     }
 
+    from tests.test_bpe import _py_train, _py_word_freqs
+
+    merges_rows = q.bpe_learned_merges(spark, SF).collect()
+    got_merges = [(r["left"], r["right"], r["pair_count"]) for r in merges_rows]
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    texts = [
+        r["text"]
+        for r in table(spark, SF, "documents").select("text").collect()
+    ]
+    ref_merges = _py_train(_py_word_freqs(texts), len(got_merges))
+    report["bpe_learned_merges"] = {
+        "metric": "merge sequence == pure-Python Sennrich reference "
+                  "(order, pairs, and counts)",
+        "floor": "exact equality",
+        "value": {"k": len(got_merges), "exact_match": got_merges == ref_merges},
+        "gate": "tests/test_bpe.py::test_trained_merges_match_python_reference",
+    }
+    report["bpe_encode_docs"] = {
+        "metric": "per-doc subword sequences md5-equal to the Python "
+                  "tokenizer under the same merges",
+        "floor": "exact equality (50-doc sample in the gate)",
+        "value": {"n_docs": q.bpe_encode_docs(spark, SF).count()},
+        "gate": "tests/test_bpe.py::test_encoding_matches_python_reference",
+    }
+
     srp = _pairs(q.srp_near_dup(spark, SF))
     report["srp_near_dup"] = {
         "metric": "recall vs exact blocked-GEMM pairs (subset by "
