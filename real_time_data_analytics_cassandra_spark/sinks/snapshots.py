@@ -276,3 +276,24 @@ def snapshot_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+) -> int:
+    """Rewrite the LATEST version's data into ``target_files`` files
+    and commit the result as a new logical-overwrite version — the
+    write-amplification management a streaming snapshot table needs:
+    every micro-batch appends small files and grows the manifest, so
+    periodic compaction folds the lineage back to a bounded file
+    count.  Readers of prior versions are untouched (their files are
+    still referenced until ``expire_snapshots`` drops them); the
+    compacted version is logically identical to its parent (tested
+    row-for-row).  Returns the new version."""
+    current = read_snapshot(spark, path)
+    compacted = current.repartition(target_files)
+    # materialize via the normal commit path; 'overwrite' semantics
+    # because the new version REPLACES the parent's file list
+    return write_snapshot(compacted, path, mode="overwrite")

@@ -340,3 +340,107 @@ def test_misra_gries_guarantees_under_any_partitioning(
     for v, n in exact.items():
         if n > err:
             assert v in est
+
+
+# --- keep-first span dedup vs a pure-Python model -------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=10,
+).map(
+    lambda docs: [(i + 1, " ".join(words)) for i, words in enumerate(docs)]
+)
+
+
+def _py_keep_first(rows, seg_len):
+    seen = {}
+    segs_by_doc = {}
+    for doc_id, text in rows:
+        if len(text) == 0:
+            continue
+        toks = text.split(" ")
+        segs = [
+            " ".join(toks[i : i + seg_len])
+            for i in range(0, len(toks), seg_len)
+        ]
+        segs_by_doc[doc_id] = segs
+        for idx, seg in enumerate(segs):
+            if seg not in seen:
+                seen[seg] = (doc_id, idx)
+    out = {}
+    for doc_id, segs in segs_by_doc.items():
+        kept = [
+            s for i, s in enumerate(segs) if seen[s] == (doc_id, i)
+        ]
+        removed = len(segs) - len(kept)
+        out[doc_id] = (len(segs), removed, " ".join(kept))
+    return out
+
+
+@given(rows=docs_strategy)
+@SET
+def test_keep_first_span_dedup_matches_model(spark, rows):
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        keep_first_segment_dedup,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in keep_first_segment_dedup(df, "doc_id", "text", 3).collect()
+    }
+    assert got == _py_keep_first(rows, 3)
+
+
+# --- temperature resample vs a pure-Python model --------------------
+
+groups_strategy = st.lists(
+    st.integers(min_value=1, max_value=12), min_size=1, max_size=4
+)
+
+
+@given(sizes=groups_strategy, tau=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@SET
+def test_temperature_resample_matches_model(spark, sizes, tau):
+    import hashlib
+
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows, nid = [], 0
+    for gi, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((nid, f"g{gi}"))
+            nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = {
+        r["grp"]: (r["n_docs"], r["keep_rate"], r["n_kept"])
+        for r in temperature_resample(df, "doc_id", "grp", tau=tau).collect()
+    }
+
+    # model
+    p_raw = {f"g{gi}": n**tau for gi, n in enumerate(sizes)}
+    t_over_z = min(n / p_raw[f"g{gi}"] for gi, n in enumerate(sizes))
+    for gi, n in enumerate(sizes):
+        g = f"g{gi}"
+        rate = round(min(1.0, p_raw[g] * t_over_z / n), 6)
+        kept = 0
+        for doc_id, grp in rows:
+            if grp != g:
+                continue
+            h = hashlib.md5(f"temp{doc_id}".encode()).hexdigest()[:8]
+            u = (int(h, 16) + 0.5) / 16**8
+            if u < rate:
+                kept += 1
+        assert out[g] == (n, rate, kept), (g, out[g], (n, rate, kept))
+    # scarcest group is never down-sampled
+    smallest = min(sizes)
+    for gi, n in enumerate(sizes):
+        if n == smallest:
+            assert out[f"g{gi}"][1] == 1.0

@@ -164,3 +164,26 @@ def test_snapshot_foreach_batch_commits_one_version_per_batch(spark, tmp_path):
         snap.read_snapshot(spark, path, v).count() for v in versions
     ]
     assert sizes == sorted(sizes)
+
+
+def test_compact_snapshot_preserves_rows_and_bounds_files(spark, tmp_path):
+    from real_time_data_analytics_cassandra_spark.sinks.snapshots import (
+        compact_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in range(0, 40, 10):
+        snap.write_snapshot(_df(spark, lo, lo + 10), path, mode="append")
+    before = snap._load_manifest(path, 4)
+    v5 = compact_snapshot(spark, path, target_files=2)
+    assert v5 == 5
+    after = snap._load_manifest(path, 5)
+    assert after["op"] == "overwrite"
+    assert len(after["files"]) <= 2 + 0  # exactly the target count
+    assert len(after["files"]) < len(before["files"])
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(40))
+    # parent version still readable until expiry
+    assert _ids(snap.read_snapshot(spark, path, version=4)) == list(range(40))
+    report = snap.expire_snapshots(path, keep_last=1)
+    assert 4 in report["dropped_versions"]
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(40))
