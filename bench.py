@@ -22,8 +22,9 @@ from real_time_data_analytics_cassandra_spark.session import get_spark
 # Headline set: the reference-parity pipeline + the scan/join/agg
 # heavy analytical queries + one of each training-data operator
 # family.  (ngram_jaccard is excluded: its all-pairs verify join is
-# quadratic in colliding docs — minhash_lsh is the scale path and IS
-# benched.)
+# quadratic in colliding docs — minhash_lsh and the lossless
+# prefix-filtered form ngram_jaccard_prefix are the scale paths and
+# ARE benched.)
 BENCH_QUERIES = [
     "geo_hourly_counts",
     "geo_hourly_country_totals",
@@ -166,6 +167,8 @@ BENCH_QUERIES = [
     "hourly_seasonal_trend",
     "bpe_learned_merges",
     "bpe_encode_docs",
+    "ngram_jaccard_prefix",
+    "sampled_revenue_estimate",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale
     # candidate volume (see the operator's parameter-economics note);

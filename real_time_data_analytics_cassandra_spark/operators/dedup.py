@@ -530,6 +530,7 @@ def span_index_dedup_batch(
     text_col: str,
     seg_len: int = 8,
     batch_id: int = 0,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """ONE incremental step of arrival-first span dedup against a
     PERSISTED first-occurrence index — the continuously-ingesting form
@@ -542,11 +543,15 @@ def span_index_dedup_batch(
     first-ARRIVAL-wins — the only causally implementable rule, since
     emitted documents cannot be retracted.
 
-    Index layout: parquet partitioned by ``bucket`` (first 2 hex
-    chars of the md5 -> 256 dirs), rows (seg_hash, first_id,
-    first_seg_idx, _applied_batch_id).  A batch reads ONLY the
-    buckets its own segments hash into (same pruned-read shape as
-    sinks/merge.py) and dynamically overwrites only those buckets.
+    Index layout: parquet partitioned by ``bucket`` (md5-derived,
+    ``n_buckets`` dirs — 32 by default; size it to the filesystem''s
+    appetite for directories: each batch write touches every bucket
+    dir it updates, so more buckets buy finer pruned reads at the
+    cost of more commit operations per batch), rows (seg_hash,
+    first_id, first_seg_idx, _applied_batch_id).  A batch reads ONLY
+    the buckets its own segments hash into (same pruned-read shape
+    as sinks/merge.py) and dynamically overwrites only those
+    buckets, one file per touched bucket.
 
     Replay-safe: index rows carry the writing batch id; on a replay
     of batch b, rows stamped b are ignored when deciding ownership
@@ -570,22 +575,24 @@ def span_index_dedup_batch(
         "seg_hash",
         F.col("first.id").alias("first_id"),
         F.col("first.seg_idx").alias("first_seg_idx"),
-    ).withColumn("bucket", F.substring("seg_hash", 1, 2)).withColumn(
-        SPAN_INDEX_BATCH_COL, F.lit(batch_id).cast("long")
-    )
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring("seg_hash", 1, 4), 16, 10).cast("int"),
+            F.lit(n_buckets),
+        ),
+    ).withColumn(SPAN_INDEX_BATCH_COL, F.lit(batch_id).cast("long"))
 
     exists = os.path.exists(os.path.join(index_path, "_SUCCESS"))
     if exists:
         target = spark.read.parquet(index_path)
         touched = batch_first.select("bucket").distinct()
-        probe = [r[0] for r in touched.limit(257).collect()]
-        if len(probe) <= 256:
+        probe = [r[0] for r in touched.limit(n_buckets + 1).collect()]
+        if len(probe) <= n_buckets:
             pruned = target.filter(F.col("bucket").isin(probe))
-        else:  # pragma: no cover - 256 buckets max by construction
+        else:  # pragma: no cover - bounded by construction
             pruned = target.join(F.broadcast(touched), "bucket", "left_semi")
-        pruned = pruned.withColumn(
-            "bucket", F.col("bucket").cast("string")
-        )
+        pruned = pruned.withColumn("bucket", F.col("bucket").cast("int"))
         earlier = pruned.filter(F.col(SPAN_INDEX_BATCH_COL) < batch_id)
     else:
         earlier = None
@@ -599,10 +606,16 @@ def span_index_dedup_batch(
         winners_new = batch_first.join(
             owned.select("seg_hash"), "seg_hash", "left_anti"
         )
-        new_index_rows = earlier.unionByName(winners_new)
     else:
         winners_new = batch_first
-        new_index_rows = batch_first
+
+    # materialize the winner set ONCE: both the verdict join and the
+    # index rewrite consume it, and without this the batch-first
+    # aggregate (the expensive segment pass) would run twice
+    winners_new = winners_new.localCheckpoint(eager=True)
+    new_index_rows = (
+        earlier.unionByName(winners_new) if earlier is not None else winners_new
+    )
 
     # verdict: a segment survives iff its hash is NEWLY owned by this
     # batch AND this occurrence is the batch-first one
@@ -636,7 +649,13 @@ def span_index_dedup_batch(
     # the plan's source (same localCheckpoint discipline as merge.py)
     out = out.localCheckpoint(eager=True)
 
-    new_index_rows = new_index_rows.localCheckpoint(eager=True)
+    # one file per touched bucket: without this repartition every
+    # shuffle task writes a sliver into every touched bucket dir —
+    # O(tasks x buckets) small files per batch, the classic dynamic-
+    # overwrite file explosion
+    new_index_rows = new_index_rows.repartition("bucket").localCheckpoint(
+        eager=True
+    )
     if earlier is None:
         new_index_rows.write.mode("overwrite").partitionBy("bucket").parquet(
             index_path
@@ -651,3 +670,81 @@ def span_index_dedup_batch(
                 "bucket"
             ).parquet(index_path)
     return out
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the
+    SSJoin/PPJoin candidate rule, Chaudhuri et al. 2006 / Xiao et
+    al. 2008): identical output contract to ``ngram_jaccard_pairs``
+    — and it SHARES that query's DuckDB oracle — but candidate pairs
+    come only from collisions on each document's PREFIX shingles
+    under a rarest-first global order, instead of on every shingle.
+
+    Why it is safe: J(s,r) >= t implies |s ∩ r| >= ceil(t*|s|) on
+    both sides (|r| >= t|s| follows from J >= t), and two sets
+    overlapping in >= alpha elements must intersect within their
+    (size - alpha + 1)-prefixes of ANY shared total order — so
+    joining on prefix shingles of length |s| - ceil(t|s|) + 1 loses
+    no qualifying pair.  Why it scales: the global order is
+    rarest-first (document frequency asc), so the joined prefix
+    tokens are the LOW-frequency shingles — the stop-shingle hot
+    buckets that blow up the naive shared-shingle join never enter
+    candidate generation.  Verification computes the full exact
+    Jaccard for candidates only.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("id", "shingle")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(cand, "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )

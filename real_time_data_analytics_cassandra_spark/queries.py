@@ -411,6 +411,22 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard pairs via PPJoin-style prefix
+    filtering (operators/dedup.py::ngram_jaccard_prefix_pairs):
+    byte-identical output to ngram_jaccard — it SHARES that oracle —
+    with candidates generated only from rarest-first prefix-shingle
+    collisions, so the stop-shingle hot buckets that make the naive
+    shared-shingle join quadratic never produce candidates.  The
+    exact-dedup path that stays viable at corpus scale without
+    MinHash's approximation."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dedup_op.ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) candidate pairs, exact-Jaccard
     verified (sim >= 0.5).  The 100 TB-scale dedup path; no SQL oracle
@@ -3651,6 +3667,55 @@ def hourly_seasonal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation from a deterministic hash sample:
+    per order-priority, the EXACT revenue total computed from only
+    the ~10% of orders whose md5-uniform falls under the rate,
+    inverse-probability weighted — the 'answer it from a 10 TB
+    sample instead of the 100 TB table' primitive, with the
+    inclusion rule a pure function of the key (every engine, every
+    run, the same sample).
+
+    Output per priority: sampled row count, the HT estimate, and the
+    estimate's share error vs the true total (both engines compute
+    the same exact numbers — the error column is an audit, not a
+    tolerance).  Scale shape: the sample predicate is a codegen
+    filter AT THE SCAN (no pre-pass); one grouped aggregate over the
+    sample plus one over the full table for the audit column."""
+    ensure_query_confs(spark)
+    orders = table(spark, sf_dir, "orders")
+    u = sampling_op.uniform01("o_orderkey", salt="ht")
+    rate = 0.1
+    sample = orders.filter(u < rate).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(
+            F.round(F.sum(money("o_totalprice")), 2)
+            .cast("decimal(15,2)")
+            .cast("double")
+            / rate,
+            4,
+        ).alias("ht_estimate"),
+    )
+    truth = orders.groupBy("o_orderpriority").agg(
+        dsum(money("o_totalprice"), "true_total")
+    )
+    return (
+        sample.join(truth, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_sampled",
+            "ht_estimate",
+            "true_total",
+            F.round(
+                (F.col("ht_estimate") - F.col("true_total"))
+                / F.col("true_total"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite (operators/expectations.py —
     Deequ-lite): row predicates, key uniqueness, and referential
@@ -3781,7 +3846,7 @@ def incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     idx_dir = os.path.join(
         tempfile.gettempdir(),
-        "rtdac_span_idx_"
+        "rtdac_span_idx_v2_"
         + sf_dir.strip("/").replace("/", "_")
         + f"_{int(st.st_mtime)}_{st.st_size}",
     )
@@ -4129,6 +4194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_seasonal_trend": hourly_seasonal_trend,
         "bpe_learned_merges": bpe_learned_merges,
         "bpe_encode_docs": bpe_encode_docs,
+        "ngram_jaccard_prefix": ngram_jaccard_prefix,
+        "sampled_revenue_estimate": sampled_revenue_estimate,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -4323,6 +4390,31 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "sampled_revenue_estimate": f"""
+            WITH s AS (
+                SELECT o_orderpriority,
+                       count(*) AS n_sampled,
+                       round(CAST(CAST(round(sum(CAST(o_totalprice
+                                AS DECIMAL(12,2))), 2) AS DECIMAL(15,2))
+                             AS DOUBLE) / 0.1, 4) AS ht_estimate
+                FROM orders
+                WHERE {sampling_op.uniform01_sql("o_orderkey", "ht")} < 0.1
+                GROUP BY 1
+            ),
+            t AS (
+                SELECT o_orderpriority,
+                       CAST(CAST(round(sum(CAST(o_totalprice
+                                AS DECIMAL(12,2))), 2) AS DECIMAL(15,2))
+                            AS DOUBLE) AS true_total
+                FROM orders GROUP BY 1
+            )
+            SELECT s.o_orderpriority, s.n_sampled, s.ht_estimate,
+                   t.true_total,
+                   round((s.ht_estimate - t.true_total) / t.true_total,
+                         6) AS rel_error
+            FROM s JOIN t USING (o_orderpriority)
+            ORDER BY s.o_orderpriority
         """,
         "doc_char_entropy": """
             WITH chars AS (
@@ -6475,4 +6567,7 @@ def oracle_sql() -> dict[str, str]:
     # id-ordered incremental ingestion reproduces the one-shot
     # keep-first result exactly -> shares its oracle
     d["incremental_span_dedup"] = d["span_dedup_keep_first"]
+    # prefix filtering is a lossless candidate rule: the PPJoin form
+    # must emit exactly the naive shared-shingle join's pairs
+    d["ngram_jaccard_prefix"] = d["ngram_jaccard"]
     return d

@@ -309,3 +309,58 @@ def test_srp_near_dup_subset_and_recall_of_exact(spark):
     assert exact, "fixture must contain near-duplicate pairs"
     recall = len(srp) / len(exact)
     assert recall >= 0.85, f"recall {recall:.3f}"
+
+
+def test_prefix_jaccard_equals_naive_and_prunes_candidates(spark):
+    """PPJoin prefix filtering must be LOSSLESS (pair-for-pair equal
+    to the naive shared-shingle join, sims included) while generating
+    strictly fewer candidate pairs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators import dedup as d
+
+    naive = {
+        (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+        for r in q.ngram_jaccard(spark, SF_ORACLE).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+        for r in q.ngram_jaccard_prefix(spark, SF_ORACLE).collect()
+    }
+    assert pref == naive
+
+    # candidate economics: prefix collisions << all shared-shingle
+    # collisions on the same corpus
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    docs = table(spark, SF_ORACLE, "documents")
+    sh = d.shingle_sets(docs, "doc_id", "text", 3)
+    naive_cands = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(0.5 * F.col("n_sh")) + 1)
+        .select("id", "shingle")
+    )
+    pref_cands = (
+        prefix.select(F.col("id").alias("a"), "shingle")
+        .join(prefix.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert pref_cands < naive_cands
+    assert len(pref) <= pref_cands
