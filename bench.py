@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "bpe_encode_docs",
     "ngram_jaccard_prefix",
     "sampled_revenue_estimate",
+    "part_affinity",
+    "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale
     # candidate volume (see the operator's parameter-economics note);

@@ -3667,6 +3667,167 @@ def hourly_seasonal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline, as one DAG: blocklist
+    filter -> token-count quality gate (40th percentile of the
+    survivors) -> keep-first span dedup (drop docs left empty) ->
+    temperature resampling over languages (tau=0.5) — with one
+    report row per stage counting survivors and the share of the
+    raw corpus retained.  The per-operator queries prove each stage
+    alone; this proves they COMPOSE (each stage's statistics are
+    computed on its predecessor's survivors), with the whole chain
+    under one SQL oracle.
+
+    Scale shape: every stage is the same plan its standalone query
+    uses; intermediate survivor sets are id-projections (never
+    text-carrying shuffles except the dedup's own hash aggregates);
+    stage counts are 1-row aggregates unioned at the end."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+
+    # stage 1: blocklist — drop docs containing any blocked token
+    blocked_terms = ("slow", "dup")
+    toks = F.split("text", " ")
+    s1 = docs.filter(
+        ~F.arrays_overlap(
+            toks, F.array(*[F.lit(t) for t in blocked_terms])
+        )
+    ).cache()
+
+    # stage 2: quality gate — token count >= 40th pct of s1
+    scored = s1.withColumn("n_tokens", F.size(toks).cast("long"))
+    thr = scored.agg(
+        F.round(F.percentile("n_tokens", 0.4), 6).alias("thr")
+    )
+    s2 = (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_tokens") >= F.col("thr"))
+        .drop("thr")
+        .cache()
+    )
+
+    # stage 3: keep-first span dedup on s2's survivors; a doc whose
+    # every segment first occurred elsewhere is dropped
+    deduped = dedup_op.keep_first_segment_dedup(s2, "doc_id", "text", 8)
+    s3 = (
+        s2.join(
+            deduped.filter(F.length("clean_text") > 0).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    ).cache()
+
+    # stage 4: temperature resample by lang over s3
+    counts = s3.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    shared = counts.withColumn(
+        "p_raw", F.pow(F.col("n_g").cast("double"), 0.5)
+    )
+    tot = shared.agg(F.min(F.col("n_g") / F.col("p_raw")).alias("t_over_z"))
+    rates = shared.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0), F.col("p_raw") * F.col("t_over_z") / F.col("n_g")
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    s4 = (
+        s3.join(F.broadcast(rates), "lang")
+        .withColumn("u", sampling_op.uniform01("doc_id", "temp"))
+        .filter(F.col("u") < F.col("keep_rate"))
+    )
+
+    total = docs.select(F.count(F.lit(1)).alias("n0"))
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(idx).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.round(
+                    F.col("n_docs").cast("double") / F.col("n0"), 6
+                ).alias("retained_share"),
+            )
+        )
+
+    return (
+        stage(0, "corpus", docs)
+        .unionByName(stage(1, "blocklist", s1))
+        .unionByName(stage(2, "quality_gate", s2))
+        .unionByName(stage(3, "span_dedup", s3))
+        .unionByName(stage(4, "temperature_resample", s4))
+        .orderBy("stage_idx")
+    )
+
+
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-20 part pairs co-occurring in
+    the same order, with support and lift — the association-rule
+    primitive (recommendations / assortment analysis) the reference's
+    pre-aggregated counters cannot answer.
+
+    Scale shape: the pair space is the per-order self-join — bounded
+    by (items per order)^2, never |lineitem|^2, and generated as an
+    equi-join ON the order key (hash join; AQE sizes it).  Distinct
+    (order, part) projection first so multi-line parts count once;
+    lift derives from exact integer counts divided against 1-row
+    broadcast totals.  TakeOrdered for the top-20."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_n = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = (
+        op.select(F.col("l_orderkey"), F.col("l_partkey").alias("p_a"))
+        .join(
+            op.select(F.col("l_orderkey"), F.col("l_partkey").alias("p_b")),
+            "l_orderkey",
+        )
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    enriched = (
+        pairs.join(
+            part_n.select(F.col("l_partkey").alias("p_a"), F.col("n_p").alias("n_a")),
+            "p_a",
+        )
+        .join(
+            part_n.select(F.col("l_partkey").alias("p_b"), F.col("n_p").alias("n_b")),
+            "p_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p_a",
+            "p_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                (F.col("n_both").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_both"), F.asc("p_a"), F.asc("p_b"))
+    top = enriched.orderBy(
+        F.desc("n_both"), F.asc("p_a"), F.asc("p_b")
+    ).limit(20)
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("p_a", "p_b", "n_both", "support", "lift", "rnk")
+
+
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson estimation from a deterministic hash sample:
     per order-priority, the EXACT revenue total computed from only
@@ -4196,6 +4357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": bpe_encode_docs,
         "ngram_jaccard_prefix": ngram_jaccard_prefix,
         "sampled_revenue_estimate": sampled_revenue_estimate,
+        "part_affinity": part_affinity,
+        "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
         "semantic_dedup": semantic_dedup,
@@ -4390,6 +4553,125 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "pipeline_retention_funnel": f"""
+            WITH s1 AS (
+                SELECT * FROM documents
+                WHERE NOT list_has_any(string_split(text, ' '),
+                                       ['slow', 'dup'])
+            ),
+            scored AS (
+                SELECT *, CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM s1
+            ),
+            thr AS (
+                SELECT round(quantile_cont(n_tokens, 0.4), 6) AS thr
+                FROM scored
+            ),
+            s2 AS (
+                SELECT s.* FROM scored s, thr WHERE s.n_tokens >= thr.thr
+            ),
+            toks2 AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM s2 WHERE length(text) > 0
+            ),
+            segs AS (
+                SELECT doc_id, toks,
+                       CAST(unnest(generate_series(0,
+                           CAST(floor((len(toks) - 1) / 8) AS BIGINT))) AS BIGINT) AS seg_idx
+                FROM toks2
+            ),
+            seg_text AS (
+                SELECT doc_id, seg_idx,
+                       array_to_string(list_slice(toks, seg_idx * 8 + 1,
+                                                  seg_idx * 8 + 8), ' ') AS seg
+                FROM segs
+            ),
+            flagged AS (
+                SELECT doc_id, seg_idx,
+                       row_number() OVER (
+                           PARTITION BY md5(seg)
+                           ORDER BY doc_id, seg_idx) = 1 AS is_first
+                FROM seg_text
+            ),
+            keepers AS (
+                SELECT DISTINCT doc_id FROM flagged WHERE is_first
+            ),
+            s3 AS (SELECT s2.* FROM s2 JOIN keepers USING (doc_id)),
+            counts AS (
+                SELECT lang, count(*) AS n_g FROM s3 GROUP BY 1
+            ),
+            shared AS (
+                SELECT lang, n_g,
+                       pow(CAST(n_g AS DOUBLE), 0.5) AS p_raw
+                FROM counts
+            ),
+            tot AS (SELECT min(n_g / p_raw) AS t_over_z FROM shared),
+            rates AS (
+                SELECT lang,
+                       round(least(1.0, p_raw * t_over_z / n_g),
+                             6) AS keep_rate
+                FROM shared, tot
+            ),
+            s4 AS (
+                SELECT s3.* FROM s3 JOIN rates USING (lang)
+                WHERE {sampling_op.uniform01_sql("doc_id", "temp")}
+                      < keep_rate
+            ),
+            n0 AS (SELECT count(*) AS n FROM documents)
+            SELECT stage_idx, stage,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   round(CAST(n_docs AS DOUBLE)
+                         / (SELECT n FROM n0), 6) AS retained_share
+            FROM (
+                SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage,
+                       (SELECT count(*) FROM documents) AS n_docs
+                UNION ALL
+                SELECT 1, 'blocklist', (SELECT count(*) FROM s1)
+                UNION ALL
+                SELECT 2, 'quality_gate', (SELECT count(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'span_dedup', (SELECT count(*) FROM s3)
+                UNION ALL
+                SELECT 4, 'temperature_resample',
+                       (SELECT count(*) FROM s4)
+            )
+            ORDER BY stage_idx
+        """,
+        "part_affinity": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            n_orders AS (SELECT count(*) AS n FROM orders),
+            part_n AS (
+                SELECT l_partkey, count(*) AS n_p FROM op GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+                       count(*) AS n_both
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),
+            enriched AS (
+                SELECT p.p_a, p.p_b,
+                       CAST(p.n_both AS BIGINT) AS n_both,
+                       round(CAST(p.n_both AS DOUBLE) / o.n, 6) AS support,
+                       round((CAST(p.n_both AS DOUBLE) * o.n)
+                             / (CAST(na.n_p AS DOUBLE) * nb.n_p),
+                             6) AS lift
+                FROM pairs p
+                JOIN part_n na ON na.l_partkey = p.p_a
+                JOIN part_n nb ON nb.l_partkey = p.p_b
+                CROSS JOIN n_orders o
+            )
+            SELECT p_a, p_b, n_both, support, lift,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY n_both DESC, p_a, p_b) AS rnk
+                  FROM enriched)
+            WHERE rnk <= 20
         """,
         "sampled_revenue_estimate": f"""
             WITH s AS (

@@ -86,36 +86,7 @@ def write_snapshot(
     df.write.mode("error").parquet(commit_dir)
     spark = df.sparkSession
     new_files = sorted(spark.read.parquet(commit_dir).inputFiles())
-
-    versions = snapshot_versions(path)
-    parent = versions[-1] if versions else None
-    files = list(new_files)
-    if mode == "append" and parent is not None:
-        files = _load_manifest(path, parent)["files"] + files
-    version = (parent + 1) if parent is not None else 1
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "op": mode,
-        "schema": df.schema.json(),
-        "files": files,
-    }
-    mdir = os.path.join(path, _MANIFEST_DIR)
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    final = _manifest_path(path, version)
-    if os.path.exists(final):  # single-writer contract violated
-        os.remove(tmp)
-        raise RuntimeError(
-            f"snapshot version {version} already committed — "
-            "concurrent writers need external coordination"
-        )
-    os.rename(tmp, final)
-    return version
+    return _commit_files(spark, path, new_files, df.schema.json(), mode)
 
 
 def read_snapshot(
@@ -297,3 +268,94 @@ def compact_snapshot(
     # materialize via the normal commit path; 'overwrite' semantics
     # because the new version REPLACES the parent's file list
     return write_snapshot(compacted, path, mode="overwrite")
+
+
+class AuditFailed(RuntimeError):
+    """Raised when a write-audit-publish commit fails its checks; the
+    staged files are already reclaimable (no manifest references
+    them)."""
+
+    def __init__(self, report: list):
+        self.report = report
+        failed = [r["check"] for r in report if not r["passed"]]
+        super().__init__(
+            "snapshot audit failed: " + ", ".join(sorted(failed))
+        )
+
+
+def write_snapshot_audited(
+    df: DataFrame,
+    path: str,
+    checks: dict,
+    mode: str = "append",
+) -> tuple[int, list]:
+    """Write-Audit-Publish: stage ``df``'s data files, evaluate the
+    expectation suite (operators/expectations.py::row_checks) against
+    the STAGED data, and only then commit the manifest.  A failing
+    batch never becomes a version — readers cannot observe it, and
+    ``expire_snapshots`` reclaims its files like any crashed write.
+    Returns (version, report-rows) on success; raises
+    :class:`AuditFailed` (carrying the report) on violation.
+
+    This is the admission-gate composition a production table wants:
+    the quality report is computed from the files that would be
+    published (re-read, not the incoming plan), so what was audited
+    IS what readers see.
+    """
+    import uuid as _uuid
+
+    from real_time_data_analytics_cassandra_spark.operators.expectations import (
+        row_checks,
+    )
+
+    commit_dir = os.path.join(path, "data", f"snap-{_uuid.uuid4().hex}")
+    df.write.mode("error").parquet(commit_dir)
+    spark = df.sparkSession
+    staged = spark.read.schema(df.schema).parquet(commit_dir)
+    report = [r.asDict() for r in row_checks(staged, checks).collect()]
+    if any(not r["passed"] for r in report):
+        raise AuditFailed(report)
+    version = _commit_files(
+        spark, path, sorted(staged.inputFiles()), df.schema.json(), mode
+    )
+    return version, report
+
+
+def _commit_files(
+    spark: SparkSession,
+    path: str,
+    new_files: list,
+    schema_json: str,
+    mode: str,
+) -> int:
+    """Manifest-commit already-staged files (the shared tail of
+    write_snapshot and write_snapshot_audited)."""
+    versions = snapshot_versions(path)
+    parent = versions[-1] if versions else None
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _load_manifest(path, parent)["files"] + files
+    version = (parent + 1) if parent is not None else 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": mode,
+        "schema": schema_json,
+        "files": files,
+    }
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = _manifest_path(path, version)
+    if os.path.exists(final):  # single-writer contract violated
+        os.remove(tmp)
+        raise RuntimeError(
+            f"snapshot version {version} already committed — "
+            "concurrent writers need external coordination"
+        )
+    os.rename(tmp, final)
+    return version

@@ -294,6 +294,8 @@ _BNLJ_OK = {
     "heavy_hitter_tokens",  # 1-row error-mass broadcast
     "temperature_resample_langs",  # 1-row budget + kept-total broadcasts
     "data_quality_report",  # 1-row orphan/null-count broadcasts (FK check)
+    "part_affinity",  # 1-row order-count broadcast for support/lift
+    "pipeline_retention_funnel",  # per-stage 1-row threshold/total broadcasts
 }
 
 

@@ -187,3 +187,30 @@ def test_compact_snapshot_preserves_rows_and_bounds_files(spark, tmp_path):
     report = snap.expire_snapshots(path, keep_last=1)
     assert 4 in report["dropped_versions"]
     assert _ids(snap.read_snapshot(spark, path)) == list(range(40))
+
+
+def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
+    from real_time_data_analytics_cassandra_spark.sinks.snapshots import (
+        AuditFailed,
+        write_snapshot_audited,
+    )
+
+    path = str(tmp_path / "t")
+    checks = {"v_positive": F.col("v") > 0}
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    v, report = write_snapshot_audited(good, path, checks)
+    assert v == 1 and all(r["passed"] for r in report)
+
+    bad = spark.createDataFrame([(3, -5), (4, 30)], "k long, v long")
+    try:
+        write_snapshot_audited(bad, path, checks)
+        assert False, "audit must reject the batch"
+    except AuditFailed as e:
+        assert any(not r["passed"] for r in e.report)
+    # the failed batch never became a version; the table is unchanged
+    assert snap.snapshot_versions(path) == [1]
+    assert sorted(r["k"] for r in snap.read_snapshot(spark, path).collect()) == [1, 2]
+    # its staged files are reclaimable like a crashed write
+    rep = snap.expire_snapshots(path, keep_last=1)
+    assert rep["deleted_files"] > 0
+    assert sorted(r["k"] for r in snap.read_snapshot(spark, path).collect()) == [1, 2]
