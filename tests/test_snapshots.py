@@ -214,3 +214,21 @@ def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
     rep = snap.expire_snapshots(path, keep_last=1)
     assert rep["deleted_files"] > 0
     assert sorted(r["k"] for r in snap.read_snapshot(spark, path).collect()) == [1, 2]
+
+
+def test_crash_mid_commit_leaves_tmp_manifest_invisible(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 4), path)
+    # simulate a writer that died between staging the manifest and
+    # the atomic rename: a .tmp- file lingers in _manifests
+    tmp = os.path.join(path, "_manifests", ".tmp-deadbeef")
+    with open(tmp, "w") as fh:
+        fh.write('{"version": 99}')
+    assert snap.snapshot_versions(path) == [1]
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(4))
+    # and the next commit proceeds normally past the debris
+    v2 = snap.write_snapshot(_df(spark, 4, 6), path)
+    assert v2 == 2
+    assert _ids(snap.read_snapshot(spark, path)) == list(range(6))
