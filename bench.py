@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_prefix",
     "sampled_revenue_estimate",
     "part_affinity",
+    "part_pagerank",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

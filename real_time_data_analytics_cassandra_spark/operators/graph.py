@@ -89,6 +89,82 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 4,
+    unit: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, computed in
+    INTEGER "micro-rank" units so the result is bit-exact and
+    partitioning-order-invariant (floating-point summation order never
+    enters the algorithm; BIGINT sums are exact in any order).
+
+    Semantics (all integer arithmetic, reproducible in ANSI SQL):
+
+    - every node that appears as a SOURCE gets initial rank ``unit``
+      (callers wanting undirected semantics symmetrize first, which
+      also guarantees outdeg >= 1 for every node);
+    - per edge u->v, u contributes ``rank_u div outdeg_u`` (integer
+      division, remainder deliberately dropped — deterministic);
+    - ``rank'_v = (unit*(damp_den-damp_num)) div damp_den
+      + (damp_num * sum(contribs)) div damp_den``;
+    - exactly ``iterations`` rounds, no convergence test (a count()
+      race between "close enough" thresholds would make the result
+      depend on scheduling; a fixed depth keeps it a pure function
+      of the input).
+
+    Overflow: total rank mass stays <= N*unit, so the damped sum
+    ``damp_num * s`` needs N*unit*damp_num < 2^63 — with the default
+    unit=1e9 that allows ~1e8 nodes; drop ``unit`` to 1e6 for larger
+    graphs (precision trades off against node count, explicitly).
+
+    At 100 TB: each iteration is two hash-partitioned passes (join
+    contributions on the source key, re-aggregate on the destination
+    key) over a ``localCheckpoint``-materialized edge list; lineage is
+    truncated per iteration exactly like :func:`connected_components`,
+    so plan cost is O(1) per round and the loop is O(iterations).
+    """
+    base = (unit * (damp_den - damp_num)) // damp_den
+    ew = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = ew.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (u, v, outdeg) once; every iteration reuses this materialization.
+    ewd = ew.join(deg, "u").localCheckpoint(eager=True)
+    ranks = (
+        ew.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("r", F.lit(unit).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contribs = (
+            ewd.join(ranks, ewd.u == ranks.id)
+            .select(F.col("v").alias("id"), F.expr("r div outdeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("r").alias("rank_micro"))
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_docs: DataFrame,

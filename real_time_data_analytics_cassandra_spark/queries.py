@@ -3828,6 +3828,96 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_a", "p_b", "n_both", "support", "lift", "rnk")
 
 
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of parts over the co-purchase graph (parts
+    are linked when they appear in the same order) — "which products
+    anchor the catalog", the graph-centrality upgrade of
+    :func:`part_affinity`'s pairwise lift.
+
+    Exactness: ranks are computed in integer micro-units
+    (operators/graph.py::pagerank), so the result is a pure function
+    of the edge set — no floating-point summation order anywhere —
+    and the unrolled-SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: the edge list is the per-order self-join (bounded by
+    items-per-order squared, never |lineitem|^2), materialized ONCE
+    via localCheckpoint; each of the 4 fixed iterations is two
+    hash-partitioned passes over it with lineage truncated per round.
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+        .join(
+            op.select(F.col("l_orderkey"), F.col("l_partkey").alias("v")),
+            "l_orderkey",
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    ranks = pagerank(edges, "u", "v", iterations=4)
+    return (
+        ranks.select(
+            F.col("id").alias("p_partkey"),
+            F.col("rank_micro").cast("long").alias("rank_micro"),
+            (F.col("rank_micro").cast("double") / F.lit(1e9)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled ANSI-SQL mirror of operators/graph.py::pagerank over
+    the part co-purchase graph: one CTE pair (contribs, ranks) per
+    iteration, all arithmetic in BIGINT with `//` integer division so
+    DuckDB reproduces the Spark result exactly."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        )""",
+        "deg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY u)",
+        """r0 AS (
+            SELECT u AS id, CAST(1000000000 AS BIGINT) AS r FROM deg
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT e.v AS id, sum(r.r // d.outdeg) AS s
+            FROM edges e
+            JOIN r{i - 1} r ON r.id = e.u
+            JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+        )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT p.id,
+                   150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+            FROM r{i - 1} p LEFT JOIN c{i} c ON c.id = p.id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS p_partkey,
+               r AS rank_micro,
+               CAST(r AS DOUBLE) / 1e9 AS rank
+        FROM r{iterations}
+        ORDER BY rank_micro DESC, p_partkey
+        LIMIT 50
+    """
+    )
+
+
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson estimation from a deterministic hash sample:
     per order-priority, the EXACT revenue total computed from only
@@ -4358,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix": ngram_jaccard_prefix,
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
+        "part_pagerank": part_pagerank,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -4639,6 +4730,7 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY stage_idx
         """,
+        "part_pagerank": _pagerank_oracle_sql(4),
         "part_affinity": """
             WITH op AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
