@@ -3890,7 +3890,7 @@ def _pagerank_oracle_sql(iterations: int = 4) -> str:
     for i in range(1, iterations + 1):
         ctes.append(
             f"""c{i} AS (
-            SELECT e.v AS id, sum(r.r // d.outdeg) AS s
+            SELECT e.v AS id, CAST(sum(r.r // d.outdeg) AS BIGINT) AS s
             FROM edges e
             JOIN r{i - 1} r ON r.id = e.u
             JOIN deg d ON d.u = e.u
@@ -3898,9 +3898,14 @@ def _pagerank_oracle_sql(iterations: int = 4) -> str:
         )"""
         )
         ctes.append(
+            # CASTs pin every engine-widened intermediate (DuckDB sums
+            # BIGINT into HUGEINT, which pandas would surface as
+            # float64 and break the driver's value-hash) back to the
+            # BIGINT the Spark side carries.
             f"""r{i} AS (
             SELECT p.id,
-                   150000000 + (85 * coalesce(c.s, 0)) // 100 AS r
+                   CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS r
             FROM r{i - 1} p LEFT JOIN c{i} c ON c.id = p.id
         )"""
         )
