@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",
+    "kmv_user_overlap",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

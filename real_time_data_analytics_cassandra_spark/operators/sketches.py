@@ -202,3 +202,83 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+# The fourth sketch family: DISTINCT-COUNT estimation that, unlike
+# HLL, also supports SET operations (union, intersection, Jaccard)
+# between independently-built sketches — the theta-sketch use case
+# (Dasgupta et al., "Theta Sketch Framework", 2016; Beyer et al.,
+# "On Synopses for Distinct-Value Estimation", SIGMOD'07).
+#
+# A sketch is the k smallest values of a fixed uniform hash over the
+# set.  Estimate: (k-1) / h_k (h_k scaled to (0,1]).  Union: the k
+# smallest of the sketch union.  Jaccard: the fraction of the union
+# sketch present in both input sketches; intersection = J * |A∪B|.
+#
+# Everything is DETERMINISTIC — the hash is the same engine-portable
+# md5 48-bit prefix the samplers use (sampling.py::uniform01), so the
+# sketch, and therefore the estimate, is a pure function of the value
+# SET: any engine, any partitioning, any run produces bit-identical
+# results, which is what lets a plain SQL oracle reproduce it.
+#
+# Scale shape: per set, one distinct-project of the key followed by a
+# TakeOrdered(k) — no full sort, no wide shuffle; every later step
+# operates on <= k-row frames (driver-safe, broadcast-safe).  Sketches
+# are mergeable rows: persist them per partition/day and re-union
+# later without touching the base data.
+
+KMV_SCALE = 16**12  # 48-bit hash space; max value < 2^48 << 2^53
+
+
+def kmv_hash(c, salt: str = "kmv"):
+    """48-bit engine-portable uniform hash of a column (md5 prefix).
+    12 hex chars keep every value exactly representable as a double,
+    so (k-1)*SCALE/h_k is a single correctly-rounded IEEE division in
+    any engine."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_hash_sql(expr: str, salt: str = "kmv") -> str:
+    """DuckDB expression computing exactly :func:`kmv_hash`."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 12)"
+        " AS BIGINT)"
+    )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256, salt: str = "kmv") -> DataFrame:
+    """The sketch: k smallest DISTINCT hash values of ``df[col]``.
+    Output a single column ``h`` (bigint).  TakeOrdered plan — the
+    k-row result never round-trips the driver."""
+    return (
+        df.select(kmv_hash(col, salt).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int, alias: str = "est_distinct") -> DataFrame:
+    """1-row distinct-count estimate from a sketch: exact when the set
+    had fewer than k distinct hashes (the sketch IS the set), else the
+    (k-1)/h_k order-statistic estimator, rounded to 4dp."""
+    return sketch.agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("h_max")
+    ).select(
+        F.round(
+            F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(float(KMV_SCALE))
+                / F.col("h_max").cast("double")
+            ),
+            4,
+        ).alias(alias)
+    )

@@ -3923,6 +3923,123 @@ def _pagerank_oracle_sql(iterations: int = 4) -> str:
     )
 
 
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities from KMV (bottom-k) sketches: how
+    many distinct users signed up, purchased, did either, did BOTH —
+    the audience-overlap question HLL cannot answer (HLL unions but
+    never intersects).  operators/sketches.py::kmv_sketch; Dasgupta
+    et al.'s theta-sketch estimator over a deterministic md5 hash, so
+    the whole pipeline is a pure function of the user-id sets and the
+    SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: per set one distinct-project + TakeOrdered(k) — no
+    full sort; both sketches are localCheckpoint-materialized 256-row
+    frames, so the union / membership / estimate algebra that follows
+    never rescans events and every join is a broadcast of <= k rows.
+    At 100 TB you would persist the sketches per day/source and run
+    exactly the post-scan algebra here on the stored rows (they are
+    mergeable: union-then-bottom-k preserves the estimator).
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        KMV_SCALE,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k = 256
+    events = table(spark, sf_dir, "events")
+    a = kmv_sketch(
+        events.filter(F.col("event_type") == "signup"), "user_id", k
+    ).localCheckpoint(eager=True)
+    b = kmv_sketch(
+        events.filter(F.col("event_type") == "purchase"), "user_id", k
+    ).localCheckpoint(eager=True)
+    u = a.union(b).distinct().orderBy("h").limit(k).localCheckpoint(eager=True)
+    est_a = kmv_estimate(a, k, "est_signup")
+    est_b = kmv_estimate(b, k, "est_purchase")
+    est_u = kmv_estimate(u, k, "est_union")
+    inter = u.join(a, "h").join(b, "h").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    ku = u.agg(F.count(F.lit(1)).alias("k_u"))
+    row = (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(ku))
+    )
+    with_j = row.select(
+        F.lit(k).alias("k"),
+        "est_signup",
+        "est_purchase",
+        "est_union",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("k_u"), 6
+        ).alias("jaccard"),
+    )
+    return with_j.select(
+        "*",
+        F.round(F.col("jaccard") * F.col("est_union"), 4).alias(
+            "est_intersection"
+        ),
+    )
+
+
+def _kmv_overlap_oracle_sql(k: int = 256) -> str:
+    """ANSI-SQL mirror of kmv_user_overlap: same md5 48-bit hash, same
+    bottom-k order statistics, same (k-1)*2^48/h_k estimator.  The
+    scale constant is a power of two, so (k-1)*SCALE is exactly
+    representable and every arithmetic step is one correctly-rounded
+    IEEE op in both engines."""
+    h = (
+        "CAST('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 12)"
+        " AS BIGINT)"
+    )
+    scale = float(16**12)
+    est = (
+        "round(CASE WHEN {t}.n < {k} THEN CAST({t}.n AS DOUBLE) "
+        "ELSE {km1} * {scale!r} / CAST({t}.hm AS DOUBLE) END, 4)"
+    )
+    return f"""
+        WITH a AS (
+            SELECT DISTINCT {h} AS h FROM events
+            WHERE event_type = 'signup' ORDER BY h LIMIT {k}
+        ),
+        b AS (
+            SELECT DISTINCT {h} AS h FROM events
+            WHERE event_type = 'purchase' ORDER BY h LIMIT {k}
+        ),
+        u AS (
+            SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+            ORDER BY h LIMIT {k}
+        ),
+        ea AS (SELECT count(*) AS n, max(h) AS hm FROM a),
+        eb AS (SELECT count(*) AS n, max(h) AS hm FROM b),
+        eu AS (SELECT count(*) AS n, max(h) AS hm FROM u),
+        inter AS (
+            SELECT count(*) AS n_inter
+            FROM u JOIN a USING (h) JOIN b USING (h)
+        ),
+        ku AS (SELECT count(*) AS k_u FROM u),
+        base AS (
+            SELECT {k} AS k,
+                   {est.format(t="ea", k=k, km1=float(k - 1), scale=scale)}
+                       AS est_signup,
+                   {est.format(t="eb", k=k, km1=float(k - 1), scale=scale)}
+                       AS est_purchase,
+                   {est.format(t="eu", k=k, km1=float(k - 1), scale=scale)}
+                       AS est_union,
+                   round(CAST(inter.n_inter AS DOUBLE) / ku.k_u, 6)
+                       AS jaccard
+            FROM ea, eb, eu, inter, ku
+        )
+        SELECT k, est_signup, est_purchase, est_union, jaccard,
+               round(jaccard * est_union, 4) AS est_intersection
+        FROM base
+    """
+
+
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson estimation from a deterministic hash sample:
     per order-priority, the EXACT revenue total computed from only
@@ -4454,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
+        "kmv_user_overlap": kmv_user_overlap,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -4736,6 +4854,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stage_idx
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
+        "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
         "part_affinity": """
             WITH op AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

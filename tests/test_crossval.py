@@ -364,3 +364,68 @@ def test_prefix_jaccard_equals_naive_and_prunes_candidates(spark):
     )
     assert pref_cands < naive_cands
     assert len(pref) <= pref_cands
+
+
+def test_kmv_estimates_within_error_bounds(spark):
+    """KMV estimator branch (distinct >> k): two synthetic id sets
+    with known cardinalities and overlap; the (k-1)/h_k estimate must
+    land within ~4 standard errors (sigma ~= n/sqrt(k-1), k=256 ->
+    ~6.3% relative) of the truth for |A|, |B|, |A∪B|, and the
+    sketch-derived intersection within the same tolerance of 2500."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k = 256
+    a_df = spark.range(0, 5000).select(F.col("id"))
+    b_df = spark.range(2500, 7500).select(F.col("id"))
+    sa = kmv_sketch(a_df, "id", k).localCheckpoint(eager=True)
+    sb = kmv_sketch(b_df, "id", k).localCheckpoint(eager=True)
+    su = sa.union(sb).distinct().orderBy("h").limit(k)
+
+    est_a = kmv_estimate(sa, k).collect()[0][0]
+    est_b = kmv_estimate(sb, k).collect()[0][0]
+    est_u = kmv_estimate(su, k).collect()[0][0]
+    rel = 4 / (k - 1) ** 0.5  # ~25% at k=256, 4-sigma
+    assert abs(est_a - 5000) / 5000 < rel, est_a
+    assert abs(est_b - 5000) / 5000 < rel, est_b
+    assert abs(est_u - 7500) / 7500 < rel, est_u
+
+    n_inter = su.join(sa, "h").join(sb, "h").count()
+    k_u = su.count()
+    est_inter = (n_inter / k_u) * est_u
+    # intersection compounds jaccard + union noise; allow 6 sigma
+    assert abs(est_inter - 2500) / 2500 < 6 / (k - 1) ** 0.5, est_inter
+
+
+def test_kmv_sketch_is_mergeable_and_partition_invariant(spark):
+    """Bottom-k of a union of sketches == sketch of the union (the
+    mergeability that lets sketches be persisted per shard/day), and
+    the sketch is a pure function of the value set (repartition/dup
+    invariant)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    k = 64
+    a_df = spark.range(0, 3000)
+    b_df = spark.range(1500, 4000)
+    direct = kmv_sketch(a_df.union(b_df), "id", k)
+    merged = (
+        kmv_sketch(a_df, "id", k)
+        .union(kmv_sketch(b_df, "id", k))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    assert [r.h for r in direct.collect()] == [r.h for r in merged.collect()]
+
+    shuffled = kmv_sketch(
+        a_df.union(b_df).union(a_df).repartition(13), "id", k
+    )
+    assert {r.h for r in shuffled.collect()} == {r.h for r in direct.collect()}

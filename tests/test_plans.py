@@ -296,6 +296,7 @@ _BNLJ_OK = {
     "data_quality_report",  # 1-row orphan/null-count broadcasts (FK check)
     "part_affinity",  # 1-row order-count broadcast for support/lift
     "pipeline_retention_funnel",  # per-stage 1-row threshold/total broadcasts
+    "kmv_user_overlap",  # algebra over 1-row estimates of <=k-row sketches
 }
 
 
