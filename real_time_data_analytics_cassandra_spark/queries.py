@@ -4040,6 +4040,51 @@ def _kmv_overlap_oracle_sql(k: int = 256) -> str:
     """
 
 
+def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over product names: blocked Levenshtein
+    matching (operators/linkage.py) finds part-name aliases — names
+    sharing a head noun within edit distance 2 — and sizes each side
+    by how many catalog rows carry the name.  The record-linkage
+    primitive for master-data dedup at training-corpus scale.
+
+    Scale shape: the quadratic comparison runs on the DISTINCT name
+    relation (attribute variety, not row count), per block, with a
+    hard block-size cap; the join back to per-name part counts is a
+    broadcast of that same small relation.  One wide shuffle total
+    (the part-count groupBy).
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    part = table(spark, sf_dir, "part")
+    pairs = fuzzy_match_pairs(part, "p_name", max_distance=2)
+    counts = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pairs.join(
+            F.broadcast(counts.withColumnRenamed("name", "name_a")), "name_a"
+        )
+        .withColumnRenamed("n_parts", "n_parts_a")
+        .join(
+            F.broadcast(counts.withColumnRenamed("name", "name_b")), "name_b"
+        )
+        .withColumnRenamed("n_parts", "n_parts_b")
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            F.col("distance").cast("int").alias("distance"),
+            "similarity",
+            F.col("n_parts_a").cast("long").alias("n_parts_a"),
+            F.col("n_parts_b").cast("long").alias("n_parts_b"),
+        )
+        .orderBy("block", "name_a", "name_b")
+    )
+
+
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson estimation from a deterministic hash sample:
     per order-priority, the EXACT revenue total computed from only
@@ -4572,6 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
         "kmv_user_overlap": kmv_user_overlap,
+        "entity_match_parts": entity_match_parts,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -4855,6 +4901,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "entity_match_parts": """
+            WITH names AS (
+                SELECT DISTINCT p_name AS name,
+                       regexp_extract(p_name, '[^ ]+$') AS block
+                FROM part
+            ),
+            counts AS (
+                SELECT p_name AS name, count(*) AS n_parts
+                FROM part GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.block,
+                       a.name AS name_a,
+                       b.name AS name_b,
+                       levenshtein(a.name, b.name) AS distance
+                FROM names a JOIN names b ON a.block = b.block
+                WHERE a.name < b.name
+            )
+            SELECT p.block,
+                   p.name_a,
+                   p.name_b,
+                   CAST(p.distance AS INTEGER) AS distance,
+                   round(1.0 - CAST(p.distance AS DOUBLE)
+                             / CAST(greatest(length(p.name_a),
+                                             length(p.name_b)) AS DOUBLE),
+                         6) AS similarity,
+                   ca.n_parts AS n_parts_a,
+                   cb.n_parts AS n_parts_b
+            FROM pairs p
+            JOIN counts ca ON ca.name = p.name_a
+            JOIN counts cb ON cb.name = p.name_b
+            WHERE p.distance <= 2
+            ORDER BY p.block, p.name_a, p.name_b
+        """,
         "part_affinity": """
             WITH op AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
