@@ -63,10 +63,52 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _file_column_stats(files: list, cols: tuple) -> dict:
+    """Per-file min/max for ``cols`` from parquet FOOTERS (metadata
+    only — no data pages are read; the writer already computed these
+    statistics).  Values are normalized JSON-safe: numerics kept,
+    everything else (timestamps included) serialized with ``str()``,
+    whose fixed ``YYYY-MM-DD HH:MM:SS`` form is order-preserving — so
+    pruning can compare bounds with plain Python ordering.
+
+    Driver-side loop: O(files) ~KB footer reads, the same cost class
+    as the manifest itself.  On a real cluster parallelize it
+    (``sc.parallelize(files).map(...)``) or collect the stats from the
+    write tasks — the manifest format does not change.
+    """
+    import pyarrow.parquet as pq
+
+    def norm(v):
+        return v if isinstance(v, (int, float)) else str(v)
+
+    out = {}
+    for f in files:
+        local = f[len("file:") :] if f.startswith("file:") else f
+        meta = pq.ParquetFile(local).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        per = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                per[c] = [norm(min(mins)), norm(max(maxs))]
+        out[f] = per
+    return out
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    stats_cols: tuple = (),
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version.
 
@@ -86,7 +128,10 @@ def write_snapshot(
     df.write.mode("error").parquet(commit_dir)
     spark = df.sparkSession
     new_files = sorted(spark.read.parquet(commit_dir).inputFiles())
-    return _commit_files(spark, path, new_files, df.schema.json(), mode)
+    stats = _file_column_stats(new_files, tuple(stats_cols)) if stats_cols else {}
+    return _commit_files(
+        spark, path, new_files, df.schema.json(), mode, file_stats=stats
+    )
 
 
 def read_snapshot(
@@ -111,6 +156,69 @@ def read_snapshot(
     if not manifest["files"]:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*manifest["files"])
+
+
+def scan_snapshot(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan with MANIFEST-LEVEL file skipping: plan the read
+    over only the files whose recorded [min, max] for ``col`` overlaps
+    [lo, hi] (either bound may be None for a half-open range), then
+    apply the residual row filter.  Semantically identical to
+    ``read_snapshot(...).filter(...)`` — asserted in tests — but the
+    scan never opens pruned files at all, BEFORE parquet's own
+    row-group skipping gets a say.
+
+    This is the Iceberg data-skipping design: at 100 TB, planning
+    reads one manifest and the file list shrinks by the clustering
+    factor of ``col`` (write sorted/z-ordered on the skip columns to
+    make the factor large).  Files committed without stats for
+    ``col`` are conservatively kept.  Bounds follow the stats
+    normalization: numerics compare numerically, timestamps as their
+    ``str()`` form (pass a 'YYYY-MM-DD HH:MM:SS' string).
+    """
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots at {path}")
+    v = versions[-1] if version is None else version
+    manifest = _load_manifest(path, v)
+    stats = manifest.get("file_stats", {})
+
+    def keep(f: str) -> bool:
+        s = stats.get(f, {}).get(col)
+        if not s:
+            return True
+        fmin, fmax = s
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
+    kept = [f for f in manifest["files"] if keep(f)]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not kept:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*kept)
+    from pyspark.sql import functions as F
+
+    # string bounds against a timestamp column coerce literal-side
+    # (Catalyst casts the literal, not the column), so the residual
+    # predicate stays pushdown-eligible for parquet row-group skipping
+    c = F.col(col)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
@@ -327,14 +435,20 @@ def _commit_files(
     new_files: list,
     schema_json: str,
     mode: str,
+    file_stats: dict | None = None,
 ) -> int:
     """Manifest-commit already-staged files (the shared tail of
     write_snapshot and write_snapshot_audited)."""
     versions = snapshot_versions(path)
     parent = versions[-1] if versions else None
     files = list(new_files)
+    stats = dict(file_stats or {})
     if mode == "append" and parent is not None:
-        files = _load_manifest(path, parent)["files"] + files
+        pm = _load_manifest(path, parent)
+        files = pm["files"] + files
+        # retained files keep their recorded stats (files are
+        # immutable, so parent stats stay valid forever)
+        stats = {**pm.get("file_stats", {}), **stats}
     version = (parent + 1) if parent is not None else 1
     manifest = {
         "version": version,
@@ -342,6 +456,7 @@ def _commit_files(
         "op": mode,
         "schema": schema_json,
         "files": files,
+        "file_stats": stats,
     }
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)

@@ -232,3 +232,68 @@ def test_crash_mid_commit_leaves_tmp_manifest_invisible(spark, tmp_path):
     v2 = snap.write_snapshot(_df(spark, 4, 6), path)
     assert v2 == 2
     assert _ids(snap.read_snapshot(spark, path)) == list(range(6))
+
+
+def _clustered(spark, lo, hi, files=4):
+    # range-partition on id so each data file carries a tight id span
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(files, "id")
+    )
+
+
+def test_scan_snapshot_prunes_files_by_manifest_stats(spark, tmp_path):
+    """File skipping: a range predicate on the clustering column must
+    plan over strictly fewer files than the table holds, and return
+    exactly what read_snapshot().filter() returns."""
+    path = str(tmp_path / "t")
+    snap.write_snapshot(
+        _clustered(spark, 0, 1000), path, mode="append", stats_cols=("id", "v")
+    )
+    total = len(snap.read_snapshot(spark, path).inputFiles())
+    assert total >= 4
+    pruned = snap.scan_snapshot(spark, path, "id", lo=10, hi=60)
+    assert len(pruned.inputFiles()) < total
+    full = snap.read_snapshot(spark, path).filter(
+        (F.col("id") >= 10) & (F.col("id") <= 60)
+    )
+    assert _ids(pruned) == _ids(full) == list(range(10, 61))
+    # half-open ranges prune too
+    tail = snap.scan_snapshot(spark, path, "id", lo=900)
+    assert len(tail.inputFiles()) < total
+    assert _ids(tail) == list(range(900, 1000))
+
+
+def test_scan_snapshot_append_merges_stats_and_keeps_statless_files(
+    spark, tmp_path
+):
+    """Retained parent files keep their stats across appends; files
+    committed WITHOUT stats are conservatively kept in every scan."""
+    path = str(tmp_path / "t")
+    snap.write_snapshot(
+        _clustered(spark, 0, 400), path, mode="append", stats_cols=("id",)
+    )
+    # second commit without stats: must always be scanned
+    snap.write_snapshot(_clustered(spark, 400, 500, files=1), path, mode="append")
+    snap.write_snapshot(
+        _clustered(spark, 500, 900), path, mode="append", stats_cols=("id",)
+    )
+    total = len(snap.read_snapshot(spark, path).inputFiles())
+    pruned = snap.scan_snapshot(spark, path, "id", lo=0, hi=50)
+    assert _ids(pruned) == list(range(0, 51))
+    kept = set(pruned.inputFiles())
+    assert len(kept) < total
+    # the statless commit's file(s) survive pruning despite not matching
+    mani = snap._load_manifest(path, snap.snapshot_versions(path)[-1])
+    statless = [f for f in mani["files"] if "id" not in mani["file_stats"].get(f, {})]
+    assert statless and all(f in kept for f in statless)
+
+
+def test_scan_snapshot_empty_prune_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(
+        _clustered(spark, 0, 100), path, mode="append", stats_cols=("id",)
+    )
+    out = snap.scan_snapshot(spark, path, "id", lo=10_000)
+    assert out.columns == ["id", "v"] and out.count() == 0
