@@ -85,3 +85,60 @@ def fuzzy_match_pairs(
             ),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    entities: DataFrame,
+    name_col: str,
+    window: int = 2,
+    max_distance: int = 3,
+    block_pattern: str = "^[^ ]+",
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo,
+    SIGMOD'95): order distinct attribute values and compare each only
+    to its ``window`` successors in sort order — O(n·w) comparisons
+    that catch prefix-aligned variants equality blocking misses.
+
+    Implemented per block (default: the FIRST token) with
+    ``lead(name, i)`` over the in-block sort, so the sort is a
+    hash-partitioned window — never a single global-order task; block
+    count bounds parallelism and the widest block bounds task size.
+    Output matches :func:`fuzzy_match_pairs`'s shape: (block, name_a,
+    name_b, distance, similarity), name_a < name_b guaranteed by the
+    sort itself.
+    """
+    names = (
+        entities.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("block", block_key("name", block_pattern))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("block").orderBy("name")
+    neighbors = names.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.array(
+            *[F.lead("name", i).over(w) for i in range(1, window + 1)]
+        ).alias("__succ"),
+    ).select(
+        "block",
+        "name_a",
+        F.explode("__succ").alias("name_b"),
+    )
+    return (
+        neighbors.filter(F.col("name_b").isNotNull())
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .withColumn(
+            "similarity",
+            F.round(
+                F.lit(1.0)
+                - F.col("distance").cast("double")
+                / F.greatest(F.length("name_a"), F.length("name_b")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+    )

@@ -4085,6 +4085,32 @@ def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second record-linkage candidate generator: per-block
+    sorted-neighborhood (compare each distinct name with its 2
+    successors in sort order) — catches prefix-aligned variants that
+    head-noun blocking misses, at O(n·w) comparisons.  Blocked on the
+    FIRST token, so pairs here share a modifier ("red bolt"/"red
+    gear") where entity_match_parts pairs share the noun.
+
+    Scale shape: one hash-partitioned window (block key) over the
+    DISTINCT name relation; no self-join at all — the candidate set
+    is generated by lead() inside the sort that the window already
+    paid for.
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = table(spark, sf_dir, "part")
+    return (
+        sorted_neighborhood_pairs(part, "p_name", window=2, max_distance=4)
+        .withColumn("distance", F.col("distance").cast("int"))
+        .orderBy("block", "name_a", "name_b")
+    )
+
+
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson estimation from a deterministic hash sample:
     per order-priority, the EXACT revenue total computed from only
@@ -4618,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": part_pagerank,
         "kmv_user_overlap": kmv_user_overlap,
         "entity_match_parts": entity_match_parts,
+        "entity_sorted_neighborhood": entity_sorted_neighborhood,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -4901,6 +4928,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "entity_sorted_neighborhood": """
+            WITH names AS (
+                SELECT DISTINCT p_name AS name,
+                       regexp_extract(p_name, '^[^ ]+') AS block
+                FROM part
+            ),
+            cands AS (
+                SELECT block, name AS name_a, succ AS name_b
+                FROM (
+                    SELECT block, name,
+                           lead(name, 1) OVER (
+                               PARTITION BY block ORDER BY name
+                           ) AS s1,
+                           lead(name, 2) OVER (
+                               PARTITION BY block ORDER BY name
+                           ) AS s2
+                    FROM names
+                ), unnest([s1, s2]) AS t(succ)
+                WHERE succ IS NOT NULL
+            )
+            SELECT block, name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance,
+                   round(1.0 - CAST(levenshtein(name_a, name_b) AS DOUBLE)
+                             / CAST(greatest(length(name_a),
+                                             length(name_b)) AS DOUBLE),
+                         6) AS similarity
+            FROM cands
+            WHERE levenshtein(name_a, name_b) <= 4
+            ORDER BY block, name_a, name_b
+        """,
         "entity_match_parts": """
             WITH names AS (
                 SELECT DISTINCT p_name AS name,
