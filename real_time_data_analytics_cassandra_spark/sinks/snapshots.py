@@ -221,6 +221,153 @@ def scan_snapshot(
     return df
 
 
+def _bloom_positions(col, bits: int, k: int):
+    """k bit positions for a value: pmod(xxhash64(value, seed_i), bits)
+    — the SAME JVM expression at build and probe time, so membership
+    is consistent by construction (no cross-language hash reimpl)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(bits)).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def add_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    bits: int = 16384,
+    k: int = 5,
+    version: int | None = None,
+) -> int:
+    """Build a per-file Bloom filter over ``col`` for a committed
+    version and commit it as a NEW metadata-only version (op
+    ``index`` — same files, same stats, plus the index).  Point
+    lookups through :func:`lookup_snapshot` then open only the files
+    whose filter admits the key — the Iceberg/Delta bloom-column
+    design for needle-in-100-TB reads on NON-clustered columns, where
+    min/max skipping is useless.
+
+    Build cost: ONE distributed scan of the version's files projecting
+    (input_file_name, col); bit positions explode map-side and
+    aggregate with bit_or into 64-bit words, so the shuffle carries at
+    most files × bits/64 rows — KBs per file, independent of row
+    count.  Default sizing (16 Ki bits, k=5) holds ~1.6k distinct
+    keys/file at ~1% false-positive rate; scale ``bits`` with rows
+    per file (the manifest stores sizing per column, so re-indexing
+    with different parameters is just another commit).
+    """
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots at {path}")
+    v = versions[-1] if version is None else version
+    manifest = _load_manifest(path, v)
+    if not manifest["files"]:
+        words = []
+    else:
+        df = spark.read.parquet(*manifest["files"])
+        words = (
+            df.select(
+                F.input_file_name().alias("__f"),
+                F.explode(_bloom_positions(F.col(col), bits, k)).alias("__p"),
+            )
+            .filter(F.col("__p").isNotNull())
+            .select(
+                "__f",
+                F.expr("int(__p div 64)").alias("__w"),
+                F.expr("shiftleft(1L, int(__p % 64))").alias("__m"),
+            )
+            .groupBy("__f", "__w")
+            .agg(F.bit_or("__m").alias("__mask"))
+            .collect()
+        )
+    index: dict = {}
+    for r in words:
+        index.setdefault(r["__f"], {})[str(r["__w"])] = r["__mask"]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    bloom = manifest.get("bloom", {})
+    bloom[col] = {
+        "bits": bits,
+        "k": k,
+        # probe literals must hash EXACTLY like the stored column —
+        # xxhash64(int) != xxhash64(long) — so the indexed type
+        # travels with the index and lookups cast to it
+        "type": schema[col].dataType.simpleString(),
+        "files": {f: index.get(f, {}) for f in manifest["files"]},
+    }
+    new_version = versions[-1] + 1
+    new_manifest = {
+        **manifest,
+        "version": new_version,
+        "parent": v,
+        "op": "index",
+        "bloom": bloom,
+    }
+    _atomic_write_manifest(path, new_version, new_manifest)
+    return new_version
+
+
+def lookup_snapshot(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup ``col == value`` that consults the version's Bloom
+    index (if :func:`add_bloom_index` committed one) to open only the
+    files that can contain the key; falls back to scanning all files
+    when no index covers ``col``.  Result is exactly
+    ``read_snapshot(...).filter(col == value)`` — Bloom filters admit
+    false positives (handled by the residual filter), never false
+    negatives."""
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots at {path}")
+    v = versions[-1] if version is None else version
+    manifest = _load_manifest(path, v)
+    entry = manifest.get("bloom", {}).get(col)
+    files = manifest["files"]
+    if entry and files:
+        bits, k = entry["bits"], entry["k"]
+        probe = (
+            spark.range(1)
+            .select(
+                _bloom_positions(
+                    F.lit(value).cast(entry["type"]), bits, k
+                ).alias("p")
+            )
+            .collect()[0]["p"]
+        )
+        def admits(f: str) -> bool:
+            words = entry["files"].get(f)
+            if words is None:  # file unknown to the index: must scan
+                return True
+            return all(
+                (int(words.get(str(p // 64), 0)) >> (p % 64)) & 1
+                for p in probe
+            )
+
+        files = [f for f in files if admits(f)]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*files)
+    return df.filter(F.col(col) == F.lit(value))
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` versions and delete data
     files no retained version references (orphans from crashed
@@ -458,6 +605,11 @@ def _commit_files(
         "files": files,
         "file_stats": stats,
     }
+    _atomic_write_manifest(path, version, manifest)
+    return version
+
+
+def _atomic_write_manifest(path: str, version: int, manifest: dict) -> None:
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
@@ -473,4 +625,3 @@ def _commit_files(
             "concurrent writers need external coordination"
         )
     os.rename(tmp, final)
-    return version

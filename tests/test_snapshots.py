@@ -297,3 +297,41 @@ def test_scan_snapshot_empty_prune_keeps_schema(spark, tmp_path):
     )
     out = snap.scan_snapshot(spark, path, "id", lo=10_000)
     assert out.columns == ["id", "v"] and out.count() == 0
+
+
+def test_bloom_index_prunes_point_lookup_files(spark, tmp_path):
+    """Bloom file index: a point lookup on a NON-clustered column
+    (ids hashed across files, so min/max skipping is useless) must
+    open a strict subset of the files and return exactly the
+    full-scan answer; the index commit is metadata-only (new version,
+    identical file list)."""
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 2000)
+        .select(F.col("id"), (F.col("id") % 7).alias("g"))
+        .repartition(8, "g")  # id values spread across every file
+    )
+    v1 = snap.write_snapshot(df, path, mode="append")
+    v2 = snap.add_bloom_index(spark, path, "id")
+    assert v2 == v1 + 1
+    m1 = snap._load_manifest(path, v1)
+    m2 = snap._load_manifest(path, v2)
+    assert m2["files"] == m1["files"] and m2["op"] == "index"
+
+    total = len(snap.read_snapshot(spark, path).inputFiles())
+    hit = snap.lookup_snapshot(spark, path, "id", 1234)
+    assert [r["id"] for r in hit.collect()] == [1234]
+    assert len(hit.inputFiles()) < total
+
+    # absent key: the residual filter guarantees zero rows even if a
+    # false positive admits a file
+    miss = snap.lookup_snapshot(spark, path, "id", 999_999)
+    assert miss.count() == 0
+    assert len(miss.inputFiles() if miss.inputFiles() else []) <= total
+
+
+def test_lookup_without_index_scans_all_files_correctly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_clustered(spark, 0, 300), path, mode="append")
+    out = snap.lookup_snapshot(spark, path, "id", 42)
+    assert [r["id"] for r in out.collect()] == [42]
