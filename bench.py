@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "kmv_user_overlap",
     "entity_match_parts",
     "entity_sorted_neighborhood",
+    "join_size_estimate_cms",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

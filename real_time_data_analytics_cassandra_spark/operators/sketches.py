@@ -282,3 +282,28 @@ def kmv_estimate(sketch: DataFrame, k: int, alias: str = "est_distinct") -> Data
             4,
         ).alias(alias)
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimate from two CMS sketches built with the same
+    (width, depth): the minimum over hash rows of the bucket-wise
+    inner product Σ_b cntA[r,b]·cntB[r,b] — an upper bound on
+    |A ⋈ B| that tightens with width (Cormode & Muthukrishnan '05,
+    §4.2).  Passing the SAME sketch twice estimates the second
+    frequency moment F2 = Σ_k c_k², i.e. the SELF-join size — the
+    skew statistic a planner wants BEFORE committing to a shuffle
+    join at 100 TB.
+
+    Cost: the sketches are ≤ depth·width rows however large the
+    inputs were; this is an equi-join of two tiny relations.  Output:
+    one row, ``est`` (bigint)."""
+    ip = (
+        a.select("row", "bucket", F.col("cnt").alias("cnt_a"))
+        .join(
+            b.select("row", "bucket", F.col("cnt").alias("cnt_b")),
+            ["row", "bucket"],
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return ip.agg(F.min("ip").cast("long").alias("est"))

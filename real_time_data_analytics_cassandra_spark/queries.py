@@ -4111,6 +4111,76 @@ def entity_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality estimation from count-min sketches
+    (operators/sketches.py::cms_inner_product): the planner question
+    "how big is this join / how skewed is this key" answered from
+    ≤ depth·width counters instead of executing the join.  Two
+    estimates, each beside its exact verifier:
+
+    - ``lineitem_selfjoin_partkey``: F2 = Σ_k c_k² of l_partkey (the
+      self-join size / skew statistic);
+    - ``orders_lineitem_orderkey``: |orders ⋈ lineitem| from two
+      independently-built sketches.
+
+    The sketches are deterministic (md5 hash family), so the
+    estimates — and their overestimate-only error — reproduce in the
+    SQL oracle bit-for-bit.  Scale shape: each sketch is one
+    map-side-exploded count aggregate whose shuffle ships counter
+    blocks, never keys; the inner products join ≤ 8k-row relations.
+    The exact verifiers (one groupBy per key column) exist for the
+    rel_error column and are the part you would NOT run at 100 TB.
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        cms_inner_product,
+        cms_sketch,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+
+    s_pk = cms_sketch(
+        li.select("l_partkey"), "l_partkey", width=8192
+    ).localCheckpoint(
+        eager=True
+    )
+    est_f2 = cms_inner_product(s_pk, s_pk)
+    exact_f2 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact"))
+    )
+
+    s_ok = cms_sketch(orders.select("o_orderkey"), "o_orderkey", width=8192)
+    s_lk = cms_sketch(li.select("l_orderkey"), "l_orderkey", width=8192)
+    est_join = cms_inner_product(s_ok, s_lk)
+    exact_join = (
+        orders.select("o_orderkey")
+        .join(li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+
+    def labeled(label: str, est: DataFrame, exact: DataFrame) -> DataFrame:
+        return (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(label).alias("pair"),
+                "est",
+                "exact",
+                F.round(
+                    (F.col("est") - F.col("exact")).cast("double")
+                    / F.col("exact").cast("double"),
+                    6,
+                ).alias("rel_error"),
+            )
+        )
+
+    return labeled("lineitem_selfjoin_partkey", est_f2, exact_f2).unionByName(
+        labeled("orders_lineitem_orderkey", est_join, exact_join)
+    ).orderBy("pair")
+
+
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horvitz-Thompson estimation from a deterministic hash sample:
     per order-priority, the EXACT revenue total computed from only
@@ -4645,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_user_overlap": kmv_user_overlap,
         "entity_match_parts": entity_match_parts,
         "entity_sorted_neighborhood": entity_sorted_neighborhood,
+        "join_size_estimate_cms": join_size_estimate_cms,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -4928,6 +4999,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "join_size_estimate_cms": """
+            WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS row_i),
+            s_pk AS (
+                SELECT row_i, bucket, count(*) AS cnt
+                FROM (
+                    SELECT row_i,
+                           CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)
+                                || ':' || row_i), 1, 8)) AS BIGINT) % 8192
+                               AS bucket
+                    FROM lineitem CROSS JOIN rows_
+                ) GROUP BY 1, 2
+            ),
+            est_f2 AS (
+                SELECT CAST(min(ip) AS BIGINT) AS est
+                FROM (
+                    SELECT row_i, sum(cnt * cnt) AS ip
+                    FROM s_pk GROUP BY row_i
+                )
+            ),
+            exact_f2 AS (
+                SELECT CAST(sum(c * c) AS BIGINT) AS exact
+                FROM (
+                    SELECT count(*) AS c FROM lineitem GROUP BY l_partkey
+                )
+            ),
+            s_ok AS (
+                SELECT row_i, bucket, count(*) AS cnt
+                FROM (
+                    SELECT row_i,
+                           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                || ':' || row_i), 1, 8)) AS BIGINT) % 8192
+                               AS bucket
+                    FROM orders CROSS JOIN rows_
+                ) GROUP BY 1, 2
+            ),
+            s_lk AS (
+                SELECT row_i, bucket, count(*) AS cnt
+                FROM (
+                    SELECT row_i,
+                           CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                                || ':' || row_i), 1, 8)) AS BIGINT) % 8192
+                               AS bucket
+                    FROM lineitem CROSS JOIN rows_
+                ) GROUP BY 1, 2
+            ),
+            est_join AS (
+                SELECT CAST(min(ip) AS BIGINT) AS est
+                FROM (
+                    SELECT a.row_i, sum(a.cnt * b.cnt) AS ip
+                    FROM s_ok a
+                    JOIN s_lk b ON a.row_i = b.row_i AND a.bucket = b.bucket
+                    GROUP BY a.row_i
+                )
+            ),
+            exact_join AS (
+                SELECT CAST(count(*) AS BIGINT) AS exact
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            )
+            SELECT pair, est, exact,
+                   round(CAST(est - exact AS DOUBLE)
+                         / CAST(exact AS DOUBLE), 6) AS rel_error
+            FROM (
+                SELECT 'lineitem_selfjoin_partkey' AS pair, f.est, e.exact
+                FROM est_f2 f, exact_f2 e
+                UNION ALL
+                SELECT 'orders_lineitem_orderkey' AS pair, j.est, x.exact
+                FROM est_join j, exact_join x
+            )
+            ORDER BY pair
+        """,
         "entity_sorted_neighborhood": """
             WITH names AS (
                 SELECT DISTINCT p_name AS name,

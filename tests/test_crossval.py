@@ -429,3 +429,15 @@ def test_kmv_sketch_is_mergeable_and_partition_invariant(spark):
         a_df.union(b_df).union(a_df).repartition(13), "id", k
     )
     assert {r.h for r in shuffled.collect()} == {r.h for r in direct.collect()}
+
+
+def test_cms_inner_product_never_underestimates(spark):
+    """CMS inner products are one-sided: every hash row's estimate
+    adds non-negative collision mass, so est >= exact always — the
+    property that makes the estimate safe for planner sizing (it can
+    overspend, never under-provision)."""
+    rows = q.join_size_estimate_cms(spark, SF_ORACLE).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.est >= r.exact, (r.pair, r.est, r.exact)
+        assert r.rel_error >= 0.0
