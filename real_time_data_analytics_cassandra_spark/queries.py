@@ -3996,10 +3996,14 @@ def _kmv_overlap_oracle_sql(k: int = 256) -> str:
         "CAST('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 12)"
         " AS BIGINT)"
     )
-    scale = float(16**12)
+    # numeric literals with a decimal point are DECIMAL in DuckDB (and
+    # overflow at DECIMAL(18) in this product) — cast to DOUBLE so the
+    # arithmetic is the same IEEE ops Spark runs
+    scale = int(16**12)
     est = (
         "round(CASE WHEN {t}.n < {k} THEN CAST({t}.n AS DOUBLE) "
-        "ELSE {km1} * {scale!r} / CAST({t}.hm AS DOUBLE) END, 4)"
+        "ELSE CAST({km1} AS DOUBLE) * CAST({scale} AS DOUBLE) "
+        "/ CAST({t}.hm AS DOUBLE) END, 4)"
     )
     return f"""
         WITH a AS (
@@ -4024,11 +4028,11 @@ def _kmv_overlap_oracle_sql(k: int = 256) -> str:
         ku AS (SELECT count(*) AS k_u FROM u),
         base AS (
             SELECT {k} AS k,
-                   {est.format(t="ea", k=k, km1=float(k - 1), scale=scale)}
+                   {est.format(t="ea", k=k, km1=(k - 1), scale=scale)}
                        AS est_signup,
-                   {est.format(t="eb", k=k, km1=float(k - 1), scale=scale)}
+                   {est.format(t="eb", k=k, km1=(k - 1), scale=scale)}
                        AS est_purchase,
-                   {est.format(t="eu", k=k, km1=float(k - 1), scale=scale)}
+                   {est.format(t="eu", k=k, km1=(k - 1), scale=scale)}
                        AS est_union,
                    round(CAST(inter.n_inter AS DOUBLE) / ku.k_u, 6)
                        AS jaccard
@@ -4179,6 +4183,65 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled("lineitem_selfjoin_partkey", est_f2, exact_f2).unionByName(
         labeled("orders_lineitem_orderkey", est_join, exact_join)
     ).orderBy("pair")
+
+
+def kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct-user estimates from GROUPED KMV sketches:
+    each event type keeps only its k smallest user-id hashes (one
+    window over the distinct (type, hash) projection), so the
+    per-group COUNT(DISTINCT) — the query that at 100 TB shuffles
+    every key — degrades to shipping k rows per group.  The exact
+    count rides along for the rel_error column (the verifier you
+    would NOT run at scale).
+
+    Deterministic md5 hashing makes the whole thing oracle-exact;
+    sketch rows are also MERGEABLE per partition/day (union then
+    re-bottom-k), which is how the estimate stays incremental."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        KMV_SCALE,
+        kmv_hash,
+    )
+
+    k = 256
+    events = table(spark, sf_dir, "events")
+    hashed = events.select(
+        "event_type", kmv_hash("user_id").alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hm"))
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(
+                F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(float(KMV_SCALE))
+                    / F.col("hm").cast("double")
+                ),
+                4,
+            ).alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4716,6 +4779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_match_parts": entity_match_parts,
         "entity_sorted_neighborhood": entity_sorted_neighborhood,
         "join_size_estimate_cms": join_size_estimate_cms,
+        "kmv_distinct_per_type": kmv_distinct_per_type,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -4999,6 +5063,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "kmv_distinct_per_type": """
+            WITH hashed AS (
+                SELECT DISTINCT event_type,
+                       CAST('0x' || substr(md5('kmv'
+                            || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+                           AS h
+                FROM events
+            ),
+            ranked AS (
+                SELECT event_type, h,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h
+                       ) AS rn
+                FROM hashed
+            ),
+            sk AS (
+                SELECT event_type, count(*) AS n, max(h) AS hm
+                FROM ranked WHERE rn <= 256 GROUP BY event_type
+            ),
+            exact AS (
+                SELECT event_type,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY event_type
+            )
+            SELECT s.event_type,
+                   round(CASE WHEN s.n < 256 THEN CAST(s.n AS DOUBLE)
+                              ELSE CAST(255 AS DOUBLE)
+                                   * CAST(281474976710656 AS DOUBLE)
+                                   / CAST(s.hm AS DOUBLE) END, 4)
+                       AS est_distinct,
+                   e.exact_distinct,
+                   round((round(CASE WHEN s.n < 256 THEN CAST(s.n AS DOUBLE)
+                              ELSE CAST(255 AS DOUBLE)
+                                   * CAST(281474976710656 AS DOUBLE)
+                                   / CAST(s.hm AS DOUBLE) END, 4)
+                          - e.exact_distinct) / e.exact_distinct, 6)
+                       AS rel_error
+            FROM sk s JOIN exact e ON e.event_type = s.event_type
+            ORDER BY s.event_type
+        """,
         "join_size_estimate_cms": """
             WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS row_i),
             s_pk AS (
