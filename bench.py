@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "vocab_encode_docs",
     "incremental_ingest_dedup",
     "streaming_cms_token_counts",
+    "streaming_kmv_distinct_per_type",
     "training_shard_shuffle",
     "span_dedup_keep_first",
     "temperature_resample_langs",

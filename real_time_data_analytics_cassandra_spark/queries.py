@@ -4526,6 +4526,73 @@ def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_kmv_distinct_per_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The grouped KMV sketch MAINTAINED BY THE STREAM: each
+    micro-batch folds its bottom-k user-id hashes into a persisted
+    sketch table (sinks/merge.py::kmv_foreach_batch); bottom-k union
+    is associative and idempotent, so the finished table — and
+    therefore the estimate computed from it — is bit-identical to the
+    batch kmv_distinct_per_type, whose DuckDB oracle this query
+    shares.  Exactly-once comes free: replaying a batch cannot change
+    a bottom-k table."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        KMV_SCALE,
+    )
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        kmv_foreach_batch,
+    )
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_table_stream,
+    )
+
+    ensure_query_confs(spark)
+    k = 256
+    tmp = tempfile.mkdtemp(prefix="rtdac_streaming_kmv_")
+    path, ckpt = f"{tmp}/sketch", f"{tmp}/ckpt"
+    stream = bounded_table_stream(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    kmv_foreach_batch(stream, path, ["event_type"], "user_id", ckpt, k=k)\
+        .awaitTermination()
+    sk = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hm"))
+    )
+    events = table(spark, sf_dir, "events")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(
+                F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(float(KMV_SCALE))
+                    / F.col("hm").cast("double")
+                ),
+                4,
+            ).alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup (operators/dedup.py::
     incremental_near_dups): the src0 slice plays the NEW crawl batch,
@@ -4788,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode_docs": vocab_encode_docs,
         "incremental_ingest_dedup": incremental_ingest_dedup,
         "streaming_cms_token_counts": streaming_cms_token_counts,
+        "streaming_kmv_distinct_per_type": streaming_kmv_distinct_per_type,
         "training_shard_shuffle": training_shard_shuffle,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
         "geo_hourly_counts": geo_hourly_counts,
@@ -7441,6 +7509,7 @@ def oracle_sql() -> dict[str, str]:
     # the streamed CMS maintains the identical md5-hashed counters ->
     # it shares the batch sketch oracle bit-for-bit
     d["streaming_cms_token_counts"] = d["cms_token_counts"]
+    d["streaming_kmv_distinct_per_type"] = d["kmv_distinct_per_type"]
     # the persisted-index search scores through the same bm25_rank as
     # the fresh path -> it shares the fresh oracle bit-for-bit
     d["bm25_search_persisted"] = d["bm25_search"]

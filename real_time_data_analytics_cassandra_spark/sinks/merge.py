@@ -37,7 +37,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.latest import latest_per_key
@@ -498,6 +498,83 @@ def sketch_foreach_batch(
         merge_sketches(
             batch.sparkSession, batch, path, keys, id_col, partition_col
         )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_kmv(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    id_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> None:
+    """KMV-sketch MERGE: fold each key's bottom-k id hashes into a
+    materialized sketch table — the incremental form of
+    kmv_distinct_per_type.  Bottom-k of a union equals bottom-k of
+    bottom-ks (operators/sketches.py), so the stored table after any
+    sequence of batches is IDENTICAL to the sketch of the full data:
+    the streaming estimate shares the batch oracle bit-for-bit.
+
+    Like HLL register-max (merge_sketches), bottom-k union is
+    idempotent — replaying a batch cannot change the table — so no
+    batch-id bookkeeping is needed.  Unlike HLL, the same table also
+    answers set-overlap questions (kmv_user_overlap) and the merge is
+    plain rows: (keys..., h), at most k per key.
+
+    The table is partitioned on the FIRST key so the read-modify-write
+    prunes to the partitions the batch touches; sketch tables are
+    k·|keys| rows, so the rewrite is KBs.  Caveat shared with every
+    hive-partitioned sink here: a partition key whose VALUES look
+    numeric reads back as int via partition-type inference — merge
+    itself is immune (_pruned_target re-casts to the source dtype),
+    but downstream readers of the raw path should pin a schema or
+    disable ``spark.sql.sources.partitionColumnTypeInference``.
+    """
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        kmv_hash,
+    )
+
+    part = keys[0]
+    hashed = (
+        batch.select(*keys, kmv_hash(id_col, salt).alias("h")).distinct()
+    )
+    if _target_exists(spark, path):
+        existing = _pruned_target(spark, path, hashed, part)
+        hashed = existing.unionByName(hashed).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    folded = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        folded.write.mode("overwrite").partitionBy(part).parquet(path)
+
+
+def kmv_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    id_col: str,
+    checkpoint: str,
+    k: int = 256,
+):
+    """Streaming KMV maintenance: each micro-batch folds its bottom-k
+    hashes into the sketch table (:func:`merge_kmv`).  Idempotent
+    union ⇒ the at-least-once replay window is harmless, same as
+    :func:`sketch_foreach_batch`."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        merge_kmv(batch.sparkSession, batch, path, keys, id_col, k)
 
     return (
         stream.writeStream.foreachBatch(_fold)

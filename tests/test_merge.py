@@ -509,3 +509,52 @@ def test_sketch_foreach_batch_matches_batch_build(spark):
         F.hll_sketch_agg("user_id").alias("sketch")
     )
     assert estimates(spark.read.parquet(path)) == estimates(single)
+
+
+def test_merge_kmv_is_idempotent_and_equals_full_sketch(spark, tmp_path):
+    """Folding batches into the KMV table must (1) equal the sketch of
+    the full data regardless of batch split, and (2) be replay-proof:
+    re-merging an already-folded batch changes nothing."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        kmv_hash,
+    )
+    from real_time_data_analytics_cassandra_spark.sinks.merge import merge_kmv
+
+    path = str(tmp_path / "kmv")
+    k = 16
+    full = spark.range(0, 600).select(
+        F.concat(F.lit("g"), (F.col("id") % 3)).alias("g"),
+        F.col("id").alias("uid"),
+    )
+    b1 = full.filter(F.col("uid") < 250)
+    b2 = full.filter(F.col("uid") >= 250)
+    merge_kmv(spark, b1, path, ["g"], "uid", k=k)
+    merge_kmv(spark, b2, path, ["g"], "uid", k=k)
+
+    def snap():
+        return sorted(
+            (r.g, r.h) for r in spark.read.parquet(path).collect()
+        )
+
+    got = snap()
+    # expected: bottom-k per group of the FULL data's hashes
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h")
+    want = sorted(
+        (r.g, r.h)
+        for r in full.select("g", kmv_hash("uid").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    assert got == want
+    assert all(
+        len([1 for g, _ in got if g == grp]) == k for grp in ("g0", "g1", "g2")
+    )
+    # replay: fold b1 again — byte-identical table
+    merge_kmv(spark, b1, path, ["g"], "uid", k=k)
+    assert snap() == got
