@@ -368,6 +368,55 @@ def lookup_snapshot(
     return df.filter(F.col(col) == F.lit(value))
 
 
+def read_snapshot_appended(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: exactly the rows ADDED between
+    ``since_version`` (exclusive) and ``version`` (inclusive) —
+    resolved at FILE level from the two manifests, so planning cost is
+    two small JSON reads and the scan touches only the new files.
+    This is the checkpoint-and-resume primitive for downstream ETL
+    ("process whatever landed since the version I recorded"), the
+    file-level complement of :func:`snapshot_diff` (which compares
+    ROWS and must read both versions).
+
+    The file-set difference equals the logical insert set only while
+    every intervening commit is additive; if any commit in the range
+    is an ``overwrite`` (including compaction, which rewrites files),
+    the function raises and the caller must fall back to
+    :func:`snapshot_diff` — silently returning rewritten files as
+    "new rows" would double-process data.  Metadata-only commits
+    (``index``) contribute no files and pass through.
+    """
+    versions = snapshot_versions(path)
+    if since_version not in versions:
+        raise ValueError(f"version {since_version} not in {versions}")
+    v = versions[-1] if version is None else version
+    if v not in versions or v < since_version:
+        raise ValueError(f"bad target version {v} (since={since_version})")
+    # walk the commit chain (since, v]: every op must be additive
+    for mid in versions:
+        if since_version < mid <= v:
+            op = _load_manifest(path, mid).get("op")
+            if op not in ("append", "index"):
+                raise ValueError(
+                    f"version {mid} is op={op!r}: the file-set delta is "
+                    "not an insert set — use snapshot_diff"
+                )
+    old = set(_load_manifest(path, since_version)["files"])
+    new_manifest = _load_manifest(path, v)
+    added = [f for f in new_manifest["files"] if f not in old]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(new_manifest["schema"]))
+    if not added:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*added)
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` versions and delete data
     files no retained version references (orphans from crashed

@@ -335,3 +335,31 @@ def test_lookup_without_index_scans_all_files_correctly(spark, tmp_path):
     snap.write_snapshot(_clustered(spark, 0, 300), path, mode="append")
     out = snap.lookup_snapshot(spark, path, "id", 42)
     assert [r["id"] for r in out.collect()] == [42]
+
+
+def test_read_snapshot_appended_returns_only_new_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = snap.write_snapshot(_df(spark, 0, 100), path, mode="append")
+    snap.write_snapshot(_df(spark, 100, 150), path, mode="append")
+    v3 = snap.write_snapshot(_df(spark, 150, 180), path, mode="append")
+    inc = snap.read_snapshot_appended(spark, path, since_version=v1)
+    assert _ids(inc) == list(range(100, 180))
+    # bounded range (since v1 up to v3-1)
+    mid = snap.read_snapshot_appended(spark, path, v1, version=v3 - 1)
+    assert _ids(mid) == list(range(100, 150))
+    # no-op range: empty with schema intact
+    none = snap.read_snapshot_appended(spark, path, v3, version=v3)
+    assert none.columns == ["id", "v"] and none.count() == 0
+
+
+def test_read_snapshot_appended_refuses_overwrite_ranges(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = snap.write_snapshot(_df(spark, 0, 50), path, mode="append")
+    snap.write_snapshot(_df(spark, 50, 60), path, mode="overwrite")
+    with pytest.raises(ValueError, match="snapshot_diff"):
+        snap.read_snapshot_appended(spark, path, v1)
+    # index-only commits are additive: fine
+    path2 = str(tmp_path / "t2")
+    w1 = snap.write_snapshot(_df(spark, 0, 50), path2, mode="append")
+    snap.add_bloom_index(spark, path2, "id")
+    assert snap.read_snapshot_appended(spark, path2, w1).count() == 0
