@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "entity_sorted_neighborhood",
     "join_size_estimate_cms",
     "kmv_distinct_per_type",
+    "nb_lang_classifier",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

@@ -3110,6 +3110,111 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND applied
+    wholly in-engine: add-one-smoothed per-language word likelihoods
+    plus document-frequency priors, argmax over languages per
+    document, evaluated against the labeled ``lang`` column — the
+    "train a quality/language classifier on the corpus itself"
+    primitive of LLM-data pipelines, reduced to exact counts so both
+    engines reproduce every score bit-for-bit.
+
+    score(d, L) = ln(P(L)) + Σ_w tf(d,w) · ln((C(w,L)+1)/(C(L)+V))
+
+    Every log input is integral (counts); per-(doc, lang) the double
+    contributions fold in sorted term order (the bigram-LM trick), so
+    summation order — the one FP hazard — is pinned in both engines.
+
+    Honest caveat: the synthetic corpus draws every language's text
+    from one shared vocabulary, so the classes are barely separable —
+    accuracy lands just above the majority baseline (~0.47 vs ~0.44
+    at sf0.01).  The gate is the bit-exact training/apply pipeline,
+    not fixture accuracy; on real multilingual text the same plan is
+    the standard fastText-style lang-id shape.
+
+    Scale shape: the model is a |vocab|×|langs| aggregate joined by
+    hash on (term, lang); the apply step fans each doc-term row out
+    |langs| ways via a BROADCAST of the tiny language table (priors +
+    totals ride along), so corpus-sized data shuffles once for the
+    doc-term aggregate and once for the per-(doc,lang) fold — no
+    all-pairs anything.  Unseen (term, lang) pairs hit the smoothing
+    default through the left join's coalesce.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    doc_tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cls = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    ctot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = toks.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    priors = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            F.log(F.col("n_l").cast("double") / F.col("n_docs")).alias(
+                "prior"
+            ),
+        )
+    )
+    lang_dim = priors.join(ctot, "lang").crossJoin(F.broadcast(vocab))
+    pairs = (
+        doc_tf.crossJoin(F.broadcast(lang_dim))
+        .join(cls, ["lang", "term"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "term",
+            "prior",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_tok") + F.col("v"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    scores = pairs.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.max("prior")
+            + F.expr(
+                "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score")
+    )
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            "doc_id",
+            "true_lang",
+            "pred_lang",
+            "score",
+            (F.col("pred_lang") == F.col("true_lang")).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """event_transition_matrix maintained by the STREAM: the per-user
     lag becomes O(1)-per-user state in a custom stateful operator
@@ -4847,6 +4952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_sorted_neighborhood": entity_sorted_neighborhood,
         "join_size_estimate_cms": join_size_estimate_cms,
         "kmv_distinct_per_type": kmv_distinct_per_type,
+        "nb_lang_classifier": nb_lang_classifier,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -5131,6 +5237,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "nb_lang_classifier": """
+            WITH toks AS (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            doc_tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            cls AS (
+                SELECT lang, term, count(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            ctot AS (
+                SELECT lang, count(*) AS n_tok FROM toks GROUP BY 1
+            ),
+            vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+            priors AS (
+                SELECT lang,
+                       ln(CAST(count(*) AS DOUBLE)
+                          / (SELECT count(*) FROM documents)) AS prior
+                FROM documents GROUP BY lang
+            ),
+            pairs AS (
+                SELECT d.doc_id, p.lang, d.term, p.prior,
+                       d.tf * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                                 / (t.n_tok + v.v)) AS contrib
+                FROM doc_tf d
+                CROSS JOIN priors p
+                JOIN ctot t ON t.lang = p.lang
+                CROSS JOIN vocab v
+                LEFT JOIN cls c ON c.lang = p.lang AND c.term = d.term
+            ),
+            scores AS (
+                SELECT doc_id, lang,
+                       round(max(prior) + list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                                        list(contrib ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+                FROM pairs GROUP BY doc_id, lang
+            ),
+            ranked AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, lang
+                       ) AS rn
+                FROM scores
+            )
+            SELECT r.doc_id,
+                   d.lang AS true_lang,
+                   r.lang AS pred_lang,
+                   r.score,
+                   r.lang = d.lang AS is_correct
+            FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+            WHERE r.rn = 1
+            ORDER BY r.doc_id
+        """,
         "kmv_distinct_per_type": """
             WITH hashed AS (
                 SELECT DISTINCT event_type,
