@@ -645,6 +645,12 @@ def _commit_files(
         # retained files keep their recorded stats (files are
         # immutable, so parent stats stay valid forever)
         stats = {**pm.get("file_stats", {}), **stats}
+        # schema evolution: an append's schema is the FIELD UNION of
+        # parent and commit (parquet fills absent columns with null at
+        # read), so adding a column is one commit and dropping one
+        # from a batch can never erase it from history; a TYPE change
+        # is refused — that needs a rewrite, not an append
+        schema_json = _merge_schema_json(pm["schema"], schema_json)
     version = (parent + 1) if parent is not None else 1
     manifest = {
         "version": version,
@@ -656,6 +662,27 @@ def _commit_files(
     }
     _atomic_write_manifest(path, version, manifest)
     return version
+
+
+def _merge_schema_json(parent_json: str, new_json: str) -> str:
+    """Field union of two schema JSONs, parent field order first.
+    Same-named fields must agree on type (promotion would silently
+    reinterpret already-written bytes — refuse instead)."""
+    parent = json.loads(parent_json)
+    new = json.loads(new_json)
+    by_name = {f["name"]: f for f in parent["fields"]}
+    merged = list(parent["fields"])
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            merged.append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} "
+                f"from {old['type']!r} to {f['type']!r}; rewrite with "
+                "mode='overwrite' instead"
+            )
+    return json.dumps({**parent, "fields": merged})
 
 
 def _atomic_write_manifest(path: str, version: int, manifest: dict) -> None:

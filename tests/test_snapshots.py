@@ -363,3 +363,28 @@ def test_read_snapshot_appended_refuses_overwrite_ranges(spark, tmp_path):
     w1 = snap.write_snapshot(_df(spark, 0, 50), path2, mode="append")
     snap.add_bloom_index(spark, path2, "id")
     assert snap.read_snapshot_appended(spark, path2, w1).count() == 0
+
+
+def test_snapshot_schema_evolution_add_and_drop_column(spark, tmp_path):
+    """Appends evolve the schema by FIELD UNION: a new column appears
+    table-wide (null for old files); a batch that OMITS a column
+    cannot erase it from history; a type change is refused."""
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 3), path, mode="append")
+    with_extra = _df(spark, 3, 6).withColumn("w", F.col("id") * 10)
+    snap.write_snapshot(with_extra, path, mode="append")
+    out = snap.read_snapshot(spark, path)
+    assert out.columns == ["id", "v", "w"]
+    rows = {r.id: r.w for r in out.collect()}
+    assert rows[0] is None and rows[4] == 40
+    # a later batch without 'w': column survives, nulls for that batch
+    snap.write_snapshot(_df(spark, 6, 8), path, mode="append")
+    out2 = snap.read_snapshot(spark, path)
+    assert out2.columns == ["id", "v", "w"]
+    assert {r.id: r.w for r in out2.collect()}[7] is None
+    # type conflict refused
+    bad = spark.range(8, 9).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    with pytest.raises(ValueError, match="cannot change column 'v'"):
+        snap.write_snapshot(bad, path, mode="append")
