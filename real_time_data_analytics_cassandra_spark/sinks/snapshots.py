@@ -530,6 +530,7 @@ def snapshot_foreach_batch(
     stream: DataFrame,
     path: str,
     checkpoint: str,
+    stats_cols: tuple = (),
 ):
     """Stream into a snapshot-versioned table: every micro-batch
     commits as ONE append version, so readers flip atomically from
@@ -538,12 +539,16 @@ def snapshot_foreach_batch(
     append cannot give by itself.  (A replayed batch would commit a
     duplicate version; pair with an idempotent upstream — e.g.
     dedup_events — or diff-check the parent manifest when the source
-    can redeliver.)"""
+    can redeliver.)  ``stats_cols`` forwards to
+    :func:`write_snapshot`, so streamed commits carry the same
+    min/max file stats batch commits do and :func:`scan_snapshot`
+    prunes them identically (footer reads only — per-batch cost is
+    O(files in the batch))."""
 
     def step(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        write_snapshot(batch, path, mode="append")
+        write_snapshot(batch, path, mode="append", stats_cols=stats_cols)
 
     return (
         stream.writeStream.foreachBatch(step)

@@ -388,3 +388,29 @@ def test_snapshot_schema_evolution_add_and_drop_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cannot change column 'v'"):
         snap.write_snapshot(bad, path, mode="append")
+
+
+def test_streamed_snapshot_commits_carry_file_stats(spark, tmp_path):
+    """stats_cols forwarded through the streaming sink: each
+    micro-batch version records min/max for its files and
+    scan_snapshot prunes streamed data like batch data."""
+    import os
+
+    src = str(tmp_path / "src")
+    for lo in (0, 500):
+        _clustered(spark, lo, lo + 500, files=1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    path = str(tmp_path / "t")
+    q = snap.snapshot_foreach_batch(
+        stream, path, str(tmp_path / "ckpt"), stats_cols=("id",)
+    )
+    q.awaitTermination()
+    assert len(snap.snapshot_versions(path)) >= 2
+    total = len(snap.read_snapshot(spark, path).inputFiles())
+    pruned = snap.scan_snapshot(spark, path, "id", lo=0, hi=40)
+    assert len(pruned.inputFiles()) < total
+    assert _ids(pruned) == list(range(0, 41))
