@@ -124,14 +124,19 @@ def write_snapshot(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode}")
-    commit_dir = os.path.join(path, "data", f"snap-{uuid.uuid4().hex}")
-    df.write.mode("error").parquet(commit_dir)
-    spark = df.sparkSession
-    new_files = sorted(spark.read.parquet(commit_dir).inputFiles())
+    new_files = _stage(df, path, "snap")
     stats = _file_column_stats(new_files, tuple(stats_cols)) if stats_cols else {}
     return _commit_files(
-        spark, path, new_files, df.schema.json(), mode, file_stats=stats
+        df.sparkSession, path, new_files, df.schema.json(), mode, file_stats=stats
     )
+
+
+def _stage(df: DataFrame, path: str, prefix: str) -> list:
+    """Write ``df`` into a fresh immutable commit directory and return
+    its file list — invisible until a manifest references it."""
+    commit_dir = os.path.join(path, "data", f"{prefix}-{uuid.uuid4().hex}")
+    df.write.mode("error").parquet(commit_dir)
+    return sorted(df.sparkSession.read.parquet(commit_dir).inputFiles())
 
 
 def read_snapshot(
@@ -150,12 +155,148 @@ def read_snapshot(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     manifest = _load_manifest(path, v)
+    return _read_manifest_files(spark, manifest, manifest["files"])
+
+
+def _read_manifest_files(
+    spark: SparkSession, manifest: dict, files: list
+) -> DataFrame:
+    """Plan a read over ``files`` of a version, applying the
+    version's equality deletes MERGE-ON-READ: each data file is
+    anti-joined against exactly the delete commits SEQUENCED AFTER it
+    (``file_added_at`` vs the delete's commit version), so a key
+    deleted at version d disappears from rows written before d but a
+    row re-inserting that key at d+1 survives — Iceberg v2 equality-
+    delete semantics.  Files group by their applicable-delete set, so
+    the plan holds at most |delete commits|+1 scan branches; compact
+    (which folds deletes in and clears the list) bounds that number
+    operationally."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if not manifest["files"]:
+    if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*manifest["files"])
+    deletes = manifest.get("delete_files", [])
+    if not deletes:
+        return spark.read.schema(schema).parquet(*files)
+    key = deletes[0]["key"]
+    added = manifest.get("file_added_at", {})
+    groups: dict = {}
+    for f in files:
+        a = added.get(f, 0)
+        dels = tuple(
+            p
+            for d in deletes
+            if d["version"] > a
+            for p in d["paths"]
+        )
+        groups.setdefault(dels, []).append(f)
+    parts = []
+    for dels, fs in groups.items():
+        part = spark.read.schema(schema).parquet(*fs)
+        if dels:
+            keys = spark.read.parquet(*dels).select(key).distinct()
+            # delete sets are typically small (tombstones); hint the
+            # broadcast so the anti-join never shuffles the data side
+            part = part.join(F.broadcast(keys), key, "left_anti")
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delete_from_snapshot(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    path: str,
+    key_col: str,
+) -> int:
+    """Row-level DELETE as a metadata commit (merge-on-read): stage
+    the distinct keys as a tombstone file and commit a new version
+    whose readers anti-join them — no data file is rewritten, which
+    is the only affordable shape for a right-to-be-forgotten pass
+    over 100 TB.  Deletes apply to rows written BEFORE this commit
+    (sequence semantics, see :func:`_read_manifest_files`); a later
+    append may legitimately re-insert a key.  ``compact_snapshot``
+    physically applies accumulated tombstones and clears the list.
+
+    One equality key column per table (mixed-key tombstones would
+    need per-delete join plans); a conflicting key raises."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots at {path}")
+    manifest = _load_manifest(path, versions[-1])
+    existing = manifest.get("delete_files", [])
+    if existing and existing[0]["key"] != key_col:
+        raise ValueError(
+            f"table already carries deletes on {existing[0]['key']!r}; "
+            f"cannot mix with {key_col!r}"
+        )
+    tomb = _stage(keys_df.select(key_col).distinct(), path, "del")
+    version = versions[-1] + 1
+    new_manifest = {
+        **manifest,
+        "version": version,
+        "parent": versions[-1],
+        "op": "delete",
+        "delete_files": existing
+        + [{"paths": tomb, "version": version, "key": key_col}],
+    }
+    _atomic_write_manifest(path, version, new_manifest)
+    return version
+
+
+def upsert_into_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    stats_cols: tuple = (),
+) -> int:
+    """Keyed UPSERT as ONE atomic merge-on-read commit: the batch's
+    keys become a tombstone (shadowing every OLDER row with those
+    keys) and the batch's rows append in the same manifest — readers
+    flip from no-effect to full-effect atomically.  The new data
+    files are sequenced AT this version while the tombstone applies
+    only BELOW it, so the incoming rows shadow the old ones without
+    deleting themselves.  This is `MERGE INTO` for append-heavy
+    tables without reading or rewriting a single existing file — the
+    complement of `sinks/merge.py::merge_upsert` (copy-on-write,
+    partition-pruned) for when even the touched partitions are too
+    big to rewrite per batch."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return write_snapshot(df, path, mode="append", stats_cols=stats_cols)
+    manifest = _load_manifest(path, versions[-1])
+    existing = manifest.get("delete_files", [])
+    if existing and existing[0]["key"] != key_col:
+        raise ValueError(
+            f"table already carries deletes on {existing[0]['key']!r}; "
+            f"cannot mix with {key_col!r}"
+        )
+    tomb = _stage(df.select(key_col).distinct(), path, "del")
+    data = _stage(df, path, "snap")
+    stats = _file_column_stats(data, tuple(stats_cols)) if stats_cols else {}
+    version = versions[-1] + 1
+    added_at = dict(manifest.get("file_added_at", {}))
+    for f in data:
+        added_at[f] = version
+    new_manifest = {
+        **manifest,
+        "version": version,
+        "parent": versions[-1],
+        "op": "upsert",
+        "schema": _merge_schema_json(manifest["schema"], df.schema.json()),
+        "files": manifest["files"] + data,
+        "file_stats": {**manifest.get("file_stats", {}), **stats},
+        "file_added_at": added_at,
+        "delete_files": existing
+        + [{"paths": tomb, "version": version, "key": key_col}],
+    }
+    _atomic_write_manifest(path, version, new_manifest)
+    return version
 
 
 def scan_snapshot(
@@ -201,13 +342,7 @@ def scan_snapshot(
         return True
 
     kept = [f for f in manifest["files"] if keep(f)]
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if not kept:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(*kept)
+    df = _read_manifest_files(spark, manifest, kept)
     from pyspark.sql import functions as F
 
     # string bounds against a timestamp column coerce literal-side
@@ -358,13 +493,7 @@ def lookup_snapshot(
             )
 
         files = [f for f in files if admits(f)]
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(*files)
+    df = _read_manifest_files(spark, manifest, files)
     return df.filter(F.col(col) == F.lit(value))
 
 
@@ -431,7 +560,10 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     drop = [v for v in versions if v not in keep]
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_load_manifest(path, v)["files"])
+        m = _load_manifest(path, v)
+        referenced.update(m["files"])
+        for d in m.get("delete_files", []):
+            referenced.update(d["paths"])  # tombstones are data too
     for v in drop:
         os.remove(_manifest_path(path, v))
     from urllib.parse import urlparse
@@ -644,6 +776,8 @@ def _commit_files(
     parent = versions[-1] if versions else None
     files = list(new_files)
     stats = dict(file_stats or {})
+    added_at: dict = {}
+    delete_files: list = []
     if mode == "append" and parent is not None:
         pm = _load_manifest(path, parent)
         files = pm["files"] + files
@@ -656,7 +790,14 @@ def _commit_files(
         # from a batch can never erase it from history; a TYPE change
         # is refused — that needs a rewrite, not an append
         schema_json = _merge_schema_json(pm["schema"], schema_json)
+        # merge-on-read bookkeeping: appended files are SEQUENCED at
+        # this commit, so earlier equality-delete commits never apply
+        # to them; the parent's delete list rides along untouched
+        added_at = dict(pm.get("file_added_at", {}))
+        delete_files = list(pm.get("delete_files", []))
     version = (parent + 1) if parent is not None else 1
+    for f in new_files:
+        added_at[f] = version
     manifest = {
         "version": version,
         "parent": parent,
@@ -664,6 +805,8 @@ def _commit_files(
         "schema": schema_json,
         "files": files,
         "file_stats": stats,
+        "file_added_at": added_at,
+        "delete_files": delete_files,
     }
     _atomic_write_manifest(path, version, manifest)
     return version

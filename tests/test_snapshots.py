@@ -414,3 +414,78 @@ def test_streamed_snapshot_commits_carry_file_stats(spark, tmp_path):
     pruned = snap.scan_snapshot(spark, path, "id", lo=0, hi=40)
     assert len(pruned.inputFiles()) < total
     assert _ids(pruned) == list(range(0, 41))
+
+
+def test_delete_from_snapshot_is_merge_on_read(spark, tmp_path):
+    """Equality deletes: rows vanish from the NEW version without any
+    data-file rewrite; time travel still sees them; a later append
+    may re-insert the key (sequence semantics)."""
+    path = str(tmp_path / "t")
+    v1 = snap.write_snapshot(_df(spark, 0, 10), path, mode="append")
+    keys = spark.createDataFrame([(3,), (7,)], "id long")
+    v2 = snap.delete_from_snapshot(spark, keys, path, "id")
+    assert v2 == v1 + 1
+    assert _ids(snap.read_snapshot(spark, path)) == [
+        0, 1, 2, 4, 5, 6, 8, 9
+    ]
+    # no data file was rewritten
+    m1, m2 = snap._load_manifest(path, v1), snap._load_manifest(path, v2)
+    assert m2["files"] == m1["files"]
+    # time travel: pre-delete version intact
+    assert _ids(snap.read_snapshot(spark, path, version=v1)) == list(range(10))
+    # re-insert key 3: the NEW row survives the older tombstone
+    snap.write_snapshot(
+        spark.createDataFrame([(3, 333)], "id long, v long"), path
+    )
+    rows = {r.id: r.v for r in snap.read_snapshot(spark, path).collect()}
+    assert rows[3] == 333 and 7 not in rows
+
+
+def test_upsert_into_snapshot_shadows_old_rows_atomically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 6), path, mode="append")
+    batch = spark.createDataFrame([(2, 222), (10, 100)], "id long, v long")
+    v = snap.upsert_into_snapshot(spark, batch, path, "id")
+    rows = {r.id: r.v for r in snap.read_snapshot(spark, path).collect()}
+    assert rows == {0: 0, 1: 2, 2: 222, 3: 6, 4: 8, 5: 10, 10: 100}
+    # upserting again updates again (tombstones stack by sequence)
+    snap.upsert_into_snapshot(
+        spark, spark.createDataFrame([(2, 999)], "id long, v long"), path, "id"
+    )
+    rows = {r.id: r.v for r in snap.read_snapshot(spark, path).collect()}
+    assert rows[2] == 999 and rows[10] == 100
+    # scan/lookup paths also apply deletes
+    assert {
+        r.id for r in snap.lookup_snapshot(spark, path, "id", 2).collect()
+    } == {2}
+    got = snap.scan_snapshot(spark, path, "id", lo=0, hi=3)
+    assert {r.id: r.v for r in got.collect()}[2] == 999
+
+
+def test_compact_applies_tombstones_and_clears_them(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 20), path, mode="append")
+    snap.delete_from_snapshot(
+        spark, spark.createDataFrame([(1,), (2,)], "id long"), path, "id"
+    )
+    before = _ids(snap.read_snapshot(spark, path))
+    v = snap.compact_snapshot(spark, path, target_files=2)
+    m = snap._load_manifest(path, v)
+    assert m["delete_files"] == []
+    assert _ids(snap.read_snapshot(spark, path)) == before
+    # expire keeps only the compacted version; tombstones of dropped
+    # versions are reclaimed, referenced files survive
+    snap.expire_snapshots(path, keep_last=1)
+    assert _ids(snap.read_snapshot(spark, path)) == before
+
+
+def test_delete_key_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 5), path, mode="append")
+    snap.delete_from_snapshot(
+        spark, spark.createDataFrame([(1,)], "id long"), path, "id"
+    )
+    with pytest.raises(ValueError, match="cannot mix"):
+        snap.delete_from_snapshot(
+            spark, spark.createDataFrame([(2,)], "v long"), path, "v"
+        )
