@@ -444,3 +444,89 @@ def test_temperature_resample_matches_model(spark, sizes, tau):
     for gi, n in enumerate(sizes):
         if n == smallest:
             assert out[f"g{gi}"][1] == 1.0
+
+
+@given(
+    names=st.lists(
+        st.text(
+            alphabet="ab c", min_size=1, max_size=8
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=20,
+    ),
+    maxd=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_match_pairs_equals_bruteforce_model(spark, names, maxd):
+    """Blocked matching == the brute-force model: all unordered pairs
+    of distinct names sharing the regex block with Levenshtein <=
+    threshold — no pair invented, none lost (within a block)."""
+    import re as _re
+
+    from real_time_data_analytics_cassandra_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def block(s: str) -> str:
+        m = _re.search(r"[^ ]+$", s)
+        return m.group(0) if m else ""
+
+    distinct = sorted(set(names))
+    want = {
+        (a, b)
+        for i, a in enumerate(distinct)
+        for b in distinct[i + 1 :]
+        if block(a) == block(b) and lev(a, b) <= maxd
+    }
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_match_pairs(df, "name", max_distance=maxd).collect()
+    }
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=24,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_integer_model(spark, edges):
+    """The distributed PageRank equals a sequential pure-Python
+    integer model on arbitrary graphs — same div-truncation, same
+    damping, same iteration count (the oracle in miniature, minus
+    SQL)."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        pagerank,
+    )
+
+    dir_edges = sorted({(a, b) for a, b in edges if a != b})
+    sym = sorted({*dir_edges, *[(b, a) for a, b in dir_edges]})
+    nodes = sorted({a for a, _ in sym})
+    out = {}
+    for a, _ in sym:
+        out[a] = out.get(a, 0) + 1
+    r = {n: 10**9 for n in nodes}
+    for _ in range(4):
+        s = {n: 0 for n in nodes}
+        for a, b in sym:
+            s[b] += r[a] // out[a]
+        r = {n: 150_000_000 + (85 * s[n]) // 100 for n in nodes}
+    df = spark.createDataFrame(sym, "u long, v long")
+    got = {row.id: row.rank_micro for row in pagerank(df).collect()}
+    assert got == r
