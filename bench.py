@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "join_size_estimate_cms",
     "kmv_distinct_per_type",
     "nb_lang_classifier",
+    "snapshot_docs_upsert",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

@@ -3110,6 +3110,51 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_docs_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read mutation, end to end and oracle-gated: commit the
+    corpus as snapshot v1, UPSERT a revised slice (every 10th doc,
+    +1000 chars) as one atomic tombstone+append commit, then DELETE a
+    slice (doc_id % 13 == 1), and read the final state back through
+    the sequence-aware MOR reader — per-source doc counts and char
+    sums.  No data file is rewritten by either mutation (asserted in
+    tests/test_snapshots.py); the oracle states the same final
+    visibility in plain SQL over the raw table.
+
+    Scale shape: each mutation writes only its keys/rows; the final
+    read anti-joins broadcast tombstones against exactly the files
+    sequenced before them (≤ |delete commits|+1 scan branches).
+    """
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks import snapshots as snap
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="rtdac_mor_") + "/t"
+    snap.write_snapshot(docs, path, mode="append")
+    revised = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    snap.upsert_into_snapshot(spark, revised, path, "doc_id")
+    snap.delete_from_snapshot(
+        spark,
+        docs.filter(F.col("doc_id") % 13 == 1).select("doc_id"),
+        path,
+        "doc_id",
+    )
+    return (
+        snap.read_snapshot(spark, path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND applied
     wholly in-engine: add-one-smoothed per-language word likelihoods
@@ -4953,6 +4998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate_cms": join_size_estimate_cms,
         "kmv_distinct_per_type": kmv_distinct_per_type,
         "nb_lang_classifier": nb_lang_classifier,
+        "snapshot_docs_upsert": snapshot_docs_upsert,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -5237,6 +5283,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "snapshot_docs_upsert": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id % 10 = 0
+                                 THEN n_chars + 1000
+                                 ELSE n_chars END) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE doc_id % 13 <> 1
+            GROUP BY source
+            ORDER BY source
+        """,
         "nb_lang_classifier": """
             WITH toks AS (
                 SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
