@@ -299,6 +299,39 @@ def upsert_into_snapshot(
     return version
 
 
+def mor_upsert_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    checkpoint: str,
+    stats_cols: tuple = (),
+):
+    """Streaming MERGE INTO a snapshot table, merge-on-read: every
+    micro-batch lands as ONE atomic tombstone+append commit
+    (:func:`upsert_into_snapshot`), so a reader sees each batch's
+    updates entirely or not at all, and no existing file is ever
+    rewritten.  Pair with periodic :func:`compact_snapshot` to fold
+    accumulated tombstones (the read plan grows one branch per
+    uncompacted upsert commit).  A replayed batch re-commits a
+    version whose rows shadow its previous self by key — the visible
+    STATE stays correct under at-least-once delivery; only version
+    count inflates (same caveat as :func:`snapshot_foreach_batch`)."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_into_snapshot(
+            batch.sparkSession, batch, path, key_col, stats_cols=stats_cols
+        )
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def scan_snapshot(
     spark: SparkSession,
     path: str,

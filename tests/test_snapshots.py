@@ -489,3 +489,47 @@ def test_delete_key_mismatch_raises(spark, tmp_path):
         snap.delete_from_snapshot(
             spark, spark.createDataFrame([(2,)], "v long"), path, "v"
         )
+
+
+def test_mor_upsert_foreach_batch_latest_state_wins(spark, tmp_path):
+    """Streaming MERGE INTO: per-file micro-batches upsert in order;
+    the final table holds last-write state per key, replay leaves the
+    visible state unchanged."""
+    src = str(tmp_path / "src")
+    # batch files with overlapping keys; maxFilesPerTrigger=1 gives
+    # one upsert commit per file in lexicographic (deterministic) order
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    ).coalesce(1).write.parquet(src + "/b=0")
+    spark.createDataFrame(
+        [(2, 222), (3, 30)], "id long, v long"
+    ).coalesce(1).write.parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    path = str(tmp_path / "t")
+    snap.mor_upsert_foreach_batch(
+        stream, path, "id", str(tmp_path / "ck")
+    ).awaitTermination()
+    rows = {r.id: r.v for r in snap.read_snapshot(spark, path).collect()}
+    assert rows == {1: 10, 2: 222, 3: 30}
+    # replaying the same source from a fresh checkpoint re-commits but
+    # the visible state is unchanged (shadow-by-key)
+    stream2 = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    snap.mor_upsert_foreach_batch(
+        stream2, path, "id", str(tmp_path / "ck2")
+    ).awaitTermination()
+    rows2 = {r.id: r.v for r in snap.read_snapshot(spark, path).collect()}
+    assert rows2 == rows
+    # compaction folds everything back to a tombstone-free table
+    v = snap.compact_snapshot(spark, path, target_files=1)
+    assert snap._load_manifest(path, v)["delete_files"] == []
+    assert {
+        r.id: r.v for r in snap.read_snapshot(spark, path).collect()
+    } == rows
