@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "kmv_distinct_per_type",
     "nb_lang_classifier",
     "snapshot_docs_upsert",
+    "source_upsample_repeats",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

@@ -3155,6 +3155,73 @@ def snapshot_docs_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_upsample_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UP-sampling with multiplicity — the complement of
+    temperature_resample's pure down-sampling: every source is
+    upweighted to the LARGEST source's document count, each doc
+    carrying repeats = floor(w) plus a deterministic Bernoulli(frac(w))
+    extra epoch (md5-uniform on the doc id, the samplers' portable
+    coin), so the realized corpus hits the target mixture in
+    expectation with per-doc reproducibility — the "epochs per
+    source" knob of LLM data recipes (e.g. rare high-quality sources
+    repeated, web crawl seen once).
+
+    The Bernoulli threshold is rounded to 6dp before comparison (the
+    temperature_resample discipline) so no cross-engine last-ulp
+    ambiguity exists.  Output per source: n_docs, weight, n_repeats,
+    realized_ratio.
+
+    Scale shape: one map-side count per source; the per-source weight
+    table is a broadcast back over the scan; the repeat verdict is a
+    codegen projection — two passes total, no corpus shuffle.
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        uniform01,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_g"))
+    max_n = counts.agg(F.max("n_g").alias("max_n"))
+    weights = counts.crossJoin(F.broadcast(max_n)).select(
+        "source",
+        "n_g",
+        (F.col("max_n").cast("double") / F.col("n_g")).alias("w"),
+    )
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .select(
+            "source",
+            "n_g",
+            "w",
+            (
+                F.floor("w").cast("long")
+                + F.when(
+                    uniform01("doc_id", salt="ups")
+                    < F.round(F.col("w") - F.floor("w"), 6),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("repeats"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.max("n_g").cast("long").alias("n_docs"),
+            F.round(F.max("w"), 6).alias("weight"),
+            F.sum("repeats").cast("long").alias("n_repeats"),
+        )
+        .withColumn(
+            "realized_ratio",
+            F.round(
+                F.col("n_repeats").cast("double") / F.col("n_docs"), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND applied
     wholly in-engine: add-one-smoothed per-language word likelihoods
@@ -4999,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_per_type": kmv_distinct_per_type,
         "nb_lang_classifier": nb_lang_classifier,
         "snapshot_docs_upsert": snapshot_docs_upsert,
+        "source_upsample_repeats": source_upsample_repeats,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -5283,6 +5351,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "source_upsample_repeats": f"""
+            WITH counts AS (
+                SELECT source, count(*) AS n_g FROM documents GROUP BY 1
+            ),
+            mx AS (SELECT max(n_g) AS max_n FROM counts),
+            weights AS (
+                SELECT source, n_g, CAST(max_n AS DOUBLE) / n_g AS w
+                FROM counts, mx
+            ),
+            flagged AS (
+                SELECT d.source, w.n_g, w.w,
+                       CAST(floor(w.w) AS BIGINT)
+                       + CASE WHEN {sampling_op.uniform01_sql("d.doc_id", "ups")}
+                                   < round(w.w - floor(w.w), 6)
+                              THEN 1 ELSE 0 END AS repeats
+                FROM documents d JOIN weights w ON w.source = d.source
+            )
+            SELECT source,
+                   CAST(max(n_g) AS BIGINT) AS n_docs,
+                   round(max(w), 6) AS weight,
+                   CAST(sum(repeats) AS BIGINT) AS n_repeats,
+                   round(CAST(sum(repeats) AS DOUBLE) / max(n_g), 6)
+                       AS realized_ratio
+            FROM flagged GROUP BY source ORDER BY source
+        """,
         "snapshot_docs_upsert": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,
