@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "nb_lang_classifier",
     "snapshot_docs_upsert",
     "source_upsample_repeats",
+    "ab_test_purchase_values",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

@@ -2332,6 +2332,76 @@ def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test over a deterministic A/B assignment:
+    users hash into two arms (md5 — cluster-randomized: every event
+    of a user shares its arm), purchase values compare by mean with
+    the t statistic from exact decimal moment sums — the
+    experimentation primitive (metric guardrails, launch decisions)
+    computed the partitioning-invariant way.
+
+    All moments are decimal-exact before ONE double conversion
+    (value_time_correlation's recipe), so mean/variance/t reproduce
+    bit-for-bit in the oracle; `significant` is the |t| > 1.96 call
+    at alpha=0.05.
+
+    Scale shape: one map-side conditional aggregate over the
+    filtered scan — the whole test is a 1-row reduce, no shuffle
+    beyond the partial-agg combine, no per-user state.
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.functions.numeric import money
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            hash_bucket("user_id", 2).alias("arm"),
+            money(F.col("value")).alias("v"),
+        )
+    )
+
+    def dsum2(cond, expr, alias):
+        return (
+            F.round(F.sum(F.when(cond, expr)), 2)
+            .cast("decimal(15,2)")
+            .cast("double")
+            .alias(alias)
+        )
+
+    a, b = F.col("arm") == 0, F.col("arm") == 1
+    m = ev.agg(
+        F.count(F.when(a, F.lit(1))).cast("double").alias("na"),
+        F.count(F.when(b, F.lit(1))).cast("double").alias("nb"),
+        dsum2(a, F.col("v"), "sxa"),
+        dsum2(b, F.col("v"), "sxb"),
+        dsum2(a, F.col("v") * F.col("v"), "sxa2"),
+        dsum2(b, F.col("v") * F.col("v"), "sxb2"),
+    )
+    mean_a = F.col("sxa") / F.col("na")
+    mean_b = F.col("sxb") / F.col("nb")
+    var_a = (F.col("sxa2") - F.col("sxa") * F.col("sxa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    var_b = (F.col("sxb2") - F.col("sxb") * F.col("sxb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    t = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("na") + var_b / F.col("nb")
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
+
+
 def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL face of the engine: the registry is DataFrame-
     first, but `spark.sql` over registered views reaches the same
@@ -5067,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classifier": nb_lang_classifier,
         "snapshot_docs_upsert": snapshot_docs_upsert,
         "source_upsample_repeats": source_upsample_repeats,
+        "ab_test_purchase_values": ab_test_purchase_values,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -5351,6 +5422,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "ab_test_purchase_values": f"""
+            WITH ev AS (
+                SELECT {sampling_op.hash_bucket_sql("user_id", 2)} AS arm,
+                       CAST(value AS DECIMAL(12,2)) AS v
+                FROM events WHERE event_type = 'purchase'
+            ),
+            m AS (
+                SELECT CAST(count(*) FILTER (WHERE arm = 0) AS DOUBLE) AS na,
+                       CAST(count(*) FILTER (WHERE arm = 1) AS DOUBLE) AS nb,
+                       CAST(CAST(round(sum(v) FILTER (WHERE arm = 0), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS sxa,
+                       CAST(CAST(round(sum(v) FILTER (WHERE arm = 1), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS sxb,
+                       CAST(CAST(round(sum(v * v) FILTER (WHERE arm = 0), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS sxa2,
+                       CAST(CAST(round(sum(v * v) FILTER (WHERE arm = 1), 2)
+                            AS DECIMAL(15,2)) AS DOUBLE) AS sxb2
+                FROM ev
+            ),
+            calc AS (
+                SELECT na, nb,
+                       sxa / na AS mean_a,
+                       sxb / nb AS mean_b,
+                       (sxa2 - sxa * sxa / na) / (na - 1) AS var_a,
+                       (sxb2 - sxb * sxb / nb) / (nb - 1) AS var_b
+                FROM m
+            )
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   round(mean_a, 6) AS mean_a,
+                   round(mean_b, 6) AS mean_b,
+                   round((mean_a - mean_b)
+                         / sqrt(var_a / na + var_b / nb), 6) AS t_stat,
+                   abs((mean_a - mean_b)
+                       / sqrt(var_a / na + var_b / nb)) > 1.96
+                       AS significant
+            FROM calc
+        """,
         "source_upsample_repeats": f"""
             WITH counts AS (
                 SELECT source, count(*) AS n_g FROM documents GROUP BY 1
