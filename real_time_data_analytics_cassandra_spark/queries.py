@@ -2402,6 +2402,86 @@ def ab_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chi2_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-part (6-hour buckets of the UTC hour): are event kinds
+    distributed differently across the day?  With effect size
+    (Cramér's V) — the categorical-association companion to
+    ab_test_purchase_values.
+
+    All observed counts and totals are exact integers; expected
+    values and the (O-E)²/E terms are double ops on identical
+    inputs, and the final sum folds the ≤ |types|·4 cells in sorted
+    order (the log-sum discipline), so χ² is bit-identical in the
+    oracle.  Significance is left to the caller (the χ² critical
+    value depends on a quantile table); V is the scale-free readout.
+
+    Scale shape: one map-side-combined count per (type, daypart);
+    every later step runs on the tiny cell/marginal frames — the
+    fact table is scanned once.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type",
+            F.expr("hour(ts) div 6").cast("int").alias("daypart"),
+        )
+        .groupBy("event_type", "daypart")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_t = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_t = cells.groupBy("daypart").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(row_t, "event_type")
+        .join(col_t, "daypart")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "daypart",
+            "n",
+            "rt",
+            "ct",
+            (
+                (
+                    F.col("o").cast("double")
+                    - F.col("rt").cast("double") * F.col("ct") / F.col("n")
+                )
+                * (
+                    F.col("o").cast("double")
+                    - F.col("rt").cast("double") * F.col("ct") / F.col("n")
+                )
+                / (F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+            ).alias("term"),
+        )
+    )
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("daypart").alias("c"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type, daypart, term))), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        ).alias("chi2_raw"),
+    )
+    return agg.select(
+        "n_events",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (
+                    F.col("n_events")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
 def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL face of the engine: the registry is DataFrame-
     first, but `spark.sql` over registered views reaches the same
@@ -5138,6 +5218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_docs_upsert": snapshot_docs_upsert,
         "source_upsample_repeats": source_upsample_repeats,
         "ab_test_purchase_values": ab_test_purchase_values,
+        "chi2_type_daypart": chi2_type_daypart,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -5422,6 +5503,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
+        "chi2_type_daypart": """
+            WITH cells AS (
+                SELECT event_type,
+                       CAST(hour(ts) // 6 AS INTEGER) AS daypart,
+                       count(*) AS o
+                FROM events GROUP BY 1, 2
+            ),
+            row_t AS (
+                SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1
+            ),
+            col_t AS (
+                SELECT daypart, sum(o) AS ct FROM cells GROUP BY 1
+            ),
+            n AS (SELECT sum(o) AS n FROM cells),
+            terms AS (
+                SELECT c.event_type, c.daypart, n.n, r.rt, t.ct,
+                       (CAST(c.o AS DOUBLE)
+                        - CAST(r.rt AS DOUBLE) * t.ct / n.n)
+                       * (CAST(c.o AS DOUBLE)
+                          - CAST(r.rt AS DOUBLE) * t.ct / n.n)
+                       / (CAST(r.rt AS DOUBLE) * t.ct / n.n) AS term
+                FROM cells c
+                JOIN row_t r USING (event_type)
+                JOIN col_t t USING (daypart)
+                CROSS JOIN n
+            ),
+            agg AS (
+                SELECT CAST(max(n) AS BIGINT) AS n_events,
+                       count(DISTINCT event_type) AS r,
+                       count(DISTINCT daypart) AS c,
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                               list(term ORDER BY event_type, daypart)),
+                           (a, b) -> a + b) AS chi2_raw
+                FROM terms
+            )
+            SELECT n_events,
+                   CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+                   round(chi2_raw, 6) AS chi2,
+                   round(sqrt(chi2_raw
+                              / (n_events * least(r - 1, c - 1))), 6)
+                       AS cramers_v
+            FROM agg
+        """,
         "ab_test_purchase_values": f"""
             WITH ev AS (
                 SELECT {sampling_op.hash_bucket_sql("user_id", 2)} AS arm,
