@@ -300,6 +300,7 @@ _BNLJ_OK = {
     "join_size_estimate_cms",  # 1-row est x 1-row exact label joins
     "nb_lang_classifier",  # 1-row vocab/doc-count + tiny lang-dim broadcasts
     "chi2_type_daypart",  # 1-row N broadcast over the tiny cell frame
+    "source_upsample_repeats",  # 1-row max-count broadcast for weights
 }
 
 
