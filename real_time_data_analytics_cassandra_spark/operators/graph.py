@@ -128,17 +128,21 @@ def pagerank(
     truncated per iteration exactly like :func:`connected_components`,
     so plan cost is O(1) per round and the loop is O(iterations).
     """
+    from pyspark.sql import Window
+
     base = (unit * (damp_den - damp_num)) // damp_den
-    ew = (
+    # (u, v, outdeg) in ONE pass: the out-degree is a count window
+    # over the same u-partitioning the distinct already produced — no
+    # separate groupBy + join, and only this frame materializes.
+    w = Window.partitionBy("u")
+    ewd = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
+        .withColumn("outdeg", F.count(F.lit(1)).over(w))
         .localCheckpoint(eager=True)
     )
-    deg = ew.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (u, v, outdeg) once; every iteration reuses this materialization.
-    ewd = ew.join(deg, "u").localCheckpoint(eager=True)
     ranks = (
-        ew.select(F.col("u").alias("id"))
+        ewd.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("r", F.lit(unit).cast("long"))
         .localCheckpoint(eager=True)

@@ -4216,14 +4216,21 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
+    # generate each undirected pair ONCE (u < v) so the dedup shuffle
+    # moves half the rows, then symmetrize by a union of swapped
+    # columns — distinct-by-construction, same edge set as the oracle
+    half = (
         op.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
         .join(
             op.select(F.col("l_orderkey"), F.col("l_partkey").alias("v")),
             "l_orderkey",
         )
-        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u") < F.col("v"))
         .select("u", "v")
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     ranks = pagerank(edges, "u", "v", iterations=4)
     return (
