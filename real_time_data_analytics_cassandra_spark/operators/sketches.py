@@ -125,17 +125,21 @@ def top_heavy_hitters(
 
 
 def cms_bucket(c, row: int, width: int):
-    """Hash row ``row``'s bucket for value ``c``: the first 8 md5 hex
-    digits of 'value:row' as an integer, mod width.  Engine-portable
-    (md5 + hex parse + mod exist everywhere with identical results)."""
-    return F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(c.cast("string"), F.lit(f":{row}"))), 1, 8),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(width),
-    )
+    """Hash row ``row``'s bucket for value ``c``.  Rows 0-3 SLICE one
+    md5 digest (hex chars 8*row+1..8*row+8): one md5 per value feeds
+    the whole default depth-4 sketch — 4x fewer digest computations
+    than hashing 'value:row' per row, and 32-bit slices of md5 are
+    independent for bucketing purposes.  Rows >= 4 fall back to the
+    salted per-row digest.  Engine-portable either way (md5 + hex
+    parse + mod are identical everywhere)."""
+    if row < 4:
+        digest = F.md5(c.cast("string"))
+        sliced = F.substring(digest, 8 * row + 1, 8)
+    else:
+        sliced = F.substring(
+            F.md5(F.concat(c.cast("string"), F.lit(f":{row}"))), 1, 8
+        )
+    return F.pmod(F.conv(sliced, 16, 10).cast("long"), F.lit(width))
 
 
 def cms_sketch(df: DataFrame, col: str, width: int = 2048, depth: int = 4) -> DataFrame:

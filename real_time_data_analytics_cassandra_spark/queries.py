@@ -5729,8 +5729,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT row_i, bucket, count(*) AS cnt
                 FROM (
                     SELECT row_i,
-                           CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)
-                                || ':' || row_i), 1, 8)) AS BIGINT) % 8192
+                           CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), row_i * 8 + 1, 8)) AS BIGINT) % 8192
                                AS bucket
                     FROM lineitem CROSS JOIN rows_
                 ) GROUP BY 1, 2
@@ -5752,8 +5751,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT row_i, bucket, count(*) AS cnt
                 FROM (
                     SELECT row_i,
-                           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
-                                || ':' || row_i), 1, 8)) AS BIGINT) % 8192
+                           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), row_i * 8 + 1, 8)) AS BIGINT) % 8192
                                AS bucket
                     FROM orders CROSS JOIN rows_
                 ) GROUP BY 1, 2
@@ -5762,8 +5760,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT row_i, bucket, count(*) AS cnt
                 FROM (
                     SELECT row_i,
-                           CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
-                                || ':' || row_i), 1, 8)) AS BIGINT) % 8192
+                           CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), row_i * 8 + 1, 8)) AS BIGINT) % 8192
                                AS bucket
                     FROM lineitem CROSS JOIN rows_
                 ) GROUP BY 1, 2
@@ -6473,7 +6470,7 @@ def oracle_sql() -> dict[str, str]:
             rows_ AS (SELECT unnest(generate_series(0, 3)) AS row_i),
             probes AS (
                 SELECT term, row_i,
-                       CAST(('0x' || substr(md5(term || ':' || row_i), 1, 8))
+                       CAST(('0x' || substr(md5(term), row_i * 8 + 1, 8))
                             AS BIGINT) % 2048 AS bucket
                 FROM toks CROSS JOIN rows_
             ),
@@ -6484,7 +6481,7 @@ def oracle_sql() -> dict[str, str]:
             dv AS (SELECT DISTINCT term FROM toks),
             dprobes AS (
                 SELECT term, row_i,
-                       CAST(('0x' || substr(md5(term || ':' || row_i), 1, 8))
+                       CAST(('0x' || substr(md5(term), row_i * 8 + 1, 8))
                             AS BIGINT) % 2048 AS bucket
                 FROM dv CROSS JOIN rows_
             )
