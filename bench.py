@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "source_upsample_repeats",
     "ab_test_purchase_values",
     "chi2_type_daypart",
+    "hourly_value_cusum",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

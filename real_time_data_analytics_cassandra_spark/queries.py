@@ -2482,6 +2482,95 @@ def chi2_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM change-point detection (Page 1954) over the
+    hourly average value per event type: two one-sided cumulative
+    sums s⁺/s⁻ with slack k = 0.5σ, alarm when either exceeds 4σ —
+    the drift detector behind metric monitoring, as a query.
+
+    Like EWMA the recursion is inherently sequential per series, so
+    it runs as ONE JVM ``aggregate`` fold over each type's sorted
+    hour array (no driver loop, no Python); μ and σ come from
+    sorted-fold moment sums of the same 6dp hourly series, so every
+    double op replays identically in the recursive-CTE oracle.
+
+    Scale shape: the fold operates on the hourly AGGREGATE (bounded
+    by the time span), never the raw events; one shuffle for the
+    hourly agg, one for the per-type fold.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(davg(F.col("value").cast("decimal(12,2)"), "avg_value"))
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("h", "avg_value"))).alias("__arr")
+    )
+    fold_sum = (
+        "aggregate(__arr, CAST(0 AS DOUBLE), (a, x) -> a + x.avg_value)"
+    )
+    fold_sum2 = (
+        "aggregate(__arr, CAST(0 AS DOUBLE), "
+        "(a, x) -> a + x.avg_value * x.avg_value)"
+    )
+    withstats = series.select(
+        "event_type",
+        "__arr",
+        F.expr(fold_sum).alias("__sx"),
+        F.expr(fold_sum2).alias("__sx2"),
+        F.size("__arr").cast("double").alias("__n"),
+    ).select(
+        "event_type",
+        "__arr",
+        (F.col("__sx") / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("__sx2") - F.col("__sx") * F.col("__sx") / F.col("__n"))
+                / (F.col("__n") - 1),
+            )
+        ).alias("__sigma"),
+    )
+    cusum = withstats.withColumn(
+        "__cs",
+        F.expr(
+            "aggregate(__arr, "
+            "CAST(array() AS array<struct<hi:double,lo:double>>), "
+            "(acc, x) -> concat(acc, array(named_struct("
+            "'hi', greatest(CAST(0 AS DOUBLE), "
+            "  (CASE WHEN size(acc) = 0 THEN CAST(0 AS DOUBLE) "
+            "   ELSE element_at(acc, -1).hi END) "
+            "  + (x.avg_value - __mu - CAST(0.5 AS DOUBLE) * __sigma)), "
+            "'lo', greatest(CAST(0 AS DOUBLE), "
+            "  (CASE WHEN size(acc) = 0 THEN CAST(0 AS DOUBLE) "
+            "   ELSE element_at(acc, -1).lo END) "
+            "  - (x.avg_value - __mu) - CAST(0.5 AS DOUBLE) * __sigma)"
+            "))))"
+        ),
+    )
+    return (
+        cusum.select(
+            "event_type",
+            "__mu",
+            "__sigma",
+            F.posexplode(F.arrays_zip("__arr", "__cs")).alias("__i", "__z"),
+        )
+        .select(
+            "event_type",
+            F.col("__z.__arr.h").alias("h"),
+            F.col("__z.__arr.avg_value").alias("avg_value"),
+            F.round(F.col("__z.__cs.hi"), 6).alias("cusum_hi"),
+            F.round(F.col("__z.__cs.lo"), 6).alias("cusum_lo"),
+            (
+                (F.col("__z.__cs.hi") > 4 * F.col("__sigma"))
+                | (F.col("__z.__cs.lo") > 4 * F.col("__sigma"))
+            ).alias("alarm"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL face of the engine: the registry is DataFrame-
     first, but `spark.sql` over registered views reaches the same
@@ -5226,6 +5315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_upsample_repeats": source_upsample_repeats,
         "ab_test_purchase_values": ab_test_purchase_values,
         "chi2_type_daypart": chi2_type_daypart,
+        "hourly_value_cusum": hourly_value_cusum,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -7918,6 +8008,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t[s + 1 : s + 30]) AS BIGINT) AS n_tokens,
                    array_to_string(t[s + 1 : s + 30], ' ') AS chunk
             FROM starts
+        """,
+        "hourly_value_cusum": """
+            WITH RECURSIVE hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                       round(CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4)
+                                  AS DECIMAL(15,4)) AS DOUBLE) / count(*), 6) AS avg_value
+                FROM events
+                GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(avg_value ORDER BY h)), (a, b) -> a + b) AS sx,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(avg_value * avg_value ORDER BY h)),
+                           (a, b) -> a + b) AS sx2
+                FROM hourly GROUP BY event_type
+            ),
+            params AS (
+                SELECT event_type, sx / n AS mu,
+                       sqrt(greatest(CAST(0 AS DOUBLE),
+                            (sx2 - sx * sx / n) / (n - 1))) AS sigma
+                FROM stats
+            ),
+            ordered AS (
+                SELECT event_type, h, avg_value,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h) AS rn
+                FROM hourly
+            ),
+            cs(event_type, rn, h, avg_value, hi, lo) AS (
+                SELECT o.event_type, o.rn, o.h, o.avg_value,
+                       greatest(CAST(0 AS DOUBLE),
+                           o.avg_value - p.mu - CAST(0.5 AS DOUBLE) * p.sigma),
+                       greatest(CAST(0 AS DOUBLE),
+                           - (o.avg_value - p.mu)
+                           - CAST(0.5 AS DOUBLE) * p.sigma)
+                FROM ordered o JOIN params p USING (event_type)
+                WHERE o.rn = 1
+                UNION ALL
+                SELECT o.event_type, o.rn, o.h, o.avg_value,
+                       greatest(CAST(0 AS DOUBLE),
+                           c.hi + (o.avg_value - p.mu
+                                   - CAST(0.5 AS DOUBLE) * p.sigma)),
+                       greatest(CAST(0 AS DOUBLE),
+                           c.lo - (o.avg_value - p.mu)
+                           - CAST(0.5 AS DOUBLE) * p.sigma)
+                FROM ordered o
+                JOIN cs c ON o.event_type = c.event_type AND o.rn = c.rn + 1
+                JOIN params p ON p.event_type = o.event_type
+            )
+            SELECT c.event_type, c.h, c.avg_value,
+                   round(c.hi, 6) AS cusum_hi,
+                   round(c.lo, 6) AS cusum_lo,
+                   c.hi > 4 * p.sigma OR c.lo > 4 * p.sigma AS alarm
+            FROM cs c JOIN params p USING (event_type)
+            ORDER BY c.event_type, c.h
         """,
         "hourly_value_ewma": """
             WITH RECURSIVE hourly AS (
