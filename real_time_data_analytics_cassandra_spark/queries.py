@@ -2571,6 +2571,64 @@ def hourly_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms by TF-IDF
+    (tf · ln(N/df)) with deterministic tie-breaks — the per-doc
+    complement of the corpus-level tfidf_top_terms, and the
+    building block of tagging / routing / retrieval-lite.
+
+    Every score input is integral (term counts, doc frequencies, N),
+    so scores — and therefore the per-doc ranking — replay exactly in
+    the oracle.  Terms appearing in EVERY document score 0 (ln 1) and
+    still rank by the term tie-break; that edge is part of the oracle
+    contract.
+
+    Scale shape: one shuffle for doc-term counts; document
+    frequencies RE-AGGREGATE those counts (no second corpus pass); N
+    is a 1-row broadcast; the final per-doc rank window partitions on
+    doc_id — the same key the counts already shuffled on.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    doc_tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_counts = doc_tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        doc_tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL face of the engine: the registry is DataFrame-
     first, but `spark.sql` over registered views reaches the same
@@ -5316,6 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_purchase_values": ab_test_purchase_values,
         "chi2_type_daypart": chi2_type_daypart,
         "hourly_value_cusum": hourly_value_cusum,
+        "doc_keywords": doc_keywords,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -8008,6 +8067,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t[s + 1 : s + 30]) AS BIGINT) AS n_tokens,
                    array_to_string(t[s + 1 : s + 30], ' ') AS chunk
             FROM starts
+        """,
+        "doc_keywords": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            doc_tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfs AS (
+                SELECT term, count(*) AS df FROM doc_tf GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT d.doc_id, d.term,
+                       CAST(d.tf AS DOUBLE)
+                       * ln(CAST(n.n_docs AS DOUBLE) / f.df) AS score
+                FROM doc_tf d JOIN dfs f USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, term
+                       ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+                   round(score, 6) AS score
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         "hourly_value_cusum": """
             WITH RECURSIVE hourly AS (
