@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "chi2_type_daypart",
     "hourly_value_cusum",
     "doc_keywords",
+    "mmr_diverse_neighbors",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's
     # loose 0.35 threshold its 4-bit bands admit n^2/16-scale

@@ -1219,3 +1219,82 @@ def srp_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    depth: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    per query, greedily select k of the top-``depth`` exact-cosine
+    candidates maximizing ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d,s)``
+    — relevance WITH diversity, the retrieval shape RAG rerankers and
+    dedup-aware samplers want (top-k alone returns near-duplicates of
+    one hit).
+
+    Two stages: the distributed exact shortlist
+    (:func:`brute_force_topk`, JVM-side) bounds the problem to
+    ``depth`` rows per query; the greedy selection — inherently
+    sequential but O(depth²) — runs as ONE Arrow batch per query
+    group (`applyInPandas`), vectorized candidate-candidate GEMM
+    inside.  Deterministic: relevance is the 6dp-rounded shortlist
+    sim, numpy float64 ops are IEEE-fixed, ties break on candidate
+    id.  At 100 TB the shortlist is the scale problem (swap in
+    ivfpq_topk for it); the MMR stage stays |queries|·depth² however
+    big the corpus is.
+    """
+    import numpy as np
+
+    shortlist = brute_force_topk(corpus, queries, id_col, vec_col, k=depth)
+    cand = shortlist.join(
+        corpus.select(
+            F.col(id_col).alias("n_vec_id"), F.col(vec_col).alias("n_emb")
+        ),
+        "n_vec_id",
+    )
+
+    def select(pdf):
+        import pandas as pd
+
+        ids = pdf["n_vec_id"].to_numpy()
+        rel = pdf["sim"].to_numpy().astype(np.float64)
+        mat = np.stack(pdf["n_emb"].to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        sims = mat @ mat.T
+        chosen: list = []
+        scores: list = []
+        avail = list(range(len(ids)))
+        while avail and len(chosen) < k:
+            best = None
+            for i in avail:
+                div = max((sims[i, j] for j in chosen), default=0.0)
+                s = lam * rel[i] - (1.0 - lam) * div
+                key = (-s, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, s)
+            chosen.append(best[1])
+            scores.append(best[2])
+            avail.remove(best[1])
+        return pd.DataFrame(
+            {
+                "q_vec_id": pdf["q_vec_id"].iloc[: len(chosen)].to_numpy()[0]
+                * np.ones(len(chosen), dtype=np.int64),
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "n_vec_id": ids[chosen],
+                "relevance": rel[chosen],
+                "mmr_score": np.round(scores, 6),
+            }
+        )
+
+    return cand.groupBy("q_vec_id").applyInPandas(
+        select,
+        "q_vec_id long, rank int, n_vec_id long, relevance double, "
+        "mmr_score double",
+    )

@@ -633,6 +633,21 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def mmr_diverse_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR re-selection (lam=0.7, depth 20)
+    of the exact top-20 shortlist per query — relevance minus
+    redundancy, so one cluster of near-identical neighbours cannot
+    monopolize the answer (operators/similarity.py::mmr_topk).
+    Approximate-free but non-SQL (greedy per-group numpy), so no
+    oracle; tests pin it to a pure-numpy reference bit-for-bit and
+    assert the diversity property against plain top-k."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    return sim_op.mmr_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, depth=20, lam=0.7
+    ).orderBy("q_vec_id", "rank")
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbours (probe 4 of the
     deterministic centroid cells).  Approximate by design -> no SQL
@@ -5406,6 +5421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": token_count,
         "lang_id": lang_id,
         "knn_bruteforce": knn_bruteforce,
+        "mmr_diverse_neighbors": mmr_diverse_neighbors,
         "multimodal_decode_meta": multimodal_decode_meta,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,

@@ -441,3 +441,73 @@ def test_cms_inner_product_never_underestimates(spark):
     for r in rows:
         assert r.est >= r.exact, (r.pair, r.est, r.exact)
         assert r.rel_error >= 0.0
+
+
+def test_mmr_matches_numpy_model_and_diversifies(spark):
+    """MMR selection must equal a pure-numpy greedy reference run on
+    the same shortlist (same ops, same tie-breaks — exact), pick the
+    most-relevant candidate FIRST, and strictly not exceed plain
+    top-k's average pairwise similarity (the diversity claim)."""
+    import numpy as np
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    rows = q.mmr_diverse_neighbors(spark, SF_ORACLE).collect()
+    assert rows
+    got = {}
+    for r in rows:
+        got.setdefault(r.q_vec_id, []).append(
+            (r.rank, r.n_vec_id, r.relevance, r.mmr_score)
+        )
+
+    from real_time_data_analytics_cassandra_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    sl = brute_force_topk(
+        emb, emb.filter(emb.vec_id % 50 == 0), k=20
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    per_q = {}
+    for r in sl:
+        per_q.setdefault(r.q_vec_id, []).append((r.rank, r.n_vec_id, r.sim))
+    lam = 0.7
+    for qid, cands in per_q.items():
+        cands.sort()
+        ids = [c[1] for c in cands]
+        rel = {c[1]: c[2] for c in cands}
+        unit = {
+            i: vecs[i] / max(np.linalg.norm(vecs[i]), 1e-12) for i in ids
+        }
+        chosen = []
+        avail = list(ids)
+        while avail and len(chosen) < 5:
+            best = None
+            for i in avail:
+                div = max(
+                    (float(unit[i] @ unit[j]) for j in chosen), default=0.0
+                )
+                s = lam * rel[i] - (1 - lam) * div
+                key = (-s, i)
+                if best is None or key < best[0]:
+                    best = (key, i, s)
+            chosen.append(best[1])
+            avail.remove(best[1])
+        want_ids = chosen
+        got_ids = [t[1] for t in sorted(got[qid])]
+        assert got_ids == want_ids, (qid, got_ids, want_ids)
+        # first pick is the relevance argmax (tie-break by id)
+        top_rel = sorted(((-r, i) for i, r in rel.items()))[0][1]
+        assert got_ids[0] == top_rel
+        # diversity: avg pairwise sim of the MMR set <= plain top-5 set
+        def avg_pair(sel):
+            ps = [
+                float(unit[a] @ unit[b])
+                for x, a in enumerate(sel)
+                for b in sel[x + 1 :]
+            ]
+            return sum(ps) / len(ps)
+
+        plain = [c[1] for c in cands[:5]]
+        assert avg_pair(got_ids) <= avg_pair(plain) + 1e-9

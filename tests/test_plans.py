@@ -265,6 +265,7 @@ _ARROW_QUERIES = {
     "heavy_hitter_tokens",  # Misra-Gries partition summaries
     "semantic_dedup",  # cell assignment + per-cell greedy sweep
     "srp_near_dup",  # sign-bit GEMM signatures (dim x n_bits BLAS)
+    "mmr_diverse_neighbors",  # per-query greedy MMR over the Arrow shortlist
 }
 
 # Queries where a broadcast nested loop is the intended plan (non-equi
@@ -301,6 +302,8 @@ _BNLJ_OK = {
     "nb_lang_classifier",  # 1-row vocab/doc-count + tiny lang-dim broadcasts
     "chi2_type_daypart",  # 1-row N broadcast over the tiny cell frame
     "source_upsample_repeats",  # 1-row max-count broadcast for weights
+    "doc_keywords",  # 1-row doc-count broadcast for the idf term
+    "mmr_diverse_neighbors",  # knn's broadcast query x corpus non-equi join
 }
 
 
