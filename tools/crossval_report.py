@@ -273,6 +273,23 @@ def main() -> None:
         "gate": "tests/test_projection.py::test_pca_projection_matches_driver_recompute",
     }
 
+    mmr_rows = q.mmr_diverse_neighbors(spark, SF).collect()
+    firsts = {}
+    for r in mmr_rows:
+        if r.rank == 1:
+            firsts[r.q_vec_id] = r.relevance
+    report["mmr_diverse_neighbors"] = {
+        "metric": "greedy selection bit-equal to a pure-numpy MMR "
+                  "reference on the same shortlist; first pick = "
+                  "relevance argmax; avg pairwise sim <= plain top-k",
+        "floor": "bit-exact selection",
+        "value": {
+            "n_queries": len(firsts),
+            "rows": len(mmr_rows),
+        },
+        "gate": "tests/test_crossval.py::test_mmr_matches_numpy_model_and_diversifies",
+    }
+
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=2, sort_keys=True)
         fh.write("\n")
