@@ -1298,3 +1298,109 @@ def mmr_topk(
         "q_vec_id long, rank int, n_vec_id long, relevance double, "
         "mmr_score double",
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+):
+    """Distributed Lloyd refinement of coarse centroids over the FULL
+    corpus — the complement of :func:`kmeans_centroids`' bounded-
+    sample training: when cell quality matters more than training
+    cost, refine the sample-trained centers with full-data passes.
+
+    Each iteration is ONE Arrow `mapInPandas` pass (vectorized GEMM
+    assignment + per-partition partial sums per cell) followed by a
+    tiny (k·d)-row shuffle; the driver only ever holds the k×d
+    centroid matrix and per-iteration inertia — corpus-size-
+    independent, the same contract a 1000-executor run needs.  Empty
+    cells keep their previous center.
+
+    Returns ``(centroids_df, inertias)`` where ``inertias`` has one
+    full-data sum of squared distances per iteration (monotonically
+    non-increasing up to float addition order — asserted with
+    tolerance in tests).
+    """
+    import numpy as np
+
+    rows = sorted(
+        (r[0], np.array(r[1], dtype=np.float64))
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    cents = np.stack([v for _, v in rows])
+    k, d = cents.shape
+    spark = corpus.sparkSession
+    inertias = []
+    for _ in range(iterations):
+        c = cents  # close over this iteration's matrix
+        c_sq = (c**2).sum(axis=1)
+
+        def part(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                d2 = (
+                    (mat**2).sum(axis=1)[:, None]
+                    - 2.0 * (mat @ c.T)
+                    + c_sq[None, :]
+                )
+                cell = d2.argmin(axis=1)
+                best = d2[np.arange(len(cell)), cell]
+                out = []
+                for cl in np.unique(cell):
+                    m = cell == cl
+                    out.append(
+                        {
+                            "cell": int(cl),
+                            "n": int(m.sum()),
+                            "sums": mat[m].sum(axis=0).tolist(),
+                            "inertia": float(best[m].sum()),
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+        parts = corpus.select(
+            F.col(vec_col).cast("array<double>").alias("__v")
+        ).mapInPandas(
+            part, "cell int, n long, sums array<double>, inertia double"
+        )
+        agg = (
+            parts.select(
+                "cell",
+                "n",
+                "inertia",
+                F.posexplode("sums").alias("dim", "s"),
+            )
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum("s").alias("s"),
+                # n and inertia repeat per dim; divide back out later
+                F.sum("n").alias("n"),
+                F.sum("inertia").alias("i"),
+            )
+            .collect()
+        )
+        sums = np.zeros((k, d))
+        counts = np.zeros(k)
+        inertia = 0.0
+        for r in agg:
+            sums[r["cell"], r["dim"]] = r["s"]
+            if r["dim"] == 0:
+                counts[r["cell"]] = r["n"]
+                inertia += r["i"]
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cents = new
+        inertias.append(inertia)
+    out_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(k)],
+        [id_col, "c"],
+    ).select(id_col, F.col("c").cast("array<float>").alias(vec_col))
+    return out_df, inertias

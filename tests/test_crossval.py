@@ -511,3 +511,53 @@ def test_mmr_matches_numpy_model_and_diversifies(spark):
 
         plain = [c[1] for c in cands[:5]]
         assert avg_pair(got_ids) <= avg_pair(plain) + 1e-9
+
+
+def test_kmeans_refine_decreases_inertia_and_matches_numpy(spark):
+    """Distributed Lloyd refinement must (1) yield monotonically
+    non-increasing full-data inertia, and (2) land on the same
+    centroids as a single-process numpy Lloyd run from the same
+    initialization (same assignment argmins; means equal up to float
+    summation order)."""
+    import numpy as np
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_refine,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    init = kmeans_centroids(emb, n_cells=8)
+    refined, inertias = kmeans_refine(emb, init, iterations=3)
+    assert len(inertias) == 3
+    assert all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
+    ), inertias
+
+    # numpy reference from the same init over the same full data
+    X = np.stack(
+        [
+            np.array(r.embedding, dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    C = np.stack([
+        v for _, v in sorted(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+            for r in init.collect()
+        )
+    ])
+    for _ in range(3):
+        d2 = (X**2).sum(1)[:, None] - 2 * X @ C.T + (C**2).sum(1)[None, :]
+        a = d2.argmin(1)
+        for c in range(len(C)):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    got = np.stack([
+        v for _, v in sorted(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+            for r in refined.collect()
+        )
+    ])
+    assert np.allclose(got, C, atol=1e-5), np.abs(got - C).max()
