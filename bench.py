@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "incremental_ingest_dedup",
     "streaming_cms_token_counts",
     "streaming_kmv_distinct_per_type",
+    "streaming_hourly_cusum",
     "training_shard_shuffle",
     "span_dedup_keep_first",
     "temperature_resample_langs",

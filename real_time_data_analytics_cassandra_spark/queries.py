@@ -2519,6 +2519,15 @@ def hourly_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
     ).agg(davg(F.col("value").cast("decimal(12,2)"), "avg_value"))
+    return _cusum_over_hourly(hourly)
+
+
+def _cusum_over_hourly(hourly: DataFrame) -> DataFrame:
+    """The CUSUM fold proper, shared by the batch and streaming
+    forms: input is any (event_type, h, avg_value) frame whose
+    avg_value followed the davg discipline (decimal-exact sum, 6dp
+    round) — both producers reach identical doubles, so both share
+    the recursive-CTE oracle."""
     series = hourly.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("h", "avg_value"))).alias("__arr")
     )
@@ -2584,6 +2593,89 @@ def hourly_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+def streaming_hourly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM monitoring maintained BY THE STREAM: each micro-batch
+    folds per-(type, hour) deltas of (event count, value cents) into
+    an additive counter table (sinks/merge.py::merge_add — the
+    replay-protected counter MERGE), and the CUSUM fold then runs
+    over the MERGED table, never the raw events.  Value sums
+    accumulate as exact integer CENTS, so any batch split reaches
+    the same totals, and double(cents)/100 is the same correctly-
+    rounded double as the batch path's decimal->double conversion —
+    which is why this query can share hourly_value_cusum's
+    recursive-CTE oracle bit-for-bit.
+
+    This is the production monitoring shape at 100 TB: the stream
+    maintains a tiny (types x hours) counter table incrementally;
+    the detector re-folds only that table each evaluation.
+    """
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks.merge import merge_add
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+
+    ensure_query_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="rtdac_streaming_cusum_")
+    path, ckpt = f"{tmp}/counters", f"{tmp}/ckpt"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        deltas = (
+            batch.groupBy(
+                "event_type",
+                F.floor(F.unix_timestamp("ts") / 3600)
+                .cast("long")
+                .alias("h"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+                ).alias("cents"),
+            )
+            .selectExpr(
+                "event_type",
+                "h",
+                "stack(2, 'n', n, 'cents', cents) AS (metric, val)",
+            )
+        )
+        merge_add(
+            batch.sparkSession,
+            deltas,
+            path,
+            keys=["h", "metric"],
+            count_col="val",
+            partition_col="event_type",
+            batch_id=batch_id,
+        )
+
+    (
+        bounded_event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    counters = spark.read.parquet(path)
+    hourly = (
+        counters.groupBy("event_type", "h")
+        .pivot("metric", ["n", "cents"])
+        .agg(F.sum("val"))
+        .select(
+            "event_type",
+            F.col("h").cast("long").alias("h"),
+            F.round(
+                (F.col("cents").cast("double") / 100) / F.col("n"), 6
+            ).alias("avg_value"),
+        )
+    )
+    return _cusum_over_hourly(hourly)
 
 
 def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5389,6 +5481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_purchase_values": ab_test_purchase_values,
         "chi2_type_daypart": chi2_type_daypart,
         "hourly_value_cusum": hourly_value_cusum,
+        "streaming_hourly_cusum": streaming_hourly_cusum,
         "doc_keywords": doc_keywords,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
@@ -8314,6 +8407,7 @@ def oracle_sql() -> dict[str, str]:
     # it shares the batch sketch oracle bit-for-bit
     d["streaming_cms_token_counts"] = d["cms_token_counts"]
     d["streaming_kmv_distinct_per_type"] = d["kmv_distinct_per_type"]
+    d["streaming_hourly_cusum"] = d["hourly_value_cusum"]
     # the persisted-index search scores through the same bm25_rank as
     # the fresh path -> it shares the fresh oracle bit-for-bit
     d["bm25_search_persisted"] = d["bm25_search"]

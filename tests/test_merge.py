@@ -558,3 +558,49 @@ def test_merge_kmv_is_idempotent_and_equals_full_sketch(spark, tmp_path):
     # replay: fold b1 again — byte-identical table
     merge_kmv(spark, b1, path, ["g"], "uid", k=k)
     assert snap() == got
+
+
+def test_cents_counter_average_equals_davg_under_splits(spark, tmp_path):
+    """The streaming-CUSUM claim: value sums accumulated as integer
+    CENTS across arbitrary micro-batch splits reproduce the davg
+    (decimal-exact) hourly average bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.functions.numeric import davg
+    from real_time_data_analytics_cassandra_spark.sinks.merge import merge_add
+
+    path = str(tmp_path / "c")
+    rows = [
+        ("a", i % 5, 0.01 * (7 * i % 997) + (i % 13)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, h long, value double")
+    parts = [
+        df.filter(F.pmod(F.xxhash64("value"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    for bid, b in enumerate(parts):
+        deltas = b.groupBy("g", "h").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("cents"),
+        ).selectExpr("g", "h", "stack(2, 'n', n, 'cents', cents) AS (metric, val)")
+        merge_add(spark, deltas, path, keys=["h", "metric"],
+                  count_col="val", partition_col="g", batch_id=bid)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("g", "h")
+        .pivot("metric", ["n", "cents"])
+        .agg(F.sum("val"))
+        .select(
+            "g", "h",
+            F.round((F.col("cents").cast("double") / 100) / F.col("n"), 6)
+            .alias("avg_value"),
+        )
+    )
+    want = df.groupBy("g", "h").agg(
+        davg(F.col("value").cast("decimal(12,2)"), "avg_value")
+    )
+    got = {(r.g, r.h): r.avg_value for r in merged.collect()}
+    exp = {(r.g, r.h): r.avg_value for r in want.collect()}
+    assert got == exp
