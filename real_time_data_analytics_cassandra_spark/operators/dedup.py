@@ -720,6 +720,22 @@ def ngram_jaccard_prefix_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # PPJoin length filter: J >= t forces t <= |a|/|b| <= 1/t, so
+    # size-incompatible collisions drop BEFORE the verification join
+    # pays for them
+    cand = (
+        cand.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a_"}), "id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b_"}), "id_b"
+        )
+        .filter(
+            (F.col("n_b_") >= F.ceil(F.lit(threshold) * F.col("n_a_")))
+            & (F.col("n_a_") >= F.ceil(F.lit(threshold) * F.col("n_b_")))
+        )
+        .select("id_a", "id_b")
+    )
     inter = (
         sh.select(F.col("id").alias("id_a"), "shingle")
         .join(cand, "id_a")
