@@ -533,3 +533,11 @@ def test_mor_upsert_foreach_batch_latest_state_wins(spark, tmp_path):
     assert {
         r.id: r.v for r in snap.read_snapshot(spark, path).collect()
     } == rows
+
+
+def test_scan_snapshot_without_bounds_is_full_read(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(
+        _clustered(spark, 0, 100), path, mode="append", stats_cols=("id",)
+    )
+    assert _ids(snap.scan_snapshot(spark, path, "id")) == list(range(100))
