@@ -541,3 +541,31 @@ def test_scan_snapshot_without_bounds_is_full_read(spark, tmp_path):
         _clustered(spark, 0, 100), path, mode="append", stats_cols=("id",)
     )
     assert _ids(snap.scan_snapshot(spark, path, "id")) == list(range(100))
+
+
+def test_crash_mid_upsert_leaves_table_unchanged(spark, tmp_path, monkeypatch):
+    """Atomicity of the MOR upsert: if the manifest write dies AFTER
+    tombstone+data staging, readers still see the parent version —
+    staged files are orphans (reclaimable), never data."""
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_df(spark, 0, 5), path, mode="append")
+    before = _ids(snap.read_snapshot(spark, path))
+
+    def boom(*a, **k):
+        raise RuntimeError("disk died")
+
+    monkeypatch.setattr(snap, "_atomic_write_manifest", boom)
+    with pytest.raises(RuntimeError, match="disk died"):
+        snap.upsert_into_snapshot(
+            spark,
+            spark.createDataFrame([(1, 111)], "id long, v long"),
+            path,
+            "id",
+        )
+    monkeypatch.undo()
+    assert snap.snapshot_versions(path) == [1]
+    assert _ids(snap.read_snapshot(spark, path)) == before
+    # staged orphans are reclaimed by expiry
+    res = snap.expire_snapshots(path, keep_last=1)
+    assert res["deleted_files"] >= 1
+    assert _ids(snap.read_snapshot(spark, path)) == before
