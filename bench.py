@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "chi2_type_daypart",
     "hourly_value_cusum",
     "doc_keywords",
+    "revenue_concentration",
     "mmr_diverse_neighbors",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's

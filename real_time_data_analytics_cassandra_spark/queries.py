@@ -2736,6 +2736,78 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across purchasing customers: the Gini
+    coefficient (rank formulation G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    over revenues sorted ascending) and the top-decile revenue share
+    — "how unequal is our customer base", the whale-detection metric.
+
+    Everything up to the final two divisions is exact: per-customer
+    revenue is a scale-2 decimal sum, ranks are a window over one
+    shuffle, and Σ i·xᵢ multiplies BIGINT ranks into decimals —
+    order-invariant, so the oracle reproduces it bit-for-bit.  The
+    decimal→double conversions stay under 2^53 unscaled through
+    ~sf1; past that, rescale to whole currency units first.
+
+    Scale shape: one fact aggregation (map-side combined) reduces the
+    problem to |customers| rows before the global rank window — the
+    entity dimension, orders of magnitude below the fact table.  The
+    unpartitioned window funnels those rows through one task (same
+    documented trade-off as value_deciles); past ~10^8 customers,
+    switch to the two-phase range-partitioned rank (sort into range
+    partitions, add per-partition row-count offsets) — the formula
+    itself needs only ranks, so it drops in unchanged.
+    """
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    one = F.lit(1).cast(ONE)
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice") * (one - frac("l_discount"))),
+                2,
+            )
+            .cast("decimal(15,2)")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    ranked = rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("rev"), 2).cast("decimal(24,2)").alias("t"),
+        F.round(F.sum(F.col("rnk") * F.col("rev")), 2)
+        .cast("decimal(24,2)")
+        .alias("s1"),
+    )
+    decile = (
+        ranked.crossJoin(F.broadcast(agg.select("n")))
+        .filter(F.col("rnk") > F.col("n") - F.floor(F.col("n") / 10))
+        .agg(
+            F.round(F.sum("rev"), 2).cast("decimal(24,2)").alias("s_top")
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(decile))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("t").cast("double").alias("total_revenue"),
+            F.round(
+                (F.lit(2.0) * F.col("s1").cast("double"))
+                / (F.col("n") * F.col("t").cast("double"))
+                - (F.col("n") + 1).cast("double") / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.col("s_top").cast("double") / F.col("t").cast("double"), 6
+            ).alias("top_decile_share"),
+        )
+    )
+
+
 def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL face of the engine: the registry is DataFrame-
     first, but `spark.sql` over registered views reaches the same
@@ -5483,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_value_cusum": hourly_value_cusum,
         "streaming_hourly_cusum": streaming_hourly_cusum,
         "doc_keywords": doc_keywords,
+        "revenue_concentration": revenue_concentration,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -8176,6 +8249,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t[s + 1 : s + 30]) AS BIGINT) AS n_tokens,
                    array_to_string(t[s + 1 : s + 30], ' ') AS chunk
             FROM starts
+        """,
+        "revenue_concentration": """
+            WITH rev AS (
+                SELECT o.o_custkey,
+                       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                      * (CAST(1 AS DECIMAL(5,4))
+                                         - CAST(l.l_discount AS DECIMAL(9,4)))),
+                                  2) AS DECIMAL(15,2)) AS rev
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_custkey
+            ),
+            ranked AS (
+                SELECT o_custkey, rev,
+                       CAST(row_number() OVER (
+                           ORDER BY rev ASC, o_custkey ASC) AS BIGINT) AS rnk
+                FROM rev
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(round(sum(rev), 2) AS DECIMAL(24,2)) AS t,
+                       CAST(round(sum(rnk * rev), 2) AS DECIMAL(24,2)) AS s1
+                FROM ranked
+            ),
+            decile AS (
+                SELECT CAST(round(sum(r.rev), 2) AS DECIMAL(24,2)) AS s_top
+                FROM ranked r, agg a
+                WHERE r.rnk > a.n - CAST(floor(a.n / 10) AS BIGINT)
+            )
+            SELECT a.n AS n_customers,
+                   CAST(a.t AS DOUBLE) AS total_revenue,
+                   round(2.0 * CAST(a.s1 AS DOUBLE)
+                         / (a.n * CAST(a.t AS DOUBLE))
+                         - CAST(a.n + 1 AS DOUBLE) / a.n, 6) AS gini,
+                   round(CAST(d.s_top AS DOUBLE) / CAST(a.t AS DOUBLE), 6)
+                       AS top_decile_share
+            FROM agg a, decile d
         """,
         "doc_keywords": """
             WITH toks AS (

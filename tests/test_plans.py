@@ -302,6 +302,7 @@ _BNLJ_OK = {
     "nb_lang_classifier",  # 1-row vocab/doc-count + tiny lang-dim broadcasts
     "chi2_type_daypart",  # 1-row N broadcast over the tiny cell frame
     "source_upsample_repeats",  # 1-row max-count broadcast for weights
+    "revenue_concentration",  # 1-row n/total broadcasts over the rank frame
     "doc_keywords",  # 1-row doc-count broadcast for the idf term
     "mmr_diverse_neighbors",  # knn's broadcast query x corpus non-equi join
 }
