@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "hourly_value_cusum",
     "doc_keywords",
     "revenue_concentration",
+    "conversion_latency_percentiles",
     "mmr_diverse_neighbors",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's

@@ -992,6 +992,61 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase follows their first signup, the signup→purchase latency
+    in seconds, summarized as exact interpolated p50/p90/p99 plus
+    mean — the activation-speed metric product teams watch, and the
+    latency-distribution complement of signup_conversion_funnel's
+    count-only view.
+
+    Determinism: latencies are exact integer seconds (µs-lossless
+    timestamps differenced via epoch), so Spark `percentile` and
+    DuckDB `quantile_cont` interpolate identical integers; the mean
+    divides an exact integer sum.
+
+    Scale shape: ONE shuffle on user_id computes both firsts as
+    conditional mins; the percentile aggregate reduces |converted
+    users| rows map-side into a single row.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    firsts = (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("first_signup"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+        .filter(
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_signup"))
+        )
+        .select(
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_signup")
+            ).alias("latency_s")
+        )
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("latency_s", 0.5), 6).alias("p50_s"),
+        F.round(F.percentile("latency_s", 0.9), 6).alias("p90_s"),
+        F.round(F.percentile("latency_s", 0.99), 6).alias("p99_s"),
+        F.round(
+            F.sum("latency_s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_s"),
+    )
+
+
 def geo_hourly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship aggregation computed through the skew-resistant
     salted join (operators/joins.salted_equi_join) — same oracle as
@@ -5556,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_cusum": streaming_hourly_cusum,
         "doc_keywords": doc_keywords,
         "revenue_concentration": revenue_concentration,
+        "conversion_latency_percentiles": conversion_latency_percentiles,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -8249,6 +8305,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t[s + 1 : s + 30]) AS BIGINT) AS n_tokens,
                    array_to_string(t[s + 1 : s + 30], ' ') AS chunk
             FROM starts
+        """,
+        "conversion_latency_percentiles": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END)
+                           AS first_signup,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS first_purchase
+                FROM events
+                WHERE event_type IN ('signup', 'purchase')
+                GROUP BY user_id
+            ),
+            lat AS (
+                SELECT CAST(floor(epoch(first_purchase)) AS BIGINT)
+                       - CAST(floor(epoch(first_signup)) AS BIGINT)
+                           AS latency_s
+                FROM firsts
+                WHERE first_signup IS NOT NULL
+                  AND first_purchase IS NOT NULL
+                  AND first_purchase >= first_signup
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+                   round(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+                   round(quantile_cont(latency_s, 0.99), 6) AS p99_s,
+                   round(CAST(sum(latency_s) AS DOUBLE) / count(*), 6)
+                       AS mean_s
+            FROM lat
         """,
         "revenue_concentration": """
             WITH rev AS (
