@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "kmv_distinct_per_type",
     "nb_lang_classifier",
     "snapshot_docs_upsert",
+    "snapshot_indexed_point_lookups",
     "source_upsample_repeats",
     "ab_test_purchase_values",
     "chi2_type_daypart",

@@ -3753,6 +3753,43 @@ def source_upsample_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_indexed_point_lookups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Bloom-file-index read path, end to end and oracle-gated:
+    commit the documents table as a snapshot spread across files by a
+    NON-clustered hash (so min/max skipping is useless for id
+    lookups), commit a Bloom index over doc_id (metadata-only
+    version), then answer a batch of point lookups — present and
+    absent keys — through lookup_snapshot.  The oracle states the
+    expected rows in plain SQL; tests/test_snapshots.py separately
+    asserts the lookups OPEN fewer files than the table holds.
+
+    Scale shape: each lookup plans from one manifest read + k bit
+    probes and scans only admitted files; absent keys touch ~zero
+    files (false positives are filtered by the residual predicate).
+    """
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks import snapshots as snap
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="rtdac_bloomq_") + "/t"
+    snap.write_snapshot(
+        docs.repartition(8, F.col("doc_id") % 7), path, mode="append"
+    )
+    snap.add_bloom_index(spark, path, "doc_id")
+    keys = [3, 57, 123, 10_000_003]  # the last is absent at every SF
+    out = None
+    for k in keys:
+        hit = snap.lookup_snapshot(spark, path, "doc_id", k)
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy("doc_id")
+
+
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND applied
     wholly in-engine: add-one-smoothed per-language word likelihoods
@@ -5604,6 +5641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_per_type": kmv_distinct_per_type,
         "nb_lang_classifier": nb_lang_classifier,
         "snapshot_docs_upsert": snapshot_docs_upsert,
+        "snapshot_indexed_point_lookups": snapshot_indexed_point_lookups,
         "source_upsample_repeats": source_upsample_repeats,
         "ab_test_purchase_values": ab_test_purchase_values,
         "chi2_type_daypart": chi2_type_daypart,
@@ -6003,6 +6041,12 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(repeats) AS DOUBLE) / max(n_g), 6)
                        AS realized_ratio
             FROM flagged GROUP BY source ORDER BY source
+        """,
+        "snapshot_indexed_point_lookups": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE doc_id IN (3, 57, 123, 10000003)
+            ORDER BY doc_id
         """,
         "snapshot_docs_upsert": """
             SELECT source,
