@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "length_bucket_stats",
     "hourly_value_ewma",
     "ann_ivfpq",
+    "ann_ivf_kmeans_refined",
     "embedding_pca_norms",
     "retention_cohorts",
     "signup_conversion_funnel",

@@ -670,6 +670,24 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def ann_ivf_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse centroids are the sample-trained ones
+    REFINED by two full-corpus distributed Lloyd iterations
+    (operators/similarity.py::kmeans_refine) — the quality upgrade
+    you buy when cell balance matters more than training cost (each
+    iteration: one Arrow pass + a k·d-row shuffle, driver holds k×d
+    only).  Approximate → no SQL oracle; recall vs knn_bruteforce is
+    floored in tests at the unrefined path's bar."""
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    cents = sim_op.kmeans_centroids(emb)
+    refined, _ = sim_op.kmeans_refine(emb, cents, iterations=2)
+    out = sim_op.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, centroids=refined
+    )
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py::pq_topk):
     16 subspaces x 32 codes, asymmetric-distance shortlist, exact
@@ -5682,6 +5700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "knn_bruteforce": knn_bruteforce,
         "mmr_diverse_neighbors": mmr_diverse_neighbors,
+        "ann_ivf_kmeans_refined": ann_ivf_kmeans_refined,
         "multimodal_decode_meta": multimodal_decode_meta,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,

@@ -561,3 +561,17 @@ def test_kmeans_refine_decreases_inertia_and_matches_numpy(spark):
         )
     ])
     assert np.allclose(got, C, atol=1e-5), np.abs(got - C).max()
+
+
+def test_ann_kmeans_refined_recall_floor(spark):
+    """Refined centroids must meet at least the unrefined trained
+    path's recall floor vs exact knn."""
+    exact = {}
+    for r in q.knn_bruteforce(spark, SF_ORACLE).collect():
+        exact.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    approx = {}
+    for r in q.ann_ivf_kmeans_refined(spark, SF_ORACLE).collect():
+        approx.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, f"recall {recall:.3f}"

@@ -266,6 +266,7 @@ _ARROW_QUERIES = {
     "semantic_dedup",  # cell assignment + per-cell greedy sweep
     "srp_near_dup",  # sign-bit GEMM signatures (dim x n_bits BLAS)
     "mmr_diverse_neighbors",  # per-query greedy MMR over the Arrow shortlist
+    "ann_ivf_kmeans_refined",  # refined-centroid assignment + probe stages
 }
 
 # Queries where a broadcast nested loop is the intended plan (non-equi
@@ -305,6 +306,7 @@ _BNLJ_OK = {
     "revenue_concentration",  # 1-row n/total broadcasts over the rank frame
     "doc_keywords",  # 1-row doc-count broadcast for the idf term
     "mmr_diverse_neighbors",  # knn's broadcast query x corpus non-equi join
+    "ann_ivf_kmeans_refined",  # broadcast centroid/query non-equi probes
 }
 
 
