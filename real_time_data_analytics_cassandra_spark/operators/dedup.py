@@ -126,7 +126,18 @@ def minhash_signatures(
     from real_time_data_analytics_cassandra_spark.catalog import spread
 
     sh = shingle_sets(spread(df), id_col, text_col, n)
-    hashed = sh.withColumn("h", F.crc32(F.col("shingle")))
+    # base hash = md5 32-bit prefix: ENGINE-PORTABLE (crc32 previously
+    # used here exists only Spark-side, which forced this whole family
+    # to a rows-only driver check; md5 + hex parse replay identically
+    # in ANSI SQL, so LSH candidates — and therefore the verified
+    # output — are now fully oracle-gated).  h < 2^32, so the affine
+    # permutations (a <= 63) stay far inside BIGINT.
+    hashed = sh.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
     aggs = [F.min(_permute(F.col("h"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
     return hashed.groupBy("id").agg(*aggs)
 

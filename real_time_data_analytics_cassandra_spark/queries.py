@@ -429,9 +429,12 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) candidate pairs, exact-Jaccard
-    verified (sim >= 0.5).  The 100 TB-scale dedup path; no SQL oracle
-    (crc32-based permutations are Spark-side), driver records a
-    rows-only check; tests assert it agrees with ngram_jaccard."""
+    verified (sim >= 0.5).  The 100 TB-scale dedup path — and since
+    the base hash moved to the md5 32-bit prefix (engine-portable,
+    like every sketch here), the WHOLE pipeline now has a full SQL
+    oracle: signatures, band collisions, and verification all replay
+    in DuckDB bit-for-bit.  tests additionally assert the output is a
+    subset of ngram_jaccard with recall >= 0.9."""
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
     return dedup_op.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
@@ -7122,6 +7125,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "minhash_lsh": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            ints AS (SELECT unnest(generate_series(
+                        1, (SELECT max(len(t)) FROM toks))) AS i),
+            sh AS (SELECT DISTINCT doc_id AS id,
+                          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                   FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
+            hashed AS (
+                SELECT id, shingle,
+                       CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+                FROM sh
+            ),
+            perms AS (SELECT unnest(generate_series(0, 31)) AS p),
+            mh AS (
+                SELECT id, p,
+                       min((h * (2 * p + 1)
+                            + (p * 2654435761 + 1013904223) % 4294967311)
+                           % 4294967311) AS mh
+                FROM hashed CROSS JOIN perms GROUP BY id, p
+            ),
+            banded AS (
+                SELECT id, p // 4 AS band,
+                       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p))
+                           AS band_key
+                FROM mh GROUP BY id, p // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a
+                JOIN banded b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                WHERE a.id < b.id
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.id = c.id_a
+                JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(CAST(n_inter AS DOUBLE)
+                        / (sa.n + sb.n - n_inter), 6) >= 0.5
         """,
         "ngram_jaccard": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
