@@ -14,9 +14,10 @@ collects — so the same plans run over 100 TB corpora:
   exact-Jaccard verify.  The scale path: candidate generation touches
   only band-bucket collisions, never all pairs.
 
-Determinism: all hashing is crc32/md5 of the shingle text with fixed
-odd multipliers for the permutations — stable across runs, sessions
-and cluster sizes.
+Determinism: all hashing is md5-prefix of the shingle/token text with
+fixed odd multipliers for the permutations — stable across runs,
+sessions, cluster sizes AND engines (every family here is SQL-oracle
+reproducible).
 """
 
 from __future__ import annotations
@@ -216,22 +217,31 @@ def simhash_bits(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 64,
+    bits: int = 60,
 ) -> DataFrame:
     """SimHash signature per document as array<int> of ``bits`` 0/1s.
 
-    Token hash = xxhash64(token); bit j of the signature is the sign of
-    the (count-weighted) sum of (2*bit_j(h) - 1) over tokens.  Computed
+    Token hash = the md5 60-bit prefix (15 hex chars — the same
+    ENGINE-PORTABLE base every sketch here uses; xxhash64 previously
+    forced this family to a rows-only driver check, md5 gives it a
+    full SQL oracle).  Bit j of the signature is the sign of the
+    (count-weighted) sum of (2*bit_j(h) - 1) over tokens.  Computed
     as ``bits`` conditional-sum aggregates in a single groupBy — one
-    shuffle, map-side combined.
+    shuffle, map-side combined.  ``bits`` <= 60 (one digest).
     """
     from real_time_data_analytics_cassandra_spark.catalog import spread
 
+    assert bits <= 60, "one md5 digest carries 60 usable bits"
     tok = (
         spread(df).select(
             F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
         )
-        .withColumn("h", F.xxhash64(F.col("tok")))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        )
     )
     aggs = [
         F.sum(
@@ -248,7 +258,7 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 64,
+    bits: int = 60,
     chunks: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:

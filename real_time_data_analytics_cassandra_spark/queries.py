@@ -441,8 +441,10 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs, Hamming <= 3, chunk-bucketed
-    candidates (pigeonhole).  No SQL oracle (xxhash64 is Spark-side)."""
+    """SimHash(60-bit, md5-based) near-dup pairs, Hamming <= 3,
+    chunk-bucketed candidates (pigeonhole).  The portable base hash
+    makes the whole pipeline — signatures, chunk collisions, Hamming
+    verification — SQL-oracle exact."""
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
     return dedup_op.simhash_near_pairs(docs, "doc_id", "text")
@@ -7125,6 +7127,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "simhash_near_dup": """
+            WITH tok AS (
+                SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ),
+            hashed AS (
+                SELECT id,
+                       CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+                FROM tok
+            ),
+            bits AS (SELECT unnest(generate_series(0, 59)) AS j),
+            s AS (
+                SELECT id, j, sum(2 * ((h >> j) & 1) - 1) AS s
+                FROM hashed CROSS JOIN bits GROUP BY id, j
+            ),
+            sig AS (
+                SELECT id,
+                       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY j) AS sig
+                FROM s GROUP BY id
+            ),
+            chunks AS (SELECT unnest(generate_series(0, 3)) AS c),
+            banded AS (
+                SELECT id, c, substr(sig, c * 15 + 1, 15) AS key
+                FROM sig CROSS JOIN chunks
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b ON a.c = b.c AND a.key = b.key
+                WHERE a.id < b.id
+            ),
+            ham AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(60 - length(list_filter(range(1, 61),
+                            i -> substr(sa.sig, CAST(i AS INTEGER), 1)
+                                 = substr(sb.sig, CAST(i AS INTEGER), 1)))
+                            AS INTEGER) AS hamming
+                FROM cand c
+                JOIN sig sa ON sa.id = c.id_a
+                JOIN sig sb ON sb.id = c.id_b
+            )
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         """,
         "minhash_lsh": """
             WITH toks AS (
