@@ -569,3 +569,39 @@ def test_crash_mid_upsert_leaves_table_unchanged(spark, tmp_path, monkeypatch):
     res = snap.expire_snapshots(path, keep_last=1)
     assert res["deleted_files"] >= 1
     assert _ids(snap.read_snapshot(spark, path)) == before
+
+
+def test_audited_stream_publishes_good_batches_quarantines_bad(
+    spark, tmp_path
+):
+    """Streaming WAP: clean micro-batches commit one version each;
+    a violating batch becomes NO version and lands in quarantine with
+    its audit report attached."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    ).coalesce(1).write.parquet(src + "/b=0")
+    spark.createDataFrame(
+        [(3, -5), (4, 40)], "id long, v long"  # negative v: violation
+    ).coalesce(1).write.parquet(src + "/b=1")
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    path, qpath = str(tmp_path / "t"), str(tmp_path / "q")
+    snap.audited_snapshot_foreach_batch(
+        stream,
+        path,
+        {"v_non_negative": F.col("v") >= 0},
+        str(tmp_path / "ck"),
+        quarantine=qpath,
+    ).awaitTermination()
+    # only the clean batch published
+    assert len(snap.snapshot_versions(path)) == 1
+    assert _ids(snap.read_snapshot(spark, path)) == [1, 2]
+    # the bad batch is inspectable, report attached
+    quar = spark.read.parquet(qpath)
+    assert sorted(r.id for r in quar.collect()) == [3, 4]
+    report = quar.select("_audit_report").first()[0]
+    assert "v_non_negative" in report
