@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "filtered_parts_stats",
     "value_percentiles",
     "geo_hourly_counts_salted",
+    "geo_hourly_counts_autosalted",
     "streaming_hourly_type_counts",
     "streaming_session_windows",
     "streaming_latest_upsert",

@@ -74,3 +74,51 @@ def salted_equi_join(
         how,
     )
     return out.drop("__salt")
+
+
+def auto_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    how: str = "left",
+    target_parallelism: int = 32,
+    sample_denom: int = 64,
+) -> DataFrame:
+    """Skew-ADAPTIVE equi-join: measure the big side's hottest-key
+    share from a deterministic 1/``sample_denom`` row sample (one
+    cheap aggregate, ONE scalar row to the driver), then pick the
+    salt factor `ceil(max_share * target_parallelism)` — 1 (plain
+    join) for uniform keys, up to ``target_parallelism`` when one key
+    owns the table.  This automates the judgement call
+    join_key_skew_report surfaces: replication cost is paid only in
+    proportion to measured skew, and any choice yields the same rows
+    (salting is result-invariant), so the probe can never be *wrong*,
+    only suboptimal.
+
+    Row-level (not key-level) sampling: a hot key's rows are
+    many, so its sampled count concentrates at true/denom — the
+    share estimate is tight exactly for the keys that matter.
+    AQE's skew-join handles residual imbalance either way.
+    """
+    import math
+
+    probe = (
+        big.filter(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in big.columns]),
+                F.lit(sample_denom),
+            )
+            == 0
+        )
+        .groupBy(big_key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .collect()
+    )
+    mx, tot = (probe[0]["mx"] or 0), (probe[0]["tot"] or 0)
+    share = (mx / tot) if tot else 0.0
+    num_salts = max(1, min(target_parallelism, math.ceil(share * target_parallelism)))
+    if num_salts == 1:
+        return big.join(small, big[big_key] == small[small_key], how)
+    return salted_equi_join(big, small, big_key, small_key, num_salts, how)

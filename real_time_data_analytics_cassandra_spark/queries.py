@@ -1090,6 +1090,37 @@ def geo_hourly_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("new_customers_count"))
 
 
+def geo_hourly_counts_autosalted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship aggregation through the skew-ADAPTIVE join
+    (operators/joins.auto_salted_join): a deterministic 1/64 row
+    sample measures the hottest key's share, the salt factor follows
+    from it (1 = plain join for uniform keys), and either choice
+    yields identical rows — shares geo_hourly_counts's oracle, which
+    is the proof.  The probe cost is one sampled aggregate returning
+    ONE scalar row; this is the automated form of the judgement call
+    join_key_skew_report surfaces."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    customer = table(spark, sf_dir, "customer")
+    joined = joins_op.auto_salted_join(
+        events, customer, "user_id", "c_custkey"
+    )
+    enriched = enrich_op.broadcast_lookup(
+        joined,
+        _geo_dim(spark, sf_dir),
+        "c_nationkey",
+        "n_nationkey",
+        {"city": "Unknown", "country_region_name": "Unknown"},
+    )
+    return enriched.groupBy(
+        hour_bucket("ts").alias("hour_bucket"), "country_region_name", "city"
+    ).agg(F.count(F.lit(1)).alias("new_customers_count"))
+
+
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: two-level aggregation — orders per customer
     (LEFT join keeps zero-order customers), then the distribution of
@@ -5721,6 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_parts_stats": filtered_parts_stats,
         "value_percentiles": value_percentiles,
         "geo_hourly_counts_salted": geo_hourly_counts_salted,
+        "geo_hourly_counts_autosalted": geo_hourly_counts_autosalted,
         "streaming_hourly_type_counts": streaming_hourly_type_counts,
         "streaming_session_windows": streaming_session_windows,
         "streaming_latest_upsert": streaming_latest_upsert,
@@ -8764,6 +8796,7 @@ def oracle_sql() -> dict[str, str]:
     d["streaming_cms_token_counts"] = d["cms_token_counts"]
     d["streaming_kmv_distinct_per_type"] = d["kmv_distinct_per_type"]
     d["streaming_hourly_cusum"] = d["hourly_value_cusum"]
+    d["geo_hourly_counts_autosalted"] = d["geo_hourly_counts"]
     # the persisted-index search scores through the same bm25_rank as
     # the fresh path -> it shares the fresh oracle bit-for-bit
     d["bm25_search_persisted"] = d["bm25_search"]

@@ -530,3 +530,36 @@ def test_pagerank_matches_integer_model(spark, edges):
     df = spark.createDataFrame(sym, "u long, v long")
     got = {row.id: row.rank_micro for row in pagerank(df).collect()}
     assert got == r
+
+
+def test_auto_salted_join_picks_salts_by_skew_and_matches_plain(spark):
+    """Adaptive salting: a uniform key distribution picks the plain
+    join (1 salt), a dominated one salts >1; both return exactly the
+    plain join's rows."""
+    from real_time_data_analytics_cassandra_spark.operators.joins import (
+        auto_salted_join,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(16)], "k long, label string"
+    )
+    uniform = spark.createDataFrame(
+        [(i, i % 16) for i in range(4000)], "rid long, fk long"
+    )
+    # sample_denom=1 -> probe sees the full distribution (test determinism)
+    got_u = auto_salted_join(uniform, dim, "fk", "k", sample_denom=1)
+    assert "__salt" not in got_u.columns
+    plain_u = uniform.join(dim, uniform.fk == dim.k, "left")
+    assert sorted(map(tuple, got_u.collect())) == sorted(
+        map(tuple, plain_u.collect())
+    )
+
+    hot = spark.createDataFrame(
+        [(i, 7 if i % 10 else i % 16) for i in range(4000)],
+        "rid long, fk long",
+    )
+    got_h = auto_salted_join(hot, dim, "fk", "k", sample_denom=1)
+    plain_h = hot.join(dim, hot.fk == dim.k, "left")
+    assert sorted(map(tuple, got_h.collect())) == sorted(
+        map(tuple, plain_h.collect())
+    )
