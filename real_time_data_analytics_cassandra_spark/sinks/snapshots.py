@@ -935,3 +935,49 @@ def _atomic_write_manifest(path: str, version: int, manifest: dict) -> None:
             "concurrent writers need external coordination"
         )
     os.rename(tmp, final)
+
+
+def snapshot_health(path: str) -> dict:
+    """Operational readout for a snapshot table — the numbers that
+    decide maintenance actions, from manifests alone (no data read):
+
+    - ``versions``: committed version count (expire when deep);
+    - ``files`` / ``avg_file_mb``: live file count and mean size of
+      the CURRENT version (compact when many/small);
+    - ``tombstone_commits`` and ``read_branches``: uncompacted delete
+      commits and the resulting scan-branch count of a full read
+      (compact when the plan fans out);
+    - ``indexed_columns`` / ``stats_columns``: which data-skipping
+      structures exist.
+    """
+    versions = snapshot_versions(path)
+    if not versions:
+        return {"versions": 0}
+    m = _load_manifest(path, versions[-1])
+    files = m["files"]
+    total = 0
+    for f in files:
+        local = f[len("file:") :] if f.startswith("file:") else f
+        local = local[2:] if local.startswith("//") else local
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            pass
+    deletes = m.get("delete_files", [])
+    added = m.get("file_added_at", {})
+    branches = len(
+        {
+            tuple(d["version"] for d in deletes if d["version"] > added.get(f, 0))
+            for f in files
+        }
+    ) if files else 0
+    stats_cols = sorted({c for s in m.get("file_stats", {}).values() for c in s})
+    return {
+        "versions": len(versions),
+        "files": len(files),
+        "avg_file_mb": round(total / len(files) / 1048576, 3) if files else 0.0,
+        "tombstone_commits": len(deletes),
+        "read_branches": branches,
+        "indexed_columns": sorted(m.get("bloom", {})),
+        "stats_columns": stats_cols,
+    }

@@ -605,3 +605,23 @@ def test_audited_stream_publishes_good_batches_quarantines_bad(
     assert sorted(r.id for r in quar.collect()) == [3, 4]
     report = quar.select("_audit_report").first()[0]
     assert "v_non_negative" in report
+
+
+def test_snapshot_health_reports_maintenance_signals(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap.write_snapshot(
+        _clustered(spark, 0, 100), path, mode="append", stats_cols=("id",)
+    )
+    snap.add_bloom_index(spark, path, "id")
+    snap.delete_from_snapshot(
+        spark, spark.createDataFrame([(1,)], "id long"), path, "id"
+    )
+    h = snap.snapshot_health(path)
+    assert h["versions"] == 3 and h["files"] >= 4
+    assert h["tombstone_commits"] == 1 and h["read_branches"] == 1
+    assert h["indexed_columns"] == ["id"] and h["stats_columns"] == ["id"]
+    assert h["avg_file_mb"] > 0
+    # compaction clears the tombstone pressure
+    snap.compact_snapshot(spark, path, target_files=2)
+    h2 = snap.snapshot_health(path)
+    assert h2["tombstone_commits"] == 0 and h2["files"] <= 2
