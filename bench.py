@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "nb_lang_classifier",
     "snapshot_docs_upsert",
     "snapshot_indexed_point_lookups",
+    "snapshot_pruned_range_scan",
     "source_upsample_repeats",
     "ab_test_purchase_values",
     "chi2_type_daypart",

@@ -3844,6 +3844,42 @@ def snapshot_indexed_point_lookups(
     return out.orderBy("doc_id")
 
 
+def snapshot_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The min/max data-skipping read path, end to end and
+    oracle-gated: commit events range-partitioned on user_id with
+    per-file footer stats in the manifest, then answer a user-range
+    aggregation through scan_snapshot — planning drops the files
+    whose [min, max] cannot intersect BEFORE parquet sees the query
+    (tests assert the file-count shrink; this query gates the
+    values).  Oracle: the same aggregate over the raw table.
+    """
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks import snapshots as snap
+
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="rtdac_rangeq_") + "/t"
+    snap.write_snapshot(
+        events.repartitionByRange(8, "user_id"),
+        path,
+        mode="append",
+        stats_cols=("user_id",),
+    )
+    return (
+        snap.scan_snapshot(spark, path, "user_id", lo=100, hi=140)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            dsum(F.col("value").cast("decimal(12,2)"), "total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND applied
     wholly in-engine: add-one-smoothed per-language word likelihoods
@@ -5696,6 +5732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classifier": nb_lang_classifier,
         "snapshot_docs_upsert": snapshot_docs_upsert,
         "snapshot_indexed_point_lookups": snapshot_indexed_point_lookups,
+        "snapshot_pruned_range_scan": snapshot_pruned_range_scan,
         "source_upsample_repeats": source_upsample_repeats,
         "ab_test_purchase_values": ab_test_purchase_values,
         "chi2_type_daypart": chi2_type_daypart,
@@ -6097,6 +6134,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(repeats) AS DOUBLE) / max(n_g), 6)
                        AS realized_ratio
             FROM flagged GROUP BY source ORDER BY source
+        """,
+        "snapshot_pruned_range_scan": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                        AS DECIMAL(15,2)) AS DOUBLE) AS total_value
+            FROM events
+            WHERE user_id >= 100 AND user_id <= 140
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "snapshot_indexed_point_lookups": """
             SELECT doc_id, source, n_chars
