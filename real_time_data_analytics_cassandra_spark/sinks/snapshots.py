@@ -727,21 +727,45 @@ def compact_snapshot(
     spark: SparkSession,
     path: str,
     target_files: int,
+    zorder_cols: tuple = (),
+    stats_cols: tuple = (),
 ) -> int:
     """Rewrite the LATEST version's data into ``target_files`` files
     and commit the result as a new logical-overwrite version — the
     write-amplification management a streaming snapshot table needs:
     every micro-batch appends small files and grows the manifest, so
     periodic compaction folds the lineage back to a bounded file
-    count.  Readers of prior versions are untouched (their files are
-    still referenced until ``expire_snapshots`` drops them); the
-    compacted version is logically identical to its parent (tested
-    row-for-row).  Returns the new version."""
+    count (and, through the MOR read it compacts FROM, physically
+    applies any accumulated tombstones).  Readers of prior versions
+    are untouched (their files stay referenced until
+    ``expire_snapshots`` drops them); the compacted version is
+    logically identical to its parent (tested row-for-row).
+
+    ``zorder_cols`` turns this into OPTIMIZE ZORDER: rows cluster on
+    the Morton interleave of those columns (sinks/layout.py), so the
+    rewritten files carry tight min/max spans on EVERY listed
+    dimension at once — pair with ``stats_cols`` to record those
+    spans in the manifest and scan_snapshot prunes on any of them.
+    Returns the new version."""
+    from real_time_data_analytics_cassandra_spark.sinks.layout import (
+        zorder_key,
+    )
+
     current = read_snapshot(spark, path)
-    compacted = current.repartition(target_files)
+    if zorder_cols:
+        keyed, key = zorder_key(current, list(zorder_cols))
+        compacted = (
+            keyed.repartitionByRange(target_files, key)
+            .sortWithinPartitions(key)
+            .drop(key)
+        )
+    else:
+        compacted = current.repartition(target_files)
     # materialize via the normal commit path; 'overwrite' semantics
     # because the new version REPLACES the parent's file list
-    return write_snapshot(compacted, path, mode="overwrite")
+    return write_snapshot(
+        compacted, path, mode="overwrite", stats_cols=stats_cols
+    )
 
 
 class AuditFailed(RuntimeError):

@@ -625,3 +625,28 @@ def test_snapshot_health_reports_maintenance_signals(spark, tmp_path):
     snap.compact_snapshot(spark, path, target_files=2)
     h2 = snap.snapshot_health(path)
     assert h2["tombstone_commits"] == 0 and h2["files"] <= 2
+
+
+def test_compact_with_zorder_enables_multi_dim_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER for snapshots: after a z-ordered compaction
+    with stats, range scans on EITHER clustered dimension open fewer
+    files than the table holds, and rows are preserved exactly."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("x"),
+        F.pmod(F.col("id") * 2654435761, F.lit(4096)).alias("y"),
+    )
+    snap.write_snapshot(df.repartition(8), path, mode="append")
+    before = sorted((r.x, r.y) for r in snap.read_snapshot(spark, path).collect())
+    v = snap.compact_snapshot(
+        spark, path, target_files=8,
+        zorder_cols=("x", "y"), stats_cols=("x", "y"),
+    )
+    after = sorted((r.x, r.y) for r in snap.read_snapshot(spark, path).collect())
+    assert after == before
+    total = len(snap.read_snapshot(spark, path).inputFiles())
+    sx = snap.scan_snapshot(spark, path, "x", lo=0, hi=255)
+    sy = snap.scan_snapshot(spark, path, "y", lo=0, hi=255)
+    assert len(sx.inputFiles()) < total, "x-range should skip files"
+    assert len(sy.inputFiles()) < total, "y-range should skip files"
+    assert sorted(r.x for r in sx.collect()) == list(range(256))
