@@ -579,6 +579,20 @@ def read_snapshot_appended(
     return spark.read.schema(schema).parquet(*added)
 
 
+def version_asof(path: str, ts: float) -> int:
+    """The newest version committed at or before UNIX time ``ts`` —
+    'the table as the 02:00 job saw it'.  Combine with read_snapshot:
+    ``read_snapshot(spark, path, version_asof(path, ts))``.  Raises if
+    the table has no version that old."""
+    best = None
+    for v in snapshot_versions(path):
+        if _load_manifest(path, v).get("committed_at", float("inf")) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no version committed at or before {ts}")
+    return best
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Drop all but the newest ``keep_last`` versions and delete data
     files no retained version references (orphans from crashed
@@ -944,6 +958,11 @@ def _merge_schema_json(parent_json: str, new_json: str) -> str:
 
 
 def _atomic_write_manifest(path: str, version: int, manifest: dict) -> None:
+    import time as _time
+
+    # commit wall time: METADATA ONLY (never part of query results) —
+    # it powers AS-OF resolution, retention policies, and ops readouts
+    manifest.setdefault("committed_at", _time.time())
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")

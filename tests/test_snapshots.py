@@ -650,3 +650,20 @@ def test_compact_with_zorder_enables_multi_dim_pruning(spark, tmp_path):
     assert len(sx.inputFiles()) < total, "x-range should skip files"
     assert len(sy.inputFiles()) < total, "y-range should skip files"
     assert sorted(r.x for r in sx.collect()) == list(range(256))
+
+
+def test_version_asof_resolves_by_commit_time(spark, tmp_path):
+    import time
+
+    path = str(tmp_path / "t")
+    v1 = snap.write_snapshot(_df(spark, 0, 3), path)
+    t_mid = time.time()
+    time.sleep(0.01)
+    v2 = snap.write_snapshot(_df(spark, 3, 6), path)
+    assert snap.version_asof(path, t_mid) == v1
+    assert snap.version_asof(path, time.time()) == v2
+    assert _ids(
+        snap.read_snapshot(spark, path, snap.version_asof(path, t_mid))
+    ) == [0, 1, 2]
+    with pytest.raises(ValueError, match="no version"):
+        snap.version_asof(path, 0.0)
