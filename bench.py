@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "doc_keywords",
     "revenue_concentration",
     "conversion_latency_percentiles",
+    "retention_survival_curve",
     "mmr_diverse_neighbors",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's

@@ -1015,6 +1015,85 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (days between
+    first and last event), WITH right-censoring: users still active in
+    the last 7 days of the corpus are censored (their true lifetime is
+    longer than observed), which naive churn averages silently get
+    wrong — the product-limit estimator is the standard fix.
+
+    S(t) = Π_{u ≤ t} (1 − d_u/n_u) over death times u, where d_u
+    counts observed churns at lifetime u and n_u the users still at
+    risk.  All inputs are exact integers; the sequential product folds
+    over the day-ordered factor array in one JVM ``aggregate`` (the
+    EWMA/CUSUM discipline), so the recursive-CTE oracle reproduces
+    every S(t) bit-for-bit.
+
+    Scale shape: ONE shuffle on user_id for (first, last) per user;
+    the survival table itself is bounded by distinct lifetime days —
+    the fold never touches event rows.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    users = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.floor(
+                (
+                    F.unix_timestamp("last_ts")
+                    - F.unix_timestamp("first_ts")
+                )
+                / 86400
+            )
+            .cast("long")
+            .alias("t"),
+            (
+                F.unix_timestamp("last_ts")
+                <= F.unix_timestamp("max_ts") - 7 * 86400
+            ).alias("observed"),
+        )
+    )
+    per_t = users.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.col("observed").cast("long")).alias("d"),
+    )
+    w_risk = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.withColumn("n_at_risk", F.sum("n_ending").over(w_risk))
+    series = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "n_at_risk", "d", "n_ending"))
+        ).alias("__arr")
+    )
+    folded = series.withColumn(
+        "__s",
+        F.expr(
+            "aggregate(__arr, array_repeat(CAST(0 AS DOUBLE), 0), "
+            "(acc, x) -> concat(acc, array("
+            "(CASE WHEN size(acc) = 0 THEN CAST(1 AS DOUBLE) "
+            " ELSE element_at(acc, -1) END) "
+            "* (CAST(1 AS DOUBLE) "
+            "   - CAST(x.d AS DOUBLE) / x.n_at_risk))))"
+        ),
+    )
+    return (
+        folded.select(
+            F.posexplode(F.arrays_zip("__arr", "__s")).alias("__i", "__z")
+        )
+        .select(
+            F.col("__z.__arr.t").alias("t_days"),
+            F.col("__z.__arr.n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("__z.__arr.d").cast("long").alias("n_churned"),
+            F.round(F.col("__z.__s"), 6).alias("s_t"),
+        )
+        .orderBy("t_days")
+    )
+
+
 def conversion_latency_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5741,6 +5820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": doc_keywords,
         "revenue_concentration": revenue_concentration,
         "conversion_latency_percentiles": conversion_latency_percentiles,
+        "retention_survival_curve": retention_survival_curve,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -8548,6 +8628,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t[s + 1 : s + 30]) AS BIGINT) AS n_tokens,
                    array_to_string(t[s + 1 : s + 30], ' ') AS chunk
             FROM starts
+        """,
+        "retention_survival_curve": """
+            WITH RECURSIVE horizon AS (SELECT max(ts) AS max_ts FROM events),
+            users AS (
+                -- floor each epoch BEFORE differencing: Spark's
+                -- unix_timestamp truncates to whole seconds, and the
+                -- fractional parts would otherwise shift day floors
+                SELECT CAST(floor((floor(epoch(max(ts)))
+                                   - floor(epoch(min(ts)))) / 86400)
+                            AS BIGINT) AS t,
+                       floor(epoch(max(ts)))
+                           <= (SELECT floor(epoch(max_ts)) - 7 * 86400
+                               FROM horizon) AS observed
+                FROM events GROUP BY user_id
+            ),
+            per_t AS (
+                SELECT t, count(*) AS n_ending,
+                       sum(CAST(observed AS BIGINT)) AS d
+                FROM users GROUP BY t
+            ),
+            risk AS (
+                SELECT t, n_ending, d,
+                       sum(n_ending) OVER (
+                           ORDER BY t DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS n_at_risk,
+                       row_number() OVER (ORDER BY t) AS rn
+                FROM per_t
+            ),
+            km(rn, t, n_at_risk, d, s) AS (
+                SELECT rn, t, n_at_risk, d,
+                       CAST(1 AS DOUBLE)
+                       * (CAST(1 AS DOUBLE)
+                          - CAST(d AS DOUBLE) / n_at_risk)
+                FROM risk WHERE rn = 1
+                UNION ALL
+                SELECT r.rn, r.t, r.n_at_risk, r.d,
+                       k.s * (CAST(1 AS DOUBLE)
+                              - CAST(r.d AS DOUBLE) / r.n_at_risk)
+                FROM risk r JOIN km k ON r.rn = k.rn + 1
+            )
+            SELECT t AS t_days,
+                   CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   CAST(d AS BIGINT) AS n_churned,
+                   round(s, 6) AS s_t
+            FROM km
+            ORDER BY t_days
         """,
         "conversion_latency_percentiles": """
             WITH firsts AS (
