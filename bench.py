@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "pack_context_windows",
     "forecast_revenue",
     "geo_grouping_sets",
+    "signup_purchase_overlap",
+    "signup_only_users",
     "embedding_norm_stats",
     "streaming_multi_granularity_counts",
     "hll_reaggregated_users",
@@ -130,6 +132,7 @@ BENCH_QUERIES = [
     "length_bucket_stats",
     "hourly_value_ewma",
     "ann_ivfpq",
+    "ann_ivf_kmeans",
     "ann_ivf_kmeans_refined",
     "embedding_pca_norms",
     "retention_cohorts",
