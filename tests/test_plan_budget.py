@@ -1,0 +1,74 @@
+"""Shuffle-budget regression guard: cornerstone queries carry a
+pinned MAXIMUM exchange count (current value from PLANS.md, verbatim
+— no headroom: these plans are the product).  A refactor that adds a
+shuffle to any of them fails HERE, with the query named, instead of
+surfacing as an unexplained bench regression three rounds later.
+
+The pins are ceilings, not equalities, so a plan IMPROVEMENT never
+fails the guard — regenerate PLANS.md and lower the pin when that
+happens.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_data_analytics_cassandra_spark import queries as q
+from real_time_data_analytics_cassandra_spark.plans import (
+    explain_str,
+    operator_count,
+)
+from tests.conftest import SF_SMOKE
+
+# query -> max shuffle exchanges (PLANS.md values at pin time)
+BUDGETS = {
+    # reference-parity cornerstones
+    "geo_hourly_counts": 1,
+    "latest_info_per_user": 1,
+    "global_recent_customers": 2,
+    "recent_by_category": 1,
+    "new_count_multi_granularity": 1,
+    "pricing_summary": 1,
+    "revenue_by_nation": 3,
+    "subcategory_enrichment": 1,
+    # analytics
+    "event_transition_matrix": 4,
+    "first_last_touch": 3,
+    "user_info_scd2": 1,
+    "purchase_running_spend": 1,
+    "user_trailing_hour_stats": 1,
+    "small_quantity_revenue": 2,
+    "hourly_value_ewma": 3,
+    "hourly_value_cusum": 4,
+    "revenue_concentration": 6,
+    "conversion_latency_percentiles": 2,
+    "retention_survival_curve": 5,
+    # training-data pipeline
+    "dedup_exact": 1,
+    "dedup_fingerprint": 1,
+    "text_quality": 0,
+    "token_count": 1,
+    "span_dedup_keep_first": 5,
+    "decontaminate_overlap": 3,
+    "tfidf_top_terms": 7,
+    "doc_keywords": 8,
+    "chunk_documents": 0,
+    # sketches / estimation
+    "kmv_distinct_per_type": 5,
+    "join_size_estimate_cms": 9,
+    "cms_token_counts": 5,
+    # graph / linkage (post-loop leaves for the iterative ones)
+    "part_pagerank": 0,
+    "entity_match_parts": 9,
+    "entity_sorted_neighborhood": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget_holds(spark, name):
+    df = q.queries()[name](spark, SF_SMOKE)
+    n = operator_count(df, "Exchange")
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} exchanges > pinned {BUDGETS[name]} — a shuffle "
+        f"crept in:\n{explain_str(df)[:2000]}"
+    )
