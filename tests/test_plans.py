@@ -304,6 +304,7 @@ _BNLJ_OK = {
     "chi2_type_daypart",  # 1-row N broadcast over the tiny cell frame
     "source_upsample_repeats",  # 1-row max-count broadcast for weights
     "revenue_concentration",  # 1-row n/total broadcasts over the rank frame
+    "retention_survival_curve",  # 1-row corpus-horizon broadcast
     "doc_keywords",  # 1-row doc-count broadcast for the idf term
     "mmr_diverse_neighbors",  # knn's broadcast query x corpus non-equi join
     "ann_ivf_kmeans_refined",  # broadcast centroid/query non-equi probes
