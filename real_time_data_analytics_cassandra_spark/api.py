@@ -185,4 +185,37 @@ def create_flask_app(spark: SparkSession, sf_dir: str):
     def status():
         return jsonify(api.status())
 
+    # ---- registry superset (beyond the reference's five routes) ----
+    # every registered analytics query over REST: list + execute with
+    # a bounded row limit.  The result shaping reuses _iso_rows, so
+    # timestamps serialize exactly like the parity endpoints.
+    @app.route("/api/v1/queries")
+    def list_queries():
+        from real_time_data_analytics_cassandra_spark import queries as q
+
+        names = sorted(q.queries())
+        oracles = set(q.oracle_sql())
+        return jsonify(
+            [
+                {"name": n, "oracle_gated": n in oracles}
+                for n in names
+            ]
+        )
+
+    @app.route("/api/v1/query/<name>")
+    def run_query(name: str):
+        from real_time_data_analytics_cassandra_spark import queries as q
+
+        registry = q.queries()
+        if name not in registry:
+            return jsonify({"error": f"unknown query {name!r}"}), 404
+        try:
+            limit = int(request.args.get("limit", 100))
+        except ValueError:
+            return jsonify({"error": "limit must be an integer"}), 400
+        if not 1 <= limit <= 1000:
+            return jsonify({"error": "limit must be in [1, 1000]"}), 400
+        df = registry[name](spark, sf_dir).limit(limit)
+        return jsonify({"query": name, "rows": _iso_rows(df)})
+
     return app

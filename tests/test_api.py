@@ -76,3 +76,36 @@ def test_status(api):
     out = api.status()
     assert out["status"] == "ok"
     assert out["engine"] == "spark"
+
+
+@pytest.fixture(scope="module")
+def http(spark):
+    from real_time_data_analytics_cassandra_spark.api import create_flask_app
+
+    app = create_flask_app(spark, SF_SMOKE)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_registry_listing_over_rest(http):
+    rows = http.get("/api/v1/queries").get_json()
+    names = {r["name"] for r in rows}
+    assert "geo_hourly_counts" in names and "minhash_lsh" in names
+    gated = {r["name"]: r["oracle_gated"] for r in rows}
+    assert gated["minhash_lsh"] is True and gated["ann_ivf"] is False
+
+
+def test_registry_query_execution_over_rest(http):
+    out = http.get("/api/v1/query/value_percentiles?limit=3").get_json()
+    assert out["query"] == "value_percentiles"
+    assert 1 <= len(out["rows"]) <= 3
+    assert {"event_type", "p50_value"} <= set(out["rows"][0])
+
+
+def test_registry_query_rest_validation(http):
+    assert http.get("/api/v1/query/nope").status_code == 404
+    assert http.get("/api/v1/query/value_percentiles?limit=0").status_code == 400
+    assert (
+        http.get("/api/v1/query/value_percentiles?limit=zzz").status_code
+        == 400
+    )
