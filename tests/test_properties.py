@@ -563,3 +563,86 @@ def test_auto_salted_join_picks_salts_by_skew_and_matches_plain(spark):
     assert sorted(map(tuple, got_h.collect())) == sorted(
         map(tuple, plain_h.collect())
     )
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=200),
+    cut=st.integers(0, 199),
+    k=st.sampled_from([4, 16, 64]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_merge_equals_whole_under_any_split(spark, ids, cut, k):
+    """Bottom-k of (bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B) for
+    ANY split point — the mergeability that makes per-shard sketch
+    persistence sound."""
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    cut = min(cut, len(ids))
+    a, b = ids[:cut], ids[cut:]
+    whole = spark.createDataFrame([(i,) for i in ids], "id long")
+    direct = sorted(r.h for r in kmv_sketch(whole, "id", k).collect())
+    parts = []
+    for part in (a, b):
+        if part:
+            pdf = spark.createDataFrame([(i,) for i in part], "id long")
+            parts.append(kmv_sketch(pdf, "id", k))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    from pyspark.sql import functions as F
+
+    remerged = sorted(
+        r.h
+        for r in merged.distinct().orderBy("h").limit(k).collect()
+    )
+    assert remerged == direct
+
+
+@given(
+    values=st.lists(
+        st.integers(-50, 50), min_size=2, max_size=40
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_fold_matches_python_model(spark, values):
+    """The JVM CUSUM fold equals a sequential pure-Python model on
+    arbitrary integer series (same mu/sigma derivation, same
+    max(0, ...) recursions, same double ops)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.queries import (
+        _cusum_over_hourly,
+    )
+
+    rows = [("s", h, float(v)) for h, v in enumerate(values)]
+    hourly = spark.createDataFrame(
+        rows, "event_type string, h long, avg_value double"
+    )
+    got = {
+        r.h: (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in _cusum_over_hourly(hourly).collect()
+    }
+
+    n = len(values)
+    xs = [float(v) for v in values]
+    sx = 0.0
+    for x in xs:
+        sx += x
+    sx2 = 0.0
+    for x in xs:
+        sx2 += x * x
+    mu = sx / n
+    var = (sx2 - sx * sx / n) / (n - 1)
+    sigma = max(0.0, var) ** 0.5
+    hi = lo = 0.0
+    for h, x in enumerate(xs):
+        hi = max(0.0, hi + (x - mu - 0.5 * sigma))
+        lo = max(0.0, lo - (x - mu) - 0.5 * sigma)
+        want_alarm = hi > 4 * sigma or lo > 4 * sigma
+        gh, gl, ga = got[h]
+        assert gh == round(hi, 6) and gl == round(lo, 6), (h, gh, hi)
+        assert ga == want_alarm
