@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "revenue_concentration",
     "conversion_latency_percentiles",
     "retention_survival_curve",
+    "fulfillment_lag_percentiles",
     "mmr_diverse_neighbors",
     "pipeline_retention_funnel",
     # srp_near_dup is excluded like ngram_jaccard: at this corpus's

@@ -1015,6 +1015,56 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority: exact
+    interpolated p50/p90 and mean of (ship date − order date) in
+    days — the operations-SLA readout (does URGENT actually ship
+    faster?), the latency-distribution sibling of
+    late_order_priority_counts' boolean view.
+
+    Lags are exact integer days (midnight-aligned timestamps,
+    epoch-floored before differencing), so both engines interpolate
+    identical integers; the mean divides an exact integer sum.
+
+    Scale shape: one fact-fact hash join on orderkey, then a
+    map-side-combined percentile aggregate to |priorities| rows.
+    """
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    lag = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.floor(
+                (
+                    F.unix_timestamp("l_shipdate")
+                    - F.unix_timestamp("o_orderdate")
+                )
+                / 86400
+            )
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.percentile("lag_days", 0.5), 6).alias("p50_days"),
+            F.round(F.percentile("lag_days", 0.9), 6).alias("p90_days"),
+            F.round(
+                F.sum("lag_days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def retention_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimate of user lifetime (days between
     first and last event), WITH right-censoring: users still active in
@@ -5821,6 +5871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": revenue_concentration,
         "conversion_latency_percentiles": conversion_latency_percentiles,
         "retention_survival_curve": retention_survival_curve,
+        "fulfillment_lag_percentiles": fulfillment_lag_percentiles,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
         "pii_scrub_stats": pii_scrub_stats,
@@ -8628,6 +8679,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t[s + 1 : s + 30]) AS BIGINT) AS n_tokens,
                    array_to_string(t[s + 1 : s + 30], ' ') AS chunk
             FROM starts
+        """,
+        "fulfillment_lag_percentiles": """
+            WITH lag AS (
+                SELECT o.o_orderpriority,
+                       CAST(floor((floor(epoch(l.l_shipdate))
+                                   - floor(epoch(o.o_orderdate))) / 86400)
+                            AS BIGINT) AS lag_days
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+                   round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+                   round(CAST(sum(lag_days) AS DOUBLE) / count(*), 6)
+                       AS mean_days
+            FROM lag GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "retention_survival_curve": """
             WITH RECURSIVE horizon AS (SELECT max(ts) AS max_ts FROM events),
