@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "snapshot_indexed_point_lookups",
     "snapshot_pruned_range_scan",
     "source_upsample_repeats",
+    "source_token_kl",
     "ab_test_purchase_values",
     "chi2_type_daypart",
     "hourly_value_cusum",

@@ -4009,6 +4009,76 @@ def snapshot_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift diagnostic: KL(source ‖ corpus) over token
+    unigram distributions — which sources speak a different language
+    than the mixture (high KL = distinct domain; ~0 = redundant with
+    the corpus).  The data-mixology companion to
+    source_mixture_weights: weights say how MUCH of each source,
+    KL says how DIFFERENT each source is.
+
+    KL = Σ_w P_s(w)·ln(P_s(w)/Q(w)) over the source's own vocabulary
+    (P_s(w) > 0, and Q(w) > 0 always since the corpus contains the
+    source).  Every probability is a ratio of exact integers and the
+    per-source sum folds in sorted term order — bit-exact in the
+    oracle.
+
+    Scale shape: one doc-term shuffle; corpus counts RE-AGGREGATE the
+    per-source counts; the two totals broadcast; the fold reduces
+    |source vocab| rows per source.
+    """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    src_counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_sw")
+    )
+    src_tot = src_counts.groupBy("source").agg(
+        F.sum("c_sw").alias("n_s")
+    )
+    corpus_counts = src_counts.groupBy("term").agg(
+        F.sum("c_sw").alias("c_w")
+    )
+    n_tot = src_tot.agg(F.sum("n_s").alias("n"))
+    terms = (
+        src_counts.join(src_tot, "source")
+        .join(corpus_counts, "term")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "term",
+            "n_s",
+            (
+                (F.col("c_sw").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_sw").cast("double") / F.col("n_s"))
+                    / (F.col("c_w").cast("double") / F.col("n"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.round(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(term, contrib))), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
+                ),
+                6,
+            ).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND applied
     wholly in-engine: add-one-smoothed per-language word likelihoods
@@ -5859,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate_cms": join_size_estimate_cms,
         "kmv_distinct_per_type": kmv_distinct_per_type,
         "nb_lang_classifier": nb_lang_classifier,
+        "source_token_kl": source_token_kl,
         "snapshot_docs_upsert": snapshot_docs_upsert,
         "snapshot_indexed_point_lookups": snapshot_indexed_point_lookups,
         "snapshot_pruned_range_scan": snapshot_pruned_range_scan,
@@ -6293,6 +6364,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 13 <> 1
             GROUP BY source
             ORDER BY source
+        """,
+        "source_token_kl": """
+            WITH toks AS (
+                SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            sc AS (
+                SELECT source, term, count(*) AS c_sw
+                FROM toks GROUP BY 1, 2
+            ),
+            stot AS (SELECT source, sum(c_sw) AS n_s FROM sc GROUP BY 1),
+            cc AS (SELECT term, sum(c_sw) AS c_w FROM sc GROUP BY 1),
+            n AS (SELECT sum(n_s) AS n FROM stot),
+            terms AS (
+                SELECT s.source, s.term, t.n_s,
+                       (CAST(s.c_sw AS DOUBLE) / t.n_s)
+                       * ln((CAST(s.c_sw AS DOUBLE) / t.n_s)
+                            / (CAST(c.c_w AS DOUBLE) / n.n)) AS contrib
+                FROM sc s
+                JOIN stot t USING (source)
+                JOIN cc c USING (term)
+                CROSS JOIN n
+            )
+            SELECT source,
+                   CAST(max(n_s) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(contrib ORDER BY term)),
+                       (a, b) -> a + b), 6) AS kl_vs_corpus
+            FROM terms GROUP BY source ORDER BY source
         """,
         "nb_lang_classifier": """
             WITH toks AS (

@@ -301,6 +301,7 @@ _BNLJ_OK = {
     "kmv_user_overlap",  # algebra over 1-row estimates of <=k-row sketches
     "join_size_estimate_cms",  # 1-row est x 1-row exact label joins
     "nb_lang_classifier",  # 1-row vocab/doc-count + tiny lang-dim broadcasts
+    "source_token_kl",  # 1-row corpus-total broadcast
     "chi2_type_daypart",  # 1-row N broadcast over the tiny cell frame
     "source_upsample_repeats",  # 1-row max-count broadcast for weights
     "revenue_concentration",  # 1-row n/total broadcasts over the rank frame
