@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_fingerprint",
     "minhash_lsh",
+    "cross_source_dup_matrix",
     "simhash_near_dup",
     "text_quality",
     "token_count",

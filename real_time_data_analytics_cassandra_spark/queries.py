@@ -450,6 +450,45 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.simhash_near_pairs(docs, "doc_id", "text")
 
 
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: LSH-verified near-dup
+    pairs rolled up by unordered source pair — the crawl-overlap
+    matrix that decides which feeds are redundant before paying to
+    process them.  Rides the now-oracle-exact MinHash pipeline, so
+    the whole diagnostic — candidates, verification, rollup — is
+    bit-reproducible in SQL.
+
+    Scale shape: the pair set is LSH-bounded; the two source lookups
+    join the (small) pair list against the doc→source projection and
+    the rollup is |sources|² rows.
+    """
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_op.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    srcs = docs.select(F.col("doc_id"), F.col("source"))
+    return (
+        pairs.join(
+            srcs.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("s_a")
+            ),
+            "id_a",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("s_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from pairwise matches: connected components
     of the exact-Jaccard pair graph via iterative DataFrame label
@@ -5833,6 +5872,50 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scores (oracle of bigram_lm_doc_scores, reused by the bucket
 # assignment oracle).  Ends with the `lm_scores` CTE:
 # (doc_id, n_bigrams, avg_logp).
+_MINHASH_LSH_CTES = """WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            ints AS (SELECT unnest(generate_series(
+                        1, (SELECT max(len(t)) FROM toks))) AS i),
+            sh AS (SELECT DISTINCT doc_id AS id,
+                          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                   FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
+            hashed AS (
+                SELECT id, shingle,
+                       CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+                FROM sh
+            ),
+            perms AS (SELECT unnest(generate_series(0, 31)) AS p),
+            mh AS (
+                SELECT id, p,
+                       min((h * (2 * p + 1)
+                            + (p * 2654435761 + 1013904223) % 4294967311)
+                           % 4294967311) AS mh
+                FROM hashed CROSS JOIN perms GROUP BY id, p
+            ),
+            banded AS (
+                SELECT id, p // 4 AS band,
+                       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p))
+                           AS band_key
+                FROM mh GROUP BY id, p // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a
+                JOIN banded b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                WHERE a.id < b.id
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.id = c.id_a
+                JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )"""
+
+
 _BIGRAM_LM_CTES = """toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ),
@@ -6078,6 +6161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # signup_only_users (the EXCEPT twin of the gated INTERSECT
         # shape, r01-green)
         "minhash_lsh": minhash_lsh,
+        "cross_source_dup_matrix": cross_source_dup_matrix,
         "simhash_near_dup": simhash_near_dup,
         "ann_ivf": ann_ivf,
         "approx_distinct_users": approx_distinct_users,
@@ -7484,49 +7568,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         """,
-        "minhash_lsh": """
-            WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS t FROM documents
-            ),
-            ints AS (SELECT unnest(generate_series(
-                        1, (SELECT max(len(t)) FROM toks))) AS i),
-            sh AS (SELECT DISTINCT doc_id AS id,
-                          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
-                   FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
-            hashed AS (
-                SELECT id, shingle,
-                       CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
-                FROM sh
-            ),
-            perms AS (SELECT unnest(generate_series(0, 31)) AS p),
-            mh AS (
-                SELECT id, p,
-                       min((h * (2 * p + 1)
-                            + (p * 2654435761 + 1013904223) % 4294967311)
-                           % 4294967311) AS mh
-                FROM hashed CROSS JOIN perms GROUP BY id, p
-            ),
-            banded AS (
-                SELECT id, p // 4 AS band,
-                       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p))
-                           AS band_key
-                FROM mh GROUP BY id, p // 4
-            ),
-            cand AS (
-                SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                FROM banded a
-                JOIN banded b
-                  ON a.band = b.band AND a.band_key = b.band_key
-                WHERE a.id < b.id
-            ),
-            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
-            inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS n_inter
-                FROM cand c
-                JOIN sh a ON a.id = c.id_a
-                JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
-                GROUP BY 1, 2
+        "cross_source_dup_matrix": f"""
+            {_MINHASH_LSH_CTES},
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE round(CAST(n_inter AS DOUBLE)
+                            / (sa.n + sb.n - n_inter), 6) >= 0.5
             )
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_dup_pairs
+            FROM pairs p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+            GROUP BY 1, 2
+            ORDER BY source_a, source_b
+        """,
+        "minhash_lsh": f"""
+            {_MINHASH_LSH_CTES}
             SELECT id_a, id_b,
                    round(CAST(n_inter AS DOUBLE)
                          / (sa.n + sb.n - n_inter), 6) AS jaccard
