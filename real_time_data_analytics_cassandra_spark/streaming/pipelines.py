@@ -23,7 +23,7 @@ stream(availableNow) == batch (SURVEY.md §5.2 batch-equivalence).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_data_analytics_cassandra_spark.functions.buckets import hour_bucket
