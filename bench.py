@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "revenue_concentration",
     "conversion_latency_percentiles",
     "retention_survival_curve",
+    "dau_wau_stickiness",
     "fulfillment_lag_percentiles",
     "mmr_diverse_neighbors",
     "pipeline_retention_funnel",

@@ -1104,6 +1104,54 @@ def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/WAU) per day: daily actives over trailing-
+    7-day actives — the engagement ratio product teams track.  The
+    trailing DISTINCT count cannot ride a window aggregate (distinct
+    over a range frame), so each (user, day) activity row CONTRIBUTES
+    ITSELF to the 7 following days (a bounded 7× explode of the tiny
+    user-day relation) and WAU is a plain distinct count per
+    contribution day — exact integers, no approximation, no window.
+
+    Scale shape: events reduce to the |users|×|days| activity
+    relation first (one shuffle); the 7× explode and both distinct
+    counts operate on that small relation; days without activity are
+    absent by construction (matching the oracle).
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+    )
+    wau = (
+        contrib.distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 def retention_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimate of user lifetime (days between
     first and last event), WITH right-censoring: users still active in
@@ -6025,6 +6073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": revenue_concentration,
         "conversion_latency_percentiles": conversion_latency_percentiles,
         "retention_survival_curve": retention_survival_curve,
+        "dau_wau_stickiness": dau_wau_stickiness,
         "fulfillment_lag_percentiles": fulfillment_lag_percentiles,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
@@ -8861,6 +8910,31 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_days
             FROM lag GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "dau_wau_stickiness": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+                FROM events
+            ),
+            dau AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM ud GROUP BY day
+            ),
+            contrib AS (
+                SELECT DISTINCT user_id, day + offs AS day
+                FROM ud CROSS JOIN (
+                    SELECT unnest(generate_series(0, 6)) AS offs
+                )
+            ),
+            wau AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS wau
+                FROM contrib GROUP BY day
+            )
+            SELECT d.day, d.dau, w.wau,
+                   round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+            FROM dau d JOIN wau w USING (day)
+            ORDER BY d.day
         """,
         "retention_survival_curve": """
             WITH RECURSIVE horizon AS (SELECT max(ts) AS max_ts FROM events),
