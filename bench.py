@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "conversion_latency_percentiles",
     "retention_survival_curve",
     "dau_wau_stickiness",
+    "daily_new_vs_returning",
     "fulfillment_lag_percentiles",
     "mmr_diverse_neighbors",
     "pipeline_retention_funnel",

@@ -1104,6 +1104,48 @@ def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: actives split into NEW (first-ever activity that day)
+    and RETURNING — the acquisition-vs-retention composition behind
+    every growth dashboard, exact from the user-day relation.
+
+    Scale shape: the user-day distinct and the per-user first-day
+    aggregate share one user-keyed shuffle shape; the split is a
+    broadcast-free join of the small user-day relation against the
+    per-user firsts, then a per-day count.
+    """
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    firsts = user_days.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        user_days.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("day") > F.col("first_day")).cast("long")
+            ).alias("returning_users"),
+        )
+        .withColumn(
+            "new_share",
+            F.round(
+                F.col("new_users").cast("double")
+                / (F.col("new_users") + F.col("returning_users")),
+                6,
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stickiness (DAU/WAU) per day: daily actives over trailing-
     7-day actives — the engagement ratio product teams track.  The
@@ -6074,6 +6116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency_percentiles": conversion_latency_percentiles,
         "retention_survival_curve": retention_survival_curve,
         "dau_wau_stickiness": dau_wau_stickiness,
+        "daily_new_vs_returning": daily_new_vs_returning,
         "fulfillment_lag_percentiles": fulfillment_lag_percentiles,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
@@ -8910,6 +8953,27 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_days
             FROM lag GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "daily_new_vs_returning": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+                FROM events
+            ),
+            firsts AS (
+                SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+            )
+            SELECT u.day,
+                   CAST(sum(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN u.day > f.first_day THEN 1 ELSE 0 END)
+                        AS BIGINT) AS returning_users,
+                   round(CAST(sum(CASE WHEN u.day = f.first_day
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS new_share
+            FROM ud u JOIN firsts f USING (user_id)
+            GROUP BY u.day
+            ORDER BY u.day
         """,
         "dau_wau_stickiness": """
             WITH ud AS (
