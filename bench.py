@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "retention_survival_curve",
     "dau_wau_stickiness",
     "daily_new_vs_returning",
+    "streaming_new_vs_returning",
     "fulfillment_lag_percentiles",
     "mmr_diverse_neighbors",
     "pipeline_retention_funnel",

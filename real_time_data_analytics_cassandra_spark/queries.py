@@ -1104,6 +1104,65 @@ def fulfillment_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily_new_vs_returning maintained BY THE STREAM: each
+    micro-batch MIN-merges its per-user first-activity day into a
+    persisted first-seen table (sinks/merge.py::merge_min — min is
+    idempotent, so replays need no bookkeeping), and the split then
+    reads only that table plus the batch user-day relation.  Shares
+    the batch query's oracle bit-for-bit: min over any batch split
+    equals min over the whole."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        min_foreach_batch,
+    )
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+
+    ensure_query_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="rtdac_firstseen_")
+    path, ckpt = f"{tmp}/firsts", f"{tmp}/ckpt"
+    stream = bounded_event_stream(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    min_foreach_batch(
+        stream, path, ["user_id"], "day", "bucket", ckpt
+    ).awaitTermination()
+    firsts = spark.read.parquet(path).select(
+        "user_id", F.col("day").alias("first_day")
+    )
+    events = table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    return (
+        user_days.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("day") > F.col("first_day")).cast("long")
+            ).alias("returning_users"),
+        )
+        .withColumn(
+            "new_share",
+            F.round(
+                F.col("new_users").cast("double")
+                / (F.col("new_users") + F.col("returning_users")),
+                6,
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per day: actives split into NEW (first-ever activity that day)
     and RETURNING — the acquisition-vs-retention composition behind
@@ -6117,6 +6176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_survival_curve": retention_survival_curve,
         "dau_wau_stickiness": dau_wau_stickiness,
         "daily_new_vs_returning": daily_new_vs_returning,
+        "streaming_new_vs_returning": streaming_new_vs_returning,
         "fulfillment_lag_percentiles": fulfillment_lag_percentiles,
         "pipeline_retention_funnel": pipeline_retention_funnel,
         "lm_quality_buckets": lm_quality_buckets,
@@ -9342,6 +9402,7 @@ def oracle_sql() -> dict[str, str]:
     d["streaming_cms_token_counts"] = d["cms_token_counts"]
     d["streaming_kmv_distinct_per_type"] = d["kmv_distinct_per_type"]
     d["streaming_hourly_cusum"] = d["hourly_value_cusum"]
+    d["streaming_new_vs_returning"] = d["daily_new_vs_returning"]
     d["geo_hourly_counts_autosalted"] = d["geo_hourly_counts"]
     # the persisted-index search scores through the same bm25_rank as
     # the fresh path -> it shares the fresh oracle bit-for-bit

@@ -582,3 +582,66 @@ def kmv_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_min(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    val_col: str,
+    partition_col: str,
+) -> None:
+    """MIN-merge: fold each batch's per-key minimum into a
+    materialized table — the third idempotent merge family next to
+    HLL register-max (merge_sketches) and bottom-k (merge_kmv): min
+    is associative, commutative AND idempotent, so replays are no-ops
+    by construction and no batch-id bookkeeping is needed.  The
+    canonical use is first-seen tracking (first activity day per
+    user, first crawl of a URL) — the basis of new-vs-returning
+    splits and cohort assignment, maintained incrementally.
+
+    Same partition-pruned read-modify-write shape as the other
+    MERGEs; per batch the rewrite touches only the hive partitions
+    the batch's keys land in."""
+    grouped = batch.groupBy(partition_col, *key_cols).agg(
+        F.min(val_col).alias(val_col)
+    )
+    if not _target_exists(spark, path):
+        grouped.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    existing = _pruned_target(spark, path, grouped, partition_col)
+    combined = (
+        existing.unionByName(grouped)
+        .groupBy(partition_col, *key_cols)
+        .agg(F.min(val_col).alias(val_col))
+    )
+    combined = combined.localCheckpoint(eager=True)
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        combined.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def min_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    val_col: str,
+    partition_col: str,
+    checkpoint: str,
+):
+    """Streaming first-seen maintenance via :func:`merge_min` — the
+    at-least-once replay window is harmless (idempotent min)."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_min(
+            batch.sparkSession, batch, path, key_cols, val_col, partition_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -604,3 +604,32 @@ def test_cents_counter_average_equals_davg_under_splits(spark, tmp_path):
     got = {(r.g, r.h): r.avg_value for r in merged.collect()}
     exp = {(r.g, r.h): r.avg_value for r in want.collect()}
     assert got == exp
+
+
+def test_merge_min_idempotent_and_split_invariant(spark, tmp_path):
+    """min-merge: any batch split reaches the same first-seen table,
+    and replaying a batch changes nothing (idempotent min)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.sinks.merge import merge_min
+
+    path = str(tmp_path / "m")
+    full = spark.createDataFrame(
+        [(u, d, f"b{u % 3}") for u in range(40) for d in (u % 5, u % 7, 3)],
+        "user long, day long, bucket string",
+    )
+    parts = [full.filter(F.pmod(F.xxhash64("day"), F.lit(2)) == i) for i in range(2)]
+    for b in parts:
+        merge_min(spark, b, path, ["user"], "day", "bucket")
+
+    def snap():
+        return sorted((r.user, r.day) for r in spark.read.parquet(path).collect())
+
+    got = snap()
+    want = sorted(
+        (r.user, r.day)
+        for r in full.groupBy("user").agg(F.min("day").alias("day")).collect()
+    )
+    assert got == want
+    merge_min(spark, parts[0], path, ["user"], "day", "bucket")  # replay
+    assert snap() == got
