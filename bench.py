@@ -265,17 +265,50 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver archives only a 2000-char tail of stdout, which keeps
+    # the last ~64 timings and made rounds pairwise incomparable from
+    # artifacts alone.  Persist the full dict beside the repo so every
+    # round's complete per-query timings are diffable by name, plus a
+    # vs-previous delta summary when a prior snapshot exists.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_full.json")
+    prev = None
+    if os.path.exists(full_path):
+        try:
+            with open(full_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = None
+    if prev and isinstance(prev.get("queries"), dict):
+        common = sorted(set(prev["queries"]) & set(timings))
+        deltas = {
+            n: round(timings[n] - prev["queries"][n], 3) for n in common
+        }
+        prev_total = round(sum(prev["queries"][n] for n in common), 3)
+        cur_total = round(sum(timings[n] for n in common), 3)
+        payload["vs_prev"] = {
+            "comparable_queries": len(common),
+            "prev_total_sec": prev_total,
+            "cur_total_sec": cur_total,
+            "ratio": round(cur_total / prev_total, 3) if prev_total else None,
+            "top_regressions": dict(
+                sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
+            ),
+            "top_improvements": dict(
+                sorted(deltas.items(), key=lambda kv: kv[1])[:5]
+            ),
+        }
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -1956,19 +1956,35 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE decile bucketing of event values (+ per-decile stats) —
-    ranked windowing the reference lacks entirely.  NOTE the global
-    ntile is a single-partition sort by definition; it is kept as the
-    exact superset demo, while the distributed path for distribution
-    stats at 100 TB is value_percentiles / approx_percentile
-    (aggregate + broadcast, as quality_filtered_docs does)."""
-    ensure_query_confs(spark)
-    from pyspark.sql.window import Window
+    """Decile bucketing of event values (+ per-decile stats) —
+    distribution analytics the reference lacks entirely.
 
+    Scale shape: the 9 decile boundaries arrive as ONE broadcast
+    exact-percentile aggregate row and bucket assignment is a
+    comparison fold over the scan (the rfm_scores /
+    quality_filtered_docs idiom) — two embarrassingly-parallel passes,
+    never a global single-partition sort.  Spark `percentile` and
+    DuckDB `quantile_cont` share the interpolation rule, so the cuts
+    land identically across engines.  (A global-NTILE form would pin
+    exact equal bucket *sizes* but is a one-executor sort by
+    definition; tests/test_crossval.py cross-checks this form's
+    bucket sizes stay within rounding of n/10 on near-unique values.)
+    """
+    ensure_query_confs(spark)
     events = table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    bounds = events.agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("q")
+    )
+    decile = F.lit(1)
+    for j in range(1, 10):
+        decile = decile + (F.col("value") > F.element_at(F.col("q"), j)).cast(
+            "int"
+        )
     return (
-        events.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        events.join(F.broadcast(bounds))
+        .withColumn("decile", decile.cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -8401,13 +8417,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "value_deciles": """
-            SELECT decile,
+            WITH q AS (
+                SELECT quantile_cont(value, 0.1) AS q1,
+                       quantile_cont(value, 0.2) AS q2,
+                       quantile_cont(value, 0.3) AS q3,
+                       quantile_cont(value, 0.4) AS q4,
+                       quantile_cont(value, 0.5) AS q5,
+                       quantile_cont(value, 0.6) AS q6,
+                       quantile_cont(value, 0.7) AS q7,
+                       quantile_cont(value, 0.8) AS q8,
+                       quantile_cont(value, 0.9) AS q9
+                FROM events
+            )
+            SELECT CAST(1 + CAST(value > q1 AS INT) + CAST(value > q2 AS INT)
+                          + CAST(value > q3 AS INT) + CAST(value > q4 AS INT)
+                          + CAST(value > q5 AS INT) + CAST(value > q6 AS INT)
+                          + CAST(value > q7 AS INT) + CAST(value > q8 AS INT)
+                          + CAST(value > q9 AS INT)
+                        AS BIGINT) AS decile,
                    count(*) AS n_events,
                    round(min(value), 6) AS lo_value,
                    round(max(value), 6) AS hi_value
-            FROM (SELECT value,
-                         ntile(10) OVER (ORDER BY value, event_id) AS decile
-                  FROM events)
+            FROM events, q
             GROUP BY 1
         """,
         "quality_filtered_docs": """

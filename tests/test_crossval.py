@@ -575,3 +575,29 @@ def test_ann_kmeans_refined_recall_floor(spark):
     hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
     recall = hits / sum(len(v) for v in exact.values())
     assert recall >= 0.5, f"recall {recall:.3f}"
+
+
+def test_value_deciles_boundary_form_tracks_ntile(spark):
+    """The scale-safe boundary-broadcast decile form must reproduce the
+    global-NTILE bucket sizes (within interpolation rounding) on the
+    near-unique event values — the NTILE lives ONLY here, as the tiny
+    cross-check oracle; the registry query never runs a global sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    out = {r.decile: r.n_events for r in q.value_deciles(spark, SF_ORACLE).collect()}
+    events = table(spark, SF_ORACLE, "events")
+    w = Window.orderBy("value", "event_id")
+    ntile = {
+        r.decile: r.n
+        for r in events.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(ntile.values())
+    assert set(out) == set(ntile)
+    for d in ntile:
+        assert abs(out[d] - ntile[d]) <= max(2, 0.01 * n / 10), (d, out[d], ntile[d])
