@@ -5413,12 +5413,13 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
       independently-built sketches.
 
     The sketches are deterministic (md5 hash family), so the
-    estimates — and their overestimate-only error — reproduce in the
-    SQL oracle bit-for-bit.  Scale shape: each sketch is one
-    map-side-exploded count aggregate whose shuffle ships counter
-    blocks, never keys; the inner products join ≤ 8k-row relations.
-    The exact verifiers (one groupBy per key column) exist for the
-    rel_error column and are the part you would NOT run at 100 TB.
+    estimates reproduce in the SQL oracle bit-for-bit.  Scale shape:
+    each sketch is one map-side-exploded count aggregate whose
+    shuffle ships counter blocks, never keys; the inner products
+    join ≤ 8k-row relations.  The exact join / exact-F2 verifiers —
+    the part you would NOT run at 100 TB — live in
+    tests/test_crossval.py (overestimate-only + rel_error bound),
+    NOT in this query, so its benched time measures the sketch path.
     """
     ensure_query_confs(spark)
     from real_time_data_analytics_cassandra_spark.operators.sketches import (
@@ -5435,38 +5436,16 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     est_f2 = cms_inner_product(s_pk, s_pk)
-    exact_f2 = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact"))
-    )
 
     s_ok = cms_sketch(orders.select("o_orderkey"), "o_orderkey", width=8192)
     s_lk = cms_sketch(li.select("l_orderkey"), "l_orderkey", width=8192)
     est_join = cms_inner_product(s_ok, s_lk)
-    exact_join = (
-        orders.select("o_orderkey")
-        .join(li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
-    )
 
-    def labeled(label: str, est: DataFrame, exact: DataFrame) -> DataFrame:
-        return (
-            est.crossJoin(F.broadcast(exact))
-            .select(
-                F.lit(label).alias("pair"),
-                "est",
-                "exact",
-                F.round(
-                    (F.col("est") - F.col("exact")).cast("double")
-                    / F.col("exact").cast("double"),
-                    6,
-                ).alias("rel_error"),
-            )
-        )
+    def labeled(label: str, est: DataFrame) -> DataFrame:
+        return est.select(F.lit(label).alias("pair"), "est")
 
-    return labeled("lineitem_selfjoin_partkey", est_f2, exact_f2).unionByName(
-        labeled("orders_lineitem_orderkey", est_join, exact_join)
+    return labeled("lineitem_selfjoin_partkey", est_f2).unionByName(
+        labeled("orders_lineitem_orderkey", est_join)
     ).orderBy("pair")
 
 
@@ -5476,8 +5455,9 @@ def kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the distinct (type, hash) projection), so the
     per-group COUNT(DISTINCT) — the query that at 100 TB shuffles
     every key — degrades to shipping k rows per group.  The exact
-    count rides along for the rel_error column (the verifier you
-    would NOT run at scale).
+    COUNT(DISTINCT) verifier (the part you would NOT run at scale)
+    lives in tests/test_crossval.py as a rel_error bound, NOT in this
+    query, so its benched time measures the sketch path.
 
     Deterministic md5 hashing makes the whole thing oracle-exact;
     sketch rows are also MERGEABLE per partition/day (union then
@@ -5500,33 +5480,17 @@ def kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hm"))
     )
-    exact = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
-    )
-    return (
-        sk.join(exact, "event_type")
-        .select(
-            "event_type",
-            F.round(
-                F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
-                    F.lit(float(k - 1))
-                    * F.lit(float(KMV_SCALE))
-                    / F.col("hm").cast("double")
-                ),
-                4,
-            ).alias("est_distinct"),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
-        )
-        .withColumn(
-            "rel_error",
-            F.round(
-                (F.col("est_distinct") - F.col("exact_distinct"))
-                / F.col("exact_distinct"),
-                6,
+    return sk.select(
+        "event_type",
+        F.round(
+            F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(float(KMV_SCALE))
+                / F.col("hm").cast("double")
             ),
-        )
-        .orderBy("event_type")
-    )
+            4,
+        ).alias("est_distinct"),
+    ).orderBy("event_type")
 
 
 def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5538,41 +5502,29 @@ def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion rule a pure function of the key (every engine, every
     run, the same sample).
 
-    Output per priority: sampled row count, the HT estimate, and the
-    estimate's share error vs the true total (both engines compute
-    the same exact numbers — the error column is an audit, not a
-    tolerance).  Scale shape: the sample predicate is a codegen
-    filter AT THE SCAN (no pre-pass); one grouped aggregate over the
-    sample plus one over the full table for the audit column."""
+    Output per priority: sampled row count and the HT estimate (both
+    engines compute the same exact numbers).  The full-table true
+    total — the verifier you would NOT run at 100 TB — lives in
+    tests/test_crossval.py as a rel_error bound, NOT in this query,
+    so its benched time measures the sample path.  Scale shape: the
+    sample predicate is a codegen filter AT THE SCAN (no pre-pass);
+    one grouped aggregate over the ~10% sample."""
     ensure_query_confs(spark)
     orders = table(spark, sf_dir, "orders")
     u = sampling_op.uniform01("o_orderkey", salt="ht")
     rate = 0.1
-    sample = orders.filter(u < rate).groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.round(
-            F.round(F.sum(money("o_totalprice")), 2)
-            .cast("decimal(15,2)")
-            .cast("double")
-            / rate,
-            4,
-        ).alias("ht_estimate"),
-    )
-    truth = orders.groupBy("o_orderpriority").agg(
-        dsum(money("o_totalprice"), "true_total")
-    )
     return (
-        sample.join(truth, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            "n_sampled",
-            "ht_estimate",
-            "true_total",
+        orders.filter(u < rate)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
             F.round(
-                (F.col("ht_estimate") - F.col("true_total"))
-                / F.col("true_total"),
-                6,
-            ).alias("rel_error"),
+                F.round(F.sum(money("o_totalprice")), 2)
+                .cast("decimal(15,2)")
+                .cast("double")
+                / rate,
+                4,
+            ).alias("ht_estimate"),
         )
         .orderBy("o_orderpriority")
     )
@@ -6721,26 +6673,14 @@ def oracle_sql() -> dict[str, str]:
             sk AS (
                 SELECT event_type, count(*) AS n, max(h) AS hm
                 FROM ranked WHERE rn <= 256 GROUP BY event_type
-            ),
-            exact AS (
-                SELECT event_type,
-                       count(DISTINCT user_id) AS exact_distinct
-                FROM events GROUP BY event_type
             )
             SELECT s.event_type,
                    round(CASE WHEN s.n < 256 THEN CAST(s.n AS DOUBLE)
                               ELSE CAST(255 AS DOUBLE)
                                    * CAST(281474976710656 AS DOUBLE)
                                    / CAST(s.hm AS DOUBLE) END, 4)
-                       AS est_distinct,
-                   e.exact_distinct,
-                   round((round(CASE WHEN s.n < 256 THEN CAST(s.n AS DOUBLE)
-                              ELSE CAST(255 AS DOUBLE)
-                                   * CAST(281474976710656 AS DOUBLE)
-                                   / CAST(s.hm AS DOUBLE) END, 4)
-                          - e.exact_distinct) / e.exact_distinct, 6)
-                       AS rel_error
-            FROM sk s JOIN exact e ON e.event_type = s.event_type
+                       AS est_distinct
+            FROM sk s
             ORDER BY s.event_type
         """,
         "join_size_estimate_cms": """
@@ -6759,12 +6699,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM (
                     SELECT row_i, sum(cnt * cnt) AS ip
                     FROM s_pk GROUP BY row_i
-                )
-            ),
-            exact_f2 AS (
-                SELECT CAST(sum(c * c) AS BIGINT) AS exact
-                FROM (
-                    SELECT count(*) AS c FROM lineitem GROUP BY l_partkey
                 )
             ),
             s_ok AS (
@@ -6793,20 +6727,14 @@ def oracle_sql() -> dict[str, str]:
                     JOIN s_lk b ON a.row_i = b.row_i AND a.bucket = b.bucket
                     GROUP BY a.row_i
                 )
-            ),
-            exact_join AS (
-                SELECT CAST(count(*) AS BIGINT) AS exact
-                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             )
-            SELECT pair, est, exact,
-                   round(CAST(est - exact AS DOUBLE)
-                         / CAST(exact AS DOUBLE), 6) AS rel_error
+            SELECT pair, est
             FROM (
-                SELECT 'lineitem_selfjoin_partkey' AS pair, f.est, e.exact
-                FROM est_f2 f, exact_f2 e
+                SELECT 'lineitem_selfjoin_partkey' AS pair, f.est
+                FROM est_f2 f
                 UNION ALL
-                SELECT 'orders_lineitem_orderkey' AS pair, j.est, x.exact
-                FROM est_join j, exact_join x
+                SELECT 'orders_lineitem_orderkey' AS pair, j.est
+                FROM est_join j
             )
             ORDER BY pair
         """,
@@ -6918,19 +6846,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
                 WHERE {sampling_op.uniform01_sql("o_orderkey", "ht")} < 0.1
                 GROUP BY 1
-            ),
-            t AS (
-                SELECT o_orderpriority,
-                       CAST(CAST(round(sum(CAST(o_totalprice
-                                AS DECIMAL(12,2))), 2) AS DECIMAL(15,2))
-                            AS DOUBLE) AS true_total
-                FROM orders GROUP BY 1
             )
-            SELECT s.o_orderpriority, s.n_sampled, s.ht_estimate,
-                   t.true_total,
-                   round((s.ht_estimate - t.true_total) / t.true_total,
-                         6) AS rel_error
-            FROM s JOIN t USING (o_orderpriority)
+            SELECT s.o_orderpriority, s.n_sampled, s.ht_estimate
+            FROM s
             ORDER BY s.o_orderpriority
         """,
         "doc_char_entropy": """

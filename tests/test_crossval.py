@@ -601,3 +601,97 @@ def test_value_deciles_boundary_form_tracks_ntile(spark):
     assert set(out) == set(ntile)
     for d in ntile:
         assert abs(out[d] - ntile[d]) <= max(2, 0.01 * n / 10), (d, out[d], ntile[d])
+
+
+def test_cms_join_estimates_overestimate_within_bound(spark):
+    """The exact join / exact-F2 verifiers for join_size_estimate_cms
+    live HERE (not in the benched query): CMS inner products may only
+    OVERestimate, and the min-over-depth noise stays under the
+    classic 3·n_a·n_b/width envelope (deterministic md5 hash family,
+    so these are fixed numbers, not a flaky tolerance)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    est = {
+        r.pair: r.est
+        for r in q.join_size_estimate_cms(spark, SF_ORACLE).collect()
+    }
+    li = table(spark, SF_ORACLE, "lineitem")
+    orders = table(spark, SF_ORACLE, "orders")
+    n_li = li.count()
+    n_ord = orders.count()
+    exact_f2 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("x"))
+        .collect()[0]
+        .x
+    )
+    exact_join = (
+        orders.select("o_orderkey")
+        .join(
+            li.select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    width = 8192
+    assert exact_f2 <= est["lineitem_selfjoin_partkey"] <= exact_f2 + 3 * n_li * n_li // width
+    assert exact_join <= est["orders_lineitem_orderkey"] <= exact_join + 3 * n_ord * n_li // width
+
+
+def test_kmv_distinct_estimates_within_bound(spark):
+    """The exact COUNT(DISTINCT) verifier for kmv_distinct_per_type
+    lives HERE (not in the benched query): with k=256 the estimator
+    is exact below k distinct values and within ~2/sqrt(k) above."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    est = {
+        r.event_type: r.est_distinct
+        for r in q.kmv_distinct_per_type(spark, SF_ORACLE).collect()
+    }
+    events = table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r.x
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, x in exact.items():
+        if x < 256:
+            assert est[t] == float(x), (t, est[t], x)
+        else:
+            assert abs(est[t] - x) / x <= 2 / 256 ** 0.5, (t, est[t], x)
+
+
+def test_ht_revenue_estimate_within_bound(spark):
+    """The full-table true-total verifier for sampled_revenue_estimate
+    lives HERE (not in the benched query): the Horvitz-Thompson
+    estimate from the deterministic 10% hash sample must stay within
+    50% of truth per priority at the tiny oracle SF (~6 sampled
+    orders/group — the bound is the audit, not the accuracy claim;
+    at sf0.01 the measured worst error is under 10%)."""
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.functions.numeric import (
+        dsum,
+        money,
+    )
+
+    est = {
+        r.o_orderpriority: r.ht_estimate
+        for r in q.sampled_revenue_estimate(spark, SF_ORACLE).collect()
+    }
+    orders = table(spark, SF_ORACLE, "orders")
+    truth = {
+        r.o_orderpriority: float(r.t)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(dsum(money("o_totalprice"), "t"))
+        .collect()
+    }
+    assert set(est) <= set(truth)
+    for p, e in est.items():
+        assert abs(e - truth[p]) / truth[p] <= 0.5, (p, e, truth[p])

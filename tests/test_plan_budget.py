@@ -54,8 +54,10 @@ BUDGETS = {
     "doc_keywords": 8,
     "chunk_documents": 0,
     # sketches / estimation
-    "kmv_distinct_per_type": 5,
-    "join_size_estimate_cms": 9,
+    "kmv_distinct_per_type": 3,
+    "join_size_estimate_cms": 6,
+    "sampled_revenue_estimate": 2,
+    "value_deciles": 2,
     "cms_token_counts": 5,
     # graph / linkage (post-loop leaves for the iterative ones)
     "part_pagerank": 0,

@@ -299,7 +299,7 @@ _BNLJ_OK = {
     "part_affinity",  # 1-row order-count broadcast for support/lift
     "pipeline_retention_funnel",  # per-stage 1-row threshold/total broadcasts
     "kmv_user_overlap",  # algebra over 1-row estimates of <=k-row sketches
-    "join_size_estimate_cms",  # 1-row est x 1-row exact label joins
+    "join_size_estimate_cms",  # 1-row est label union (legacy allow)
     "nb_lang_classifier",  # 1-row vocab/doc-count + tiny lang-dim broadcasts
     "source_token_kl",  # 1-row corpus-total broadcast
     "chi2_type_daypart",  # 1-row N broadcast over the tiny cell frame
