@@ -693,6 +693,95 @@ def span_index_dedup_batch(
     return out
 
 
+# Float slack for the PPJoin bounds: every bound below is of the form
+# "integer quantity >= threshold * integer quantity" where the RHS is
+# computed in doubles.  A double product can land one ulp ABOVE the
+# true rational value (e.g. 0.1 * 30 = 3.0000000000000004), which
+# would prune a candidate whose Jaccard equals the threshold exactly.
+# Subtracting this slack keeps every filter safe-not-tight: at worst a
+# handful of extra candidates reach verification, never a lost pair.
+_PPJOIN_EPS = 1e-9
+
+
+def _ppjoin_candidates(
+    sh: DataFrame,
+    threshold: float,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for exact set-similarity join via
+    the PPJoin(+) prefix/length/positional filters over a shingle
+    relation (columns id, shingle).  Lossless for Jaccard >=
+    ``threshold``; ``positional=False`` keeps only the prefix+length
+    rules (exists for the candidate-volume regression test)."""
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    # prefix length |s| - ceil(t|s|) + 1; the eps makes ceil round the
+    # TRUE rational bound, never one higher (longer prefix = safe)
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_sh")
+        - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(_PPJOIN_EPS))
+        + 1
+    ).select("id", "shingle", "rk", "n_sh")
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("rk").alias("rk_a"),
+        F.col("n_sh").alias("n_a_"),
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("rk").alias("rk_b"),
+        F.col("n_sh").alias("n_b_"),
+    )
+    coll = pa.join(pb, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    # positional overlap upper bound from a collision at ranks (i, j)
+    # of the SAME global order: common tokens before it <= min(i-1,
+    # j-1), after it <= min(|a|-i, |b|-j) — true for EVERY common
+    # token, so the pair bound is the MIN over its collisions
+    ub = (
+        F.least(F.col("rk_a") - 1, F.col("rk_b") - 1)
+        + 1
+        + F.least(
+            F.col("n_a_") - F.col("rk_a"), F.col("n_b_") - F.col("rk_b")
+        )
+    )
+    grouped = coll.groupBy("id_a", "id_b", "n_a_", "n_b_").agg(
+        F.min(ub).alias("ub_")
+    )
+    # length filter: J >= t forces t <= |a|/|b| <= 1/t (direct float
+    # compare with slack — never a float ceil, see _PPJOIN_EPS)
+    cand = grouped.filter(
+        (
+            F.col("n_b_").cast("double")
+            >= F.lit(t) * F.col("n_a_") - F.lit(_PPJOIN_EPS)
+        )
+        & (
+            F.col("n_a_").cast("double")
+            >= F.lit(t) * F.col("n_b_") - F.lit(_PPJOIN_EPS)
+        )
+    )
+    if positional:
+        # PPJoin+ positional filter: J >= t  <=>  (1+t)*overlap >=
+        # t*(|a|+|b|), so a pair whose best overlap bound can't reach
+        # that never enters verification
+        cand = cand.filter(
+            F.col("ub_").cast("double") * F.lit(1.0 + t)
+            >= F.lit(t) * (F.col("n_a_") + F.col("n_b_")) - F.lit(_PPJOIN_EPS)
+        )
+    return cand.select("id_a", "id_b")
+
+
 def ngram_jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -700,9 +789,9 @@ def ngram_jaccard_prefix_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the
-    SSJoin/PPJoin candidate rule, Chaudhuri et al. 2006 / Xiao et
-    al. 2008): identical output contract to ``ngram_jaccard_pairs``
+    """Exact n-gram Jaccard pairs via PREFIX + POSITIONAL FILTERING
+    (the SSJoin/PPJoin+ candidate rules, Chaudhuri et al. 2006 / Xiao
+    et al. 2008): identical output contract to ``ngram_jaccard_pairs``
     — and it SHARES that query's DuckDB oracle — but candidate pairs
     come only from collisions on each document's PREFIX shingles
     under a rarest-first global order, instead of on every shingle.
@@ -712,73 +801,57 @@ def ngram_jaccard_prefix_pairs(
     overlapping in >= alpha elements must intersect within their
     (size - alpha + 1)-prefixes of ANY shared total order — so
     joining on prefix shingles of length |s| - ceil(t|s|) + 1 loses
-    no qualifying pair.  Why it scales: the global order is
-    rarest-first (document frequency asc), so the joined prefix
-    tokens are the LOW-frequency shingles — the stop-shingle hot
-    buckets that blow up the naive shared-shingle join never enter
-    candidate generation.  Verification computes the full exact
-    Jaccard for candidates only.
+    no qualifying pair.  On top of that, each collision's ranks give
+    an overlap UPPER bound (see _ppjoin_candidates); pairs whose best
+    bound cannot reach the (1+t)-form overlap requirement are pruned
+    before the verification join pays for them — strictly fewer
+    candidates than the prefix rule alone (asserted by
+    tests/test_crossval.py::test_ppjoin_positional_prunes_candidates).
+    Why it scales: the global order is rarest-first (document
+    frequency asc), so the joined prefix tokens are the LOW-frequency
+    shingles — the stop-shingle hot buckets that blow up the naive
+    shared-shingle join never enter candidate generation.
+    Verification computes the full exact Jaccard for candidates only,
+    as ONE array_intersect per candidate row (two joins against the
+    per-doc shingle-array relation) instead of re-exploding every
+    candidate's shingles through a shuffle — candidate-count rows in
+    flight, not candidate-count x shingles.
     """
-    from pyspark.sql import Window
-
-    sh = shingle_sets(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "id")
-    )
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("id", "shingle")
-    cand = (
-        prefix.select(F.col("id").alias("id_a"), "shingle")
-        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # PPJoin length filter: J >= t forces t <= |a|/|b| <= 1/t, so
-    # size-incompatible collisions drop BEFORE the verification join
-    # pays for them
-    cand = (
-        cand.join(
-            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a_"}), "id_a"
+    sets = (
+        df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
         )
-        .join(
-            sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b_"}), "id_b"
-        )
-        .filter(
-            (F.col("n_b_") >= F.ceil(F.lit(threshold) * F.col("n_a_")))
-            & (F.col("n_a_") >= F.ceil(F.lit(threshold) * F.col("n_b_")))
-        )
-        .select("id_a", "id_b")
+        .select("id", F.array_distinct(word_ngrams("toks", n)).alias("shset"))
+        .cache()
     )
-    inter = (
-        sh.select(F.col("id").alias("id_a"), "shingle")
-        .join(cand, "id_a")
-        .join(
-            sh.select(F.col("id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    sh = sets.select("id", F.explode("shset").alias("shingle"))
+    cand = _ppjoin_candidates(sh, threshold)
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("shset").alias("set_a")
+            ),
+            "id_a",
         )
         .join(
-            sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b"
+            sets.select(
+                F.col("id").alias("id_b"), F.col("shset").alias("set_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("long")
+            .alias("n_inter"),
+            (F.size("set_a") + F.size("set_b")).alias("n_union_plus"),
         )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                / (F.col("n_union_plus") - F.col("n_inter")),
                 6,
             ),
         )

@@ -431,18 +431,6 @@ def test_kmv_sketch_is_mergeable_and_partition_invariant(spark):
     assert {r.h for r in shuffled.collect()} == {r.h for r in direct.collect()}
 
 
-def test_cms_inner_product_never_underestimates(spark):
-    """CMS inner products are one-sided: every hash row's estimate
-    adds non-negative collision mass, so est >= exact always — the
-    property that makes the estimate safe for planner sizing (it can
-    overspend, never under-provision)."""
-    rows = q.join_size_estimate_cms(spark, SF_ORACLE).collect()
-    assert len(rows) == 2
-    for r in rows:
-        assert r.est >= r.exact, (r.pair, r.est, r.exact)
-        assert r.rel_error >= 0.0
-
-
 def test_mmr_matches_numpy_model_and_diversifies(spark):
     """MMR selection must equal a pure-numpy greedy reference run on
     the same shortlist (same ops, same tie-breaks — exact), pick the
@@ -695,3 +683,25 @@ def test_ht_revenue_estimate_within_bound(spark):
     assert set(est) <= set(truth)
     for p, e in est.items():
         assert abs(e - truth[p]) / truth[p] <= 0.5, (p, e, truth[p])
+
+
+def test_ppjoin_positional_prunes_candidates(spark):
+    """PPJoin+ positional filter: candidates must be a STRICT subset
+    of the prefix+length rule's candidates (same losslessness — the
+    parity suite proves no qualifying pair is lost), so verification
+    pays for strictly fewer exact-Jaccard computations."""
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        _ppjoin_candidates,
+        shingle_sets,
+    )
+
+    docs = table(spark, SF_ORACLE, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", 3).cache()
+    plain = _pairs(_ppjoin_candidates(sh, 0.5, positional=False))
+    pos = _pairs(_ppjoin_candidates(sh, 0.5, positional=True))
+    assert pos <= plain
+    assert len(pos) < len(plain), (len(pos), len(plain))
+    # the survivors must still include every truly-qualifying pair
+    truth = _pairs(q.ngram_jaccard_prefix(spark, SF_ORACLE))
+    assert truth <= pos
