@@ -195,9 +195,14 @@ def create_flask_app(spark: SparkSession, sf_dir: str):
 
         names = sorted(q.queries())
         oracles = set(q.oracle_sql())
+        side = q.side_effectful_queries()
         return jsonify(
             [
-                {"name": n, "oracle_gated": n in oracles}
+                {
+                    "name": n,
+                    "oracle_gated": n in oracles,
+                    "side_effectful": n in side,
+                }
                 for n in names
             ]
         )
@@ -209,6 +214,20 @@ def create_flask_app(spark: SparkSession, sf_dir: str):
         registry = q.queries()
         if name not in registry:
             return jsonify({"error": f"unknown query {name!r}"}), 404
+        # the [1, 1000] limit bounds RETURNED rows, not compute:
+        # streaming/snapshot queries would start a streaming job and
+        # commit a scratch table per request — refuse them here (they
+        # are listed with side_effectful=true in /api/v1/queries)
+        if name in q.side_effectful_queries():
+            return (
+                jsonify(
+                    {
+                        "error": f"query {name!r} starts streaming jobs or "
+                        "writes scratch tables; not executable over REST"
+                    }
+                ),
+                400,
+            )
         try:
             limit = int(request.args.get("limit", 100))
         except ValueError:

@@ -76,6 +76,43 @@ def salted_equi_join(
     return out.drop("__salt")
 
 
+# memoized skew probes: (plan semanticHash, key, denom) -> max-key
+# share.  Bounded FIFO so a long-lived session composing many joins
+# never grows it unboundedly; semantic hashing means a re-read of the
+# same source with the same plan reuses the measurement.
+_PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 256
+
+
+def _probe_max_key_share(big: DataFrame, big_key: str, sample_denom: int) -> float:
+    try:
+        cache_key = (big.semanticHash(), big_key, sample_denom)
+    except Exception:  # pragma: no cover - analysis-barrier plans
+        cache_key = None
+    if cache_key is not None and cache_key in _PROBE_CACHE:
+        return _PROBE_CACHE[cache_key]
+    probe = (
+        big.filter(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in big.columns]),
+                F.lit(sample_denom),
+            )
+            == 0
+        )
+        .groupBy(big_key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .collect()
+    )
+    mx, tot = (probe[0]["mx"] or 0), (probe[0]["tot"] or 0)
+    share = (mx / tot) if tot else 0.0
+    if cache_key is not None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        _PROBE_CACHE[cache_key] = share
+    return share
+
+
 def auto_salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -100,24 +137,17 @@ def auto_salted_join(
     many, so its sampled count concentrates at true/denom — the
     share estimate is tight exactly for the keys that matter.
     AQE's skew-join handles residual imbalance either way.
+
+    NOTE this function is EAGER: the probe executes a sampled scan of
+    the big side AT CALL TIME (the salt factor shapes the returned
+    plan, so it cannot be deferred to action time).  Callers composing
+    plans lazily should call it once and reuse the result; repeated
+    calls on a semantically-identical input reuse the memoized probe
+    below instead of re-scanning.
     """
     import math
 
-    probe = (
-        big.filter(
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in big.columns]),
-                F.lit(sample_denom),
-            )
-            == 0
-        )
-        .groupBy(big_key)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
-        .collect()
-    )
-    mx, tot = (probe[0]["mx"] or 0), (probe[0]["tot"] or 0)
-    share = (mx / tot) if tot else 0.0
+    share = _probe_max_key_share(big, big_key, sample_denom)
     num_salts = max(1, min(target_parallelism, math.ceil(share * target_parallelism)))
     if num_salts == 1:
         return big.join(small, big[big_key] == small[small_key], how)

@@ -6289,6 +6289,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Registry entries that START JOBS or WRITE outside the session when
+# called: streaming_* run Structured Streaming micro-batches against a
+# fresh mkdtemp checkpoint, snapshot_*/incremental_* commit scratch
+# snapshot tables.  Harnesses that execute arbitrary registry names on
+# demand (the REST execute route) must refuse these — each call costs
+# unbounded compute and leaks a temp dir; they remain first-class for
+# the driver/bench/pytest harnesses, which own their lifecycle.
+_SIDE_EFFECT_PREFIXES = ("streaming_", "snapshot_", "incremental_")
+
+
+def side_effectful_queries() -> frozenset:
+    """Names in :func:`queries` whose execution starts streaming jobs
+    or writes scratch tables (see _SIDE_EFFECT_PREFIXES)."""
+    return frozenset(
+        n for n in queries() if n.startswith(_SIDE_EFFECT_PREFIXES)
+    )
+
+
 _STOPWORD_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
     for lang, words in text_op.LANG_STOPWORDS.items()

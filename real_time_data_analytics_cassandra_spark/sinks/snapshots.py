@@ -96,8 +96,15 @@ def _file_column_stats(files: list, cols: tuple) -> dict:
                 if st is None or not st.has_min_max:
                     mins = []
                     break
-                mins.append(st.min)
-                maxs.append(st.max)
+                try:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                except NotImplementedError:
+                    # pyarrow cannot decode min/max for some logical
+                    # types (e.g. decimal): record no stats for the
+                    # column — scans conservatively keep the file
+                    mins = []
+                    break
             if mins:
                 per[c] = [norm(min(mins)), norm(max(maxs))]
         out[f] = per
@@ -353,8 +360,11 @@ def scan_snapshot(
     factor of ``col`` (write sorted/z-ordered on the skip columns to
     make the factor large).  Files committed without stats for
     ``col`` are conservatively kept.  Bounds follow the stats
-    normalization: numerics compare numerically, timestamps as their
-    ``str()`` form (pass a 'YYYY-MM-DD HH:MM:SS' string).
+    normalization: numerics compare numerically, timestamps (and any
+    other non-numeric type, e.g. decimal) as their ``str()`` form
+    (pass a 'YYYY-MM-DD HH:MM:SS' string); a bound whose type does
+    not order against the recorded stat's keeps the file rather than
+    pruning on a meaningless cross-type comparison.
     """
     versions = snapshot_versions(path)
     if not versions:
@@ -368,6 +378,20 @@ def scan_snapshot(
         if not s:
             return True
         fmin, fmax = s
+        # stats are str()-normalized for non-numeric columns; a bound
+        # whose type does not order against the recorded stat (numeric
+        # bound vs string stat, or vice versa) must conservatively keep
+        # the file — raw Python comparison would either TypeError
+        # mid-planning or, worse, prune on lexicographic order
+        num_stat = isinstance(fmin, (int, float)) and not isinstance(fmin, bool)
+        for bound in (lo, hi):
+            if bound is None:
+                continue
+            num_bound = isinstance(bound, (int, float)) and not isinstance(
+                bound, bool
+            )
+            if num_stat != num_bound:
+                return True
         if lo is not None and fmax < lo:
             return False
         if hi is not None and fmin > hi:
@@ -902,9 +926,17 @@ def _commit_files(
     stats = dict(file_stats or {})
     added_at: dict = {}
     delete_files: list = []
+    bloom: dict = {}
     if mode == "append" and parent is not None:
         pm = _load_manifest(path, parent)
         files = pm["files"] + files
+        # the parent's Bloom index stays valid across an append: its
+        # per-file words never change (files are immutable) and the
+        # new files simply fall back to must-scan via the
+        # entry['files'].get(f) is None path in lookup_snapshot —
+        # dropping it here would silently degrade every subsequent
+        # point lookup to a full-file scan
+        bloom = dict(pm.get("bloom", {}))
         # retained files keep their recorded stats (files are
         # immutable, so parent stats stay valid forever)
         stats = {**pm.get("file_stats", {}), **stats}
@@ -932,6 +964,8 @@ def _commit_files(
         "file_added_at": added_at,
         "delete_files": delete_files,
     }
+    if bloom:
+        manifest["bloom"] = bloom
     _atomic_write_manifest(path, version, manifest)
     return version
 

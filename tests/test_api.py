@@ -109,3 +109,17 @@ def test_registry_query_rest_validation(http):
         http.get("/api/v1/query/value_percentiles?limit=zzz").status_code
         == 400
     )
+
+def test_registry_rest_refuses_side_effectful_queries(http):
+    """streaming_*/snapshot_*/incremental_* start streaming jobs and
+    commit scratch tables per call — the execute route must refuse
+    them (400, no job started) and the listing must tag them."""
+    rows = http.get("/api/v1/queries").get_json()
+    side = {r["name"]: r["side_effectful"] for r in rows}
+    assert side["streaming_hourly_type_counts"] is True
+    assert side["snapshot_docs_upsert"] is True
+    assert side["incremental_span_dedup"] is True
+    assert side["geo_hourly_counts"] is False
+    resp = http.get("/api/v1/query/streaming_hourly_type_counts")
+    assert resp.status_code == 400
+    assert "not executable over REST" in resp.get_json()["error"]

@@ -646,3 +646,25 @@ def test_cusum_fold_matches_python_model(spark, values):
         gh, gl, ga = got[h]
         assert gh == round(hi, 6) and gl == round(lo, 6), (h, gh, hi)
         assert ga == want_alarm
+
+
+def test_auto_salted_join_probe_is_memoized(spark):
+    """The eager skew probe must run once per semantically-identical
+    (input, key, denom): composing the same join twice reuses the
+    measured share instead of re-scanning the big side."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators import joins as j
+
+    big = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 7).alias("fk")
+    )
+    dim = spark.range(0, 7).select(F.col("id").alias("k"))
+    j._PROBE_CACHE.clear()
+    a = j.auto_salted_join(big, dim, "fk", "k", sample_denom=1)
+    assert len(j._PROBE_CACHE) == 1
+    key, share = next(iter(j._PROBE_CACHE.items()))
+    b = j.auto_salted_join(big, dim, "fk", "k", sample_denom=1)
+    # same single entry, unchanged value -> the second call hit it
+    assert j._PROBE_CACHE == {key: share}
+    assert a.count() == b.count() == 2000

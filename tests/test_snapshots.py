@@ -667,3 +667,81 @@ def test_version_asof_resolves_by_commit_time(spark, tmp_path):
     ) == [0, 1, 2]
     with pytest.raises(ValueError, match="no version"):
         snap.version_asof(path, 0.0)
+
+
+def test_bloom_index_survives_plain_append(spark, tmp_path):
+    """A plain append AFTER add_bloom_index must carry the parent's
+    bloom entry forward (the index stays valid: per-file words never
+    change and unindexed new files fall back to must-scan), so point
+    lookups keep pruning instead of silently degrading to scanning
+    every file."""
+    path = str(tmp_path / "t")
+    snap.write_snapshot(_clustered(spark, 0, 400), path, mode="append")
+    snap.add_bloom_index(spark, path, "id")
+    snap.write_snapshot(_clustered(spark, 400, 500, files=1), path, mode="append")
+
+    vs = snap.snapshot_versions(path)
+    m = snap._load_manifest(path, vs[-1])
+    assert "id" in m.get("bloom", {}), "append dropped the bloom index"
+
+    total = len(snap.read_snapshot(spark, path).inputFiles())
+    hit = snap.lookup_snapshot(spark, path, "id", 7)
+    assert _ids(hit) == [7]
+    # indexed old files prune; only the unindexed appended file is
+    # force-kept -> strictly fewer files open than the full table
+    assert len(hit.inputFiles()) < total
+    # a key in the UNindexed appended file is still found
+    assert _ids(snap.lookup_snapshot(spark, path, "id", 450)) == [450]
+
+
+def test_stats_cols_decimal_degrades_to_no_stats(spark, tmp_path):
+    """pyarrow cannot decode parquet min/max for decimal logical
+    types — stats_cols naming one must not crash the COMMIT; the
+    column simply gets no stats and scans conservatively keep every
+    file (results stay exact via the residual filter)."""
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 100)
+        .select(F.col("id"), F.col("id").cast("decimal(10,2)").alias("d"))
+        .repartitionByRange(4, "id")
+    )
+    snap.write_snapshot(df, path, mode="append", stats_cols=("d", "id"))
+    m = snap._load_manifest(path, 1)
+    per_file = list(m["file_stats"].values())
+    assert per_file and all("d" not in s for s in per_file)
+    assert all("id" in s for s in per_file)  # numeric stats intact
+    out = snap.scan_snapshot(spark, path, "d", lo=10, hi=20)
+    assert sorted(int(r["id"]) for r in out.collect()) == list(range(10, 21))
+    assert len(out.inputFiles()) == len(
+        snap.read_snapshot(spark, path).inputFiles()
+    )
+
+
+def test_scan_snapshot_type_mismatched_bound_keeps_files(spark, tmp_path):
+    """A numeric bound against a file whose recorded stat is a STRING
+    (str()-normalized non-numeric stats, or a foreign writer) must
+    conservatively keep the file — raw Python ordering would
+    TypeError mid-planning — and results stay exact via the residual
+    filter."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    snap.write_snapshot(
+        _clustered(spark, 0, 100), path, mode="append", stats_cols=("id",)
+    )
+    # manifest surgery: replace the numeric id stats with their string
+    # forms (lexicographic order != numeric order)
+    mp = snap._manifest_path(path, 1)
+    with open(mp) as fh:
+        m = _json.load(fh)
+    for s in m["file_stats"].values():
+        s["id"] = [str(s["id"][0]).zfill(4), str(s["id"][1]).zfill(4)]
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    out = snap.scan_snapshot(spark, path, "id", lo=10, hi=20)
+    assert sorted(r["id"] for r in out.collect()) == list(range(10, 21))
+    # no pruning happened (every stat is type-incompatible) — and no
+    # TypeError either
+    assert len(out.inputFiles()) == len(
+        snap.read_snapshot(spark, path).inputFiles()
+    )
