@@ -693,24 +693,37 @@ def mmr_diverse_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbours (probe 4 of the
+    """IVF-style approximate nearest neighbours (probe 8 of the
     deterministic centroid cells).  Approximate by design -> no SQL
-    oracle; tests measure recall against knn_bruteforce."""
+    oracle; tests measure recall against knn_bruteforce (floor 0.8,
+    measured 0.90 at sf0.01).
+
+    nprobe note: the synthetic embeddings are NEAR-UNIFORM, so true
+    neighbours scatter across coarse cells — at the fixture's ~10
+    cells, nprobe=4 capped recall at 0.68 and reaching 0.9 requires
+    probing most cells.  On real clustered corpora (and the
+    production 256-cell configuration) the same recall arrives at
+    nprobe/cells << 1; the fixture measures the plan shape, the
+    recall floor documents the fixture's geometry."""
     ensure_query_confs(spark)
     emb = table(spark, sf_dir, "embeddings")
-    out = sim_op.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    out = sim_op.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=8)
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with TRAINED coarse centroids (pyspark.ml KMeans,
-    k-means|| init, fixed seed) — the production path; the stride-
-    centroid ann_ivf stays as the deterministic baseline.  Approximate
-    -> no SQL oracle; recall vs knn_bruteforce tested."""
+    """IVF ANN with TRAINED coarse centroids (seeded kmeans++ on a
+    bounded sample) — the production path; the stride-centroid
+    ann_ivf stays as the deterministic baseline.  Approximate -> no
+    SQL oracle; recall vs knn_bruteforce tested (floor 0.8, measured
+    0.90 at sf0.01; see ann_ivf's nprobe note on the near-uniform
+    fixture geometry)."""
     ensure_query_confs(spark)
     emb = table(spark, sf_dir, "embeddings")
     cents = sim_op.kmeans_centroids(emb)
-    out = sim_op.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, centroids=cents)
+    out = sim_op.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, centroids=cents, nprobe=8
+    )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
@@ -727,7 +740,7 @@ def ann_ivf_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sim_op.kmeans_centroids(emb)
     refined, _ = sim_op.kmeans_refine(emb, cents, iterations=2)
     out = sim_op.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, centroids=refined
+        emb, emb.filter(F.col("vec_id") < 10), k=5, centroids=refined, nprobe=8
     )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 

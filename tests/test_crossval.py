@@ -25,7 +25,9 @@ def test_minhash_lsh_subset_and_recall_of_exact_jaccard(spark):
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
-    """IVF (nprobe=4) top-5 neighbour sets per query vs exact knn."""
+    """IVF (nprobe=8) top-5 neighbour sets per query vs exact knn.
+    Floor 0.8: the near-uniform fixture scatters true neighbours
+    across coarse cells (see ann_ivf's nprobe note)."""
     exact = {}
     for r in q.knn_bruteforce(spark, SF_ORACLE).collect():
         exact.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
@@ -36,7 +38,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     hits = sum(len(exact[k] & approx[k]) for k in exact)
     total = sum(len(exact[k]) for k in exact)
     recall = hits / total
-    assert recall >= 0.5, f"recall {recall:.3f}"
+    assert recall >= 0.8, f"recall {recall:.3f}"
 
 
 def test_ann_kmeans_recall_vs_bruteforce(spark):
@@ -51,7 +53,7 @@ def test_ann_kmeans_recall_vs_bruteforce(spark):
     hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
     total = sum(len(exact[k]) for k in exact)
     recall = hits / total
-    assert recall >= 0.5, f"recall {recall:.3f}"
+    assert recall >= 0.8, f"recall {recall:.3f}"
 
 
 def test_ann_pq_recall_vs_bruteforce(spark):
@@ -562,7 +564,7 @@ def test_ann_kmeans_refined_recall_floor(spark):
         approx.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
     hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
     recall = hits / sum(len(v) for v in exact.values())
-    assert recall >= 0.5, f"recall {recall:.3f}"
+    assert recall >= 0.8, f"recall {recall:.3f}"
 
 
 def test_value_deciles_boundary_form_tracks_ntile(spark):

@@ -82,8 +82,8 @@ def main() -> None:
         exact_knn.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
         exact_sims[(r.q_vec_id, r.n_vec_id)] = r.sim
     for name, floor, gate in (
-        ("ann_ivf", 0.5, "test_ann_ivf_recall_vs_bruteforce"),
-        ("ann_ivf_kmeans", 0.5, "test_ann_kmeans_recall_vs_bruteforce"),
+        ("ann_ivf", 0.8, "test_ann_ivf_recall_vs_bruteforce"),
+        ("ann_ivf_kmeans", 0.8, "test_ann_kmeans_recall_vs_bruteforce"),
         ("ann_pq", 0.8, "test_ann_pq_recall_vs_bruteforce"),
         ("ann_ivfpq", 0.8, "test_ann_ivfpq_recall_vs_bruteforce"),
     ):
