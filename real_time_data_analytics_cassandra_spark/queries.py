@@ -5813,34 +5813,17 @@ def streaming_kmv_distinct_per_type(
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hm"))
     )
-    events = table(spark, sf_dir, "events")
-    exact = events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
-    )
-    return (
-        sk.join(exact, "event_type")
-        .select(
-            "event_type",
-            F.round(
-                F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
-                    F.lit(float(k - 1))
-                    * F.lit(float(KMV_SCALE))
-                    / F.col("hm").cast("double")
-                ),
-                4,
-            ).alias("est_distinct"),
-            F.col("exact_distinct").cast("long").alias("exact_distinct"),
-        )
-        .withColumn(
-            "rel_error",
-            F.round(
-                (F.col("est_distinct") - F.col("exact_distinct"))
-                / F.col("exact_distinct"),
-                6,
+    return sk.select(
+        "event_type",
+        F.round(
+            F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(float(KMV_SCALE))
+                / F.col("hm").cast("double")
             ),
-        )
-        .orderBy("event_type")
-    )
+            4,
+        ).alias("est_distinct"),
+    ).orderBy("event_type")
 
 
 def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

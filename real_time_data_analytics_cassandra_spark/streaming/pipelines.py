@@ -436,10 +436,14 @@ def user_stats_stream_tws(events: DataFrame) -> DataFrame:
     ``protobuf`` Python package — transformWithState's Python workers
     speak a protobuf state-server protocol, so in environments
     without it the query crashes at initialization
-    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  The test is
-    skipped when protobuf is absent; ``latest_upsert_stream``
-    (state v1, applyInPandasWithState) is the dependency-free
-    custom-stateful path and stays the gated one.
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).  The test
+    skips only when no protobuf can be found at all —
+    tests/conftest.py::_ensure_protobuf also discovers pure-python
+    copies bundled inside other locally-installed tooling and shims
+    them onto PYTHONPATH before the JVM starts, so the path runs in
+    this sandbox too; ``latest_upsert_stream`` (state v1,
+    applyInPandasWithState) is the dependency-free custom-stateful
+    path and stays the gated one.
     """
     import numpy as np
     import pandas as pd
