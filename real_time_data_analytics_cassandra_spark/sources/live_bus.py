@@ -235,13 +235,42 @@ class DumpShardWriter:
             self._fh = None
 
 
-def replay_or_live(spark, dump_dir: str, config: BusConfig | None = None):
-    """The deployment seam: when pika is installed, callers run a
-    LiveBusConsumer(DumpShardWriter(dump_dir)) alongside and Spark
-    tails the growing archive; without it (this environment), the
-    recorded dump is read directly.  Either way the Spark-side plan
-    is identical — a scan of the envelope table."""
+def replay_or_live(
+    spark,
+    dump_dir: str,
+    config: BusConfig | None = None,
+    connection_factory: Callable[[BusConfig], object] | None = None,
+    max_attempts: int | None = 1,
+):
+    """The deployment seam, deciding BOTH ways (tests drive each with
+    a fake connection factory):
+
+    - LIVE: when a connection factory is available — one injected, or
+      the default pika factory when pika is installed — a
+      ``LiveBusConsumer(DumpShardWriter(dump_dir))`` drains the bus
+      into the archive first (ack-after-write, ``max_attempts``
+      connection attempts; None = consume forever, the production
+      posture for a sidecar process), then the archive is scanned.
+    - REPLAY: without any factory (this environment), the recorded
+      dump is read directly.
+
+    Either way the Spark-side plan is identical — a scan of the
+    envelope table; the live branch only *extends* the archive before
+    the scan."""
     from real_time_data_analytics_cassandra_spark.sources.amqp_dump import register
+
+    factory = connection_factory
+    if factory is None and pika is not None:  # pragma: no cover
+        factory = _pika_connection_factory
+    if factory is not None:
+        writer = DumpShardWriter(dump_dir)
+        consumer = LiveBusConsumer(
+            writer, config=config, connection_factory=factory
+        )
+        try:
+            consumer.run(max_attempts=max_attempts)
+        finally:
+            writer.close()
 
     register(spark)
     return spark.read.format("amqp_dump").option("path", dump_dir).load()

@@ -190,3 +190,39 @@ def test_dump_writer_feeds_spark_replay(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3  # ceil(5/2) shards
     rows = {r.message_id: r.ts_epoch for r in df.collect()}
     assert rows == {f"msg-{i}": 1700000000 + i for i in range(5)}
+
+
+def test_replay_or_live_decides_both_ways(spark, tmp_path):
+    """The deployment seam's DECISION logic, both branches: with a
+    connection factory (the live deployment, faked here) the bus is
+    drained into the archive ack-after-write BEFORE the scan; without
+    one (this environment), the recorded dump is read as-is and no
+    consumer ever runs."""
+    dump = str(tmp_path / "dump")
+
+    # live branch: the factory's fake bus holds 3 messages; the scan
+    # must see them because replay_or_live consumed them first
+    ch = FakeChannel(
+        [_msg(i, {"type": "t", "user_id": i}) for i in range(3)],
+        KeyboardInterrupt(),
+    )
+    df_live = replay_or_live(
+        spark, dump, connection_factory=lambda cfg: FakeConnection(ch)
+    )
+    assert ch.acked == [0, 1, 2], "ack AFTER the durable write"
+    assert {r.message_id for r in df_live.collect()} == {
+        "msg-0",
+        "msg-1",
+        "msg-2",
+    }
+
+    # replay branch: no factory (and no pika here) -> the exact same
+    # archive is served with no consumption attempt; a poisoned
+    # factory proves it is never called
+    df_replay = replay_or_live(spark, dump)
+    assert {r.message_id for r in df_replay.collect()} == {
+        "msg-0",
+        "msg-1",
+        "msg-2",
+    }
+    assert df_live.schema == df_replay.schema
