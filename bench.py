@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "hourly_value_cusum",
     "doc_keywords",
     "revenue_concentration",
+    "customer_spend_rank",
     "conversion_latency_percentiles",
     "retention_survival_curve",
     "dau_wau_stickiness",

@@ -1,0 +1,99 @@
+"""Distributed EXACT global ranking without a single-partition sort.
+
+``Window.orderBy(...)`` with no partition key is a one-executor global
+sort — the classic scale-killer this engine bans from its registry
+plans (see value_deciles' history).  When exact global ranks ARE the
+product (leaderboards, exact top-percentile cuts, Gini/concentration
+curves over unbounded entity sets), the scalable shape is the
+range-partition + offset construction every distributed sort uses
+underneath:
+
+1. ``repartitionByRange(n, keys)`` — Spark samples the key
+   distribution and assigns contiguous, globally-ordered key ranges
+   to partitions (one pass + a sampling job);
+2. per-partition counts — a tiny ``spark_partition_id`` aggregate,
+   at most ``n`` rows to the driver;
+3. broadcast the cumulative offsets back and add them to each row's
+   PARTITION-LOCAL row_number: offset[p] + local_rank is the exact
+   global rank, because ranges are ordered and disjoint.
+
+Cost: two passes over the data and one n-row broadcast — every stage
+embarrassingly parallel; contrast with the unpartitioned window's
+single task holding the full sort.  Ties: ``row_number`` semantics
+with the caller's full key list as the total order (pass a unique
+tiebreaker last, exactly like the registry's ordered queries do), so
+results are deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact 1-based global row_number over ``order_cols`` (list of
+    Column expressions or names; include a unique tiebreaker for
+    determinism) WITHOUT a global single-partition sort.
+
+    The returned frame has the input columns plus ``rank_col``
+    (long).  Plan shape: range-exchange → per-partition window (keyed
+    on spark_partition_id, so the sort stays inside each range) →
+    broadcast join of the ≤num_partitions-row offset table.
+
+    ``materialize=True`` (default) localCheckpoints the ranged+ranked
+    pass EAGERLY — the offsets branch and the final join both read
+    that pass, and downstream consumers typically read the result
+    more than once (Gini needs three aggregates over the same ranks);
+    without truncation Catalyst replicates the range sort per
+    consumer.  This makes the call eager, like auto_salted_join's
+    probe — pass ``materialize=False`` for a pure lazy plan when the
+    result is consumed exactly once.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(n), *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # partition-local ranks: the window key __pid keeps each sort
+    # inside its (already range-disjoint) partition
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__lrank", F.row_number().over(w))
+    if materialize:
+        local = local.localCheckpoint(eager=True)
+    # cumulative start offset per partition (exclusive prefix sum of
+    # partition sizes, ordered by pid = ordered by key range)
+    sizes = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    # the offsets relation is <= num_partitions rows: the global
+    # window above sorts a handful of rows on one task — bounded by
+    # construction, not by data volume
+    return (
+        local.join(F.broadcast(sizes), "__pid")
+        .withColumn(
+            rank_col, (F.col("__offset") + F.col("__lrank")).cast("long")
+        )
+        .drop("__pid", "__lrank", "__offset")
+    )

@@ -3205,14 +3205,18 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~sf1; past that, rescale to whole currency units first.
 
     Scale shape: one fact aggregation (map-side combined) reduces the
-    problem to |customers| rows before the global rank window — the
-    entity dimension, orders of magnitude below the fact table.  The
-    unpartitioned window funnels those rows through one task (same
-    documented trade-off as value_deciles); past ~10^8 customers,
-    switch to the two-phase range-partitioned rank (sort into range
-    partitions, add per-partition row-count offsets) — the formula
-    itself needs only ranks, so it drops in unchanged.
+    problem to |customers| rows, then ranks come from the
+    RANGE-PARTITIONED two-phase construction (operators/ranks.py::
+    global_rank — range exchange, per-partition row_number, broadcast
+    offsets), so no single task ever holds the full entity sort; the
+    formula itself needs only ranks, so the operator drops in with
+    row_number semantics unchanged and the oracle still matches
+    bit-for-bit.
     """
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_rank,
+    )
+
     ensure_query_confs(spark)
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
@@ -3229,8 +3233,9 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
     )
-    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
-    ranked = rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+    ranked = global_rank(
+        rev, [F.asc("rev"), F.asc("o_custkey")], rank_col="rnk"
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("rev"), 2).cast("decimal(24,2)").alias("t"),
@@ -3261,6 +3266,43 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_decile_share"),
         )
     )
+
+
+def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global spend leaderboard over every purchasing user —
+    per-row ranks from the RANGE-PARTITIONED two-phase rank
+    (operators/ranks.py::global_rank), never an unpartitioned
+    row_number window: the plan range-exchanges the per-user
+    aggregate, ranks inside each range, and adds broadcast
+    partition-count offsets, so the sort work spreads over every
+    executor while the output is bit-identical to the oracle's global
+    ROW_NUMBER (unique (spend, user_id) total order).
+
+    Scale shape: one map-side-combined fact aggregation reduces to
+    the entity dimension; the rank is then two embarrassingly
+    parallel passes + one ≤num_partitions-row broadcast."""
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_rank,
+    )
+
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value").cast("decimal(12,2)"), "total_spend"),
+        )
+    )
+    ranked = global_rank(
+        per_user,
+        [F.desc("total_spend"), F.asc("user_id")],
+        rank_col="spend_rank",
+    )
+    return ranked.select(
+        "user_id", "n_purchases", "total_spend", "spend_rank"
+    ).orderBy("spend_rank")
 
 
 def sql_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6136,6 +6178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_cusum": streaming_hourly_cusum,
         "doc_keywords": doc_keywords,
         "revenue_concentration": revenue_concentration,
+        "customer_spend_rank": customer_spend_rank,
         "conversion_latency_percentiles": conversion_latency_percentiles,
         "retention_survival_curve": retention_survival_curve,
         "dau_wau_stickiness": dau_wau_stickiness,
@@ -9097,6 +9140,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(latency_s) AS DOUBLE) / count(*), 6)
                        AS mean_s
             FROM lat
+        """,
+        "customer_spend_rank": """
+            WITH per_user AS (
+                SELECT user_id,
+                       count(*) AS n_purchases,
+                       CAST(CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2)
+                                 AS DECIMAL(15,2)) AS DOUBLE) AS total_spend
+                FROM events
+                WHERE event_type = 'purchase'
+                GROUP BY 1
+            )
+            SELECT user_id, n_purchases, total_spend,
+                   CAST(row_number() OVER (
+                       ORDER BY total_spend DESC, user_id ASC
+                   ) AS BIGINT) AS spend_rank
+            FROM per_user
+            ORDER BY spend_rank
         """,
         "revenue_concentration": """
             WITH rev AS (

@@ -40,7 +40,11 @@ BUDGETS = {
     "small_quantity_revenue": 2,
     "hourly_value_ewma": 3,
     "hourly_value_cusum": 4,
-    "revenue_concentration": 6,
+    # range-partitioned global_rank (post-checkpoint leaf + offsets):
+    # 2 more than the old unpartitioned-window form, but no task ever
+    # holds the full entity sort
+    "revenue_concentration": 8,
+    "customer_spend_rank": 3,
     "conversion_latency_percentiles": 2,
     "retention_survival_curve": 5,
     # training-data pipeline

@@ -1,0 +1,72 @@
+"""operators/ranks.py::global_rank — the range-partitioned exact
+global rank that replaces unpartitioned row_number windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_data_analytics_cassandra_spark.operators.ranks import (
+    global_rank,
+)
+from real_time_data_analytics_cassandra_spark.plans import explain_str
+
+
+def _fixture(spark, n=500):
+    # non-uniform keys with ties: md5-derived doubles rounded to 2
+    # decimals force duplicate sort keys across partition boundaries
+    return spark.range(n).select(
+        F.col("id"),
+        F.round(
+            (
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 6), 16, 10)
+                .cast("long")
+                .cast("double")
+                / 16777215.0
+            ),
+            2,
+        ).alias("v"),
+    )
+
+
+def test_global_rank_equals_unpartitioned_row_number(spark):
+    df = _fixture(spark)
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, [F.asc("v"), F.asc("id")], num_partitions=7).collect()
+    }
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_desc_and_partition_count_invariance(spark):
+    df = _fixture(spark, 300)
+    order = [F.desc("v"), F.asc("id")]
+    a = {r["id"]: r["rank"] for r in global_rank(df, order, num_partitions=3).collect()}
+    b = {r["id"]: r["rank"] for r in global_rank(df, order, num_partitions=13).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 301))
+
+
+def test_global_rank_plan_has_no_unpartitioned_window(spark):
+    """The data-volume sort must be a RANGE exchange + per-partition
+    window; the only unpartitioned window sorts the <=n_partitions
+    offset rows.  Assert the range exchange exists and the big-side
+    window is keyed."""
+    df = _fixture(spark)
+    # materialize=False: the default eagerly checkpoints the ranged
+    # pass, which hides its plan behind a checkpoint scan — the lazy
+    # form exposes the full shape for assertion
+    out = global_rank(
+        df, [F.asc("v"), F.asc("id")], num_partitions=7, materialize=False
+    )
+    plan = explain_str(out)
+    assert "rangepartitioning" in plan.lower(), plan
+    # the per-row window is keyed on __pid (its sort spec carries the
+    # partition id); offsets ride a broadcast join back
+    assert "__pid" in plan, plan
+    assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
