@@ -104,6 +104,10 @@ def spread(df: DataFrame) -> DataFrame:
     shuffle-free plans stay shuffle-free where the data is already
     parallel.
     """
+    if df.isStreaming:
+        # .rdd is undefined for streaming frames; micro-batch frames
+        # inside foreachBatch are batch frames and DO get spread
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -59,7 +59,10 @@ BUDGETS = {
     "chunk_documents": 0,
     # sketches / estimation
     "kmv_distinct_per_type": 3,
-    "join_size_estimate_cms": 6,
+    # +2 vs r5's first pin: cms_sketch spread()s its CPU-bound digest
+    # fold (a no-op exchange on parallel production scans, see
+    # catalog.spread)
+    "join_size_estimate_cms": 8,
     "sampled_revenue_estimate": 2,
     "value_deciles": 2,
     "cms_token_counts": 5,
