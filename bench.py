@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "customer_order_distribution",
     "promo_revenue_share",
+    "bloom_prefiltered_part_revenue",
     "stale_parts",
     "large_volume_customers",
     "value_zscores",
@@ -148,6 +149,7 @@ BENCH_QUERIES = [
     "bigram_lm_doc_scores",
     "streaming_transition_counts",
     "source_mixture_weights",
+    "token_budget_mixture",
     "user_info_scd2",
     "embedding_sq8_error",
     "heavy_hitter_tokens",

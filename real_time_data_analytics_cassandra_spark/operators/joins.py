@@ -113,6 +113,105 @@ def _probe_max_key_share(big: DataFrame, big_key: str, sample_denom: int) -> flo
     return share
 
 
+def bloom_bitmap(
+    small: DataFrame,
+    key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """ONE-ROW DataFrame holding a Bloom filter of ``small``'s distinct
+    ``key`` values as a sparse word->bits map (``__bloom``), plus the
+    parameters the probe side needs.
+
+    Build cost is one shuffle of the SMALL side only (distinct keys ->
+    explode ``num_hashes`` bit positions -> ``bit_or`` per 64-bit
+    word); the finished bitmap is at most ``num_bits/8`` bytes and is
+    meant to be broadcast.  Hashing is Spark-internal ``xxhash64``
+    (salted per hash function) — portability does not matter because a
+    Bloom filter only ever PRE-filters: downstream joins stay exact,
+    so no result can depend on the hash (false positives are removed
+    by the real join; false negatives are impossible — every true
+    key's bits are set by construction)."""
+    bit_exprs = [
+        F.pmod(F.xxhash64(F.col("k"), F.lit(j)), F.lit(num_bits))
+        for j in range(num_hashes)
+    ]
+    return (
+        small.select(F.col(key).alias("k"))
+        .distinct()
+        .select(F.explode(F.array(*bit_exprs)).alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            # shiftleft's bit-count arg must be a literal in the
+            # python API; the SQL form accepts a column
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("__bloom")
+        )
+        .select(
+            "__bloom",
+            F.lit(num_bits).alias("__bloom_bits"),
+            F.lit(num_hashes).alias("__bloom_hashes"),
+        )
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Filter ``big`` down to rows whose ``big_key`` MIGHT appear in
+    ``small`` (a guaranteed SUPERSET of the true semi-join: false
+    positives at the Bloom rate, zero false negatives).
+
+    This is the explicit form of Spark's runtime row-level bloom join,
+    for when the optimizer cannot inject it — across a storage or
+    stage boundary, in streaming-static joins, or when the build side
+    is only available as a DataFrame.  At 100 TB the point is shuffle
+    avoidance: the big side is cut to ~(selectivity + fpr) BEFORE the
+    join exchange, for the price of one broadcast of a <=num_bits/8-
+    byte bitmap and ``num_hashes`` cheap hashes per probe row — no
+    shuffle of the big side is added (the filter runs inside its
+    scan stage)."""
+    bm = bloom_bitmap(small, small_key, num_bits, num_hashes)
+    probe = big.crossJoin(F.broadcast(bm))
+    cond = F.lit(True)
+    for j in range(num_hashes):
+        bit = f"pmod(xxhash64(`{big_key}`, {j}), {num_bits})"
+        test = (
+            f"(shiftrightunsigned(coalesce(element_at(__bloom, "
+            f"cast({bit} / 64 as int)), 0L), cast({bit} % 64 as int)) & 1) = 1"
+        )
+        cond = cond & F.expr(test)
+    return probe.filter(cond).drop("__bloom", "__bloom_bits", "__bloom_hashes")
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """EXACT left-semi join with a Bloom pre-filter: bloom_prefilter
+    removes the overwhelming majority of non-matching big-side rows
+    inside the scan stage, then a real ``left_semi`` join removes the
+    Bloom's false positives — the result is bit-identical to
+    ``big.join(small, key, "left_semi")`` (shared oracle), but the
+    exchange only ever sees the surviving sliver."""
+    pref = bloom_prefilter(big, big_key, small, small_key, num_bits, num_hashes)
+    keys = small.select(F.col(small_key).alias(small_key)).distinct()
+    return pref.join(keys, pref[big_key] == keys[small_key], "left_semi")
+
+
 def auto_salted_join(
     big: DataFrame,
     small: DataFrame,

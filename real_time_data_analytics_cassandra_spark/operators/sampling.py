@@ -267,3 +267,84 @@ def temperature_resample(
             F.col("n_kept").cast("double") / F.col("k_total"), 6
         ).alias("realized_share"),
     )
+
+
+def waterfill_budget(
+    per_group: DataFrame,
+    group_col: str,
+    avail_col: str,
+    budget_df: DataFrame,
+    budget_col: str = "budget",
+) -> DataFrame:
+    """Equal-share WATERFILLING of an integer token budget across
+    groups: every group is owed ``budget / n`` tokens, but a group
+    with less available than its share keeps only what it has and the
+    surplus redistributes among the others — repeated until the
+    level settles.  The classic "mix a token budget from
+    heterogeneous sources under availability caps" step of assembling
+    a training set, in its exact CLOSED FORM (no iteration):
+
+    sort groups by availability ascending; group i (1-based, n total)
+    SATURATES iff ``avail_i * (n-i+1) <= budget - sum(avail_1..i-1)``
+    (even handing every remaining group avail_i leaves its own cap
+    unmet).  The test is prefix-monotone, so the saturated set is
+    exactly the rows where it holds, and the final water level is
+    ``(budget - sum(saturated avail)) / n_unsaturated``.
+
+    Exactness: availability, budget, cumulative sums, and the
+    saturation comparison are all BIGINT — bit-identical in any
+    engine; the level is ONE double division of exact integers, so
+    the doubles agree too.  Scale shape: ``per_group`` must be a
+    BOUNDED aggregate relation (one row per source/language/shard
+    family — the big pass producing it has already reduced the
+    corpus), so the unpartitioned order window and the two 1-row
+    broadcasts here are over dozens of rows, never facts.
+
+    Returns one row per group: group, avail_tokens, saturated,
+    alloc_tokens (6dp), sample_rate (6dp; 1.0 for saturated groups).
+    """
+    from pyspark.sql import Window
+
+    glob = Window.partitionBy()
+    w_ord = Window.orderBy(avail_col, group_col)
+    avail = F.col(avail_col).cast("long")
+    flagged = per_group.crossJoin(F.broadcast(budget_df)).select(
+        F.col(group_col),
+        avail.alias("__avail"),
+        F.col(budget_col).cast("long").alias("__budget"),
+        (
+            avail
+            * (
+                F.count(F.lit(1)).over(glob)
+                - F.row_number().over(w_ord)
+                + F.lit(1)
+            ).cast("long")
+            <= F.col(budget_col).cast("long")
+            - F.coalesce(
+                F.sum(avail).over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias("saturated"),
+    )
+    stats = flagged.agg(
+        F.sum(F.when(F.col("saturated"), F.col("__avail")).otherwise(0)).alias(
+            "__cum_sat"
+        ),
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0)).alias("__n_sat"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    level = (F.col("__budget") - F.col("__cum_sat")).cast("double") / (
+        F.col("__n") - F.col("__n_sat")
+    ).cast("double")
+    alloc = F.when(
+        F.col("saturated"), F.col("__avail").cast("double")
+    ).otherwise(level)
+    return flagged.crossJoin(F.broadcast(stats)).select(
+        F.col(group_col),
+        F.col("__avail").alias("avail_tokens"),
+        "saturated",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("__avail").cast("double"), 6).alias("sample_rate"),
+    )

@@ -1494,6 +1494,42 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_prefiltered_part_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue by brand for size-15 parts (~2% of the part table),
+    with the FACT side cut by an explicit Bloom pre-filter
+    (operators/joins.py::bloom_prefilter) before the join: the
+    filtered part keys build a <=128 KiB bitmap (one shuffle of the
+    SMALL side), the bitmap broadcasts, and ~98% of lineitem dies
+    inside its own scan stage — before any exchange.  The subsequent
+    join removes Bloom false positives, so the result is EXACT and
+    shares a plain-SQL oracle; the Bloom can only affect performance,
+    never the answer.
+
+    This is the explicit form of Spark's runtime row-level bloom
+    join for the places the optimizer can't inject it (storage/stage
+    boundaries, streaming-static joins).  At 100 TB the exchange sees
+    ~2% of the fact table instead of all of it."""
+    ensure_query_confs(spark)
+    li = table(spark, sf_dir, "lineitem")
+    parts = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    pref = joins_op.bloom_prefilter(
+        li, "l_partkey", parts, "p_partkey", num_bits=1 << 20, num_hashes=5
+    )
+    one = F.lit(1).cast(ONE)
+    rev = money("l_extendedprice") * (one - frac("l_discount"))
+    return (
+        pref.join(F.broadcast(parts), pref.l_partkey == parts.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(rev, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def stale_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join (TPC-H Q16's NOT IN shape): parts with no
     lineitem shipped after the cutoff — the complement of the semi
@@ -4481,6 +4517,37 @@ def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev_type", "next_type")
 
 
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix a TRAINING TOKEN BUDGET (80% of the corpus) across
+    languages by exact waterfilling (operators/sampling.py::
+    waterfill_budget): every language is owed an equal share, the
+    low-resource ones saturate (keep everything, sample_rate 1.0) and
+    their surplus redistributes to the high-resource ones — the
+    budgeted, capped form of source_mixture_weights' uncapped
+    uniform rebalance.  On this corpus the en/others skew (~3x) makes
+    both branches bind.
+
+    The corpus-sized pass is ONE map-side-combined token-count
+    aggregate; the waterfilling itself runs on the bounded per-lang
+    relation (closed form, no iteration — see the operator
+    docstring).  All-BIGINT saturation tests + one integer-exact
+    double division keep it oracle-exact."""
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    per_lang = docs.select(
+        "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    ).groupBy("lang").agg(F.sum("n_tok").alias("avail"))
+    # integer `div`, not float-divide-then-cast: Spark's long cast
+    # truncates while DuckDB's double->BIGINT cast rounds
+    budget = per_lang.agg(
+        F.expr("(sum(avail) * 8L) div 10").cast("long").alias("budget")
+    )
+    out = sampling_op.waterfill_budget(per_lang, "lang", "avail", budget)
+    return out.orderBy("lang")
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data mixture audit: per corpus source, document and
     token counts, the source's token share, and the per-document
@@ -6140,6 +6207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_doc_scores": bigram_lm_doc_scores,
         "streaming_transition_counts": streaming_transition_counts,
         "source_mixture_weights": source_mixture_weights,
+        "token_budget_mixture": token_budget_mixture,
         "user_info_scd2": user_info_scd2,
         "embedding_sq8_error": embedding_sq8_error,
         "heavy_hitter_tokens": heavy_hitter_tokens,
@@ -6241,6 +6309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_signups_zero_filled": hourly_signups_zero_filled,
         "purchasing_customer_profiles": purchasing_customer_profiles,
         "customer_order_distribution": customer_order_distribution,
+        "bloom_prefiltered_part_revenue": bloom_prefiltered_part_revenue,
         "promo_revenue_share": promo_revenue_share,
         # --- round-3-verified (CORRECTNESS_r03.json) ----------------
         "hll_reaggregated_users": hll_reaggregated_users,
@@ -7215,6 +7284,51 @@ def oracle_sql() -> dict[str, str]:
             FROM dq
             ORDER BY vec_id
         """,
+        "token_budget_mixture": """
+            WITH per AS (
+                SELECT lang,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS avail
+                FROM documents GROUP BY lang
+            ),
+            tot AS (
+                SELECT CAST((sum(avail) * 8) // 10 AS BIGINT) AS budget
+                FROM per
+            ),
+            flagged AS (
+                SELECT lang, avail, budget,
+                       avail * (count(*) OVER ()
+                                - row_number() OVER (ORDER BY avail, lang)
+                                + 1)
+                           <= budget - coalesce(sum(avail) OVER (
+                                  ORDER BY avail, lang
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                           AS saturated
+                FROM per CROSS JOIN tot
+            ),
+            stats AS (
+                SELECT CAST(sum(CASE WHEN saturated THEN avail ELSE 0 END)
+                            AS BIGINT) AS cum_sat,
+                       CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_sat,
+                       count(*) AS n
+                FROM flagged
+            )
+            SELECT lang,
+                   avail AS avail_tokens,
+                   saturated,
+                   round(CASE WHEN saturated THEN CAST(avail AS DOUBLE)
+                         ELSE CAST(budget - cum_sat AS DOUBLE)
+                              / CAST(n - n_sat AS DOUBLE) END, 6)
+                       AS alloc_tokens,
+                   round(CASE WHEN saturated THEN CAST(avail AS DOUBLE)
+                         ELSE CAST(budget - cum_sat AS DOUBLE)
+                              / CAST(n - n_sat AS DOUBLE) END
+                         / CAST(avail AS DOUBLE), 6) AS sample_rate
+            FROM flagged CROSS JOIN stats
+            ORDER BY lang
+        """,
         "source_mixture_weights": """
             WITH per_source AS (
                 SELECT source,
@@ -8097,6 +8211,16 @@ def oracle_sql() -> dict[str, str]:
                   LEFT JOIN orders o ON c.c_custkey = o.o_custkey
                   GROUP BY 1)
             GROUP BY 1
+        """,
+        "bloom_prefiltered_part_revenue": f"""
+            SELECT p.p_brand,
+                   CAST(CAST(round(sum({_SQL_DECIMAL_REV}), 2) AS DECIMAL(15,2)) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size = 15
+            GROUP BY 1
+            ORDER BY 1
         """,
         "promo_revenue_share": f"""
             SELECT strftime(l_shipdate, '%Y%m') AS ship_month,

@@ -273,6 +273,7 @@ _ARROW_QUERIES = {
 # broadcast joins / tiny-side cross joins against 1-row aggregates).
 _BNLJ_OK = {
     "knn_bruteforce",
+    "bloom_prefiltered_part_revenue",  # 1-row bloom-bitmap broadcast
     "ann_ivf",
     "ann_ivf_kmeans",
     "price_band_stats",
@@ -293,6 +294,7 @@ _BNLJ_OK = {
     "bigram_lm_doc_scores",  # 1-row vocabulary-size broadcast
     "lm_quality_buckets",  # same + 1-row tercile-boundary broadcast
     "source_mixture_weights",  # 1-row totals broadcast
+    "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
     "heavy_hitter_tokens",  # 1-row error-mass broadcast
     "temperature_resample_langs",  # 1-row budget + kept-total broadcasts
     "data_quality_report",  # 1-row orphan/null-count broadcasts (FK check)

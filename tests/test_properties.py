@@ -668,3 +668,64 @@ def test_auto_salted_join_probe_is_memoized(spark):
     # same single entry, unchanged value -> the second call hit it
     assert j._PROBE_CACHE == {key: share}
     assert a.count() == b.count() == 2000
+
+
+def test_bloom_semi_join_equals_plain_semi_and_prefilter_is_superset(spark):
+    """Bloom prefilter: zero false negatives (the surviving set is a
+    superset of the true semi-join), the full bloom_semi_join is
+    bit-identical to the plain left_semi, and with a sane bitmap the
+    filter actually cuts the big side (the whole point)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators.joins import (
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    # 10k facts over 500 keys; dimension keeps 10 keys (2%)
+    big = spark.range(0, 10_000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 500).alias("fk")
+    )
+    small = spark.range(0, 500).filter(F.col("id") % 50 == 0).select(
+        F.col("id").alias("k")
+    )
+
+    pref = bloom_prefilter(big, "fk", small, "k", num_bits=1 << 14, num_hashes=5)
+    semi = big.join(small, big.fk == small.k, "left_semi")
+    got_pref = {r.row_id for r in pref.collect()}
+    want = {r.row_id for r in semi.collect()}
+    assert want <= got_pref, "bloom dropped a true match (false negative)"
+    # 2% of keys truly match; the bloom must remove the bulk of the rest
+    assert len(got_pref) < 3_000, f"bloom filtered almost nothing: {len(got_pref)}"
+
+    bsj = bloom_semi_join(big, "fk", small, "k", num_bits=1 << 14, num_hashes=5)
+    assert sorted(r.row_id for r in bsj.collect()) == sorted(want)
+
+
+def test_bloom_prefilter_empty_dim_and_plan_shape(spark):
+    """An empty build side filters EVERYTHING (empty map -> no bit
+    set), and the probe-side test is a broadcast + scan-stage filter:
+    the physical plan must show the bitmap arriving by broadcast and
+    no extra exchange of the big side before the filter."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators.joins import (
+        bloom_prefilter,
+    )
+
+    big = spark.range(0, 100).select(F.col("id").alias("fk"))
+    empty = spark.range(0, 10).filter(F.col("id") < 0).select(
+        F.col("id").alias("k")
+    )
+    pref = bloom_prefilter(big, "fk", empty, "k", num_bits=1 << 10, num_hashes=3)
+    assert pref.count() == 0
+
+    small = spark.range(0, 10).select(F.col("id").alias("k"))
+    plan = (
+        bloom_prefilter(big, "fk", small, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan or "Broadcast" in plan
+    assert "xxhash64" in plan

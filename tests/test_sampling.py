@@ -183,3 +183,54 @@ def test_temperature_resample_stable_under_repartitioning(spark):
         df.repartition(13, "doc_id"), "doc_id", "grp", tau=0.3
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _waterfill_model(avail: dict, budget: int) -> dict:
+    """Independent ITERATIVE waterfilling: raise the level until it
+    settles (the operator computes the closed form; agreeing with this
+    fixpoint on arbitrary inputs is the semantic proof)."""
+    alloc = {}
+    remaining, groups = budget, dict(avail)
+    while groups:
+        level = remaining / len(groups)
+        sat = {g: a for g, a in groups.items() if a <= level}
+        if not sat:
+            for g in groups:
+                alloc[g] = level
+            return alloc
+        for g, a in sat.items():
+            alloc[g] = float(a)
+            remaining -= a
+            del groups[g]
+    return alloc
+
+
+def test_waterfill_budget_matches_iterative_model(spark):
+    import pyspark.sql.functions as F
+
+    cases = [
+        ({"a": 100, "b": 100, "c": 100}, 150),  # nobody saturates
+        ({"a": 10, "b": 100, "c": 100}, 150),  # one saturates
+        ({"a": 10, "b": 20, "c": 500}, 200),  # cascade: two saturate
+        ({"a": 10, "b": 20, "c": 30}, 1000),  # budget > total: all sat
+        ({"a": 7, "b": 7, "c": 7, "d": 1000}, 500),  # ties saturate
+        ({"a": 1}, 0),  # zero budget
+    ]
+    for avail, budget in cases:
+        per = spark.createDataFrame(
+            [(g, a) for g, a in avail.items()], "g string, avail long"
+        )
+        bdf = spark.createDataFrame([(budget,)], "budget long")
+        got = {
+            r["g"]: r
+            for r in sampling.waterfill_budget(per, "g", "avail", bdf).collect()
+        }
+        want = _waterfill_model(avail, budget)
+        assert set(got) == set(avail)
+        total = 0.0
+        for g in avail:
+            assert got[g]["alloc_tokens"] == round(want[g], 6), (avail, budget, g)
+            assert got[g]["saturated"] == (want[g] == float(avail[g]) and want[g] <= budget), g
+            assert got[g]["sample_rate"] == round(want[g] / avail[g], 6) if avail[g] else True
+            total += want[g]
+        assert total <= budget + 1e-6 or budget >= sum(avail.values())
