@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "token_count",
     "lang_id",
     "knn_bruteforce",
+    "hard_negative_mining",
     "ann_ivf",
     "multimodal_decode_meta",
     "purchase_attribution",
@@ -127,6 +128,7 @@ BENCH_QUERIES = [
     "doc_rolling_fingerprint",
     "embedding_near_dup_cells",
     "bm25_search",
+    "hybrid_search_rrf",
     "weighted_token_sample",
     "purchase_session_interval",
     "ann_pq",
@@ -149,6 +151,7 @@ BENCH_QUERIES = [
     "bigram_lm_doc_scores",
     "streaming_transition_counts",
     "source_mixture_weights",
+    "curriculum_shards",
     "token_budget_mixture",
     "user_info_scd2",
     "embedding_sq8_error",

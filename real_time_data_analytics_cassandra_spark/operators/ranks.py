@@ -97,3 +97,71 @@ def global_rank(
         )
         .drop("__pid", "__lrank", "__offset")
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    query_col: str,
+    id_col: str,
+    rank_col: str = "rnk",
+    k_rrf: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (the
+    standard hybrid-search combiner): per (query, candidate),
+    ``score = 1/(k_rrf + rank_a) + 1/(k_rrf + rank_b)``, with a
+    missing arm contributing 0 — candidates surfaced by either arm
+    compete on how highly and how consistently they rank, not on
+    incomparable raw scores (BM25 logs vs cosine floats), which is
+    exactly why RRF needs no score normalization.
+
+    Exactness: ranks are integers, each reciprocal is one IEEE
+    division, and the fusion is ONE fixed-order sum of two doubles —
+    engine-portable bit-for-bit, so the fused ranking shares a full
+    SQL oracle.  Scale shape: a full outer join on (query, id) of two
+    ALREADY top-k'd lists — cardinality <= 2k per query — then a
+    per-query window over <= 2k rows.  All heavy lifting happened in
+    the arms; fusion is bounded per query no matter the corpus size.
+    """
+    qa = a.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).alias("__ra"),
+    )
+    qb = b.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).alias("__rb"),
+    )
+    fused = (
+        qa.join(qb, ["__q", "__id"], "full_outer")
+        .select(
+            "__q",
+            "__id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(k_rrf) + F.col("__ra")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k_rrf) + F.col("__rb")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+            F.col("__ra").alias("lex_rank"),
+            F.col("__rb").alias("dense_rank"),
+        )
+    )
+    w = Window.partitionBy("__q").orderBy(F.desc("rrf_score"), F.asc("__id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__id").alias(id_col),
+            "rrf_score",
+            "lex_rank",
+            "dense_rank",
+            "fused_rank",
+        )
+    )

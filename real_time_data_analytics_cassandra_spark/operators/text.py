@@ -657,3 +657,83 @@ def blocklist_stats(
             F.when(~F.col("blocked"), F.col("n_chars")).otherwise(F.lit(0))
         ).alias("retained_chars"),
     )
+
+
+def bm25_per_query_topk(
+    df: DataFrame,
+    query_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """MORE-LIKE-THIS BM25: each row of ``query_docs`` (same schema
+    as ``df``) uses its own DISTINCT tokens as the query bag and
+    retrieves the corpus top-k (self excluded) — the per-query
+    generalization of :func:`bm25_topk`, sharing its scoring
+    expressions and portability discipline (integral tf/dl/df/N,
+    sorted-term fold, 6dp round, (score desc, doc) tiebreak).
+
+    Scale shape: the query-term table is |queries| x |distinct terms
+    per doc| — tiny — and broadcasts twice (once as an IN-set so only
+    matching postings leave the corpus scan, once to fan matched
+    postings out per query).  Document frequency is computed per term
+    over matching docs, so it is query-INDEPENDENT and each term's df
+    is counted once, however many queries share the term.  Per-query
+    ranking windows partition by query id — no global sort."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    qterms = query_docs.select(
+        F.col(id_col).alias("q_doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tok = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    m = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    contrib = (
+        m.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("q_doc_id"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.expr(
+                f"ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))"
+                f" * (tf * ({k1} + 1))"
+                f" / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))"
+            ),
+        )
+    )
+    folded = contrib.groupBy("q_doc_id", "doc_id").agg(
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, c))), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x.c)"
+            ),
+            6,
+        ).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        folded.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+        .select("q_doc_id", "doc_id", "score", "rnk")
+    )

@@ -559,6 +559,50 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.bm25_topk(docs, "doc_id", "text", BM25_QUERY_TERMS)
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: for each query document (doc_id < 3), fuse a
+    lexical arm (more-like-this BM25 over the query doc's own tokens,
+    operators/text.py::bm25_per_query_topk, depth 20) with a dense arm
+    (exact cosine over its embedding — embeddings.vec_id carries the
+    embedding of documents.doc_id — operators/similarity.py::
+    brute_force_topk, depth 20) by reciprocal-rank fusion
+    (operators/ranks.py::rrf_fuse, k=60, top 10).
+
+    RRF is the standard way to combine incomparable scores (BM25 logs
+    vs cosine floats) without normalization; candidates found by both
+    arms rise, single-arm candidates keep one reciprocal.  Everything
+    stays oracle-exact: integer ranks in, one fixed-order two-double
+    sum out.  Scale shape: each arm is already top-k'd (<= 2k rows
+    per query reach the fusion join), the fusion window partitions by
+    query — the corpus-sized work lives in the arms, which ride the
+    existing bm25/knn plans."""
+    from real_time_data_analytics_cassandra_spark.operators.ranks import rrf_fuse
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = text_op.bm25_per_query_topk(
+        docs, docs.filter(F.col("doc_id") < 3), "doc_id", "text", top_k=20
+    )
+    dense = sim_op.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=20
+    ).select(
+        F.col("q_vec_id").alias("q_doc_id"),
+        F.col("n_vec_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+    fused = rrf_fuse(
+        lex.select("q_doc_id", "doc_id", "rnk"),
+        dense,
+        "q_doc_id",
+        "doc_id",
+        "rnk",
+        k_rrf=60,
+        top_k=10,
+    )
+    return fused.orderBy("q_doc_id", "fused_rank")
+
+
 def build_text_index_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir, marker-guarded, mtime-keyed like the
     amqp dump fixture) the persisted inverted BM25 index
@@ -675,6 +719,57 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     out = sim_op.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive/retriever training: for
+    each anchor (vec_id < 5), the top-5 most-similar vectors whose
+    LABEL DIFFERS — the near-miss impostors a bi-encoder learns the
+    most from (random negatives are trivially separable; hard ones
+    define the decision boundary).
+
+    Same exact-cosine machinery as knn_bruteforce (broadcast anchors
+    over the corpus scan, JVM fold, 6dp round, (sim desc, id)
+    tiebreak) with the label-mismatch predicate applied INSIDE the
+    scan-side join — at 100 TB this is the per-anchor exact verifier;
+    the mining fleet runs the same predicate through the IVF/PQ
+    probes.  Fully oracle-exact."""
+    from real_time_data_analytics_cassandra_spark.functions.vectors import (
+        dot_expr,
+        norm_expr,
+    )
+
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+        norm_expr("embedding").alias("a_norm"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("n_emb"),
+        norm_expr("embedding").alias("n_norm"),
+    )
+    scored = cand.join(
+        F.broadcast(anchors), F.col("neg_label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "neg_id",
+        "neg_label",
+        F.round(
+            dot_expr("a_emb", "n_emb") / (F.col("a_norm") * F.col("n_norm")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= 5)
+        .orderBy("anchor_id", "neg_rank")
+    )
 
 
 def mmr_diverse_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4548,6 +4643,54 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("lang")
 
 
+def curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM export audit: order the corpus by a readability
+    proxy (avg token length asc — shorter words first — doc_id
+    tiebreak), cut it into 8 equal-size stages, and report each
+    stage's boundaries and difficulty profile.  The staged-training
+    counterpart of training_shard_shuffle's uniform shards.
+
+    The exact global ordering comes from the RANGE-PARTITIONED
+    two-phase rank (operators/ranks.py::global_rank) — range exchange,
+    per-partition window, broadcast offsets — never a single-
+    partition global sort, so the corpus-sized ordering scales.
+    Stage means are exact decimal sums of the 6dp score (order-
+    insensitive), so the whole audit is oracle-exact."""
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_rank,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    scored = text_op.quality_stats(docs, "doc_id", "text").select(
+        "doc_id", "avg_token_len"
+    )
+    ranked = global_rank(scored, ["avg_token_len", "doc_id"], rank_col="rank")
+    n_docs = ranked.agg(
+        F.expr("CAST((count(1) + 7) div 8 AS BIGINT)").alias("per_shard")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.expr("CAST((rank - 1) div per_shard AS BIGINT)").alias("stage"),
+            "rank",
+            F.col("avg_token_len").cast("decimal(12,6)").alias("__s"),
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("rank").alias("rank_lo"),
+            F.max("rank").alias("rank_hi"),
+            F.round(
+                F.round(F.sum("__s"), 6).cast("decimal(20,6)").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_score"),
+        )
+        .orderBy("stage")
+    )
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data mixture audit: per corpus source, document and
     token counts, the source's token share, and the per-document
@@ -6206,6 +6349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_rate": vocab_oov_rate,
         "bigram_lm_doc_scores": bigram_lm_doc_scores,
         "streaming_transition_counts": streaming_transition_counts,
+        "curriculum_shards": curriculum_shards,
         "source_mixture_weights": source_mixture_weights,
         "token_budget_mixture": token_budget_mixture,
         "user_info_scd2": user_info_scd2,
@@ -6283,6 +6427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "token_count": token_count,
         "lang_id": lang_id,
+        "hard_negative_mining": hard_negative_mining,
         "knn_bruteforce": knn_bruteforce,
         "mmr_diverse_neighbors": mmr_diverse_neighbors,
         "ann_ivf_kmeans_refined": ann_ivf_kmeans_refined,
@@ -6318,6 +6463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dup": srp_near_dup,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "bm25_search": bm25_search,
+        "hybrid_search_rrf": hybrid_search_rrf,
         "weighted_token_sample": weighted_token_sample,
         "purchase_session_interval": purchase_session_interval,
         "ann_pq": ann_pq,
@@ -7284,6 +7430,36 @@ def oracle_sql() -> dict[str, str]:
             FROM dq
             ORDER BY vec_id
         """,
+        "curriculum_shards": """
+            WITH scored AS (
+                SELECT doc_id,
+                       round(CAST(length(text)
+                                  - (len(string_split(text, ' ')) - 1)
+                                  AS DOUBLE)
+                             / len(string_split(text, ' ')), 6) AS s
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, s,
+                       CAST(row_number() OVER (ORDER BY s, doc_id)
+                            AS BIGINT) AS rank
+                FROM scored
+            ),
+            per AS (
+                SELECT CAST((count(*) + 7) // 8 AS BIGINT) AS per_shard
+                FROM ranked
+            )
+            SELECT CAST((rank - 1) // per_shard AS BIGINT) AS stage,
+                   count(*) AS n_docs,
+                   min(rank) AS rank_lo,
+                   max(rank) AS rank_hi,
+                   round(CAST(CAST(round(sum(CAST(s AS DECIMAL(12,6))), 6)
+                                   AS DECIMAL(20,6)) AS DOUBLE)
+                         / count(*), 6) AS mean_score
+            FROM ranked CROSS JOIN per
+            GROUP BY 1
+            ORDER BY 1
+        """,
         "token_budget_mixture": """
             WITH per AS (
                 SELECT lang,
@@ -7898,6 +8074,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE {pred_cases} ELSE 'unknown' END AS predicted_lang,
                    lang AS labeled_lang
             FROM documents
+        """,
+        "hard_negative_mining": """
+            WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                              CAST(embedding AS DOUBLE[]) AS a_emb
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS neg_id, label AS neg_label,
+                              CAST(embedding AS DOUBLE[]) AS n_emb
+                       FROM embeddings),
+                 scored AS (
+                     SELECT anchor_id, anchor_label, neg_id, neg_label,
+                            round(list_dot_product(a_emb, n_emb)
+                                  / (sqrt(list_dot_product(a_emb, a_emb))
+                                     * sqrt(list_dot_product(n_emb, n_emb))),
+                                  6) AS sim
+                     FROM a, c WHERE neg_label <> anchor_label
+                 ),
+                 ranked AS (
+                     SELECT anchor_id, anchor_label, neg_id, neg_label, sim,
+                            CAST(row_number() OVER (
+                                PARTITION BY anchor_id
+                                ORDER BY sim DESC, neg_id) AS BIGINT)
+                                AS neg_rank
+                     FROM scored
+                 )
+            SELECT anchor_id, anchor_label, neg_id, neg_label, sim, neg_rank
+            FROM ranked WHERE neg_rank <= 5
+            ORDER BY anchor_id, neg_rank
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS q_vec_id, CAST(embedding AS DOUBLE[]) AS q_emb
@@ -8952,6 +9155,107 @@ def oracle_sql() -> dict[str, str]:
                                 (h, c) -> (h * 131 + c) % 1000000007))),
                      (acc, th) -> (acc * 31 + th) % 1000000007) AS fingerprint
             FROM documents
+        """,
+        "hybrid_search_rrf": """
+            WITH dl AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qterms AS (
+                SELECT doc_id AS q_doc_id,
+                       unnest(list_distinct(string_split(text, ' '))) AS term
+                FROM documents WHERE doc_id < 3
+            ),
+            tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN (SELECT DISTINCT term FROM qterms)
+                GROUP BY 1, 2
+            ),
+            dfq AS (SELECT term, count(*) AS dfreq FROM m GROUP BY 1),
+            contrib AS (
+                SELECT q.q_doc_id, m.doc_id, m.term,
+                       ln(1 + (stats.n_docs - dfq.dfreq + 0.5)
+                              / (dfq.dfreq + 0.5))
+                       * (m.tf * (1.2 + 1))
+                       / (m.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                                  / stats.avgdl)) AS c
+                FROM m
+                JOIN qterms q USING (term)
+                JOIN dl ON dl.doc_id = m.doc_id
+                JOIN dfq USING (term)
+                CROSS JOIN stats
+                WHERE m.doc_id <> q.q_doc_id
+            ),
+            lex_folded AS (
+                SELECT q_doc_id, doc_id,
+                       round(list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                                        list(c ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+                FROM contrib GROUP BY 1, 2
+            ),
+            lex AS (
+                SELECT q_doc_id, doc_id, rnk
+                FROM (SELECT q_doc_id, doc_id,
+                             CAST(row_number() OVER (
+                                 PARTITION BY q_doc_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT)
+                                 AS rnk
+                      FROM lex_folded)
+                WHERE rnk <= 20
+            ),
+            q AS (SELECT vec_id AS q_doc_id,
+                         CAST(embedding AS DOUBLE[]) AS q_emb
+                  FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id AS doc_id,
+                         CAST(embedding AS DOUBLE[]) AS n_emb
+                  FROM embeddings),
+            scored AS (
+                SELECT q_doc_id, doc_id,
+                       round(list_dot_product(q_emb, n_emb)
+                             / (sqrt(list_dot_product(q_emb, q_emb))
+                                * sqrt(list_dot_product(n_emb, n_emb))),
+                             6) AS sim
+                FROM q, c WHERE doc_id <> q_doc_id
+            ),
+            dense AS (
+                SELECT q_doc_id, doc_id, rnk
+                FROM (SELECT q_doc_id, doc_id,
+                             CAST(row_number() OVER (
+                                 PARTITION BY q_doc_id
+                                 ORDER BY sim DESC, doc_id) AS BIGINT)
+                                 AS rnk
+                      FROM scored)
+                WHERE rnk <= 20
+            ),
+            fused AS (
+                SELECT coalesce(l.q_doc_id, d.q_doc_id) AS q_doc_id,
+                       coalesce(l.doc_id, d.doc_id) AS doc_id,
+                       round(coalesce(CAST(1 AS DOUBLE) / (60 + l.rnk),
+                                      CAST(0 AS DOUBLE))
+                             + coalesce(CAST(1 AS DOUBLE) / (60 + d.rnk),
+                                        CAST(0 AS DOUBLE)), 6) AS rrf_score,
+                       l.rnk AS lex_rank,
+                       d.rnk AS dense_rank
+                FROM lex l
+                FULL OUTER JOIN dense d
+                  ON l.q_doc_id = d.q_doc_id AND l.doc_id = d.doc_id
+            )
+            SELECT q_doc_id, doc_id, rrf_score, lex_rank, dense_rank,
+                   fused_rank
+            FROM (SELECT *,
+                         CAST(row_number() OVER (
+                             PARTITION BY q_doc_id
+                             ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+                             AS fused_rank
+                  FROM fused)
+            WHERE fused_rank <= 10
+            ORDER BY q_doc_id, fused_rank
         """,
         "bm25_search": f"""
             WITH dl AS (

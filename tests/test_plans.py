@@ -256,6 +256,8 @@ _ARROW_QUERIES = {
     "embedding_near_dup_cells",
     "pack_context_windows",
     "knn_bruteforce",
+    "hybrid_search_rrf",  # dense arm rides the knn broadcast + Arrow dot products
+    "hard_negative_mining",  # broadcast anchors x corpus non-equi (label) join
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_pq",
@@ -273,6 +275,8 @@ _ARROW_QUERIES = {
 # broadcast joins / tiny-side cross joins against 1-row aggregates).
 _BNLJ_OK = {
     "knn_bruteforce",
+    "hybrid_search_rrf",  # dense arm = knn broadcast-queries non-equi join
+    "hard_negative_mining",  # broadcast anchors, label-mismatch BNLJ by design
     "bloom_prefiltered_part_revenue",  # 1-row bloom-bitmap broadcast
     "ann_ivf",
     "ann_ivf_kmeans",
@@ -295,6 +299,7 @@ _BNLJ_OK = {
     "lm_quality_buckets",  # same + 1-row tercile-boundary broadcast
     "source_mixture_weights",  # 1-row totals broadcast
     "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
+    "curriculum_shards",  # 1-row per-shard-size broadcast over the ranked frame
     "heavy_hitter_tokens",  # 1-row error-mass broadcast
     "temperature_resample_langs",  # 1-row budget + kept-total broadcasts
     "data_quality_report",  # 1-row orphan/null-count broadcasts (FK check)

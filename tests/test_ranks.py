@@ -70,3 +70,28 @@ def test_global_rank_plan_has_no_unpartitioned_window(spark):
     # partition id); offsets ride a broadcast join back
     assert "__pid" in plan, plan
     assert "BroadcastExchange" in plan or "broadcast" in plan.lower(), plan
+
+
+def test_rrf_fuse_semantics(spark):
+    """Both-arm candidates sum two reciprocals, single-arm candidates
+    keep one, and the fused ranking orders by score then id."""
+    from real_time_data_analytics_cassandra_spark.operators.ranks import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3)],
+        "q string, id long, rnk long",
+    )
+    dense = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 13, 2)], "q string, id long, rnk long"
+    )
+    out = {
+        r["id"]: r
+        for r in rrf_fuse(lex, dense, "q", "id", "rnk", k_rrf=60, top_k=10).collect()
+    }
+    assert out[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)  # both arms
+    assert out[10]["rrf_score"] == round(1 / 61, 6)  # lex only
+    assert out[13]["rrf_score"] == round(1 / 62, 6)  # dense only
+    assert out[11]["fused_rank"] == 1  # two arms beat any single arm
+    assert out[10]["lex_rank"] == 1 and out[10]["dense_rank"] is None
+    # tie between 10 (lex rank 1) and 13? 1/61 > 1/62 -> 10 above 13
+    assert out[10]["fused_rank"] < out[13]["fused_rank"]
