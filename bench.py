@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "join_key_skew_report",
     "bm25_search_persisted",
     "incremental_span_dedup",
+    "incremental_bm25_search",
     "snapshot_docs_changes",
     "data_quality_report",
     "doc_char_entropy",

@@ -132,3 +132,104 @@ def bm25_search_index(
     dl = spark.read.parquet(f"{path}/docstats")
     stats = spark.read.parquet(f"{path}/stats")
     return bm25_rank(m, dl, dfreq, stats, k1=k1, b=b, top_k=top_k)
+
+
+def append_text_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> dict:
+    """INCREMENTALLY add a batch of documents to an existing index —
+    the build-once / APPEND-INCREMENT / search-many lifecycle.  At
+    100 TB the point is O(batch), never O(corpus): a new crawl slice
+    must not trigger an index rebuild.
+
+    Mechanics, per table:
+
+    - already-indexed doc_ids are dropped first (anti-join against
+      ``docstats``), so REPLAYING a batch is a no-op — the same
+      idempotency discipline as the merge sinks;
+    - ``postings``: new (term, doc_id, tf) rows simply APPEND into
+      their hive bucket directories (tf is per-document, so rows for
+      new docs never collide with old rows);
+    - ``termstats``: document frequency is additive — the affected
+      buckets (<= n_buckets) are read back, unioned with the batch's
+      per-term counts, re-summed, and DYNAMICALLY overwritten; only
+      touched bucket directories rewrite, O(vocab slice) work;
+    - ``docstats``: append; ``stats``: recomputed exactly from the
+      appended docstats (a 2-column table scan, trivially cheap, and
+      avgdl stays the exact sum/count — no drifting incremental
+      average).
+
+    Search afterwards is bit-identical to an index built fresh over
+    old+new (asserted in tests/test_index.py) because every stored
+    table equals its full-rebuild value row-for-row.  Returns
+    {n_new_docs, n_docs}."""
+    from real_time_data_analytics_cassandra_spark.sinks.merge import _conf
+
+    spark = df.sparkSession
+    known = spark.read.parquet(f"{path}/docstats").select("doc_id")
+    fresh = df.join(
+        known, df[id_col] == known.doc_id, "left_anti"
+    ).localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        n_docs = spark.read.parquet(f"{path}/stats").collect()[0]["n_docs"]
+        return {"n_new_docs": 0, "n_docs": int(n_docs)}
+
+    postings = (
+        fresh.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("bucket", hash_bucket("term", n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    (
+        postings.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    new_counts = postings.groupBy("term", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dfreq")
+    )
+    affected = [
+        r["bucket"] for r in new_counts.select("bucket").distinct().collect()
+    ]
+    old = (
+        spark.read.parquet(f"{path}/termstats")
+        .filter(F.col("bucket").isin(affected))
+        .select("term", "bucket", "dfreq")
+    )
+    merged = (
+        old.unionByName(new_counts)
+        .groupBy("term", "bucket")
+        .agg(F.sum("dfreq").cast("bigint").alias("dfreq"))
+        .localCheckpoint(eager=True)
+    )
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            merged.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/termstats")
+        )
+    dl = fresh.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+    )
+    dl.write.mode("append").parquet(f"{path}/docstats")
+    all_dl = spark.read.parquet(f"{path}/docstats").localCheckpoint(eager=True)
+    (
+        all_dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+    n_docs = spark.read.parquet(f"{path}/stats").collect()[0]["n_docs"]
+    return {"n_new_docs": int(n_new), "n_docs": int(n_docs)}

@@ -5905,6 +5905,50 @@ def snapshot_docs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search over an INCREMENTALLY-grown inverted index
+    (operators/index.py::append_text_index): even doc_ids build the
+    index, odd doc_ids arrive as an append batch (plus one replayed
+    append, proven a no-op by the anti-join idempotency), and the
+    search runs over the result.  Every stored table equals its
+    full-rebuild value row-for-row, so the search is bit-identical to
+    bm25_search over the whole corpus and SHARES ITS ORACLE — the
+    O(batch) append machinery (posting appends, additive dfreq with
+    dynamic bucket overwrites, exact stats recompute) is what's being
+    gated.  Index in a tmp dir keyed on the corpus file identity."""
+    import os
+    import tempfile
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_bm25_inc_idx_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    marker = os.path.join(idx_dir, "_built")
+    docs = table(spark, sf_dir, "documents")
+    if not os.path.exists(marker):
+        index_op.build_text_index(
+            docs.filter(F.col("doc_id") % 2 == 0), idx_dir, "doc_id", "text"
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    # the append batch runs EVERY invocation: effective the first
+    # time, a proven no-op on replay (anti-join idempotency) — so the
+    # timed section always exercises the O(batch) append machinery,
+    # exactly like incremental_span_dedup's replayed folds
+    index_op.append_text_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx_dir, "doc_id", "text"
+    )
+    index_op.append_text_index(
+        docs.filter(F.col("doc_id") % 2 == 1), idx_dir, "doc_id", "text"
+    )
+    return index_op.bm25_search_index(spark, idx_dir, BM25_QUERY_TERMS)
+
+
 def incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental span dedup (operators/dedup.py::
     span_index_dedup_batch): the corpus arrives as two id-ordered
@@ -6362,6 +6406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter_stats": blocklist_filter_stats,
         "join_key_skew_report": join_key_skew_report,
         "bm25_search_persisted": bm25_search_persisted,
+        "incremental_bm25_search": incremental_bm25_search,
         "incremental_span_dedup": incremental_span_dedup,
         "snapshot_docs_changes": snapshot_docs_changes,
         "data_quality_report": data_quality_report,
@@ -9858,6 +9903,7 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index search scores through the same bm25_rank as
     # the fresh path -> it shares the fresh oracle bit-for-bit
     d["bm25_search_persisted"] = d["bm25_search"]
+    d["incremental_bm25_search"] = d["bm25_search"]
     # id-ordered incremental ingestion reproduces the one-shot
     # keep-first result exactly -> shares its oracle
     d["incremental_span_dedup"] = d["span_dedup_keep_first"]

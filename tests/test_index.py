@@ -81,3 +81,44 @@ def test_incremental_terms_not_in_corpus_are_harmless(spark, text_index):
         docs, "doc_id", "text", ("stream", "zzz_not_a_term")
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in fresh]
+
+
+def test_append_equals_fresh_full_build_and_replay_is_noop(
+    spark, tmp_path_factory
+):
+    """build(half) + append(other half) must leave every stored table
+    equal to a fresh full build's, so search is bit-identical; a
+    replayed append batch changes nothing (anti-join idempotency)."""
+    docs = table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc_path = str(tmp_path_factory.mktemp("index") / "inc")
+    idx.build_text_index(old, inc_path, "doc_id", "text")
+    meta = idx.append_text_index(new, inc_path, "doc_id", "text")
+    assert meta["n_new_docs"] == new.count()
+    assert meta["n_docs"] == docs.count()
+
+    full_path = str(tmp_path_factory.mktemp("index") / "full")
+    idx.build_text_index(docs, full_path, "doc_id", "text")
+
+    for t in ("postings", "termstats", "docstats", "stats"):
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{inc_path}/{t}").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{full_path}/{t}").collect()
+        )
+        assert a == b, f"{t} differs between incremental and fresh"
+
+    inc = idx.bm25_search_index(spark, inc_path, TERMS).collect()
+    full = idx.bm25_search_index(spark, full_path, TERMS).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+    # replaying the SAME batch must be a no-op
+    meta2 = idx.append_text_index(new, inc_path, "doc_id", "text")
+    assert meta2["n_new_docs"] == 0
+    again = idx.bm25_search_index(spark, inc_path, TERMS).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in full]

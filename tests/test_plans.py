@@ -289,6 +289,7 @@ _BNLJ_OK = {
     "tfidf_top_terms",
     "bm25_search",
     "bm25_search_persisted",  # same 1-row corpus-stats broadcast
+    "incremental_bm25_search",  # same 1-row corpus-stats broadcast
     "length_bucket_stats",
     "rfm_scores",
     "value_zscores",
