@@ -858,3 +858,59 @@ def ngram_jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT (Broder's asymmetric Jaccard) for
+    every document pair sharing a shingle: ``|A∩B| / |A|`` and
+    ``|A∩B| / |B|`` per unordered pair, kept when either direction
+    clears the threshold.
+
+    Containment catches what symmetric Jaccard structurally cannot: a
+    short document quoted or wrapped inside a much longer one has
+    near-1.0 containment but tiny Jaccard (the union is dominated by
+    the long side), and at corpus scale that is exactly the
+    boilerplate-wrapper / quoted-reply duplication family.  Same
+    shared-shingle equi-join shape as ngram_jaccard_pairs (pair space
+    bounded by colliding docs, never a cross join; the LSH family is
+    the further-bounded scale path), same integral inputs -> one
+    double division each, 6dp."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}),
+            "id_b",
+        )
+        .withColumn(
+            "cont_a_in_b",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a"), 6),
+        )
+        .withColumn(
+            "cont_b_in_a",
+            F.round(F.col("n_inter").cast("double") / F.col("n_b"), 6),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "n_inter", "cont_a_in_b", "cont_b_in_a")
+    )

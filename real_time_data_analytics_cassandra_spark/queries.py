@@ -411,6 +411,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT (operators/
+    dedup.py::containment_pairs, |A∩B|/|A| per direction, either >=
+    0.6): the quoted-reply / boilerplate-wrapper duplication family —
+    a short doc living inside a long one has near-1.0 containment but
+    tiny symmetric Jaccard, so the jaccard queries structurally miss
+    it.  Same shared-shingle join shape, full SQL oracle."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return dedup_op.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
 def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram Jaccard pairs via PPJoin-style prefix
     filtering (operators/dedup.py::ngram_jaccard_prefix_pairs):
@@ -6468,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": top_revenue_orders,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
+        "containment_near_dup": containment_near_dup,
         "ngram_jaccard": ngram_jaccard,
         "text_quality": text_quality,
         "token_count": token_count,
@@ -8075,6 +8090,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE round(CAST(n_inter AS DOUBLE)
                         / (sa.n + sb.n - n_inter), 6) >= 0.5
+        """,
+        "containment_near_dup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                 ints AS (SELECT unnest(generate_series(
+                              1, (SELECT max(len(t)) FROM toks))) AS i),
+                 sh AS (SELECT DISTINCT doc_id,
+                               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                                   AS shingle
+                        FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
+                 sizes AS (SELECT doc_id, count(*) AS n_shingles
+                           FROM sh GROUP BY 1),
+                 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                                  count(*) AS n_inter
+                           FROM sh a JOIN sh b
+                             ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 scored AS (
+                     SELECT id_a, id_b, n_inter,
+                            round(CAST(n_inter AS DOUBLE)
+                                  / sa.n_shingles, 6) AS cont_a_in_b,
+                            round(CAST(n_inter AS DOUBLE)
+                                  / sb.n_shingles, 6) AS cont_b_in_a
+                     FROM inter
+                     JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+                 )
+            SELECT id_a, id_b, n_inter, cont_a_in_b, cont_b_in_a
+            FROM scored
+            WHERE cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6
+            ORDER BY id_a, id_b
         """,
         "ngram_jaccard": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -729,3 +729,24 @@ def test_bloom_prefilter_empty_dim_and_plan_shape(spark):
     )
     assert "BroadcastExchange" in plan or "Broadcast" in plan
     assert "xxhash64" in plan
+
+
+def test_containment_catches_wrapped_doc_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment ~1.0,
+    Jaccard tiny — the asymmetric detector must fire where the
+    symmetric one structurally cannot."""
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0]["cont_a_in_b"] == 1.0  # every short-doc shingle is inside
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the wrapper pair
