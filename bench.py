@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "hll_reaggregated_users",
     "approx_value_percentiles",
     "value_histogram",
+    "value_psi_drift",
     "daily_value_ohlc",
     "value_time_correlation",
     "sql_revenue_by_priority",

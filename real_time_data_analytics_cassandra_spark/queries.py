@@ -2839,6 +2839,91 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: per day, the PSI of
+    that day's purchase-value distribution against the corpus's FIRST
+    day — the standard "did the feature distribution move" alarm a
+    training pipeline runs before trusting fresh data (PSI > 0.2 is
+    the conventional retrain trigger).
+
+    Mechanics: one global (min, max) broadcast fixes 10 equal-width
+    buckets for every day (drift must be measured on a COMMON grid);
+    the day x bucket frame is completed with zero counts, shares are
+    Laplace-smoothed ((n+1)/(total+10), so empty buckets stay finite),
+    and PSI folds (p-q)*ln(p/q) over the 10 buckets IN BUCKET ORDER —
+    the sorted-fold trick that keeps a cross-row double sum
+    engine-exact.  Scale shape: one fact scan into a (day, bucket)
+    aggregate; everything after runs on days x 10 rows."""
+    ensure_query_confs(spark)
+    purch = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    rng = purch.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(10.0)
+    bucket = (
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("value") - F.col("vmin")) / width), F.lit(9))
+        )
+        .cast("long")
+    )
+    counts = (
+        purch.crossJoin(F.broadcast(rng))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), bucket.alias("bucket"))
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        counts.select("day")
+        .distinct()
+        .select("day", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("b"))
+        .select("day", F.col("b").cast("long").alias("bucket"))
+    )
+    filled = grid.join(counts, ["day", "bucket"], "left").select(
+        "day", "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    totals = filled.groupBy("day").agg(F.sum("n").alias("total"))
+    ref_day = totals.agg(F.min("day").alias("ref_day"))
+    ref = (
+        filled.crossJoin(F.broadcast(ref_day))
+        .filter(F.col("day") == F.col("ref_day"))
+        .join(totals, "day")
+        .select(
+            "bucket",
+            (
+                (F.col("n") + 1).cast("double")
+                / (F.col("total") + 10).cast("double")
+            ).alias("q"),
+        )
+    )
+    per = (
+        filled.join(totals, "day")
+        .withColumn(
+            "p",
+            (F.col("n") + 1).cast("double")
+            / (F.col("total") + 10).cast("double"),
+        )
+        .join(F.broadcast(ref), "bucket")
+        .withColumn("term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    )
+    return (
+        per.groupBy("day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(bucket, term))), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)"
+                ),
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("day")
+    )
+
+
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width 10-bucket histogram of event value: the global
     (min, max) is a 1-row aggregate broadcast back over the scan —
@@ -6580,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_stats": embedding_norm_stats,
         "streaming_multi_granularity_counts": streaming_multi_granularity_counts,
         "value_histogram": value_histogram,
+        "value_psi_drift": value_psi_drift,
         "daily_value_ohlc": daily_value_ohlc,
         "value_time_correlation": value_time_correlation,
         "sql_revenue_by_priority": sql_revenue_by_priority,
@@ -9112,6 +9198,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'daily:' || strftime(ts, '%Y%m%d'), count(*)
             FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "value_psi_drift": """
+            WITH purch AS (SELECT * FROM events WHERE event_type = 'purchase'),
+            rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM purch),
+            counts AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(CASE WHEN vmax = vmin THEN 0
+                            ELSE least(floor((value - vmin)
+                                             / ((vmax - vmin) / 10.0)), 9)
+                            END AS BIGINT) AS bucket,
+                       count(*) AS n
+                FROM purch, rng
+                GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT d.day, CAST(b.bucket AS BIGINT) AS bucket
+                FROM (SELECT DISTINCT day FROM counts) d
+                CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b
+            ),
+            filled AS (
+                SELECT g.day, g.bucket,
+                       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+                FROM grid g LEFT JOIN counts c
+                  ON g.day = c.day AND g.bucket = c.bucket
+            ),
+            totals AS (
+                SELECT day, CAST(sum(n) AS BIGINT) AS total
+                FROM filled GROUP BY 1
+            ),
+            ref AS (
+                SELECT f.bucket,
+                       CAST(f.n + 1 AS DOUBLE) / CAST(t.total + 10 AS DOUBLE)
+                           AS q
+                FROM filled f JOIN totals t USING (day)
+                WHERE f.day = (SELECT min(day) FROM totals)
+            ),
+            terms AS (
+                SELECT f.day, f.bucket, f.n,
+                       (CAST(f.n + 1 AS DOUBLE)
+                        / CAST(t.total + 10 AS DOUBLE) - r.q)
+                       * ln((CAST(f.n + 1 AS DOUBLE)
+                             / CAST(t.total + 10 AS DOUBLE)) / r.q) AS term
+                FROM filled f
+                JOIN totals t USING (day)
+                JOIN ref r USING (bucket)
+            )
+            SELECT day,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(term ORDER BY bucket)),
+                       (a, b) -> a + b), 6) AS psi
+            FROM terms
+            GROUP BY day
+            ORDER BY day
         """,
         "value_histogram": """
             WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),

@@ -284,6 +284,7 @@ _BNLJ_OK = {
     "top_supplier_revenue",
     "part_value_share",
     "value_histogram",
+    "value_psi_drift",  # same 1-row range broadcast + 10-row ref broadcast
     "idle_high_balance_customers",
     "small_quantity_revenue",
     "tfidf_top_terms",
