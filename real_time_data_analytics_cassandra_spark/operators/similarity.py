@@ -28,6 +28,9 @@ from real_time_data_analytics_cassandra_spark.functions.vectors import (
     dot_expr,
     norm_expr,
 )
+from real_time_data_analytics_cassandra_spark.operators.topk import (
+    bounded_topk_per_key,
+)
 
 
 def brute_force_topk(
@@ -62,13 +65,20 @@ def brute_force_topk(
             "sim",
             F.round(dot_expr("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")), 6),
         )
+        .select("q_vec_id", "n_vec_id", "sim")
     )
-    w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("n_vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_vec_id", "n_vec_id", "sim", "rank")
-    )
+    # two-phase rank: with a handful of query keys, a single
+    # per-query window funnels the full |corpus| x |queries| scored
+    # set into |queries| tasks; the salted partial pass bounds the
+    # final exchange at buckets*k rows per query (lossless — see
+    # bounded_topk_per_key)
+    return bounded_topk_per_key(
+        scored,
+        keys=["q_vec_id"],
+        order=[F.desc("sim"), F.asc("n_vec_id")],
+        k=k,
+        salt_on=["n_vec_id"],
+    ).select("q_vec_id", "n_vec_id", "sim", "rank")
 
 
 def cosine_near_dup_pairs(

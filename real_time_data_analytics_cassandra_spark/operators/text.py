@@ -729,11 +729,23 @@ def bm25_per_query_topk(
             6,
         ).alias("score")
     )
-    from pyspark.sql import Window
+    # two-phase rank: the candidate set is already term-pruned, but
+    # with few query docs the final per-query window is still a
+    # few-task funnel at scale — bound it the same way as the vector
+    # top-k family (operators/topk.py::bounded_topk_per_key)
+    from real_time_data_analytics_cassandra_spark.operators.topk import (
+        bounded_topk_per_key,
+    )
 
-    w = Window.partitionBy("q_doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        folded.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= top_k)
+        bounded_topk_per_key(
+            folded,
+            keys=["q_doc_id"],
+            order=[F.desc("score"), F.asc("doc_id")],
+            k=top_k,
+            salt_on=["doc_id"],
+            rank_col="rnk",
+        )
+        .withColumn("rnk", F.col("rnk").cast("long"))
         .select("q_doc_id", "doc_id", "score", "rnk")
     )

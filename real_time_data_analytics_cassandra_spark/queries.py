@@ -778,10 +778,24 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_expr("a_emb", "n_emb") / (F.col("a_norm") * F.col("n_norm")), 6
         ).alias("sim"),
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    # two-phase rank (operators/topk.py::bounded_topk_per_key): 5
+    # anchor keys ranking the full scored corpus would funnel every
+    # row into 5 tasks; the salted partial pass caps the final
+    # exchange at buckets*k rows per anchor, losslessly
+    from real_time_data_analytics_cassandra_spark.operators.topk import (
+        bounded_topk_per_key,
+    )
+
     return (
-        scored.withColumn("neg_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("neg_rank") <= 5)
+        bounded_topk_per_key(
+            scored,
+            keys=["anchor_id"],
+            order=[F.desc("sim"), F.asc("neg_id")],
+            k=5,
+            salt_on=["neg_id"],
+            rank_col="neg_rank",
+        )
+        .withColumn("neg_rank", F.col("neg_rank").cast("long"))
         .orderBy("anchor_id", "neg_rank")
     )
 

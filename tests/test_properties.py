@@ -750,3 +750,36 @@ def test_containment_catches_wrapped_doc_jaccard_misses(spark):
     assert cont[0]["cont_a_in_b"] == 1.0  # every short-doc shingle is inside
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     assert jac == []  # symmetric Jaccard misses the wrapper pair
+
+
+def test_bounded_topk_matches_single_window(spark):
+    """bounded_topk_per_key is bit-identical to the naive single
+    per-key window for any total order — including k larger than a
+    salt bucket's row count (buckets=4 over 200 rows) and duplicate
+    order values broken by the unique tiebreak."""
+    from pyspark.sql import Window
+
+    from real_time_data_analytics_cassandra_spark.operators.topk import (
+        bounded_topk_per_key,
+    )
+
+    rows = [(i % 7, i, float((i * 37) % 25)) for i in range(200)]
+    df = spark.createDataFrame(rows, "key int, item int, score double")
+    order = [F.desc("score"), F.asc("item")]
+    for k in (1, 3, 60):
+        naive = (
+            df.withColumn(
+                "rank", F.row_number().over(Window.partitionBy("key").orderBy(*order))
+            )
+            .filter(F.col("rank") <= k)
+            .orderBy("key", "rank")
+            .collect()
+        )
+        bounded = (
+            bounded_topk_per_key(
+                df, keys=["key"], order=order, k=k, salt_on=["item"], buckets=4
+            )
+            .orderBy("key", "rank")
+            .collect()
+        )
+        assert bounded == naive, k
