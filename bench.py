@@ -21,10 +21,10 @@ from real_time_data_analytics_cassandra_spark.session import get_spark
 
 # Headline set: the reference-parity pipeline + the scan/join/agg
 # heavy analytical queries + one of each training-data operator
-# family.  (ngram_jaccard and containment_near_dup are excluded:
-# their all-pairs verify join is quadratic in colliding docs —
-# minhash_lsh and the lossless prefix-filtered form
-# ngram_jaccard_prefix are the scale paths and ARE benched.)
+# family.  (ngram_jaccard is excluded: its all-pairs verify join is
+# quadratic in colliding docs — minhash_lsh and the lossless
+# prefix-filtered forms ngram_jaccard_prefix / containment_near_dup
+# are the scale paths and ARE benched.)
 BENCH_QUERIES = [
     "geo_hourly_counts",
     "geo_hourly_country_totals",
@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "bpe_learned_merges",
     "bpe_encode_docs",
     "ngram_jaccard_prefix",
+    "containment_near_dup",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

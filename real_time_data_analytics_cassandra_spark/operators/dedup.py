@@ -914,3 +914,164 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "n_inter", "cont_a_in_b", "cont_b_in_a")
     )
+
+
+def _ranked_shingle_sets(sh: DataFrame) -> DataFrame:
+    """Per-doc shingle array sorted by the shared rarest-first global
+    order (document frequency asc, shingle asc): (id, sh_ord
+    array<string>, n_sh).  One relation serves prefix extraction (an
+    array slice), positional ranks (posexplode), and exact
+    verification (array_intersect) — instead of two ranking-window
+    passes plus a separate set relation."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_", "shingle"))).alias("ord"))
+        .select(
+            "id",
+            F.col("ord.shingle").alias("sh_ord"),
+            F.size("ord").alias("n_sh"),
+        )
+    )
+
+
+def _containment_candidates_ranked(
+    ranked: DataFrame,
+    threshold: float,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (id_s, id_l) pairs for the exact containment join via
+    an ASYMMETRIC prefix filter over ``_ranked_shingle_sets`` output.
+    Lossless for max(|A∩B|/|A|, |A∩B|/|B|) >= ``threshold``.
+
+    A pair qualifies iff |A∩B| >= ceil(t * min(|A|, |B|)) (the larger
+    containment has the smaller denominator).  Designate per pair a
+    SMALL role s = lexicographic min by (set size, id).  The pigeonhole
+    on s: if every common shingle sat outside s's
+    (|s| - ceil(t|s|) + 1)-prefix of the shared rarest-first order,
+    the overlap would be <= ceil(t|s|) - 1 < required — so s must
+    collide IN ITS PREFIX with some shingle of the large side.  Unlike
+    symmetric Jaccard there is no length filter (any size ratio can
+    qualify) and the large side cannot be prefix-truncated (its
+    required overlap t*min is not a function of ITS size), so the join
+    is prefix(s) x full(l): a hot stop-shingle now produces candidates
+    only against the rare docs holding it inside their prefix, never
+    the quadratic all-holders x all-holders blow-up of the naive
+    shared-shingle join.  ``positional`` adds the PPJoin-style rank
+    bound: a collision at ranks (i, j) of the same global order caps
+    the overlap at min(i-1, j-1) + 1 + min(|s|-i, |l|-j); pairs whose
+    best cap misses ceil(t|s|) never reach verification.
+    """
+    t = float(threshold)
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(_PPJOIN_EPS))
+        + 1
+    ).cast("int")
+    ps = ranked.select(
+        F.col("id").alias("id_s"),
+        F.col("n_sh").alias("n_s_"),
+        F.posexplode(F.slice("sh_ord", F.lit(1), prefix_len)).alias(
+            "pos", "shingle"
+        ),
+    ).select("id_s", "n_s_", (F.col("pos") + 1).alias("rk_s"), "shingle")
+    pl = ranked.select(
+        F.col("id").alias("id_l"),
+        F.col("n_sh").alias("n_l_"),
+        F.posexplode("sh_ord").alias("pos", "shingle"),
+    ).select("id_l", "n_l_", (F.col("pos") + 1).alias("rk_l"), "shingle")
+    coll = ps.join(pl, "shingle").filter(
+        (F.col("n_s_") < F.col("n_l_"))
+        | ((F.col("n_s_") == F.col("n_l_")) & (F.col("id_s") < F.col("id_l")))
+    )
+    ub = (
+        F.least(F.col("rk_s") - 1, F.col("rk_l") - 1)
+        + 1
+        + F.least(
+            F.col("n_s_") - F.col("rk_s"), F.col("n_l_") - F.col("rk_l")
+        )
+    )
+    grouped = coll.groupBy("id_s", "id_l", "n_s_").agg(F.min(ub).alias("ub_"))
+    if positional:
+        grouped = grouped.filter(
+            F.col("ub_")
+            >= F.ceil(F.lit(t) * F.col("n_s_") - F.lit(_PPJOIN_EPS))
+        )
+    return grouped.select("id_s", "id_l")
+
+
+def _containment_candidates(
+    sh: DataFrame,
+    threshold: float,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate pairs from a raw (id, shingle) relation — test /
+    standalone entry; ``containment_prefix_pairs`` reuses its cached
+    ranked relation instead."""
+    return _containment_candidates_ranked(
+        _ranked_shingle_sets(sh).cache(), threshold, positional
+    )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram containment pairs via the asymmetric prefix
+    filter: byte-identical output contract to ``containment_pairs`` —
+    it SHARES that query's DuckDB oracle — but candidate pairs come
+    only from small-side PREFIX collisions under the rarest-first
+    global order (see ``_containment_candidates_ranked``), so one hot
+    stop-shingle can no longer mint quadratic candidate pairs.
+    Verification computes both exact containments for candidates only,
+    as one array_intersect per candidate row instead of re-counting
+    through the exploded-shingle shuffle."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    ranked = _ranked_shingle_sets(sh).cache()
+    cand = _containment_candidates_ranked(ranked, threshold)
+    # normalize the (small, large) role pair back to the id-ordered
+    # output contract before verification
+    cand = cand.select(
+        F.least("id_s", "id_l").alias("id_a"),
+        F.greatest("id_s", "id_l").alias("id_b"),
+    )
+    return (
+        cand.join(
+            ranked.select(
+                F.col("id").alias("id_a"), F.col("sh_ord").alias("set_a")
+            ),
+            "id_a",
+        )
+        .join(
+            ranked.select(
+                F.col("id").alias("id_b"), F.col("sh_ord").alias("set_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("long")
+            .alias("n_inter"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+        )
+        .withColumn(
+            "cont_a_in_b",
+            F.round(F.col("n_inter").cast("double") / F.col("n_a"), 6),
+        )
+        .withColumn(
+            "cont_b_in_a",
+            F.round(F.col("n_inter").cast("double") / F.col("n_b"), 6),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "n_inter", "cont_a_in_b", "cont_b_in_a")
+    )

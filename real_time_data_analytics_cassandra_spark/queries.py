@@ -413,14 +413,17 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup pairs by n-gram CONTAINMENT (operators/
-    dedup.py::containment_pairs, |A∩B|/|A| per direction, either >=
-    0.6): the quoted-reply / boilerplate-wrapper duplication family —
-    a short doc living inside a long one has near-1.0 containment but
-    tiny symmetric Jaccard, so the jaccard queries structurally miss
-    it.  Same shared-shingle join shape, full SQL oracle."""
+    dedup.py::containment_prefix_pairs, |A∩B|/|A| per direction,
+    either >= 0.6): the quoted-reply / boilerplate-wrapper duplication
+    family — a short doc living inside a long one has near-1.0
+    containment but tiny symmetric Jaccard, so the jaccard queries
+    structurally miss it.  Candidates come from the small side's
+    rarest-first prefix shingles only (asymmetric prefix filter,
+    lossless — see _containment_candidates), never the quadratic
+    shared-hot-shingle join; full SQL oracle."""
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
-    return dedup_op.containment_pairs(
+    return dedup_op.containment_prefix_pairs(
         docs, "doc_id", "text", n=3, threshold=0.6
     ).orderBy("id_a", "id_b")
 

@@ -707,3 +707,52 @@ def test_ppjoin_positional_prunes_candidates(spark):
     # the survivors must still include every truly-qualifying pair
     truth = _pairs(q.ngram_jaccard_prefix(spark, SF_ORACLE))
     assert truth <= pos
+
+
+def test_containment_prefix_prunes_candidates_losslessly(spark):
+    """The asymmetric prefix filter must (a) produce strictly fewer
+    candidate pairs than the naive shared-shingle join puts in flight,
+    (b) with the positional bound a subset of the prefix rule alone,
+    and (c) lose no qualifying pair: containment_prefix_pairs must be
+    row-identical to the naive containment_pairs."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        _containment_candidates,
+        containment_pairs,
+        containment_prefix_pairs,
+        shingle_sets,
+    )
+
+    docs = table(spark, SF_ORACLE, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", 3).cache()
+    naive_in_flight = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .count()
+    )
+    plain = {
+        (r.id_s, r.id_l)
+        for r in _containment_candidates(sh, 0.6, positional=False).collect()
+    }
+    pos = {
+        (r.id_s, r.id_l)
+        for r in _containment_candidates(sh, 0.6, positional=True).collect()
+    }
+    assert pos <= plain
+    assert len(plain) < naive_in_flight, (len(plain), naive_in_flight)
+    naive_rows = sorted(
+        map(tuple, containment_pairs(docs, "doc_id", "text", 3, 0.6).collect())
+    )
+    pruned_rows = sorted(
+        map(
+            tuple,
+            containment_prefix_pairs(docs, "doc_id", "text", 3, 0.6).collect(),
+        )
+    )
+    assert pruned_rows == naive_rows
+    assert len(naive_rows) > 0  # the fixture must actually exercise it
