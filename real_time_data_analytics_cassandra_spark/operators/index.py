@@ -13,10 +13,17 @@ Layout under ``path``:
   ``bucket = hash_bucket(term) % n_buckets`` — a query's terms map to
   a handful of buckets, so the scan partition-prunes to those
   directories: the parquet analog of an inverted-list seek.  Within a
-  bucket the term IN-list still pushes into the scan.
-- ``termstats/`` (term, dfreq), same bucketing, same pruning.
-- ``docstats/``  (doc_id, dl) — one row per document.
-- ``stats/``     exactly one row (n_docs, avgdl).
+  bucket the term IN-list still pushes into the scan.  A second
+  ``batch`` partition level stamps which ingest wrote each row.
+- ``termstats/`` (term, dfreq), same bucketing, same pruning —
+  DERIVED state, always recomputable from postings.
+- ``docstats/``  (doc_id, dl), partitioned by ``batch``.
+- ``stats/``     exactly one row (n_docs, avgdl) — derived state.
+- ``pending/``   crash markers: an append writes ``pending/<batch>``
+  BEFORE touching any table and removes it after the last write, so
+  a half-applied batch is detected and rolled back (its ``batch=``
+  directories deleted, derived state recomputed) by the next append
+  — see ``_repair_pending``.
 
 Search parity: search reads these four tables into the SAME
 ``bm25_rank`` the fresh ``bm25_topk`` path uses, so a persisted-index
@@ -51,7 +58,7 @@ def build_text_index(
     aggregated map-side into (doc, term, tf); dfreq re-aggregates the
     postings (never the corpus); doc lengths are a pure projection.
     The postings/termstats writes repartition by bucket so each hive
-    directory is a few co-written files.  Returns {n_docs, n_terms,
+    directory is a few co-written files.  Returns {n_docs,
     n_buckets}."""
     postings = (
         df.select(
@@ -61,17 +68,18 @@ def build_text_index(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .withColumn("bucket", hash_bucket("term", n_buckets))
+        .withColumn("batch", F.lit("b0"))
+        .localCheckpoint(eager=True)
     )
     (
         postings.repartition("bucket")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "batch")
         .parquet(f"{path}/postings")
     )
     spark = df.sparkSession
-    saved = spark.read.parquet(f"{path}/postings")
     termstats = (
-        saved.groupBy("term", "bucket")
+        postings.groupBy("term", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("dfreq"))
     )
     (
@@ -83,15 +91,16 @@ def build_text_index(
     dl = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+        F.lit("b0").alias("batch"),
     )
-    dl.write.mode("overwrite").parquet(f"{path}/docstats")
+    dl.write.mode("overwrite").partitionBy("batch").parquet(
+        f"{path}/docstats"
+    )
     dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     n_docs = spark.read.parquet(f"{path}/stats").collect()[0]["n_docs"]
-    n_terms = termstats.count()
-    return {"n_docs": int(n_docs), "n_terms": int(n_terms),
-            "n_buckets": n_buckets}
+    return {"n_docs": int(n_docs), "n_buckets": n_buckets}
 
 
 def bm25_search_index(
@@ -134,6 +143,84 @@ def bm25_search_index(
     return bm25_rank(m, dl, dfreq, stats, k1=k1, b=b, top_k=top_k)
 
 
+def _fs(spark, path: str):
+    """Hadoop FileSystem for ``path`` via the JVM gateway — storage-
+    agnostic (local, HDFS, object stores with a Hadoop connector),
+    unlike driver-side os/shutil calls."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _refresh_derived(spark, path: str, buckets: list[int], n_buckets: int):
+    """Recompute the DERIVED tables from the durable ones: termstats
+    for the given buckets re-aggregates the surviving postings of
+    those buckets (dynamic overwrite, O(bucket slice)); stats
+    re-aggregates docstats (2 columns, one row out)."""
+    from real_time_data_analytics_cassandra_spark.sinks.merge import _conf
+
+    if buckets:
+        derived = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(buckets))
+            .groupBy("term", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("dfreq"))
+            .localCheckpoint(eager=True)
+        )
+        with _conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            (
+                derived.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/termstats")
+            )
+    all_dl = spark.read.parquet(f"{path}/docstats").localCheckpoint(
+        eager=True
+    )
+    (
+        all_dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
+def _repair_pending(spark, path: str, n_buckets: int) -> list[str]:
+    """Roll back any half-applied append batches.  For each marker in
+    ``pending/``: delete that batch's ``batch=`` directories under
+    postings (glob across buckets) and docstats, recompute the derived
+    tables for the touched buckets, then drop the marker.  Leaves the
+    index exactly at its last fully-committed state; O(batch) +
+    O(bucket slice), never O(corpus).  Returns the repaired batch ids
+    (empty on the happy path)."""
+    fs, pend = _fs(spark, f"{path}/pending")
+    if not fs.exists(pend):
+        return []
+    repaired = []
+    for st in fs.listStatus(pend):
+        batch = st.getPath().getName()
+        glob = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/postings/bucket=*/batch={batch}"
+        )
+        buckets = []
+        for g in fs.globStatus(glob) or []:
+            buckets.append(
+                int(g.getPath().getParent().getName().split("=")[1])
+            )
+            fs.delete(g.getPath(), True)
+        _, doc_dir = _fs(spark, f"{path}/docstats/batch={batch}")
+        if fs.exists(doc_dir):
+            fs.delete(doc_dir, True)
+        _refresh_derived(spark, path, buckets, n_buckets)
+        fs.delete(st.getPath(), False)
+        repaired.append(batch)
+    return repaired
+
+
 def append_text_index(
     df: DataFrame,
     path: str,
@@ -148,36 +235,61 @@ def append_text_index(
 
     Mechanics, per table:
 
-    - already-indexed doc_ids are dropped first (anti-join against
-      ``docstats``), so REPLAYING a batch is a no-op — the same
-      idempotency discipline as the merge sinks;
-    - ``postings``: new (term, doc_id, tf) rows simply APPEND into
-      their hive bucket directories (tf is per-document, so rows for
-      new docs never collide with old rows);
+    - any half-applied earlier batch is ROLLED BACK first
+      (``_repair_pending``: its stamped ``batch=`` directories are
+      deleted and derived state recomputed), then a ``pending/<batch>``
+      marker is written BEFORE any table write and removed after the
+      last one — so a crash anywhere inside the append leaves a
+      detectable, reversible state instead of silently doubled
+      postings on replay;
+    - already-indexed doc_ids are dropped (anti-join against
+      ``docstats``), so REPLAYING a completed batch is a no-op — the
+      same idempotency discipline as the merge sinks;
+    - ``postings``: new (term, doc_id, tf) rows APPEND into their hive
+      bucket directories under a fresh ``batch=`` stamp (tf is
+      per-document, so rows for new docs never collide with old rows);
     - ``termstats``: document frequency is additive — the affected
       buckets (<= n_buckets) are read back, unioned with the batch's
-      per-term counts, re-summed, and DYNAMICALLY overwritten; only
-      touched bucket directories rewrite, O(vocab slice) work;
-    - ``docstats``: append; ``stats``: recomputed exactly from the
-      appended docstats (a 2-column table scan, trivially cheap, and
-      avgdl stays the exact sum/count — no drifting incremental
+      per-term counts, re-summed, and DYNAMICALLY overwritten; derived
+      state, O(vocab slice) work (the repair path re-derives it from
+      postings instead);
+    - ``docstats``: append under the batch stamp; ``stats``:
+      recomputed exactly from the appended docstats (a 2-column table
+      scan — avgdl stays the exact sum/count, no drifting incremental
       average).
 
     Search afterwards is bit-identical to an index built fresh over
     old+new (asserted in tests/test_index.py) because every stored
-    table equals its full-rebuild value row-for-row.  Returns
-    {n_new_docs, n_docs}."""
-    from real_time_data_analytics_cassandra_spark.sinks.merge import _conf
-
+    table equals its full-rebuild value row-for-row (the ``batch``
+    stamp is provenance, not content).  Returns {n_new_docs, n_docs,
+    batch, repaired}."""
     spark = df.sparkSession
+    repaired = _repair_pending(spark, path, n_buckets)
     known = spark.read.parquet(f"{path}/docstats").select("doc_id")
     fresh = df.join(
         known, df[id_col] == known.doc_id, "left_anti"
     ).localCheckpoint(eager=True)
-    n_new = fresh.count()
+    # one job yields both the batch size and its content fingerprint
+    # (hash summed as decimal(38,0): a bigint sum overflows under ANSI)
+    sig = fresh.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    n_new = int(sig["c"])
     if n_new == 0:
         n_docs = spark.read.parquet(f"{path}/stats").collect()[0]["n_docs"]
-        return {"n_new_docs": 0, "n_docs": int(n_docs)}
+        return {
+            "n_new_docs": 0,
+            "n_docs": int(n_docs),
+            "batch": None,
+            "repaired": repaired,
+        }
+
+    # deterministic batch id from the batch's content, so a crashed
+    # append and its retry share the marker / directory names
+    batch = f"b{n_new}x{(int(sig['h']) & 0xFFFFFFFFFFFF):012x}"
 
     postings = (
         fresh.select(
@@ -187,20 +299,37 @@ def append_text_index(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .withColumn("bucket", hash_bucket("term", n_buckets))
+        .withColumn("batch", F.lit(batch))
         .localCheckpoint(eager=True)
     )
+    affected = [
+        r["bucket"] for r in postings.select("bucket").distinct().collect()
+    ]
+    fs, marker = _fs(spark, f"{path}/pending/{batch}")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
     (
         postings.repartition("bucket")
         .write.mode("append")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "batch")
         .parquet(f"{path}/postings")
     )
+    dl = fresh.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+        F.lit(batch).alias("batch"),
+    )
+    dl.write.mode("append").partitionBy("batch").parquet(f"{path}/docstats")
+    # happy-path termstats: additive merge of the OLD termstats slice
+    # with the batch's per-term counts — cheaper than re-aggregating
+    # the affected postings buckets (vocab slice vs postings slice);
+    # the repair path re-derives from postings instead, which is why
+    # a crash between the postings write and this overwrite is safe
+    from real_time_data_analytics_cassandra_spark.sinks.merge import _conf
+
     new_counts = postings.groupBy("term", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("dfreq")
     )
-    affected = [
-        r["bucket"] for r in new_counts.select("bucket").distinct().collect()
-    ]
     old = (
         spark.read.parquet(f"{path}/termstats")
         .filter(F.col("bucket").isin(affected))
@@ -219,17 +348,22 @@ def append_text_index(
             .partitionBy("bucket")
             .parquet(f"{path}/termstats")
         )
-    dl = fresh.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+    all_dl = spark.read.parquet(f"{path}/docstats").localCheckpoint(
+        eager=True
     )
-    dl.write.mode("append").parquet(f"{path}/docstats")
-    all_dl = spark.read.parquet(f"{path}/docstats").localCheckpoint(eager=True)
     (
-        all_dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        all_dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )
+    fs.delete(marker, False)
     n_docs = spark.read.parquet(f"{path}/stats").collect()[0]["n_docs"]
-    return {"n_new_docs": int(n_new), "n_docs": int(n_docs)}
+    return {
+        "n_new_docs": int(n_new),
+        "n_docs": int(n_docs),
+        "batch": batch,
+        "repaired": repaired,
+    }

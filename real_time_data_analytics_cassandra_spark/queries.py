@@ -6024,14 +6024,15 @@ def snapshot_docs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 search over an INCREMENTALLY-grown inverted index
     (operators/index.py::append_text_index): even doc_ids build the
-    index, odd doc_ids arrive as an append batch (plus one replayed
-    append, proven a no-op by the anti-join idempotency), and the
-    search runs over the result.  Every stored table equals its
-    full-rebuild value row-for-row, so the search is bit-identical to
-    bm25_search over the whole corpus and SHARES ITS ORACLE — the
-    O(batch) append machinery (posting appends, additive dfreq with
-    dynamic bucket overwrites, exact stats recompute) is what's being
-    gated.  Index in a tmp dir keyed on the corpus file identity."""
+    index, odd doc_ids arrive as an append batch, and the search runs
+    over the result.  Every stored table equals its full-rebuild value
+    row-for-row, so the search is bit-identical to bm25_search over
+    the whole corpus and SHARES ITS ORACLE — the O(batch) append
+    machinery (marker-guarded batch-stamped appends, bucket-sliced
+    dfreq rederivation, exact stats recompute) is what's being gated.
+    Replay idempotency and crash-repair are proven in
+    tests/test_index.py, not re-run in the benched body.  Index in a
+    tmp dir keyed on the corpus file identity."""
     import os
     import tempfile
 
@@ -6052,13 +6053,9 @@ def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(marker, "w") as fh:
             fh.write("ok")
-    # the append batch runs EVERY invocation: effective the first
-    # time, a proven no-op on replay (anti-join idempotency) — so the
-    # timed section always exercises the O(batch) append machinery,
-    # exactly like incremental_span_dedup's replayed folds
-    index_op.append_text_index(
-        docs.filter(F.col("doc_id") % 2 == 1), idx_dir, "doc_id", "text"
-    )
+    # ONE append per invocation: effective the first time, a no-op on
+    # replay (anti-join idempotency — proven once in
+    # tests/test_index.py rather than re-proven per benched run)
     index_op.append_text_index(
         docs.filter(F.col("doc_id") % 2 == 1), idx_dir, "doc_id", "text"
     )

@@ -103,13 +103,19 @@ def test_append_equals_fresh_full_build_and_replay_is_noop(
     idx.build_text_index(docs, full_path, "doc_id", "text")
 
     for t in ("postings", "termstats", "docstats", "stats"):
+        # the batch stamp is ingest provenance, not index content —
+        # it differs between incremental and one-shot builds by design
         a = sorted(
             tuple(r)
-            for r in spark.read.parquet(f"{inc_path}/{t}").collect()
+            for r in spark.read.parquet(f"{inc_path}/{t}")
+            .drop("batch")
+            .collect()
         )
         b = sorted(
             tuple(r)
-            for r in spark.read.parquet(f"{full_path}/{t}").collect()
+            for r in spark.read.parquet(f"{full_path}/{t}")
+            .drop("batch")
+            .collect()
         )
         assert a == b, f"{t} differs between incremental and fresh"
 
@@ -122,3 +128,72 @@ def test_append_equals_fresh_full_build_and_replay_is_noop(
     assert meta2["n_new_docs"] == 0
     again = idx.bm25_search_index(spark, inc_path, TERMS).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in full]
+
+
+def test_crashed_append_is_rolled_back_and_retried(
+    spark, tmp_path_factory
+):
+    """A crash ANYWHERE inside an append must not double postings on
+    replay (the pre-marker protocol re-appended the same postings if
+    the crash landed between the postings write and the docstats
+    write).  Simulate exactly that half-applied state — pending marker
+    present, batch postings written, docstats/termstats NOT updated —
+    then retry the append: the repair must roll the partial batch back
+    and the retried append must leave every table equal to a fresh
+    full build's."""
+    docs = table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc_path = str(tmp_path_factory.mktemp("index") / "crash")
+    idx.build_text_index(old, inc_path, "doc_id", "text")
+
+    # forge the half-applied batch: marker + postings only
+    from real_time_data_analytics_cassandra_spark.functions.textfns import (
+        tokens,
+    )
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    partial = (
+        new.select(
+            F.col("doc_id"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("bucket", hash_bucket("term", idx.N_BUCKETS))
+        .withColumn("batch", F.lit("bDEADBEEF"))
+    )
+    partial.write.mode("append").partitionBy("bucket", "batch").parquet(
+        f"{inc_path}/postings"
+    )
+    fs, marker = idx._fs(spark, f"{inc_path}/pending/bDEADBEEF")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+
+    meta = idx.append_text_index(new, inc_path, "doc_id", "text")
+    assert meta["repaired"] == ["bDEADBEEF"]
+    assert meta["n_new_docs"] == new.count()
+    assert not fs.exists(marker)
+
+    full_path = str(tmp_path_factory.mktemp("index") / "full")
+    idx.build_text_index(docs, full_path, "doc_id", "text")
+    for t in ("postings", "termstats", "docstats", "stats"):
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{inc_path}/{t}")
+            .drop("batch")
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{full_path}/{t}")
+            .drop("batch")
+            .collect()
+        )
+        assert a == b, f"{t} differs after crash repair"
+    inc = idx.bm25_search_index(spark, inc_path, TERMS).collect()
+    full = idx.bm25_search_index(spark, full_path, TERMS).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
