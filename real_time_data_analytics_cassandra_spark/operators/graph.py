@@ -147,7 +147,7 @@ def pagerank(
         .withColumn("r", F.lit(unit).cast("long"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             ewd.join(ranks, ewd.u == ranks.id)
             .select(F.col("v").alias("id"), F.expr("r div outdeg").alias("c"))
@@ -164,8 +164,13 @@ def pagerank(
                     + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every SECOND round (and the last): lineage stays
+        # bounded at <= 2 rounds of joins while paying half the
+        # materialization cost — the checkpoint write, not the plan,
+        # dominates each iteration once lineage is truncated
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.col("r").alias("rank_micro"))
 
 
