@@ -179,12 +179,38 @@ def bloom_prefilter(
     join exchange, for the price of one broadcast of a <=num_bits/8-
     byte bitmap and ``num_hashes`` cheap hashes per probe row — no
     shuffle of the big side is added (the filter runs inside its
-    scan stage)."""
+    scan stage).
+
+    Key types: ``xxhash64`` is TYPE-DEPENDENT (int, bigint and string
+    encodings of the same value hash differently), so hashing the two
+    sides as-is would silently drop true matches whenever the key
+    columns' types differ — a case the plain join handles via implicit
+    casts.  Differing integral types are therefore widened to bigint
+    on BOTH sides (lossless) before hashing; any other type mismatch
+    raises instead of risking false negatives."""
+    big_t = big.schema[big_key].dataType.typeName()
+    small_t = small.schema[small_key].dataType.typeName()
+    probe_key = f"`{big_key}`"
+    if big_t != small_t:
+        integral = {"byte", "short", "integer", "long"}
+        if big_t in integral and small_t in integral:
+            small = small.withColumn(
+                small_key, F.col(small_key).cast("bigint")
+            )
+            probe_key = f"cast(`{big_key}` as bigint)"
+        else:
+            raise ValueError(
+                f"bloom key type mismatch: {big_key}:{big_t} vs "
+                f"{small_key}:{small_t} — xxhash64 is type-dependent, "
+                "so differing non-integral key types would silently "
+                "drop true matches; cast the keys to a common type "
+                "first"
+            )
     bm = bloom_bitmap(small, small_key, num_bits, num_hashes)
     probe = big.crossJoin(F.broadcast(bm))
     cond = F.lit(True)
     for j in range(num_hashes):
-        bit = f"pmod(xxhash64(`{big_key}`, {j}), {num_bits})"
+        bit = f"pmod(xxhash64({probe_key}, {j}), {num_bits})"
         test = (
             f"(shiftrightunsigned(coalesce(element_at(__bloom, "
             f"cast({bit} / 64 as int)), 0L), cast({bit} % 64 as int)) & 1) = 1"

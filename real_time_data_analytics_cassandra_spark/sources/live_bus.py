@@ -108,6 +108,13 @@ class LiveBusConsumer:
     ``on_message(message: dict) -> None`` is the durable write; a
     raise inside it nacks the delivery with requeue (at-least-once,
     same as the reference's ack-after-Cassandra-write).
+
+    ``max_messages`` bounds the DELIVERIES handled (ack + nack), not
+    the connection attempts: once the budget is met the channel stops
+    consuming and ``run`` returns — the stop condition an inline
+    bounded drain needs, since against a healthy broker
+    ``start_consuming()`` otherwise blocks until the link drops.
+    None (default) consumes forever, the sidecar/production posture.
     """
 
     def __init__(
@@ -116,16 +123,24 @@ class LiveBusConsumer:
         config: BusConfig | None = None,
         connection_factory: Callable[[BusConfig], object] | None = None,
         sleep: Callable[[float], None] = time.sleep,
+        max_messages: int | None = None,
     ) -> None:
         self.on_message = on_message
         self.config = config or BusConfig()
         self._connect = connection_factory or _pika_connection_factory
         self._sleep = sleep
+        self.max_messages = max_messages
         # observability counters (and the hooks the tests assert on)
         self.connects = 0
         self.reconnects = 0
         self.processed = 0
         self.nacked = 0
+
+    def _budget_met(self) -> bool:
+        return (
+            self.max_messages is not None
+            and self.processed + self.nacked >= self.max_messages
+        )
 
     # -- per-delivery callback (reference callback(), lines 95-231) --
     def _handle(self, channel, method, properties, body) -> None:
@@ -139,6 +154,11 @@ class LiveBusConsumer:
             # dedup (dedup_events on message_id) absorbs the replays
             channel.basic_nack(delivery_tag=method.delivery_tag, requeue=True)
             self.nacked += 1
+        if self._budget_met():
+            try:
+                channel.stop_consuming()
+            except Exception:
+                pass
 
     def _consume_once(self) -> None:
         connection = self._connect(self.config)
@@ -174,10 +194,16 @@ class LiveBusConsumer:
         the number of connection attempts (None = run forever, the
         production posture)."""
         attempts = 0
-        while max_attempts is None or attempts < max_attempts:
+        while (
+            max_attempts is None or attempts < max_attempts
+        ) and not self._budget_met():
             attempts += 1
             try:
                 self._consume_once()
+                # start_consuming returned without raising: the only
+                # non-exception exit is a deliberate stop_consuming
+                # (message budget met) — done, not a link loss
+                return
             except KeyboardInterrupt:
                 return
             except _reconnect_errors():
@@ -241,31 +267,38 @@ def replay_or_live(
     config: BusConfig | None = None,
     connection_factory: Callable[[BusConfig], object] | None = None,
     max_attempts: int | None = 1,
+    max_messages: int | None = 10_000,
 ):
     """The deployment seam, deciding BOTH ways (tests drive each with
     a fake connection factory):
 
-    - LIVE: when a connection factory is available — one injected, or
-      the default pika factory when pika is installed — a
-      ``LiveBusConsumer(DumpShardWriter(dump_dir))`` drains the bus
-      into the archive first (ack-after-write, ``max_attempts``
-      connection attempts; None = consume forever, the production
-      posture for a sidecar process), then the archive is scanned.
-    - REPLAY: without any factory (this environment), the recorded
-      dump is read directly.
+    - LIVE: when a connection factory is INJECTED, a
+      ``LiveBusConsumer(DumpShardWriter(dump_dir))`` drains up to
+      ``max_messages`` deliveries into the archive first
+      (ack-after-write, ``max_attempts`` connection attempts), then
+      the archive is scanned.  The drain is BOUNDED by default:
+      against a healthy broker an unbounded ``start_consuming()``
+      blocks until the link drops, so a function that must return a
+      DataFrame never runs one — continuous consumption belongs to a
+      sidecar ``LiveBusConsumer(...).run()`` process (the reference's
+      subscriber daemon), not inside a query.  For that reason pika
+      being importable does NOT auto-select live mode here; only an
+      explicit factory does.
+    - REPLAY: without a factory (this environment), the recorded dump
+      is read directly.
 
     Either way the Spark-side plan is identical — a scan of the
     envelope table; the live branch only *extends* the archive before
     the scan."""
     from real_time_data_analytics_cassandra_spark.sources.amqp_dump import register
 
-    factory = connection_factory
-    if factory is None and pika is not None:  # pragma: no cover
-        factory = _pika_connection_factory
-    if factory is not None:
+    if connection_factory is not None:
         writer = DumpShardWriter(dump_dir)
         consumer = LiveBusConsumer(
-            writer, config=config, connection_factory=factory
+            writer,
+            config=config,
+            connection_factory=connection_factory,
+            max_messages=max_messages,
         )
         try:
             consumer.run(max_attempts=max_attempts)

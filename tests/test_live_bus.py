@@ -60,10 +60,17 @@ class FakeChannel:
     def basic_nack(self, delivery_tag, requeue):
         self.nacked.append((delivery_tag, requeue))
 
+    def stop_consuming(self):
+        self._stopped = True
+
     def start_consuming(self):
+        self._stopped = False
         for tag, body in enumerate(self.deliveries):
+            if self._stopped:
+                return
             self._callback(self, _Method(tag), None, body)
-        raise self.exit_exc
+        if not self._stopped:
+            raise self.exit_exc
 
     def close(self):
         pass
@@ -226,3 +233,50 @@ def test_replay_or_live_decides_both_ways(spark, tmp_path):
         "msg-2",
     }
     assert df_live.schema == df_replay.schema
+
+
+def test_message_budget_stops_a_healthy_broker_drain():
+    """Against a HEALTHY broker start_consuming() never returns, so an
+    inline drain must stop itself: with max_messages=N the consumer
+    handles exactly N deliveries, stops the channel, and run() returns
+    instead of blocking or burning reconnect attempts."""
+    seen = []
+    ch = FakeChannel(
+        [_msg(i) for i in range(100)],  # "endless" healthy stream
+        AssertionError("budget must stop consumption before exit_exc"),
+    )
+    consumer = LiveBusConsumer(
+        seen.append,
+        connection_factory=lambda cfg: FakeConnection(ch),
+        max_messages=5,
+    )
+    consumer.run(max_attempts=None)  # production posture, still returns
+    assert consumer.processed == 5
+    assert [m["message_id"] for m in seen] == [f"msg-{i}" for i in range(5)]
+    assert ch.acked == [0, 1, 2, 3, 4]
+
+    # a replay with the budget already met must not reconnect at all
+    consumer.run(max_attempts=None)
+    assert consumer.connects == 1
+
+
+def test_replay_or_live_never_autoselects_live_without_factory(
+    spark, tmp_path, monkeypatch
+):
+    """pika being importable must NOT flip the seam to live mode: an
+    inline query cannot run an unbounded consumer (sidecar contract).
+    Simulate 'pika installed' and assert no connection is attempted."""
+    import real_time_data_analytics_cassandra_spark.sources.live_bus as lb
+
+    dump = str(tmp_path / "dump")
+    DumpShardWriter(dump)(
+        {"message_id": "m0", "ts_epoch": 1700000000, "body": {}}
+    )
+
+    class _Boom:
+        def __getattr__(self, name):  # any pika use would explode
+            raise AssertionError("replay path must never touch pika")
+
+    monkeypatch.setattr(lb, "pika", _Boom())
+    df = replay_or_live(spark, dump)
+    assert [r.message_id for r in df.collect()] == ["m0"]

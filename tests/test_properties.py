@@ -783,3 +783,32 @@ def test_bounded_topk_matches_single_window(spark):
             .collect()
         )
         assert bounded == naive, k
+
+
+def test_bloom_prefilter_mixed_integral_key_types_keep_matches(spark):
+    """xxhash64 is type-dependent: an int build side vs a bigint probe
+    side used to hash the SAME key values to different bits and
+    silently drop every true match.  Mixed integral key types must be
+    widened to a common type before hashing (zero false negatives),
+    and non-integral mismatches must refuse loudly."""
+    import pytest as _pytest
+
+    from real_time_data_analytics_cassandra_spark.operators.joins import (
+        bloom_prefilter,
+    )
+
+    big = spark.range(0, 1000).select(F.col("id").alias("fk"))  # bigint
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 50)], "k int"
+    )  # int
+    kept = {
+        r["fk"]
+        for r in bloom_prefilter(
+            big, "fk", small, "k", num_bits=1 << 14, num_hashes=3
+        ).collect()
+    }
+    assert set(range(50)) <= kept  # zero false negatives
+    with _pytest.raises(ValueError, match="type mismatch"):
+        bloom_prefilter(
+            big, "fk", small.select(F.col("k").cast("string")), "k"
+        )
