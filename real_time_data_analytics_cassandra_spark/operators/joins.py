@@ -76,17 +76,40 @@ def salted_equi_join(
     return out.drop("__salt")
 
 
-# memoized skew probes: (plan semanticHash, key, denom) -> max-key
-# share.  Bounded FIFO so a long-lived session composing many joins
-# never grows it unboundedly; semantic hashing means a re-read of the
-# same source with the same plan reuses the measurement.
+# memoized skew probes: (plan semanticHash, input-file fingerprint,
+# key, denom) -> max-key share.  Bounded FIFO so a long-lived session
+# composing many joins never grows it unboundedly; semantic hashing
+# means a re-read of the same source with the same plan reuses the
+# measurement.  The file fingerprint keeps the memo honest across
+# INGEST: semanticHash is a function of the plan, not the data, so new
+# part files appended under the same path would otherwise keep
+# resurrecting a stale share (performance-only staleness — salting is
+# result-invariant — but a wrong salt factor for the session's
+# lifetime).
 _PROBE_CACHE: dict = {}
 _PROBE_CACHE_MAX = 256
 
 
+def _input_fingerprint(df: DataFrame) -> int:
+    """Hash of the plan's resolved input file list (empty for
+    non-file sources).  Parquet ingest only ever ADDS part files, so
+    any append/overwrite under the same path changes the list; the
+    listing itself comes from the already-analyzed plan's file index,
+    not a fresh directory walk."""
+    try:
+        return hash(tuple(sorted(df.inputFiles())))
+    except Exception:  # pragma: no cover - non-file / barrier plans
+        return 0
+
+
 def _probe_max_key_share(big: DataFrame, big_key: str, sample_denom: int) -> float:
     try:
-        cache_key = (big.semanticHash(), big_key, sample_denom)
+        cache_key = (
+            big.semanticHash(),
+            _input_fingerprint(big),
+            big_key,
+            sample_denom,
+        )
     except Exception:  # pragma: no cover - analysis-barrier plans
         cache_key = None
     if cache_key is not None and cache_key in _PROBE_CACHE:

@@ -6712,12 +6712,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the driver/bench/pytest harnesses, which own their lifecycle.
 _SIDE_EFFECT_PREFIXES = ("streaming_", "snapshot_", "incremental_")
 
+# queries whose names don't carry a side-effect prefix but still write
+# out-of-session state on (first) call: persisted-fixture builders
+_SIDE_EFFECT_NAMES = frozenset(
+    {
+        "bm25_search_persisted",  # builds the tempdir inverted index
+        "amqp_replay_type_counts",  # writes the JSON dump fixture
+    }
+)
+
 
 def side_effectful_queries() -> frozenset:
     """Names in :func:`queries` whose execution starts streaming jobs
-    or writes scratch tables (see _SIDE_EFFECT_PREFIXES)."""
+    or writes scratch state — the prefix families plus the explicitly
+    tagged fixture-building queries (a prefix-only gate missed
+    those)."""
     return frozenset(
-        n for n in queries() if n.startswith(_SIDE_EFFECT_PREFIXES)
+        n
+        for n in queries()
+        if n.startswith(_SIDE_EFFECT_PREFIXES) or n in _SIDE_EFFECT_NAMES
     )
 
 

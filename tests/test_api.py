@@ -119,7 +119,14 @@ def test_registry_rest_refuses_side_effectful_queries(http):
     assert side["streaming_hourly_type_counts"] is True
     assert side["snapshot_docs_upsert"] is True
     assert side["incremental_span_dedup"] is True
+    # fixture-building queries write scratch state without carrying a
+    # side-effect prefix — the explicit name tag must cover them too
+    assert side["bm25_search_persisted"] is True
+    assert side["amqp_replay_type_counts"] is True
     assert side["geo_hourly_counts"] is False
+    assert side["bm25_search"] is False  # the fresh path stays pure
     resp = http.get("/api/v1/query/streaming_hourly_type_counts")
     assert resp.status_code == 400
     assert "not executable over REST" in resp.get_json()["error"]
+    resp = http.get("/api/v1/query/bm25_search_persisted")
+    assert resp.status_code == 400

@@ -812,3 +812,26 @@ def test_bloom_prefilter_mixed_integral_key_types_keep_matches(spark):
         bloom_prefilter(
             big, "fk", small.select(F.col("k").cast("string")), "k"
         )
+
+
+def test_skew_probe_memo_invalidates_on_new_data(spark, tmp_path):
+    """The skew-probe memo is keyed on plan semanticHash, which does
+    NOT change when new files land under the same path — the input-
+    file fingerprint must invalidate it so a long-lived session never
+    salts from a stale skew measurement."""
+    from real_time_data_analytics_cassandra_spark.operators.joins import (
+        _probe_max_key_share,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1,)] * 50 + [(i,) for i in range(2, 52)], "k long"
+    ).write.mode("overwrite").parquet(path)
+    share1 = _probe_max_key_share(spark.read.parquet(path), "k", 1)
+    assert share1 == 0.5
+    # ingest: append rows that dilute the hot key
+    spark.createDataFrame(
+        [(i,) for i in range(100, 1000)], "k long"
+    ).write.mode("append").parquet(path)
+    share2 = _probe_max_key_share(spark.read.parquet(path), "k", 1)
+    assert share2 < 0.1, "stale memoized share survived the append"
