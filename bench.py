@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "bpe_encode_docs",
     "ngram_jaccard_prefix",
     "containment_near_dup",
+    "media_wav_decode",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

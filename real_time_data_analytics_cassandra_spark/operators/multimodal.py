@@ -6,13 +6,15 @@ frame-sampling run as Arrow-batched pandas stages (``mapInPandas``) so
 each executor processes whole record batches without per-row Python
 overhead.
 
-The actual media codecs are NOT available in this environment, so the
-decode step is a clearly-marked STUB: ``decode_media_meta`` computes a
-deterministic fake (metadata derived arithmetically from the payload
-bytes), and ``decode_media_real`` raises NotImplementedError where a
-real decoder (PIL/ffmpeg/torchaudio) would plug in.  Everything
-Spark-side — schema handling, Arrow batching, partition parallelism,
-the UDF signature — is real and tested.
+Compressed-codec libraries (PIL/ffmpeg/torchaudio) are NOT available
+in this environment, so ``decode_media_meta`` computes a deterministic
+fake for arbitrary payloads — but ``decode_media_real`` DOES decode
+the two dependency-free containers end-to-end: RIFF/WAVE PCM audio
+(chunk-walking header parse + sample extraction) and binary PPM (P6)
+images.  Payloads in any other container raise NotImplementedError —
+that boundary now means "codec genuinely absent", not "no decoder
+exists".  Everything Spark-side — schema handling, Arrow batching,
+partition parallelism, the UDF signature — is real and tested.
 """
 
 from __future__ import annotations
@@ -25,8 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -165,17 +169,214 @@ def extract_features(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def decode_media_real(df_with_payload: DataFrame) -> DataFrame:
-    """Where a real decoder would go (PIL / ffmpeg / torchaudio).
+WAV_SAMPLE_RATE = 8000
+
+REAL_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+
+def _wav_container(data: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """A genuine RIFF/WAVE file holding ``data`` as unsigned 8-bit
+    mono PCM (44-byte canonical header; odd-sized data chunks get the
+    RIFF pad byte)."""
+    import struct
+
+    n = len(data)
+    pad = n % 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + n + pad,
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * 1 * 1,  # byte rate
+        1,  # block align
+        8,  # bits per sample
+        b"data",
+        n,
+    )
+    return header + data + (b"\x00" * pad)
+
+
+def _decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Chunk-walking RIFF/WAVE PCM parse: returns (metadata dict,
+    samples as numpy).  Handles extra chunks (LIST etc.) by skipping;
+    rejects non-PCM encodings."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            (audio_fmt, channels, rate, _br, _ba, bits) = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV audio format {audio_fmt} needs a codec library; "
+                    "only PCM (1) decodes here"
+                )
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are even-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    meta = {
+        "format": "wav",
+        "n_channels": channels,
+        "sample_rate": rate,
+        "bits_per_sample": bits,
+        "n_samples": samples.size // channels,
+        "width": None,
+        "height": None,
+    }
+    return meta, samples
+
+
+def _decode_ppm(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Binary PPM (P6) parse: header tokens (width, height, maxval)
+    with comment handling, then the raw RGB plane."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    pos, tokens_out = 2, []
+    while len(tokens_out) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens_out.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens_out
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM planes not supported")
+    pixels = np.frombuffer(
+        payload[pos : pos + width * height * 3], dtype=np.uint8
+    )
+    meta = {
+        "format": "ppm",
+        "n_channels": 3,
+        "sample_rate": None,
+        "bits_per_sample": 8,
+        "n_samples": None,
+        "width": width,
+        "height": height,
+    }
+    return meta, pixels
+
+
+def decode_payload(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Route a payload to its REAL decoder by magic bytes.
 
     Raises:
-        NotImplementedError: media codec libraries are not available
-        in this environment (see module docstring).
+        NotImplementedError: for containers whose codecs are genuinely
+        absent in this environment (JPEG/PNG/MP3/...); RIFF-PCM WAV
+        and binary PPM decode for real.
     """
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "real media decoding requires codec libraries not present in this "
-        "environment; use decode_media_meta (deterministic stub) instead"
+        f"no decoder for payload magic {payload[:4]!r}: compressed codecs "
+        "(PIL/ffmpeg/torchaudio) are not present in this environment"
     )
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Wrap each document's utf-8 bytes in a GENUINE RIFF/WAVE
+    container (8-bit mono PCM) — the deterministic stand-in for
+    reading real audio blobs from object storage, except the container
+    format is real and must survive a real header parse."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": batch["text"].map(
+                        lambda t: _wav_container(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    src = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_media_real(df_with_payload: DataFrame) -> DataFrame:
+    """REAL container decode over the binary column, Arrow-batched:
+    each payload's header is actually parsed (RIFF chunk walk / PPM
+    token scan) and its sample plane actually read — no metadata is
+    derived arithmetically from byte length.  Payloads in containers
+    whose codecs are absent here raise NotImplementedError, so the
+    stub boundary is now only where a codec library is genuinely
+    missing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                meta, _samples = decode_payload(bytes(payload))
+                rows.append(
+                    {"doc_id": doc_id, "byte_len": len(payload), **meta}
+                )
+            out = pd.DataFrame(rows)
+            for c in (
+                "doc_id",
+                "n_channels",
+                "sample_rate",
+                "bits_per_sample",
+                "n_samples",
+                "width",
+                "height",
+                "byte_len",
+            ):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out[[f.name for f in REAL_DECODE_SCHEMA.fields]]
+
+    return df_with_payload.mapInPandas(run, schema=REAL_DECODE_SCHEMA)
 
 
 AUDIO_WINDOW = 1024

@@ -950,6 +950,25 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_op.decode_media_meta(mm_op.attach_binary_payload(docs, "doc_id", "text"))
 
 
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode through the Arrow path (operators/
+    multimodal.py::decode_media_real): each document's bytes are
+    wrapped in a genuine RIFF/WAVE 8-bit-PCM container, and the decode
+    stage actually chunk-walks the RIFF header and reads the sample
+    plane — nothing is inferred from byte length.  Full oracle: the
+    container is deterministic, so every decoded field (channels,
+    rate, bit depth, sample count, padded file size) is SQL-derivable
+    from the text length.  Codecs absent in this environment (JPEG/
+    MP3/...) still raise NotImplementedError inside decode_payload —
+    that boundary now means 'library missing', not 'decode is fake'."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = mm_op.decode_media_real(
+        mm_op.attach_wav_payload(docs, "doc_id", "text")
+    )
+    return out.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -6591,6 +6610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diverse_neighbors": mmr_diverse_neighbors,
         "ann_ivf_kmeans_refined": ann_ivf_kmeans_refined,
         "multimodal_decode_meta": multimodal_decode_meta,
+        "media_wav_decode": media_wav_decode,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,
@@ -8330,6 +8350,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((strlen(text) * 31) % 480 AS BIGINT) AS height,
                    CAST(strlen(text) % 16 AS BIGINT) AS n_frames
             FROM documents
+        """,
+        # the WAV container is deterministic: 44-byte canonical header
+        # + utf-8 text bytes as 8-bit mono PCM + RIFF pad to even
+        "media_wav_decode": """
+            SELECT doc_id,
+                   'wav' AS format,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(8 AS BIGINT) AS bits_per_sample,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+                   CAST(NULL AS BIGINT) AS width,
+                   CAST(NULL AS BIGINT) AS height,
+                   CAST(44 + octet_length(encode(text))
+                        + (octet_length(encode(text)) % 2) AS BIGINT)
+                       AS byte_len
+            FROM documents ORDER BY doc_id
         """,
         "multimodal_features": """
             WITH chars AS (

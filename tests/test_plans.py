@@ -260,6 +260,7 @@ def test_embedding_norm_stats_python_free(spark):
 # (mapInPandas / applyInPandas) — everything else must be JVM-only.
 _ARROW_QUERIES = {
     "multimodal_decode_meta",
+    "media_wav_decode",  # real RIFF parse via mapInPandas
     "multimodal_features",
     "frame_samples",
     "audio_window_features",
