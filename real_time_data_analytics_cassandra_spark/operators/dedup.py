@@ -713,25 +713,36 @@ def _ppjoin_candidates(
     relation (columns id, shingle).  Lossless for Jaccard >=
     ``threshold``; ``positional=False`` keeps only the prefix+length
     rules (exists for the candidate-volume regression test)."""
-    from pyspark.sql import Window
-
-    t = float(threshold)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("shingle"))
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "id")
+    return _ppjoin_candidates_ranked(
+        _ranked_shingle_sets(sh).cache(), threshold, positional
     )
+
+
+def _ppjoin_candidates_ranked(
+    ranked: DataFrame,
+    threshold: float,
+    positional: bool = True,
+) -> DataFrame:
+    """PPJoin(+) candidate generation over ``_ranked_shingle_sets``
+    output: the per-doc array is already in the shared rarest-first
+    order, so the prefix is an array SLICE and the positional rank a
+    ``posexplode`` index — no ranking window, no frequency re-join,
+    and both join sides derive from the one (cacheable) relation."""
+    t = float(threshold)
     # prefix length |s| - ceil(t|s|) + 1; the eps makes ceil round the
     # TRUE rational bound, never one higher (longer prefix = safe)
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.col("n_sh")
+    prefix_len = (
+        F.col("n_sh")
         - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(_PPJOIN_EPS))
         + 1
-    ).select("id", "shingle", "rk", "n_sh")
+    ).cast("int")
+    prefix = ranked.select(
+        "id",
+        F.col("n_sh"),
+        F.posexplode(F.slice("sh_ord", F.lit(1), prefix_len)).alias(
+            "pos", "shingle"
+        ),
+    ).select("id", (F.col("pos") + 1).alias("rk"), "n_sh", "shingle")
     pa = prefix.select(
         F.col("id").alias("id_a"),
         "shingle",
@@ -817,25 +828,19 @@ def ngram_jaccard_prefix_pairs(
     candidate's shingles through a shuffle — candidate-count rows in
     flight, not candidate-count x shingles.
     """
-    sets = (
-        df.select(
-            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-        )
-        .select("id", F.array_distinct(word_ngrams("toks", n)).alias("shset"))
-        .cache()
-    )
-    sh = sets.select("id", F.explode("shset").alias("shingle"))
-    cand = _ppjoin_candidates(sh, threshold)
+    sh = shingle_sets(df, id_col, text_col, n)
+    ranked = _ranked_shingle_sets(sh).cache()
+    cand = _ppjoin_candidates_ranked(ranked, threshold)
     return (
         cand.join(
-            sets.select(
-                F.col("id").alias("id_a"), F.col("shset").alias("set_a")
+            ranked.select(
+                F.col("id").alias("id_a"), F.col("sh_ord").alias("set_a")
             ),
             "id_a",
         )
         .join(
-            sets.select(
-                F.col("id").alias("id_b"), F.col("shset").alias("set_b")
+            ranked.select(
+                F.col("id").alias("id_b"), F.col("sh_ord").alias("set_b")
             ),
             "id_b",
         )

@@ -52,6 +52,13 @@ QUERIES = [
     ("CMS join estimate", "join_size_estimate_cms"),
     ("CUSUM series", "hourly_value_cusum"),
     ("keyword extraction", "doc_keywords"),
+    # round-5/6 families
+    ("hybrid RRF retrieval", "hybrid_search_rrf"),
+    ("containment near-dup", "containment_near_dup"),
+    ("token-budget mixture", "token_budget_mixture"),
+    ("incremental BM25 index", "incremental_bm25_search"),
+    ("curriculum shards", "curriculum_shards"),
+    ("real WAV decode", "media_wav_decode"),
 ]
 
 OUT = os.path.join(
