@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_prefix",
     "containment_near_dup",
     "media_wav_decode",
+    "incremental_ann_search",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

@@ -940,9 +940,14 @@ def ann_index_build(
     - ``codes/``      (vid, cell, codes array<int>) — m small ints per
       corpus vector, hive-partitioned BY CELL so a probe reads only
       the nprobe cells it touches (partition pruning = the inverted
-      list seek);
-    - ``centroids/``  (cell_id, vector) — C rows;
-    - ``codebooks/``  (subspace, code, vector) — m * n_codes rows.
+      list seek); a second ``batch`` level stamps which ingest wrote
+      each row (``ann_index_append``);
+    - ``centroids/``  (cell_id, vector) — C rows (IMMUTABLE after
+      build: appends encode with the existing model);
+    - ``codebooks/``  (subspace, code, vector) — m * n_codes rows
+      (immutable likewise);
+    - ``pending/``    crash markers for appends (see
+      ``ann_index_append``).
 
     The build is ONE corpus scan (chained Arrow assign+encode) plus a
     cell-partitioned write; training is driver-side on bounded
@@ -952,11 +957,13 @@ def ann_index_build(
     cent_unit, cell_ids, books = _ivfpq_train(
         corpus, id_col, vec_col, n_cells, m, n_codes, seed, train_cap
     )
-    encoded = _ivfpq_encode(corpus, id_col, vec_col, cent_unit, cell_ids, books)
+    encoded = _ivfpq_encode(
+        corpus, id_col, vec_col, cent_unit, cell_ids, books
+    ).withColumn("batch", F.lit("b0"))
     (
         encoded.repartition("cell")
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", "batch")
         .parquet(f"{path}/codes")
     )
     spark.createDataFrame(
@@ -965,7 +972,7 @@ def ann_index_build(
             for i in range(len(cell_ids))
         ],
         "cell_id long, vector array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame(
         [
             (s, c, [float(x) for x in books[s, c]])
@@ -973,7 +980,7 @@ def ann_index_build(
             for c in range(books.shape[1])
         ],
         "subspace int, code int, vector array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     return {"n_cells": len(cell_ids), "m": int(books.shape[0]),
             "n_codes": int(books.shape[1])}
 
@@ -999,9 +1006,20 @@ def ann_index_probe(
     at scale that is a broadcast-shortlist join touching
     |queries| * rerank_depth rows of it.
     """
+    spark = corpus.sparkSession
+    cent_unit, cell_ids, books = _load_ivfpq_model(spark, path)
+    encoded = spark.read.parquet(f"{path}/codes")
+    return _ivfpq_probe(
+        encoded, corpus, queries, cent_unit, cell_ids, books,
+        id_col, vec_col, k, nprobe, rerank_depth,
+    )
+
+
+def _load_ivfpq_model(spark, path: str):
+    """Driver-side load of the KB-sized immutable model tables
+    (centroids + codebooks) a probe or append needs."""
     import numpy as np
 
-    spark = corpus.sparkSession
     cent_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(),
         key=lambda r: r["cell_id"],
@@ -1016,12 +1034,83 @@ def ann_index_probe(
     d_sub = len(book_rows[0]["vector"])
     books = np.zeros((m, n_codes, d_sub))
     for r in book_rows:
-        books[r["subspace"], r["code"]] = np.asarray(r["vector"], dtype=np.float64)
-    encoded = spark.read.parquet(f"{path}/codes")
-    return _ivfpq_probe(
-        encoded, corpus, queries, cent_unit, cell_ids, books,
-        id_col, vec_col, k, nprobe, rerank_depth,
+        books[r["subspace"], r["code"]] = np.asarray(
+            r["vector"], dtype=np.float64
+        )
+    return cent_unit, cell_ids, books
+
+
+def ann_index_append(
+    batch_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """O(batch) append to a persisted IVF-PQ index: new vectors are
+    encoded with the EXISTING coarse centroids and PQ codebooks (the
+    standard grow-the-inverted-lists maintenance — the model is
+    immutable after build; drift bad enough to retrain is a REBUILD,
+    an explicit operation) and land in their cell directories under a
+    fresh ``batch=`` stamp.  A new crawl slice never triggers a
+    re-encode of the existing corpus.
+
+    Crash-safety is the same marker protocol as the BM25 index append
+    (operators/index.py::append_text_index): any half-applied earlier
+    batch is rolled back first (its ``batch=`` directories deleted —
+    codes are the only mutable table, so rollback is pure file ops),
+    then ``pending/<batch>`` is written before the codes append and
+    removed after it.  Replaying a COMPLETED batch is a no-op: the
+    batch anti-joins the existing code table's vids.  Probing after
+    append is bit-identical to probing an index whose codes were
+    encoded in one pass with the same model (asserted in
+    tests/test_crossval.py).  Returns {n_new, batch, repaired}."""
+    from real_time_data_analytics_cassandra_spark.operators.index import _fs
+
+    spark = batch_df.sparkSession
+    # roll back any half-applied batch
+    fs, pend = _fs(spark, f"{path}/pending")
+    repaired = []
+    if fs.exists(pend):
+        for st in fs.listStatus(pend):
+            b = st.getPath().getName()
+            glob = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/codes/cell=*/batch={b}"
+            )
+            for g in fs.globStatus(glob) or []:
+                fs.delete(g.getPath(), True)
+            fs.delete(st.getPath(), False)
+            repaired.append(b)
+
+    known = spark.read.parquet(f"{path}/codes").select("vid")
+    fresh = batch_df.join(
+        known, batch_df[id_col] == known.vid, "left_anti"
+    ).localCheckpoint(eager=True)
+    sig = fresh.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    n_new = int(sig["c"])
+    if n_new == 0:
+        return {"n_new": 0, "batch": None, "repaired": repaired}
+    batch = f"b{n_new}x{(int(sig['h']) & 0xFFFFFFFFFFFF):012x}"
+
+    cent_unit, cell_ids, books = _load_ivfpq_model(spark, path)
+    encoded = _ivfpq_encode(
+        fresh, id_col, vec_col, cent_unit, cell_ids, books
+    ).withColumn("batch", F.lit(batch))
+    fs, marker = _fs(spark, f"{path}/pending/{batch}")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+    (
+        encoded.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell", "batch")
+        .parquet(f"{path}/codes")
     )
+    fs.delete(marker, False)
+    return {"n_new": n_new, "batch": batch, "repaired": repaired}
 
 
 def semantic_dedup(

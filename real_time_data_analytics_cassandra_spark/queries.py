@@ -911,6 +911,45 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def incremental_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe over an INCREMENTALLY-grown persisted IVF-PQ index
+    (operators/similarity.py::ann_index_append): even vec_ids build
+    the index (training the immutable coarse/PQ model), odd vec_ids
+    arrive as an O(batch) append encoded with that model — marker-
+    guarded and batch-stamped like the BM25 index, so a crashed append
+    rolls back instead of double-coding.  The probe is bit-identical
+    to probing an index whose codes were encoded in one pass with the
+    same model (tests/test_crossval.py); approximate by construction
+    -> no SQL oracle (recall floors ride the ivfpq crossval)."""
+    import os
+    import tempfile
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_ann_inc_idx_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    marker = os.path.join(idx_dir, "_built")
+    emb = table(spark, sf_dir, "embeddings")
+    if not os.path.exists(marker):
+        sim_op.ann_index_build(emb.filter(F.col("vec_id") % 2 == 0), idx_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    sim_op.ann_index_append(emb.filter(F.col("vec_id") % 2 == 1), idx_dir)
+    out = sim_op.ann_index_probe(
+        emb, emb.filter(F.col("vec_id") < 10), idx_dir, k=5, nprobe=8
+    )
+    return (
+        out.withColumn("rnk", F.col("rank").cast("long"))
+        .drop("rank")
+        .orderBy("q_vec_id", "rnk")
+    )
+
+
 def embedding_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA reduction of the embedding table to 16 dims
     (operators/projection.py): driver-fit basis on a bounded sample,
@@ -6611,6 +6650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_refined": ann_ivf_kmeans_refined,
         "multimodal_decode_meta": multimodal_decode_meta,
         "media_wav_decode": media_wav_decode,
+        "incremental_ann_search": incremental_ann_search,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,

@@ -756,3 +756,82 @@ def test_containment_prefix_prunes_candidates_losslessly(spark):
     )
     assert pruned_rows == naive_rows
     assert len(naive_rows) > 0  # the fixture must actually exercise it
+
+
+def test_ann_index_append_equals_one_pass_encode(spark):
+    """build(even) + append(odd) must leave a codes table equal to
+    encoding the WHOLE corpus in one pass with the same (immutable)
+    model, so a probe over the appended index is bit-identical to one
+    over a fresh-encoded index; a replayed batch is a no-op; a forged
+    half-applied batch is rolled back by the next append."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators.index import _fs
+    from real_time_data_analytics_cassandra_spark.operators.similarity import (
+        _ivfpq_encode,
+        _load_ivfpq_model,
+        ann_index_append,
+        ann_index_build,
+        ann_index_probe,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="rtdac_annappend_") + "/idx"
+    ann_index_build(old, path)
+
+    # forge a half-applied batch: marker + a garbage codes directory
+    fs, marker = _fs(spark, f"{path}/pending/bDEADBEEF")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+    spark.read.parquet(f"{path}/codes").limit(3).withColumn(
+        "batch", F.lit("bDEADBEEF")
+    ).write.mode("append").partitionBy("cell", "batch").parquet(
+        f"{path}/codes"
+    )
+
+    meta = ann_index_append(new, path)
+    assert meta["repaired"] == ["bDEADBEEF"]
+    assert meta["n_new"] == new.count()
+    assert not fs.exists(marker)
+
+    cent_unit, cell_ids, books = _load_ivfpq_model(spark, path)
+    want = sorted(
+        (r["vid"], r["cell"], tuple(r["codes"]))
+        for r in _ivfpq_encode(
+            emb, "vec_id", "embedding", cent_unit, cell_ids, books
+        ).collect()
+    )
+    got = sorted(
+        (r["vid"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("vid", "cell", "codes")
+        .collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+    # probe equality against a one-pass-encoded index w/ same model
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    probed = sorted(
+        tuple(r) for r in ann_index_probe(emb, queries, path).collect()
+    )
+    fresh_path = tempfile.mkdtemp(prefix="rtdac_annfresh_") + "/idx"
+    ann_index_build(old, fresh_path)
+    _ivfpq_encode(
+        new, "vec_id", "embedding", cent_unit, cell_ids, books
+    ).withColumn("batch", F.lit("b1")).repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell", "batch").parquet(f"{fresh_path}/codes")
+    fresh = sorted(
+        tuple(r)
+        for r in ann_index_probe(emb, queries, fresh_path).collect()
+    )
+    assert probed == fresh and len(probed) > 0
+
+    # replaying the same batch is a no-op
+    meta2 = ann_index_append(new, path)
+    assert meta2["n_new"] == 0 and meta2["batch"] is None

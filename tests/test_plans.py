@@ -274,6 +274,7 @@ _ARROW_QUERIES = {
     "ann_ivf_kmeans",
     "ann_pq",
     "ann_ivfpq",
+    "incremental_ann_search",  # persisted-index probe, same Arrow stages
     "embedding_pca_norms",
     "udtf_token_windows",
     "heavy_hitter_tokens",  # Misra-Gries partition summaries
