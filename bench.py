@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "containment_near_dup",
     "media_wav_decode",
     "incremental_ann_search",
+    "streaming_incremental_index",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

@@ -93,12 +93,15 @@ def build_text_index(
         F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
         F.lit("b0").alias("batch"),
     )
-    dl.write.mode("overwrite").partitionBy("batch").parquet(
-        f"{path}/docstats"
-    )
     dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    # docstats LAST: its existence is the build-complete marker the
+    # append bootstrap keys on, so a crashed build is retried as a
+    # clean rebuild rather than half-trusted
+    dl.write.mode("overwrite").partitionBy("batch").parquet(
+        f"{path}/docstats"
+    )
     n_docs = spark.read.parquet(f"{path}/stats").collect()[0]["n_docs"]
     return {"n_docs": int(n_docs), "n_buckets": n_buckets}
 
@@ -264,6 +267,18 @@ def append_text_index(
     stamp is provenance, not content).  Returns {n_new_docs, n_docs,
     batch, repaired}."""
     spark = df.sparkSession
+    # bootstrap: appending into a not-yet-existing index IS the build
+    # (lets a streaming foreachBatch sink create the index on its
+    # first micro-batch with no separate initialization step)
+    fs, docstats_path = _fs(spark, f"{path}/docstats")
+    if not fs.exists(docstats_path):
+        meta = build_text_index(df, path, id_col, text_col, n_buckets)
+        return {
+            "n_new_docs": int(meta["n_docs"]),
+            "n_docs": int(meta["n_docs"]),
+            "batch": "b0",
+            "repaired": [],
+        }
     repaired = _repair_pending(spark, path, n_buckets)
     known = spark.read.parquet(f"{path}/docstats").select("doc_id")
     fresh = df.join(
@@ -348,22 +363,22 @@ def append_text_index(
             .partitionBy("bucket")
             .parquet(f"{path}/termstats")
         )
-    all_dl = spark.read.parquet(f"{path}/docstats").localCheckpoint(
-        eager=True
+    # exact stats recompute: collect the 1-row aggregate once, then
+    # write it as a literal row — no localCheckpoint of docstats, no
+    # read-back of the written table (3 jobs -> 2)
+    srow = (
+        spark.read.parquet(f"{path}/docstats")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
     )
-    (
-        all_dl.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
-    )
+    spark.createDataFrame(
+        [(int(srow["n_docs"]), float(srow["avgdl"]))],
+        "n_docs bigint, avgdl double",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/stats")
     fs.delete(marker, False)
-    n_docs = spark.read.parquet(f"{path}/stats").collect()[0]["n_docs"]
     return {
         "n_new_docs": int(n_new),
-        "n_docs": int(n_docs),
+        "n_docs": int(srow["n_docs"]),
         "batch": batch,
         "repaired": repaired,
     }

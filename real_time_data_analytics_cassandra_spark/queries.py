@@ -6201,6 +6201,46 @@ def training_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index MAINTAINED BY THE STREAM: documents arrive
+    as four real micro-batches (sharded bounded replay), each appended
+    into the persisted BM25 index by a foreachBatch sink (streaming/
+    pipelines.py::index_append_foreach_batch — first batch bootstraps
+    the build, later ones are marker-guarded O(batch) appends).
+    Because the append is anti-join-idempotent and batch-order-
+    independent (postings append; dfreq additive; stats recomputed
+    exactly), the finished index equals a one-shot full-corpus build
+    row-for-row, so this search SHARES the batch bm25_search oracle —
+    bit-for-bit, which streaming index maintenance normally cannot
+    claim.  Fresh checkpoint per invocation: the replayed appends
+    prove the idempotency path every run."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        sharded_table_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        index_append_foreach_batch,
+    )
+
+    ensure_query_confs(spark)
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_bm25_stream_idx_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_stream_idx_")
+    stream = sharded_table_stream(spark, sf_dir, "documents", n_shards=4)
+    q = index_append_foreach_batch(stream, idx_dir, ckpt)
+    q.awaitTermination()
+    return index_op.bm25_search_index(spark, idx_dir, BM25_QUERY_TERMS)
+
+
 def streaming_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-min sketch MAINTAINED BY THE STREAM: cms_sketch's
     explode + counter aggregate runs unchanged as a Structured
@@ -6621,6 +6661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode_docs": vocab_encode_docs,
         "incremental_ingest_dedup": incremental_ingest_dedup,
         "streaming_cms_token_counts": streaming_cms_token_counts,
+        "streaming_incremental_index": streaming_incremental_index,
         "streaming_kmv_distinct_per_type": streaming_kmv_distinct_per_type,
         "training_shard_shuffle": training_shard_shuffle,
         # --- round-1-verified (CORRECTNESS_r01.json, oldest rows) ---
@@ -10195,6 +10236,9 @@ def oracle_sql() -> dict[str, str]:
     # the fresh path -> it shares the fresh oracle bit-for-bit
     d["bm25_search_persisted"] = d["bm25_search"]
     d["incremental_bm25_search"] = d["bm25_search"]
+    # stream-maintained index == one-shot build row-for-row (append is
+    # idempotent + batch-order-independent) -> same oracle again
+    d["streaming_incremental_index"] = d["bm25_search"]
     # id-ordered incremental ingestion reproduces the one-shot
     # keep-first result exactly -> shares its oracle
     d["incremental_span_dedup"] = d["span_dedup_keep_first"]

@@ -102,3 +102,44 @@ def bounded_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet; event-time ops see a real
     timestamp column (see bounded_table_stream)."""
     return bounded_table_stream(spark, sf_dir, "events", ("ts",))
+
+
+def sharded_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_shards: int = 4,
+    time_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """readStream over a testdata table RESTAGED AS ``n_shards``
+    parquet files with ``maxFilesPerTrigger=1`` — so a bounded replay
+    actually arrives as n_shards distinct micro-batches instead of
+    one, exercising per-batch sinks (index appends, merges) the way a
+    real landing directory would.  The staging split is deterministic
+    (hash of the first column) and cached per source-file identity;
+    WHICH rows share a micro-batch never affects the idempotent sinks
+    this feeds, only that several batches occur."""
+    ensure_query_confs(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    digest = hashlib.sha256(
+        f"{path}:{int(st.st_mtime)}:{st.st_size}:{n_shards}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "rtdac_stream_sharded", digest)
+    marker = os.path.join(d, "_staged")
+    if not os.path.exists(marker):
+        src = spark.read.parquet(path)
+        (
+            src.repartition(n_shards, F.col(src.columns[0]))
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return normalize_time_cols(df, time_cols) if time_cols else df

@@ -539,3 +539,36 @@ def span_dedup_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def index_append_foreach_batch(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuously-ingesting inverted index: every micro-batch of
+    documents APPENDS into the persisted BM25 index (operators/
+    index.py::append_text_index — the first batch bootstraps the
+    build).  Exactly-once composes from two independent layers:
+    foreachBatch's at-least-once redelivery meets the append's own
+    anti-join idempotency (a replayed batch is a no-op) and its
+    pending-marker crash repair (a batch that died mid-append rolls
+    back before the retry applies) — so the finished index equals a
+    one-shot build over the whole corpus row-for-row NO MATTER how
+    the stream chopped or replayed it, and a search over it shares
+    the batch bm25_search oracle bit-for-bit."""
+    from real_time_data_analytics_cassandra_spark.operators.index import (
+        append_text_index,
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        append_text_index(batch, index_path, id_col, text_col)
+
+    return (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
