@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "media_wav_decode",
     "incremental_ann_search",
     "streaming_incremental_index",
+    "json_decode_quarantine",
+    "schema_evolution_read",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

@@ -269,6 +269,122 @@ def new_count_current_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts_op.count_with_zero_default(counted, wanted, "hour_bucket", "cnt", "new_count")
 
 
+def json_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter JSON decode (sources/streams.py::
+    parse_event_json_quarantine): the event log re-serialized to raw
+    JSON with a deterministic slice of messages CORRUPTED (event_id %
+    7 == 3 loses its last 5 bytes — always malformed), then decoded
+    PERMISSIVE with a corrupt-record column.  Valid rows count per
+    type; corrupted rows land in quarantine and are counted under
+    '__quarantined' — never silently null-filled, never a job
+    failure.  Full oracle: the corruption rule is deterministic, so
+    DuckDB knows exactly which rows must quarantine — the gate is
+    that Spark's PARSER classifies precisely those."""
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        EVENT_JSON_OPTIONS,
+        parse_event_json_quarantine,
+    )
+
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    ser = events.select(
+        "event_id",
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+            EVENT_JSON_OPTIONS,
+        ).alias("j"),
+    )
+    raw = ser.select(
+        F.when(
+            F.col("event_id") % 7 == 3,
+            F.expr("substring(j, 1, length(j) - 5)"),
+        )
+        .otherwise(F.col("j"))
+        .alias("raw_json")
+    )
+    valid, quarantined = parse_event_json_quarantine(raw)
+    counts = valid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    qrow = quarantined.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("__quarantined").alias("event_type"), "n"
+    )
+    return counts.unionByName(qrow).orderBy("event_type")
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema read across parquet GENERATIONS (sources/
+    evolution.py::evolved_read): generation 0 of the documents table
+    was written years ago with (doc_id int, text, source) — no lang,
+    no n_chars, narrower id type; generation 1 carries the full
+    current schema.  One evolved read serves both into the declared
+    schema: missing columns surface as typed NULLs, int widens to
+    bigint losslessly, and the per-generation audit proves which
+    NULLs are schema holes vs data.  Full oracle: the generation
+    split is deterministic (doc_id parity)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from real_time_data_analytics_cassandra_spark.sources.evolution import (
+        evolved_read,
+    )
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_evo_docs_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    marker = os.path.join(d, "_staged")
+    docs = table(spark, sf_dir, "documents")
+    if not os.path.exists(marker):
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").cast("int").alias("doc_id"), "text", "source")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .write.mode("append")
+            .parquet(d)
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    target = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    out = evolved_read(spark, d, target)
+    return (
+        out.groupBy((F.col("doc_id") % 2).cast("long").alias("generation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("lang").isNull(), 1))
+            .cast("long")
+            .alias("n_lang_null"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        )
+        .orderBy("generation")
+    )
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the raw message payload
     (cassandra_subscriber.py:103 json.loads; SURVEY.md F9/F10):
@@ -6692,6 +6808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_meta": multimodal_decode_meta,
         "media_wav_decode": media_wav_decode,
         "incremental_ann_search": incremental_ann_search,
+        "json_decode_quarantine": json_decode_quarantine,
+        "schema_evolution_read": schema_evolution_read,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,
@@ -6819,6 +6937,7 @@ _SIDE_EFFECT_NAMES = frozenset(
     {
         "bm25_search_persisted",  # builds the tempdir inverted index
         "amqp_replay_type_counts",  # writes the JSON dump fixture
+        "schema_evolution_read",  # stages the two-generation fixture
     }
 )
 
@@ -8431,6 +8550,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST((strlen(text) * 31) % 480 AS BIGINT) AS height,
                    CAST(strlen(text) % 16 AS BIGINT) AS n_frames
             FROM documents
+        """,
+        # corruption rule is deterministic (event_id % 7 == 3 chopped)
+        # -> the oracle knows exactly which rows must quarantine; the
+        # gate is that Spark's PARSER classifies precisely those
+        "json_decode_quarantine": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_id % 7 <> 3 GROUP BY event_type
+            UNION ALL
+            SELECT '__quarantined' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_id % 7 = 3
+            ORDER BY event_type
+        """,
+        # generation split is doc_id parity: gen 0 was written without
+        # lang/n_chars (schema holes -> typed NULLs), gen 1 is current
+        "schema_evolution_read": """
+            SELECT CAST(doc_id % 2 AS BIGINT) AS generation,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN (doc_id % 2) = 0 OR lang IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lang_null,
+                   CASE WHEN (doc_id % 2) = 0 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(sum(n_chars) AS BIGINT) END
+                       AS sum_n_chars
+            FROM documents GROUP BY doc_id % 2 ORDER BY generation
         """,
         # the WAV container is deterministic: 44-byte canonical header
         # + utf-8 text bytes as 8-bit mono PCM + RIFF pad to even

@@ -143,3 +143,36 @@ def sharded_table_stream(
         .parquet(d)
     )
     return normalize_time_cols(df, time_cols) if time_cols else df
+
+
+def parse_event_json_quarantine(
+    raw: DataFrame, json_col: str = "raw_json"
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE decode with a dead-letter split: rows whose payload
+    fails to parse land in a QUARANTINE frame carrying the raw bytes,
+    instead of silently becoming all-NULL rows (what a bare
+    ``from_json`` does) or failing the job (FAILFAST).  The reference
+    has no such guard — a malformed bus message raises inside the
+    subscriber callback and is redelivered forever
+    (cassandra_subscriber.py:103); at pipeline scale the only sane
+    contract is decode-what-parses + quarantine-the-rest for offline
+    inspection.  Returns (valid_df, quarantine_df); works identically
+    on batch and streaming inputs."""
+    schema = EVENT_JSON_SCHEMA + ", _corrupt STRING"
+    opts = {
+        **EVENT_JSON_OPTIONS,
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": "_corrupt",
+    }
+    parsed = raw.select(
+        F.col(json_col), F.from_json(F.col(json_col), schema, opts).alias("m")
+    )
+    valid = (
+        parsed.filter(F.col("m._corrupt").isNull())
+        .select("m.*")
+        .drop("_corrupt")
+    )
+    quarantined = parsed.filter(F.col("m._corrupt").isNotNull()).select(
+        F.col(json_col).alias("raw_json")
+    )
+    return valid, quarantined

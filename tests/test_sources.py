@@ -130,3 +130,66 @@ def test_amqp_dump_datasource_roundtrip(spark, tmp_path):
         F.get_json_object("body", "$.type").alias("type")
     ).groupBy("type").count()
     assert {r["type"] for r in typed.collect()} == {"customer", "product"}
+
+
+def test_quarantine_split_keeps_raw_bytes(spark):
+    """Malformed payloads must land in quarantine with their ORIGINAL
+    bytes (for offline inspection/replay) while valid rows decode
+    losslessly — never all-NULL ghost rows, never a job failure."""
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        parse_event_json_quarantine,
+    )
+
+    good = (
+        '{"event_id":1,"ts":"2024-01-02T03:04:05.000006Z","user_id":7,'
+        '"event_type":"signup","value":1.5,"props":"{}"}'
+    )
+    bad = '{"event_id":2,"ts":'
+    raw = spark.createDataFrame([(good,), (bad,)], "raw_json string")
+    valid, quar = parse_event_json_quarantine(raw)
+    vrows = valid.collect()
+    assert len(vrows) == 1
+    assert vrows[0]["event_id"] == 1 and vrows[0]["event_type"] == "signup"
+    assert vrows[0]["ts"].microsecond == 6  # lossless micros
+    qrows = quar.collect()
+    assert [r["raw_json"] for r in qrows] == [bad]  # original bytes
+
+
+def test_evolved_read_refuses_narrowing(spark, tmp_path):
+    """A generation stored WIDER than the declared column must refuse
+    at plan time (silent narrowing is corruption), while widening and
+    missing columns read cleanly."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from real_time_data_analytics_cassandra_spark.sources.evolution import (
+        evolved_read,
+    )
+
+    d = str(tmp_path / "gens")
+    spark.createDataFrame([(1, "a")], "id int, text string").write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", "fr")], "id long, text string, lang string"
+    ).write.mode("append").parquet(d)
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    rows = {r["id"]: r for r in evolved_read(spark, d, target).collect()}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "fr"
+
+    narrow = StructType([StructField("id", IntegerType())])
+    with pytest.raises(ValueError, match="does not losslessly widen"):
+        evolved_read(spark, d, narrow)
