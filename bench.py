@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "streaming_incremental_index",
     "json_decode_quarantine",
     "schema_evolution_read",
+    "purchase_attribution_cogrouped",
+    "multimodal_features_arrow",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

@@ -87,3 +87,88 @@ def asof_join(
         ],
     )
     return out
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: tuple[str, ...] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Same contract as :func:`asof_join`, expressed through Spark's
+    OTHER keyed-alignment primitive: ``groupBy(key).cogroup(...)
+    .applyInPandas`` — each key's two groups arrive together in one
+    Arrow task and a vectorized ``searchsorted`` does the at-or-before
+    lookup.
+
+    This exists (a) to cover the cogrouped-UDF API surface (SURVEY.md
+    §2.8) and (b) as the shape to reach for when per-key logic
+    outgrows what window expressions can say (model scoring over the
+    aligned pair, per-key state machines).  For the plain as-of
+    semantics the union-trick window IS the production path — it stays
+    whole-stage JVM; this is the Arrow-batched equivalent, proven
+    BIT-IDENTICAL to it in tests/test_properties.py.
+
+    Limitations vs the window form: one shuffle per side instead of
+    one total, and ``right_payload`` columns must be ATOMIC (tie-break
+    sorting happens in pandas; struct/array payloads are only
+    orderable JVM-side).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    r_cols = (right_ts, *right_payload)
+    r_schema = right.select(*r_cols).schema
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f"{f.name}{suffix}", f.dataType) for f in r_schema.fields]
+    )
+    left_cols = list(left.columns)
+    # ALIAS the right side to fresh internal names: when both sides
+    # derive from the same scan (self-cogroup), like-named attributes
+    # share expression ids and Spark's cogroup binding silently drops
+    # the right copy — a renamed Alias mints new ids and new names
+    internal = [f"__r{i}" for i in range(len(r_cols))]
+    r_int = right.select(
+        F.col(key).alias("__rk"),
+        *[F.col(c).alias(n) for c, n in zip(r_cols, internal)],
+    )
+
+    def fn(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = l_pdf[left_cols].copy()
+        if len(r_pdf):
+            # ascending (ts, payload...) sort => the LAST right row at
+            # or before each left ts is the greatest (ts, payload)
+            # tuple — the same tie-break the window form's struct
+            # ordering yields
+            r_sorted = r_pdf.sort_values(
+                by=internal, kind="mergesort"
+            ).reset_index(drop=True)
+            idx = (
+                np.searchsorted(
+                    r_sorted[internal[0]].to_numpy(),
+                    l_pdf[left_ts].to_numpy(),
+                    side="right",
+                )
+                - 1
+            )
+            for c, n in zip(r_cols, internal):
+                vals = r_sorted[n].to_numpy()
+                out[f"{c}{suffix}"] = [
+                    vals[i] if i >= 0 else None for i in idx
+                ]
+        else:
+            for c in r_cols:
+                out[f"{c}{suffix}"] = None
+        return out
+
+    return (
+        left.groupBy(key)
+        .cogroup(r_int.groupBy("__rk"))
+        .applyInPandas(fn, out_schema)
+    )

@@ -1148,6 +1148,35 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_attribution_cogrouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME as-of attribution through the cogrouped-UDF surface
+    (operators/asof.py::asof_join_cogrouped — groupBy().cogroup()
+    .applyInPandas, vectorized searchsorted per key group): proven
+    bit-identical to the union-trick window form, so it SHARES
+    purchase_attribution's oracle.  Covers SURVEY §2.8's cogrouped
+    API; the window form stays the production default."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    )
+    joined = asof_op.asof_join_cogrouped(
+        purchases, signups, "user_id", "ts", "ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("signup_ts"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof"))
+        .cast("long")
+        .alias("micros_since_signup"),
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), operators/sessions.py."""
     ensure_query_confs(spark)
@@ -1924,6 +1953,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
     feats = mm_op.extract_features(
+        mm_op.attach_binary_payload(docs, "doc_id", "text")
+    )
+    return feats.select(
+        "doc_id",
+        F.posexplode("features").alias("feature_idx", "value"),
+    ).select(
+        "doc_id",
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        "value",
+    )
+
+
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME feature extraction through ``mapInArrow`` (operators/
+    multimodal.py::extract_features_arrow — pyarrow RecordBatches end
+    to end, no pandas copies): bit-identical to the pandas form, so it
+    SHARES multimodal_features' oracle.  Covers the pure-Arrow batch
+    UDF surface."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    feats = mm_op.extract_features_arrow(
         mm_op.attach_binary_payload(docs, "doc_id", "text")
     )
     return feats.select(
@@ -6810,6 +6860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
         "schema_evolution_read": schema_evolution_read,
+        "purchase_attribution_cogrouped": purchase_attribution_cogrouped,
+        "multimodal_features_arrow": multimodal_features_arrow,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,
@@ -10383,6 +10435,10 @@ def oracle_sql() -> dict[str, str]:
     # stream-maintained index == one-shot build row-for-row (append is
     # idempotent + batch-order-independent) -> same oracle again
     d["streaming_incremental_index"] = d["bm25_search"]
+    # cogrouped as-of is bit-identical to the window form (tested)
+    d["purchase_attribution_cogrouped"] = d["purchase_attribution"]
+    # mapInArrow feature extraction == the pandas form bit-for-bit
+    d["multimodal_features_arrow"] = d["multimodal_features"]
     # id-ordered incremental ingestion reproduces the one-shot
     # keep-first result exactly -> shares its oracle
     d["incremental_span_dedup"] = d["span_dedup_keep_first"]

@@ -275,6 +275,8 @@ _ARROW_QUERIES = {
     "ann_pq",
     "ann_ivfpq",
     "incremental_ann_search",  # persisted-index probe, same Arrow stages
+    "purchase_attribution_cogrouped",  # cogroup applyInPandas surface
+    "multimodal_features_arrow",  # mapInArrow surface
     "embedding_pca_norms",
     "udtf_token_windows",
     "heavy_hitter_tokens",  # Misra-Gries partition summaries

@@ -835,3 +835,39 @@ def test_skew_probe_memo_invalidates_on_new_data(spark, tmp_path):
     ).write.mode("append").parquet(path)
     share2 = _probe_max_key_share(spark.read.parquet(path), "k", 1)
     assert share2 < 0.1, "stale memoized share survived the append"
+
+
+def test_cogrouped_asof_bit_identical_to_window_form(spark):
+    """asof_join_cogrouped (cogroup + applyInPandas + searchsorted)
+    must return EXACTLY the union-trick window form's rows — including
+    no-prior-right NULLs, inclusive equal-timestamp matches, and
+    right-side timestamp ties (greatest payload wins)."""
+    from real_time_data_analytics_cassandra_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k int, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        # k=1: tie at t=10 (payloads 100 vs 101 -> 101 wins);
+        # k=2: only later rows (no match); k=4: right-only key
+        [(1, 10, 100), (1, 10, 101), (1, 15, 102), (2, 8, 200), (4, 1, 400)],
+        "k int, t long, pay int",
+    )
+    a = sorted(
+        map(tuple, asof_join(left, right, "k", "t", "t", ("pay",)).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            asof_join_cogrouped(left, right, "k", "t", "t", ("pay",)).collect(),
+        )
+    )
+    assert a == b
+    got = {(r[0], r[1]): (r[3], r[4]) for r in b}
+    assert got[(1, 10)] == (10, 101)  # inclusive + tie-break
+    assert got[(1, 5)] == (None, None)  # no prior right row
+    assert got[(2, 7)] == (None, None)
