@@ -70,6 +70,17 @@ BUDGETS = {
     "part_pagerank": 0,
     "entity_match_parts": 9,
     "entity_sorted_neighborhood": 3,
+    # round 6: bounded two-phase top-k (2 ranking exchanges by design),
+    # prefix-filtered joins, and the new source/decode surfaces
+    "knn_bruteforce": 2,
+    "hard_negative_mining": 3,
+    "containment_near_dup": 10,
+    "ngram_jaccard_prefix": 9,
+    "media_wav_decode": 2,
+    "json_decode_quarantine": 3,
+    "schema_evolution_read": 2,
+    "purchase_attribution_cogrouped": 2,
+    "multimodal_features_arrow": 1,
 }
 
 
