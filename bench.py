@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "schema_evolution_read",
     "purchase_attribution_cogrouped",
     "multimodal_features_arrow",
+    "weighted_median_prices",
+    "weighted_median_prices_vudf",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

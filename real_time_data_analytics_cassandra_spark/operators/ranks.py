@@ -27,6 +27,7 @@ results are deterministic and engine-portable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -165,3 +166,33 @@ def rrf_fuse(
             "fused_rank",
         )
     )
+
+
+def weighted_median_udf():
+    """GROUPED_AGG pandas_udf computing the exact weighted median in
+    integer units: smallest value whose cumulative weight reaches half
+    the group total (2*cum >= total).  Lives here (not inline in
+    queries.py) so the ``pd.Series`` type hints resolve against a
+    module whose globals carry pandas — under ``from __future__ import
+    annotations`` hints are strings and pyspark evaluates them in the
+    DEFINING module's namespace.
+
+    Scale caveat by design: a grouped-agg pandas UDF materializes each
+    group's columns in one task — right for bounded-cardinality
+    groups; the key-partitioned cumulative window
+    (queries.weighted_median_prices) is the unbounded-group path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def wmedian(p: pd.Series, w: pd.Series) -> int:
+        df = (
+            pd.DataFrame({"p": p, "w": w})
+            .groupby("p", as_index=False)
+            .sum()
+            .sort_values("p")
+        )
+        cw = df["w"].cumsum()
+        tot = int(df["w"].sum())
+        return int(df["p"][2 * cw >= tot].iloc[0])
+
+    return wmedian

@@ -1381,6 +1381,78 @@ def filtered_parts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_price_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, p=price cents, w=quantity) — the shared input of
+    the two weighted-median forms.  Cents via floor(x*100 + 0.5): both
+    engines floor IEEE doubles identically (a bare BIGINT cast would
+    truncate in Spark but round in DuckDB)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("p"),
+        F.floor("l_quantity").cast("long").alias("w"),
+    )
+
+
+def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag: the
+    smallest price whose cumulative weight reaches half the group's
+    total (2*cum >= total — integer arithmetic, no interpolation
+    ambiguity).  The JVM scale path: pre-aggregate to (flag, price)
+    weight sums, one key-partitioned cumulative window — group
+    cardinality bounds the window input, never the fact table."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    g = (
+        _weighted_price_rel(spark, sf_dir)
+        .groupBy("l_returnflag", "p")
+        .agg(F.sum("w").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = g.withColumn("cw", F.sum("w").over(wcum)).withColumn(
+        "tot", F.sum("w").over(wtot)
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("p").cast("long").alias("wmedian_cents"))
+        .orderBy("l_returnflag")
+    )
+
+
+def weighted_median_prices_vudf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME weighted median through the GROUPED_AGG pandas_udf
+    surface (SURVEY §2.8's last uncovered UDF form): one vectorized
+    Arrow aggregate per group.  Bit-identical inputs and definition,
+    so it SHARES weighted_median_prices' oracle.  Scale caveat by
+    design: a grouped-agg pandas UDF materializes each group in one
+    task — right for bounded-cardinality groups like these three
+    flags' price histograms; the window form is the unbounded-group
+    path."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        weighted_median_udf,
+    )
+
+    wmedian = weighted_median_udf()
+    return (
+        _weighted_price_rel(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(wmedian("p", "w").alias("wmedian_cents"))
+        .orderBy("l_returnflag")
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / p90) of event value per
     type — distribution analysis the reference's COUNT/SUM surface
@@ -6862,6 +6934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": schema_evolution_read,
         "purchase_attribution_cogrouped": purchase_attribution_cogrouped,
         "multimodal_features_arrow": multimodal_features_arrow,
+        "weighted_median_prices": weighted_median_prices,
+        "weighted_median_prices_vudf": weighted_median_prices_vudf,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,
@@ -8602,6 +8676,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST((strlen(text) * 31) % 480 AS BIGINT) AS height,
                    CAST(strlen(text) % 16 AS BIGINT) AS n_frames
             FROM documents
+        """,
+        # exact weighted median: smallest price whose cumulative
+        # weight reaches half the total (integer arithmetic)
+        "weighted_median_prices": """
+            WITH t AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+                       CAST(floor(l_quantity) AS BIGINT) AS w
+                FROM lineitem
+            ),
+            g AS (
+                SELECT l_returnflag, p, sum(w) AS w
+                FROM t GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_returnflag, p,
+                       sum(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY p) AS cw,
+                       sum(w) OVER (PARTITION BY l_returnflag) AS tot
+                FROM g
+            )
+            SELECT l_returnflag,
+                   CAST(min(p) AS BIGINT) AS wmedian_cents
+            FROM c WHERE 2 * cw >= tot
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # corruption rule is deterministic (event_id % 7 == 3 chopped)
         # -> the oracle knows exactly which rows must quarantine; the
@@ -10439,6 +10538,8 @@ def oracle_sql() -> dict[str, str]:
     d["purchase_attribution_cogrouped"] = d["purchase_attribution"]
     # mapInArrow feature extraction == the pandas form bit-for-bit
     d["multimodal_features_arrow"] = d["multimodal_features"]
+    # grouped-agg pandas_udf == the JVM window form (same definition)
+    d["weighted_median_prices_vudf"] = d["weighted_median_prices"]
     # id-ordered incremental ingestion reproduces the one-shot
     # keep-first result exactly -> shares its oracle
     d["incremental_span_dedup"] = d["span_dedup_keep_first"]

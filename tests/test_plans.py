@@ -277,6 +277,7 @@ _ARROW_QUERIES = {
     "incremental_ann_search",  # persisted-index probe, same Arrow stages
     "purchase_attribution_cogrouped",  # cogroup applyInPandas surface
     "multimodal_features_arrow",  # mapInArrow surface
+    "weighted_median_prices_vudf",  # grouped-agg pandas_udf surface
     "embedding_pca_norms",
     "udtf_token_windows",
     "heavy_hitter_tokens",  # Misra-Gries partition summaries
