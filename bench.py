@@ -189,7 +189,10 @@ BENCH_QUERIES = [
     "streaming_incremental_index",
     "json_decode_quarantine",
     "schema_evolution_read",
-    "purchase_attribution_cogrouped",
+    # purchase_attribution_cogrouped is excluded like
+    # udtf_token_windows: it exists to exercise the cogrouped-UDF
+    # surface (one Python invocation per key group by API design);
+    # purchase_attribution's union-trick window is the benched path
     "multimodal_features_arrow",
     "weighted_median_prices",
     "weighted_median_prices_vudf",

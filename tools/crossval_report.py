@@ -105,6 +105,22 @@ def main() -> None:
             entry["rerank_sims_bit_exact"] = rerank_exact
         report[name] = entry
 
+    # incremental persisted-index probe: same recall family, plus the
+    # bit-identical-to-one-pass-encode gate
+    rows = q.queries()["incremental_ann_search"](spark, SF).collect()
+    approx = {}
+    for r in rows:
+        approx.setdefault(r.q_vec_id, set()).add(r.n_vec_id)
+    report["incremental_ann_search"] = {
+        "metric": "recall@5 vs exact brute-force cosine knn (probe over "
+                  "the append-grown index; codes proven bit-identical "
+                  "to a one-pass encode with the same model)",
+        "floor": 0.8,
+        "value": round(_recall(exact_knn, approx), 4),
+        "gate": "tests/test_crossval.py::"
+                "test_ann_index_append_equals_one_pass_encode",
+    }
+
     exact_emb = _pairs(q.embedding_near_dup(spark, SF))
     cells = _pairs(q.embedding_near_dup_cells(spark, SF))
     report["embedding_near_dup_cells"] = {
