@@ -86,6 +86,10 @@ BUDGETS = {
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_exchange_budget_holds(spark, name):
+    # count on a cache-free plan: an InMemoryRelation left behind by an
+    # earlier test embeds its (never re-executed) child exchanges into
+    # every consumer's printed plan, inflating the count spuriously
+    spark.catalog.clearCache()
     df = q.queries()[name](spark, SF_SMOKE)
     n = operator_count(df, "Exchange")
     assert n <= BUDGETS[name], (
