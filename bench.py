@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "multimodal_features_arrow",
     "weighted_median_prices",
     "weighted_median_prices_vudf",
+    "robust_value_outliers",
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",

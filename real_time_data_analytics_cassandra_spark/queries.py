@@ -1453,6 +1453,89 @@ def weighted_median_prices_vudf(
     )
 
 
+def robust_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier audit per event type: lower median
+    and median-absolute-deviation in integer cents, plus the count of
+    events beyond 3 MADs — the outlier gate that, unlike the z-score
+    family (value_zscores), a few extreme values cannot drag (mean and
+    stddev are themselves corrupted by the outliers they're supposed
+    to find).
+
+    Scale shape: ONE fact scan into a (type, cents) histogram; median,
+    deviation histogram, MAD, and the outlier counts are all computed
+    on grouped rows (<= types x distinct values) via key-partitioned
+    cumulative windows and <= |types|-row broadcasts — the fact table
+    is never rescanned or re-shuffled.  Integer arithmetic end to end
+    (lower-median definition: smallest value whose doubled cumulative
+    weight reaches the total), FULL oracle."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    g = (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    med = (
+        g.withColumn("cw", F.sum("w").over(wcum))
+        .withColumn("tot", F.sum("w").over(wtot))
+        .filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("med"))
+    )
+    d = (
+        g.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("c") - F.col("med")).alias("dev"), "w"
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("w").alias("w"))
+    )
+    dcum = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mad = (
+        d.withColumn("cw", F.sum("w").over(dcum))
+        .withColumn("tot", F.sum("w").over(wtot))
+        .filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.sum("w").cast("long").alias("n"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), F.col("w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.col("med").cast("long").alias("median_cents"),
+            F.col("mad").cast("long").alias("mad_cents"),
+            "n",
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / p90) of event value per
     type — distribution analysis the reference's COUNT/SUM surface
@@ -6936,6 +7019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_arrow": multimodal_features_arrow,
         "weighted_median_prices": weighted_median_prices,
         "weighted_median_prices_vudf": weighted_median_prices_vudf,
+        "robust_value_outliers": robust_value_outliers,
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,
@@ -8701,6 +8785,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(p) AS BIGINT) AS wmedian_cents
             FROM c WHERE 2 * cw >= tot
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # robust stats, integer cents: lower median (2*cum >= total),
+        # MAD as the lower median of absolute deviations, 3-MAD gate
+        "robust_value_outliers": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                       count(*) AS w
+                FROM events GROUP BY 1, 2
+            ),
+            medt AS (
+                SELECT event_type, min(c) AS med FROM (
+                    SELECT event_type, c,
+                           sum(w) OVER (PARTITION BY event_type
+                                        ORDER BY c) AS cw,
+                           sum(w) OVER (PARTITION BY event_type) AS tot
+                    FROM g
+                ) WHERE 2 * cw >= tot GROUP BY event_type
+            ),
+            d AS (
+                SELECT g.event_type, abs(g.c - medt.med) AS dev,
+                       sum(g.w) AS w
+                FROM g JOIN medt USING (event_type) GROUP BY 1, 2
+            ),
+            madt AS (
+                SELECT event_type, min(dev) AS mad FROM (
+                    SELECT event_type, dev,
+                           sum(w) OVER (PARTITION BY event_type
+                                        ORDER BY dev) AS cw,
+                           sum(w) OVER (PARTITION BY event_type) AS tot
+                    FROM d
+                ) WHERE 2 * cw >= tot GROUP BY event_type
+            )
+            SELECT d.event_type,
+                   CAST(medt.med AS BIGINT) AS median_cents,
+                   CAST(madt.mad AS BIGINT) AS mad_cents,
+                   CAST(sum(d.w) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN d.dev > 3 * madt.mad THEN d.w
+                                 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d
+            JOIN madt USING (event_type)
+            JOIN medt USING (event_type)
+            GROUP BY 1, 2, 3 ORDER BY 1
         """,
         # corruption rule is deterministic (event_id % 7 == 3 chopped)
         # -> the oracle knows exactly which rows must quarantine; the
