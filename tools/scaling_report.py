@@ -59,6 +59,12 @@ QUERIES = [
     ("incremental BM25 index", "incremental_bm25_search"),
     ("curriculum shards", "curriculum_shards"),
     ("real WAV decode", "media_wav_decode"),
+    ("dead-letter JSON decode", "json_decode_quarantine"),
+    ("schema-evolution read", "schema_evolution_read"),
+    ("robust median/MAD", "robust_value_outliers"),
+    ("weighted median", "weighted_median_prices"),
+    ("incremental ANN index", "incremental_ann_search"),
+    ("stream-maintained index", "streaming_incremental_index"),
 ]
 
 OUT = os.path.join(
