@@ -159,12 +159,25 @@ def asof_join_cogrouped(
             )
             for c, n in zip(r_cols, internal):
                 vals = r_sorted[n].to_numpy()
-                out[f"{c}{suffix}"] = [
-                    vals[i] if i >= 0 else None for i in idx
-                ]
+                data = [vals[i] if i >= 0 else None for i in idx]
+                if data:
+                    # pandas infers the right dtype (datetime64 with
+                    # NaT, numeric with NaN-as-null) from the values
+                    out[f"{c}{suffix}"] = data
+                else:
+                    # EMPTY left group (right-only key): an empty list
+                    # would infer float64, which Arrow refuses to cast
+                    # to timestamp — empty object is castable to any
+                    out[f"{c}{suffix}"] = pd.Series(
+                        [], index=out.index, dtype="object"
+                    )
         else:
             for c in r_cols:
-                out[f"{c}{suffix}"] = None
+                out[f"{c}{suffix}"] = (
+                    None
+                    if len(out)
+                    else pd.Series([], index=out.index, dtype="object")
+                )
         return out
 
     return (

@@ -871,3 +871,34 @@ def test_cogrouped_asof_bit_identical_to_window_form(spark):
     assert got[(1, 10)] == (10, 101)  # inclusive + tie-break
     assert got[(1, 5)] == (None, None)  # no prior right row
     assert got[(2, 7)] == (None, None)
+
+
+@given(rows=events_strategy, right_times=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.integers(min_value=0, max_value=10_000)),
+    max_size=20,
+))
+@SET
+def test_cogrouped_asof_matches_window_form_random(spark, rows, right_times):
+    """Property form of the bit-equality gate: over random event sets
+    and right tables (including right-only keys, left-only keys, tied
+    and equal timestamps) the cogrouped as-of must return EXACTLY the
+    union-trick window form's rows."""
+    from real_time_data_analytics_cassandra_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = _events_df(spark, rows)
+    right = spark.createDataFrame(
+        right_times or [(99, 0)], ["user_id", "t"]
+    ).select("user_id", F.timestamp_seconds("t").alias("ts")).distinct()
+
+    a = sorted(map(tuple, asof_join(left, right, "user_id", "ts", "ts").collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join_cogrouped(left, right, "user_id", "ts", "ts").collect(),
+        )
+    )
+    assert a == b
