@@ -902,3 +902,80 @@ def test_cogrouped_asof_matches_window_form_random(spark, rows, right_times):
         )
     )
     assert a == b
+
+
+@given(rows=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=30),     # score (ties likely)
+    ),
+    min_size=1,
+    max_size=60,
+).map(lambda rs: [(k, i, float(s)) for i, (k, s) in enumerate(rs)]))
+@SET
+def test_bounded_topk_random_matches_naive(spark, rows):
+    """Randomized bit-equality for the salted two-phase top-k: heavy
+    ties, skewed keys, k spanning under- and over-full buckets."""
+    from pyspark.sql import Window
+
+    from real_time_data_analytics_cassandra_spark.operators.topk import (
+        bounded_topk_per_key,
+    )
+
+    df = spark.createDataFrame(rows, "key int, item int, score double")
+    order = [F.desc("score"), F.asc("item")]
+    for k in (1, 4):
+        naive = sorted(
+            map(
+                tuple,
+                df.withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Window.partitionBy("key").orderBy(*order)
+                    ),
+                )
+                .filter(F.col("rank") <= k)
+                .collect(),
+            )
+        )
+        bounded = sorted(
+            map(
+                tuple,
+                bounded_topk_per_key(
+                    df, ["key"], order, k, ["item"], buckets=3
+                ).collect(),
+            )
+        )
+        assert bounded == naive, k
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=6,
+))
+@SET
+def test_containment_prefix_random_matches_naive(spark, texts):
+    """Randomized losslessness for the asymmetric prefix filter: tiny
+    low-entropy vocabularies force heavy shingle sharing, subset
+    texts, and exact-threshold boundary pairs."""
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    naive = sorted(
+        map(tuple, containment_pairs(df, "doc_id", "text", 2, 0.5).collect())
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            containment_prefix_pairs(df, "doc_id", "text", 2, 0.5).collect(),
+        )
+    )
+    assert pruned == naive
