@@ -6563,6 +6563,16 @@ def streaming_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), "rtdac_ckpt_stream_idx_" + stamp
     )
+    # orphaned checkpoint guard: if the index was cleaned up but its
+    # checkpoint survived, the resumed stream would deliver nothing
+    # and the search would read a missing index — drop the checkpoint
+    # so the replay rebuilds from scratch
+    if os.path.exists(ckpt) and not os.path.exists(
+        os.path.join(idx_dir, "docstats")
+    ):
+        import shutil
+
+        shutil.rmtree(ckpt)
     stream = sharded_table_stream(spark, sf_dir, "documents", n_shards=4)
     q = index_append_foreach_batch(stream, idx_dir, ckpt)
     q.awaitTermination()
