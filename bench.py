@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",
+    "part_triangle_clustering",
     "kmv_user_overlap",
     "entity_match_parts",
     "entity_sorted_neighborhood",

@@ -174,6 +174,121 @@ def pagerank(
     return ranks.select("id", F.col("r").alias("rank_micro"))
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Exact per-vertex triangle counts over an UNDIRECTED simple
+    graph given as (src, dst) pairs (either orientation; duplicates
+    and self-loops are dropped).  Output: (id, deg, triangles) for
+    every vertex incident to at least one edge.
+
+    Degree-ordered orientation — the standard scale-safe exact
+    formulation: each undirected edge is directed from its lower
+    (degree, id) endpoint to its higher one; a triangle {u,v,w} then
+    has exactly one vertex with both its triangle edges pointing
+    outward, so counting, per oriented edge u→v, the size of
+    out(u) ∩ out(v) finds every triangle exactly once.  The
+    intersection runs on SORTED out-neighbor ARRAYS joined onto the
+    edge list (codegen `array_intersect`), so no wedge row is ever
+    materialized or shuffled — the naive wedge join ships
+    Σ outdeg·(outdeg−1)/2 three-column rows through an exchange;
+    this form ships each adjacency array once.
+
+    Why this survives hubs at 100 TB: a celebrity vertex with degree
+    d would generate d·(d−1)/2 wedges under naive neighbor-pairing;
+    under degree orientation every out-degree is bounded by O(√m)
+    (a vertex keeps an out-edge only toward HIGHER-degree neighbors,
+    and at most 2√m vertices can have degree ≥ √m), so adjacency
+    arrays stay O(√m) elements — a hub's full neighborhood never
+    collects — and total intersection work is O(m^1.5) worst case
+    instead of Σ d².  Both adjacency joins are equi-joins on the
+    vertex key, hash-partitioned and AQE-sized.  The |V|-row degree
+    table broadcasts onto the edge list.
+
+    Everything is exact integer arithmetic; the result is a pure
+    function of the edge SET (orientation ties broken by id), so it
+    is reproducible under any partitioning and ANSI-SQL expressible
+    for oracle comparison.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        F.broadcast(deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))),
+        "a",
+    ).join(
+        F.broadcast(deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))),
+        "b",
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    ).localCheckpoint(eager=True)
+    # sorted out-neighbor array per source vertex; O(√m) elements max
+    adj = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("t")).alias("nbrs")
+    )
+    closed = (
+        oriented.select(F.col("s").alias("eu"), F.col("t").alias("ev"))
+        .join(
+            adj.select(F.col("s").alias("eu"), F.col("nbrs").alias("nbrs_u")),
+            "eu",
+        )
+        .join(
+            adj.select(F.col("s").alias("ev"), F.col("nbrs").alias("nbrs_v")),
+            "ev",
+        )
+        .select(
+            "eu",
+            "ev",
+            F.array_intersect("nbrs_u", "nbrs_v").alias("wset"),
+        )
+        .withColumn("n", F.size("wset"))
+        .filter(F.col("n") > 0)
+    )
+    # ONE pass over the per-edge intersections: each edge (u,v) with
+    # |wset| closing vertices contributes |wset| triangles to u and
+    # to v, and 1 to each w — exploded as (id, c) pairs so the
+    # expensive join pipeline executes once, not three times
+    contrib = F.concat(
+        F.array(
+            F.struct(F.col("eu").alias("id"), F.col("n").alias("c")),
+            F.struct(F.col("ev").alias("id"), F.col("n").alias("c")),
+        ),
+        F.transform(
+            "wset",
+            lambda w: F.struct(w.alias("id"), F.lit(1).alias("c")),
+        ),
+    )
+    per_vertex = (
+        closed.select(F.explode(contrib).alias("kv"))
+        .select("kv.id", "kv.c")
+        .groupBy("id")
+        .agg(F.sum("c").alias("triangles"))
+    )
+    return deg.join(per_vertex, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_docs: DataFrame,

@@ -5915,6 +5915,60 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count and local clustering coefficient per part
+    over the co-purchase graph (parts linked when some order contains
+    both) — "is this product bought inside a tight bundle or across
+    unrelated baskets", the cohesion upgrade of :func:`part_affinity`'s
+    pairwise lift and the third member of the graph family
+    (components, PageRank, triangles).
+
+    Exactness: operators/graph.py::triangle_counts is all-integer and
+    a pure function of the edge SET; the clustering coefficient is
+    reported in integer micro-units (2e6·tri div deg·(deg−1) — the
+    floor of 1e6·(2·tri / deg·(deg−1))), so the three-way-join oracle
+    reproduces it bit-for-bit with no float rounding anywhere.
+
+    Scale shape: edges are the per-order self-join (bounded by
+    items-per-order squared); triangle counting uses degree-ordered
+    orientation, so wedge generation is O(m^1.5) worst case instead
+    of Σdeg² — a hub part never fans out its neighbor pairs — and
+    every step is an equi-join or aggregate on the vertex key.  The
+    |parts|-row degree table broadcasts.  Top-100 by TakeOrdered."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+        .join(
+            op.select(F.col("l_orderkey"), F.col("l_partkey").alias("v")),
+            "l_orderkey",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    tc = triangle_counts(edges, "u", "v")
+    return (
+        tc.select(
+            F.col("id").alias("p_partkey"),
+            F.col("deg").cast("long").alias("deg"),
+            F.col("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(2000000 * triangles) div (deg * (deg - 1))")
+            )
+            .alias("clustering_micro"),
+        )
+        .orderBy(F.desc("triangles"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 4) -> str:
     """Unrolled ANSI-SQL mirror of operators/graph.py::pagerank over
     the part co-purchase graph: one CTE pair (contribs, ranks) per
@@ -6967,6 +7021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
+        "part_triangle_clustering": part_triangle_clustering,
         "kmv_user_overlap": kmv_user_overlap,
         "entity_match_parts": entity_match_parts,
         "entity_sorted_neighborhood": entity_sorted_neighborhood,
@@ -7325,6 +7380,43 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stage_idx
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
+        "part_triangle_clustering": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e
+                ) GROUP BY id
+            ),
+            tri AS (
+                -- each triangle x<y<z found exactly once via its
+                -- id-ordered edges (x,y), (y,z), (x,z)
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            att AS (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y AS id FROM tri
+                UNION ALL SELECT z AS id FROM tri
+            ),
+            t AS (SELECT id, count(*) AS triangles FROM att GROUP BY id)
+            SELECT d.id AS p_partkey,
+                   CAST(d.deg AS BIGINT) AS deg,
+                   CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+                   CAST(CASE WHEN d.deg < 2 THEN 0
+                        ELSE (2000000 * coalesce(t.triangles, 0))
+                             // (d.deg * (d.deg - 1))
+                        END AS BIGINT) AS clustering_micro
+            FROM deg d LEFT JOIN t ON t.id = d.id
+            ORDER BY triangles DESC, p_partkey ASC
+            LIMIT 100
+        """,
         "kmv_user_overlap": _kmv_overlap_oracle_sql(256),
         "chi2_type_daypart": """
             WITH cells AS (
