@@ -282,7 +282,16 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.sum("c").alias("triangles"))
     )
-    return deg.join(per_vertex, "id", "left").select(
+    # degrees for the OUTPUT come from the checkpointed oriented leaf
+    # (deg(id) = occurrences of id as either endpoint — each edge is
+    # stored once), not from `deg` above, whose lineage would re-run
+    # the entire upstream edge build a second time
+    deg_out = (
+        oriented.select(F.explode(F.array("s", "t")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg_out.join(per_vertex, "id", "left").select(
         "id",
         "deg",
         F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),

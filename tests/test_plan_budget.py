@@ -66,8 +66,12 @@ BUDGETS = {
     "sampled_revenue_estimate": 2,
     "value_deciles": 2,
     "cms_token_counts": 5,
-    # graph / linkage (post-loop leaves for the iterative ones)
+    # graph / linkage (post-loop leaves for the iterative ones;
+    # triangle counting: adjacency build + 2 adjacency joins +
+    # contribution regroup + output-degree regroup over the
+    # checkpointed oriented-edge leaf)
     "part_pagerank": 0,
+    "part_triangle_clustering": 6,
     "entity_match_parts": 9,
     "entity_sorted_neighborhood": 3,
     # round 6: bounded two-phase top-k (2 ranking exchanges by design),

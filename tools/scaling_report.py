@@ -48,6 +48,7 @@ QUERIES = [
     ("NB classifier", "nb_lang_classifier"),
     ("ANN IVF-PQ", "ann_ivfpq"),
     ("graph PageRank", "part_pagerank"),
+    ("graph triangles", "part_triangle_clustering"),
     ("KMV sketches", "kmv_user_overlap"),
     ("CMS join estimate", "join_size_estimate_cms"),
     ("CUSUM series", "hourly_value_cusum"),
