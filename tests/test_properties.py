@@ -979,3 +979,36 @@ def test_containment_prefix_random_matches_naive(spark, texts):
         )
     )
     assert pruned == naive
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=1,
+    max_size=30,
+).map(lambda es: [(a, b) for a, b in es if a != b] or [(0, 1)]))
+@SET
+def test_triangle_counts_matches_triple_enumeration(spark, edges):
+    """triangle_counts (degree-ordered orientation + adjacency-array
+    intersection) vs brute-force enumeration of all vertex triples,
+    on random multigraphs with both edge orientations present."""
+    import itertools
+
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.id: (r.deg, r.triangles) for r in triangle_counts(df).collect()
+    }
+
+    es = {tuple(sorted(e)) for e in edges}
+    verts = sorted({x for e in es for x in e})
+    tri = {v: 0 for v in verts}
+    for a, b, c in itertools.combinations(verts, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            for v in (a, b, c):
+                tri[v] += 1
+    deg = {v: sum(1 for e in es if v in e) for v in verts}
+    assert got == {v: (deg[v], tri[v]) for v in verts}
