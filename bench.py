@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "embedding_norm_stats",
     "streaming_multi_granularity_counts",
     "hll_reaggregated_users",
+    "hdr_value_percentiles",
     "approx_value_percentiles",
     "value_histogram",
     "value_psi_drift",

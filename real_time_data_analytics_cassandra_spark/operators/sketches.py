@@ -337,3 +337,107 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
     return ip.agg(F.min("ip").cast("long").alias("est"))
+
+# ---------------------------------------------------------------- HDR
+# Deterministic mergeable QUANTILE sketch (HDR-histogram style): the
+# fourth sketch family next to MG (frequency, lower-bound error), CMS
+# (frequency, upper-bound error), and KMV/HLL (cardinality).  Values
+# are non-negative integers (money in cents here); a value c belongs
+# to the bucket whose id IS c truncated to its top ``p + 1``
+# significant bits — lower bound lb = (c >> s) << s with
+# s = max(bitlen(c) - 1 - p, 0).  Every value in a bucket is within a
+# factor (1 + 2^-p) of lb, so a quantile read off the histogram as
+# "lower bound of the bucket holding rank r" UNDER-estimates the true
+# quantile by at most that relative factor (asserted against exact
+# percentiles in tests/test_crossval.py).
+#
+# Why this shape and not t-digest/KLL/GK: those are randomized or
+# insertion-order-sensitive in their compaction, so two runs (or
+# Spark vs an oracle engine) can legally disagree.  The HDR bucket
+# function is a pure integer expression — bitlen via length(bin(c)),
+# two shifts — that evaluates identically in Spark SQL and the DuckDB
+# oracle, so the sketch AND every quantile read off it are bit-exact
+# and fully oracle-gated, while staying MERGEABLE (Agarwal et al.,
+# PODS'12 sense): a sketch is (group, lb, cnt) rows; merging = sum
+# counts per (group, lb), associative and re-aggregatable across any
+# pre-computed rollup (per-day -> per-type here).
+#
+# At 100 TB: the build is ONE map-side-combined aggregation — bucket
+# counts collapse per partition before the exchange, so ≤ B rows ship
+# per partition where B ≤ (64 - p) * 2^p + 2^(p+1) ≈ 1.9k for p = 5,
+# however large the input.  Merges and quantile reads then run over
+# the tiny bucket relation (a per-group window over ≤ B rows).
+# Contrast percentile_approx: also one pass, but its summary is
+# opaque, not re-aggregatable from stored per-day rollups, and not
+# reproducible cross-engine.
+
+
+def hdr_bucket_lb_sql(expr: str, p: int = 5) -> str:
+    """SQL expression for the HDR bucket lower bound of the
+    non-negative integer expression ``expr``: clears all but the top
+    ``p + 1`` significant bits.  Shared VERBATIM by the Spark side
+    (via F.expr) and the DuckDB oracles — the portability contract,
+    so only functions both engines define identically appear here:
+    bin()/length() for the bit length, power(2, s) (a power of two is
+    an exact IEEE double for any s), floor(), cast.  Exact for
+    0 <= expr < 2^53 (the double mantissa; money-in-cents stays far
+    below) — a full-BIGINT variant would need each engine's own shift
+    operator and forfeit the shared text.  0 maps to lb = 0."""
+    s = f"greatest(length(bin({expr})) - 1 - {p}, 0)"
+    return (
+        f"CAST(floor(({expr}) / power(2, {s})) * power(2, {s}) AS BIGINT)"
+    )
+
+
+def hdr_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 5,
+) -> DataFrame:
+    """Build HDR sketches over non-negative integer ``value_col``:
+    one (group_cols..., lb, cnt) row per occupied bucket.  A single
+    map-side-combined aggregation — the partial groupBy collapses
+    each partition to <= B bucket rows before the exchange."""
+    lb = F.expr(hdr_bucket_lb_sql(value_col, p))
+    return (
+        df.select(*group_cols, lb.alias("lb"))
+        .groupBy(*group_cols, "lb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches down to ``group_cols`` (e.g. per-(type, day) ->
+    per-type): sum counts per bucket.  Associative — any rollup tree
+    over stored sketch rows yields the identical merged sketch."""
+    return sketch.groupBy(*group_cols, "lb").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+) -> DataFrame:
+    """Read quantiles off a merged sketch: for each q, the lower
+    bound of the bucket holding rank ceil(q * n) (1-based, the
+    smallest lb whose running count reaches the rank).  Deterministic
+    under-estimate by < factor (1 + 2^-p).  The window runs over the
+    tiny bucket relation (<= B rows per group), never the data.
+    Output: (group_cols..., n, q_<q> ... one BIGINT column per q)."""
+    w = Window.partitionBy(*group_cols).orderBy("lb")
+    cum = sketch.select(
+        *group_cols,
+        "lb",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")] + [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("lb")
+            )
+        ).alias(f"q{str(q).replace('.', '_')}")
+        for q in qs
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs)

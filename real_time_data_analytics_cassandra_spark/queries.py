@@ -70,6 +70,9 @@ from real_time_data_analytics_cassandra_spark.operators import (
     similarity as sim_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
+    sketches as sketches_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
     text as text_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
@@ -3219,6 +3222,44 @@ def hll_reaggregated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_daily_sketches"),
         )
     )
+
+
+def hdr_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable QUANTILES — the deterministic sibling of
+    hll_reaggregated_users for the percentile problem: build one
+    HDR-histogram sketch (operators/sketches.py::hdr_sketch, p=5 →
+    relative error < 1/32) per (event_type, day) on integer cents,
+    MERGE the daily sketches per type (sum counts per bucket — the
+    mergeable-summaries property), and read p50/p90/p99 off the
+    merged histogram.  The merge level never touches raw values: a
+    year of daily sketches is ≤ ~1.9k rows/day regardless of event
+    volume, so rolling percentiles over a partitioned 100 TB log are
+    a metadata-sized rollup.
+
+    Unlike approx_percentile (opaque summary, not reusable from
+    stored rollups, not reproducible cross-engine), every bucket
+    boundary here is a pure integer expression shared verbatim with
+    the DuckDB oracle — the whole pipeline is bit-exact and fully
+    oracle-gated; tests/test_crossval.py additionally bounds each
+    estimate against the exact percentile by the 2^-p relative
+    guarantee."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    cents = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("cents") >= 0)
+    daily = sketches_op.hdr_sketch(cents, ["event_type", "day"], "cents", p=5)
+    merged = sketches_op.hdr_merge(daily, ["event_type"])
+    q = sketches_op.hdr_quantiles(merged, ["event_type"], [0.5, 0.9, 0.99])
+    return q.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("q0_5").alias("p50_cents"),
+        F.col("q0_9").alias("p90_cents"),
+        F.col("q0_99").alias("p99_cents"),
+    ).orderBy("event_type")
 
 
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7118,6 +7159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": promo_revenue_share,
         # --- round-3-verified (CORRECTNESS_r03.json) ----------------
         "hll_reaggregated_users": hll_reaggregated_users,
+        "hdr_value_percentiles": hdr_value_percentiles,
         "approx_value_percentiles": approx_value_percentiles,
         "embedding_near_dup_cells": embedding_near_dup_cells,
         "srp_near_dup": srp_near_dup,
@@ -9181,6 +9223,39 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events
             GROUP BY 1
+        """,
+        # bucket expression shared VERBATIM with the Spark side
+        # (sketches.hdr_bucket_lb_sql) — the daily-sketch/merge levels
+        # collapse algebraically to one groupBy, which the oracle uses
+        "hdr_value_percentiles": f"""
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+                WHERE floor(value * 100 + 0.5) >= 0
+            ),
+            s AS (
+                SELECT event_type,
+                       {sketches_op.hdr_bucket_lb_sql("cents", 5)} AS lb,
+                       count(*) AS cnt
+                FROM c GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT event_type, lb,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY lb) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM s
+            )
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_events,
+                   min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END)
+                       AS p50_cents,
+                   min(CASE WHEN cum >= ceil(0.9 * n) THEN lb END)
+                       AS p90_cents,
+                   min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END)
+                       AS p99_cents
+            FROM cum GROUP BY 1 ORDER BY 1
         """,
         "geo_hourly_counts_salted": f"""
             SELECT strftime(e.ts, '%Y%m%d%H') AS hour_bucket,

@@ -239,6 +239,72 @@ def test_approx_percentiles_close_to_exact(spark):
         assert abs(p90a - p90e) <= 0.05 * spread, (t, p90a, p90e)
 
 
+def test_hdr_percentiles_relative_bound_and_mergeability(spark):
+    """HDR quantile guarantee: each reported bucket lower bound lb
+    must satisfy lb <= exact_rank_value < lb + bucket_width, where
+    the exact rank value is the cents value at rank ceil(q*n) and
+    bucket_width = 2^max(bitlen(lb)-1-p, 0) <= max(1, lb/2^p) — i.e.
+    a deterministic under-estimate within relative error 2^-p.
+    Mergeability (sum of per-day bucket counts == one global build)
+    is implied by the oracle equality (the oracle builds globally,
+    the query merges daily sketches) but asserted here directly too."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.operators import (
+        sketches as sketches_op,
+    )
+
+    p = 5
+    got = {
+        r["event_type"]: (r["n_events"], r["p50_cents"], r["p90_cents"], r["p99_cents"])
+        for r in q.hdr_value_percentiles(spark, SF_ORACLE).collect()
+    }
+    cents_rows = (
+        table(spark, SF_ORACLE, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("cents") >= 0)
+        .collect()
+    )
+    by_type: dict = {}
+    for r in cents_rows:
+        by_type.setdefault(r.event_type, []).append(r.cents)
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        n, *est = got[t]
+        assert n == len(vals)
+        for quant, lb in zip((0.5, 0.9, 0.99), est):
+            exact = vals[int(-(-quant * n // 1)) - 1]  # ceil(q*n), 1-based
+            width = 1 << max(exact.bit_length() - 1 - p, 0)
+            assert lb <= exact < lb + max(width, 1) + 1, (t, quant, lb, exact)
+            if exact > 0:
+                assert (exact - lb) / exact <= 2**-p + 1e-12
+
+    # direct mergeability: per-day sketches merged == global build
+    ev = table(spark, SF_ORACLE, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("cents") >= 0)
+    merged = {
+        (r.event_type, r.lb): r.cnt
+        for r in sketches_op.hdr_merge(
+            sketches_op.hdr_sketch(ev, ["event_type", "day"], "cents", p=p),
+            ["event_type"],
+        ).collect()
+    }
+    direct = {
+        (r.event_type, r.lb): r.cnt
+        for r in sketches_op.hdr_sketch(ev, ["event_type"], "cents", p=p).collect()
+    }
+    assert merged == direct
+
+
 def test_semantic_dedup_greedy_invariants(spark):
     """SemDeDup verdicts: (1) every dropped vector really exceeds the
     threshold against its recorded (kept, lower-id, same-cell)
