@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "doc_rolling_fingerprint",
     "embedding_near_dup_cells",
     "bm25_search",
+    "phrase_search",
+    "phrase_search_postings",
     "hybrid_search_rrf",
     "weighted_token_sample",
     "purchase_session_interval",

@@ -749,3 +749,89 @@ def bm25_per_query_topk(
         .withColumn("rnk", F.col("rnk").cast("long"))
         .select("q_doc_id", "doc_id", "score", "rnk")
     )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact PHRASE match (consecutive whitespace tokens) per
+    document — zero-shuffle form: occurrence positions are computed
+    entirely inside the scan stage with higher-order functions
+    (sequence + filter + element_at over the token array), so the
+    only exchange in a typical consumer is its final ordering.  The
+    standard retrieval primitive one level up from bag-of-words
+    (bm25_search): "training data" must match as a phrase, not as
+    two independent terms.
+
+    Output: (id_col, n_occurrences, first_pos) for documents with at
+    least one occurrence; positions are 1-based token offsets.
+
+    At 100 TB this is the SCAN path (a full pass, but embarrassingly
+    parallel and codegen'd end to end); the INDEX path for rare
+    phrases is :func:`phrase_occurrences_postings`, which touches
+    only the phrase terms' postings."""
+    k = len(phrase)
+    toks = F.split(F.col(text_col), " ")
+    cond = " AND ".join(
+        f"element_at(__toks, CAST(i + {j} AS INT)) = '{w}'"
+        for j, w in enumerate(phrase)
+    )
+    # sequence(1, n) DESCENDS when n < 1 — guard short documents
+    hits = F.expr(
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"filter(sequence(1, size(__toks) - {k} + 1), i -> {cond}) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), hits.alias("__hits"))
+        .filter(F.size("__hits") > 0)
+        .select(
+            id_col,
+            F.size("__hits").cast("long").alias("n_occurrences"),
+            F.array_min("__hits").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def phrase_occurrences_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Same result as :func:`phrase_occurrences`, via POSITIONAL
+    POSTINGS adjacency joins — the shape a persisted positional
+    inverted index serves: postings (term, doc, pos) are filtered to
+    the phrase's terms BEFORE any exchange (with a hive-bucketed
+    term-partitioned index this is partition pruning: only the
+    phrase terms' buckets are even read), then consecutive terms
+    equi-join on (doc, pos + offset).  Join input is the phrase
+    terms' total postings — for rare phrases, orders of magnitude
+    below the corpus scan the HOF form pays.
+
+    Both forms share one oracle; their equality is also asserted
+    directly in tests/test_index.py."""
+    k = len(phrase)
+    post = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "term"),
+        )
+        # pushed inside the scan stage; 1-based positions
+        .filter(F.col("term").isin(list(set(phrase))))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    starts = post.filter(F.col("term") == phrase[0]).select(id_col, "pos")
+    for j in range(1, k):
+        nxt = post.filter(F.col("term") == phrase[j]).select(
+            F.col(id_col), (F.col("pos") - j).alias("pos")
+        )
+        starts = starts.join(nxt, [id_col, "pos"])
+    return starts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

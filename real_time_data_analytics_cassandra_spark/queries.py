@@ -695,6 +695,58 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.bm25_topk(docs, "doc_id", "text", BM25_QUERY_TERMS)
 
 
+PHRASE_QUERY = ["value", "table"]
+
+_PHRASE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    ints AS (SELECT unnest(generate_series(
+                1, (SELECT max(len(t)) FROM toks))) AS i),
+    hits AS (
+        SELECT doc_id, i
+        FROM toks JOIN ints ON ints.i + {len(PHRASE_QUERY) - 1} <= len(toks.t)
+        WHERE {" AND ".join(
+            f"t[i + {j}] = '{w}'" for j, w in enumerate(PHRASE_QUERY)
+        )}
+    )
+    SELECT doc_id,
+           count(*) AS n_occurrences,
+           min(i) AS first_pos
+    FROM hits
+    GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id
+"""
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval (operators/text.py phrase_occurrences):
+    documents containing the consecutive-token phrase, with occurrence
+    count and first 1-based position — computed with zero shuffles
+    (higher-order functions inside the scan stage); the one exchange
+    in this plan is the output ordering."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.phrase_occurrences(docs, "doc_id", "text", PHRASE_QUERY).orderBy(
+        F.desc("n_occurrences"), "doc_id"
+    )
+
+
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via positional-postings adjacency joins
+    (operators/text.py phrase_occurrences_postings) — the persisted-
+    positional-index shape: only the phrase terms' postings enter any
+    exchange (partition pruning against a term-bucketed index), so
+    rare phrases cost the phrase's postings, not the corpus scan.
+    Shares phrase_search's oracle; direct equality of the two forms
+    is asserted in tests/test_index.py."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return text_op.phrase_occurrences_postings(
+        docs, "doc_id", "text", PHRASE_QUERY
+    ).orderBy(F.desc("n_occurrences"), "doc_id")
+
+
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: for each query document (doc_id < 3), fuse a
     lexical arm (more-like-this BM25 over the query doc's own tokens,
@@ -7165,6 +7217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dup": srp_near_dup,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "bm25_search": bm25_search,
+        "phrase_search": phrase_search,
+        "phrase_search_postings": phrase_search_postings,
         "hybrid_search_rrf": hybrid_search_rrf,
         "weighted_token_sample": weighted_token_sample,
         "purchase_session_interval": purchase_session_interval,
@@ -10240,6 +10294,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE fused_rank <= 10
             ORDER BY q_doc_id, fused_rank
         """,
+        # one oracle, two Spark forms (HOF scan vs postings joins)
+        "phrase_search": _PHRASE_ORACLE,
+        "phrase_search_postings": _PHRASE_ORACLE,
         "bm25_search": f"""
             WITH dl AS (
                 SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents

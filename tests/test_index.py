@@ -197,3 +197,43 @@ def test_crashed_append_is_rolled_back_and_retried(
     inc = idx.bm25_search_index(spark, inc_path, TERMS).collect()
     full = idx.bm25_search_index(spark, full_path, TERMS).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+
+def test_phrase_forms_agree_and_count_overlaps(spark):
+    """The zero-shuffle HOF form and the postings-join form must
+    return identical (doc, count, first_pos) sets; overlapping
+    occurrences count individually in both."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    hof = {
+        (r.doc_id, r.n_occurrences, r.first_pos)
+        for r in q.phrase_search(spark, SF_SMOKE).collect()
+    }
+    post = {
+        (r.doc_id, r.n_occurrences, r.first_pos)
+        for r in q.phrase_search_postings(spark, SF_SMOKE).collect()
+    }
+    assert hof == post
+    assert hof, "fixture corpus must contain the phrase"
+
+    tiny = spark.createDataFrame(
+        [(1, "a a a b a a"), (2, "a b"), (3, "x y z"), (4, "a")],
+        "doc_id long, text string",
+    )
+    for fn in (text_op.phrase_occurrences, text_op.phrase_occurrences_postings):
+        got = {
+            (r.doc_id, r.n_occurrences, r.first_pos)
+            for r in fn(tiny, "doc_id", "text", ["a", "a"]).collect()
+        }
+        # doc 1: positions 1,2 (overlap) and 5 -> 3 occurrences
+        assert got == {(1, 3, 1)}, (fn.__name__, got)
+
+
+def test_phrase_hof_plan_is_shuffle_free_before_ordering(spark):
+    """The HOF form's only exchange is the output ordering: strip the
+    final orderBy and the plan must contain no Exchange at all."""
+    docs = table(spark, SF_SMOKE, "documents")
+    plan = explain_str(
+        text_op.phrase_occurrences(docs, "doc_id", "text", ["value", "table"])
+    )
+    assert "Exchange" not in plan, plan
