@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "part_affinity",
     "part_pagerank",
     "part_triangle_clustering",
+    "part_copurchase_components",
     "kmv_user_overlap",
     "entity_match_parts",
     "entity_sorted_neighborhood",

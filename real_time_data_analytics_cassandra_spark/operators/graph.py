@@ -318,3 +318,105 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", (F.col(id_col) == F.col("cluster_id")))
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components by ALTERNATING STAR CONTRACTION
+    (large-star / small-star, Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) — the O(log n)-round
+    counterpart to :func:`connected_components`'s min-label
+    propagation, whose round count is the graph DIAMETER.  Near-dup
+    clusters are shallow, so label propagation wins there; span/chain
+    graphs (overlap chains, sessions, co-purchase paths) can have
+    diameter in the thousands, where a per-round shuffle each hop is
+    the scale-killer.  Star contraction converges in O(log n) rounds
+    on ANY topology:
+
+    - large-star: each node u links every STRICTLY-LARGER neighbor to
+      m = min(neighbors(u) ∪ {u});
+    - small-star: orient edges to the larger endpoint, then each node
+      u links its smaller-or-equal neighbors (and itself) to m.
+
+    Both steps preserve connectivity exactly (each replaces edges
+    within one node's neighborhood by a path through its minimum) and
+    monotonically pull components into stars rooted at their minimum
+    id; convergence = the small-star pass is a fixpoint (edge set
+    unchanged — checked EXACTLY with an anti-join, not a fingerprint).
+
+    Every round is two hash-shuffled aggregations over the current
+    edge set (which only shrinks), with ``localCheckpoint`` lineage
+    truncation exactly like the other iterative operators here.
+    Output: (id, component) for every node incident to an edge,
+    component = min node id — identical contract (and output) to
+    :func:`connected_components`; randomized equivalence is asserted
+    in tests/test_properties.py, including chains far deeper than
+    label propagation's round budget.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # -- large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m)
+        #    for every neighbor v > u
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: orient toward the larger endpoint (v <= u),
+        #    m = min(N(u)); emit (x, m) for x in N(u) ∪ {u} \ {m}
+        ori = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ori.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the canonically-oriented edge set did not change
+        same_size = ss.count() == e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct().count()
+        if same_size:
+            prev = e.select(
+                F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+            ).distinct()
+            new_edges = ss.join(
+                prev,
+                (ss.u == prev.a) & (ss.v == prev.b),
+                "left_anti",
+            ).count()
+            if new_edges == 0:
+                e = ss
+                break
+        e = ss
+    # converged stars: (child u, root v) with v = component min; roots
+    # appear as v — union both sides for the full node set
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )

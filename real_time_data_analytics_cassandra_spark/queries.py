@@ -6062,6 +6062,58 @@ def part_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the REPEAT co-purchase graph (parts
+    linked when >= 3 distinct orders contain both) by ALTERNATING STAR
+    CONTRACTION (operators/graph.py::connected_components_star) —
+    product-family discovery from basket evidence, and the O(log n)-
+    round components surface next to dedup_clusters' diameter-bounded
+    label propagation (this graph's chains are exactly the topology
+    where per-hop propagation stops scaling).
+
+    Output: one row per component — id (min part key), member count,
+    and the smallest 5 member keys comma-joined (a deterministic,
+    engine-portable membership digest; arrays stringify differently
+    across engines).  Oracle: recursive-CTE min-label closure over
+    the identical edge set."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_a"))
+        .join(
+            op.select(F.col("l_orderkey"), F.col("l_partkey").alias("id_b")),
+            "l_orderkey",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components_star(edges)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                "array_join(transform(slice(sort_array(collect_list(id)),"
+                " 1, 5), x -> cast(x AS string)), ',')"
+            ).alias("sample_members"),
+        )
+        .select(
+            F.col("component").alias("component_id"),
+            "n_parts",
+            "sample_members",
+        )
+        .orderBy(F.desc("n_parts"), "component_id")
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 4) -> str:
     """Unrolled ANSI-SQL mirror of operators/graph.py::pagerank over
     the part co-purchase graph: one CTE pair (contribs, ranks) per
@@ -7115,6 +7167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
         "part_triangle_clustering": part_triangle_clustering,
+        "part_copurchase_components": part_copurchase_components,
         "kmv_user_overlap": kmv_user_overlap,
         "entity_match_parts": entity_match_parts,
         "entity_sorted_neighborhood": entity_sorted_neighborhood,
@@ -7476,6 +7529,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stage_idx
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
+        "part_copurchase_components": """
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+                SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+                FROM op a
+                JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 3
+            ),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+            ),
+            comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
+            SELECT component AS component_id,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   array_to_string(list_sort(list(id))[1:5], ',')
+                       AS sample_members
+            FROM comp
+            GROUP BY 1
+            ORDER BY n_parts DESC, component_id
+        """,
         "part_triangle_clustering": """
             WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (

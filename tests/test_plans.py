@@ -408,6 +408,7 @@ def test_registry_wide_plan_hygiene(spark):
     skip = {n for n in q.queries() if n.startswith("streaming_")} | {
         "amqp_replay_type_counts",  # local dump fixture, covered by its gate
         "dedup_clusters",  # iterative; cross-checked by recursive-CTE oracle
+        "part_copurchase_components",  # iterative star contraction, same gate
         "dedup_cluster_representatives",
     }
     failures = []

@@ -1012,3 +1012,60 @@ def test_triangle_counts_matches_triple_enumeration(spark, edges):
                 tri[v] += 1
     deg = {v: sum(1 for e in es if v in e) for v in verts}
     assert got == {v: (deg[v], tri[v]) for v in verts}
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),
+              st.integers(min_value=0, max_value=15)),
+    min_size=1,
+    max_size=25,
+).map(lambda es: [(min(a, b), max(a, b)) for a, b in es if a != b] or [(0, 1)]))
+@SET
+def test_star_components_match_union_find(spark, edges):
+    """Star contraction must produce exactly label propagation's
+    contract: (node, min id of its component) for every non-isolated
+    node — checked against a pure-python union-find."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r.id, r.component)
+        for r in connected_components_star(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n)) for n in parent}
+    assert got == expected
+
+
+def test_star_components_converge_on_deep_chain(spark):
+    """A 200-node path has diameter 199 — far beyond any reasonable
+    per-hop label-propagation budget; star contraction must still
+    collapse it (O(log n) rounds) to a single min-rooted component."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components_star(df, max_rounds=12).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
