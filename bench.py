@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "vocab_encode_docs",
     "incremental_ingest_dedup",
     "streaming_cms_token_counts",
+    "streaming_hdr_percentiles",
     "streaming_kmv_distinct_per_type",
     "streaming_hourly_cusum",
     "training_shard_shuffle",

@@ -6870,6 +6870,47 @@ def streaming_kmv_distinct_per_type(
     ).orderBy("event_type")
 
 
+def streaming_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HDR quantile sketch MAINTAINED BY THE STREAM: the bucket
+    count aggregation of hdr_value_percentiles runs unchanged as a
+    Structured Streaming aggregation over the bounded events replay
+    (counts merge exactly at any micro-batch boundary — the
+    mergeable-summaries property is what makes the streaming and
+    batch sketches identical), then p50/p90/p99 are read off the
+    finished bucket table exactly as in the batch query.  Because
+    the bucket function is deterministic integer math, this
+    streaming sketch shares the batch query's full DuckDB oracle
+    bit-for-bit — same claim as streaming_cms_token_counts, for
+    quantiles."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_table_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    ev_stream = bounded_table_stream(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("cents") >= 0)
+    sketch_q = sketches_op.hdr_sketch(ev_stream, ["event_type"], "cents", p=5)
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_streaming_hdr_")
+    sketch = run_available_now(
+        sketch_q, "streaming_hdr_percentiles_q", ckpt, output_mode="complete"
+    )
+    q = sketches_op.hdr_quantiles(sketch, ["event_type"], [0.5, 0.9, 0.99])
+    return q.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("q0_5").alias("p50_cents"),
+        F.col("q0_9").alias("p90_cents"),
+        F.col("q0_99").alias("p99_cents"),
+    ).orderBy("event_type")
+
+
 def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup (operators/dedup.py::
     incremental_near_dups): the src0 slice plays the NEW crawl batch,
@@ -7200,6 +7241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode_docs": vocab_encode_docs,
         "incremental_ingest_dedup": incremental_ingest_dedup,
         "streaming_cms_token_counts": streaming_cms_token_counts,
+        "streaming_hdr_percentiles": streaming_hdr_percentiles,
         "streaming_incremental_index": streaming_incremental_index,
         "streaming_kmv_distinct_per_type": streaming_kmv_distinct_per_type,
         "training_shard_shuffle": training_shard_shuffle,
@@ -10972,6 +11014,9 @@ def oracle_sql() -> dict[str, str]:
     # it shares the batch sketch oracle bit-for-bit
     d["streaming_cms_token_counts"] = d["cms_token_counts"]
     d["streaming_kmv_distinct_per_type"] = d["kmv_distinct_per_type"]
+    # the streamed HDR bucket counts merge exactly across micro-batches
+    # (mergeable summary) -> it shares the batch quantile oracle
+    d["streaming_hdr_percentiles"] = d["hdr_value_percentiles"]
     d["streaming_hourly_cusum"] = d["hourly_value_cusum"]
     d["streaming_new_vs_returning"] = d["daily_new_vs_returning"]
     d["geo_hourly_counts_autosalted"] = d["geo_hourly_counts"]
