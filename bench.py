@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "join_size_estimate_cms",
     "kmv_distinct_per_type",
     "nb_lang_classifier",
+    "lang_classifier_eval",
+    "embedding_label_auc",
     "snapshot_docs_upsert",
     "snapshot_indexed_point_lookups",
     "snapshot_pruned_range_scan",

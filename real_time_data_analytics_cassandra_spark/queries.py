@@ -5162,6 +5162,117 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation rollup of the in-engine NB language
+    classifier (:func:`nb_lang_classifier`): confusion-matrix margins
+    reduced to tp/fp/fn plus precision/recall/F1 in exact integer
+    MICRO-units — the model-eval step every data-curation classifier
+    run ends with, kept bit-exact cross-engine by never leaving
+    integer arithmetic (micro = 1e6·x div y, no float division).
+
+    Scale shape: predictions are the classifier's own partition-
+    parallel pipeline; the eval adds one (true, pred) count aggregate
+    (≤ |langs|² rows) and tiny margin joins on the class key."""
+    ensure_query_confs(spark)
+    pred = nb_lang_classifier(spark, sf_dir).select("true_lang", "pred_lang")
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    col_tot = cm.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    diag = cm.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("lang"), F.col("n").alias("tp")
+    )
+    return (
+        row_tot.select(F.col("true_lang").alias("lang"), "n_true")
+        .join(
+            col_tot.select(F.col("pred_lang").alias("lang"), "n_pred"),
+            "lang",
+            "full",
+        )
+        .join(diag, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce("n_true", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+        .select(
+            "lang",
+            "tp",
+            "fp",
+            "fn",
+            F.expr(
+                "CASE WHEN tp + fp = 0 THEN 0 "
+                "ELSE (1000000 * tp) div (tp + fp) END"
+            ).alias("precision_micro"),
+            F.expr(
+                "CASE WHEN tp + fn = 0 THEN 0 "
+                "ELSE (1000000 * tp) div (tp + fn) END"
+            ).alias("recall_micro"),
+            F.expr(
+                "CASE WHEN 2 * tp + fp + fn = 0 THEN 0 "
+                "ELSE (2000000 * tp) div (2 * tp + fp + fn) END"
+            ).alias("f1_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def embedding_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of "does the L2 norm separate high labels
+    (>= 5) from low ones" — the Mann-Whitney rank statistic with
+    full TIE correction (average ranks), computed distributively:
+    scores get exact global row numbers from the range-partitioned
+    rank (operators/ranks.py::global_rank — no single-partition
+    sort), per-score tie groups collapse to (min_rank + max_rank)
+    (consecutive ranks ⇒ twice the average rank), and
+    2U = Σ_pos(mn + mx) − n_pos(n_pos + 1) folds in one aggregate.
+    AUC is reported in exact integer micro-units, so the SQL oracle
+    reproduces it bit-for-bit — the eval metric every retriever /
+    quality-scorer training run needs at corpus scale.
+
+    The fixture's labels are independent of the norm, so the value
+    sits near 500000 (chance) — the gate is the exact distributed
+    rank statistic, not fixture separability."""
+    from real_time_data_analytics_cassandra_spark.functions.vectors import (
+        norm_expr,
+    )
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_rank,
+    )
+
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        (F.col("label") >= 5).cast("int").alias("pos"),
+        F.round(norm_expr("embedding"), 6).alias("score"),
+    )
+    ranked = global_rank(scored, ["score", "vec_id"], rank_col="rk")
+    per_score = ranked.groupBy("score").agg(
+        F.sum("pos").alias("np_s"),
+        F.min("rk").alias("mn"),
+        F.max("rk").alias("mx"),
+    )
+    return per_score.agg(
+        F.sum("np_s").alias("n_pos"),
+        (F.max("mx") - F.sum("np_s")).alias("n_neg"),
+        F.sum(F.col("np_s") * (F.col("mn") + F.col("mx"))).alias("r2"),
+    ).select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((1000000 * (r2 - n_pos * (n_pos + 1)))"
+            " div (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
+
+
 def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """event_transition_matrix maintained by the STREAM: the per-user
     lag becomes O(1)-per-user state in a custom stateful operator
@@ -7215,6 +7326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate_cms": join_size_estimate_cms,
         "kmv_distinct_per_type": kmv_distinct_per_type,
         "nb_lang_classifier": nb_lang_classifier,
+        "lang_classifier_eval": lang_classifier_eval,
+        "embedding_label_auc": embedding_label_auc,
         "source_token_kl": source_token_kl,
         "snapshot_docs_upsert": snapshot_docs_upsert,
         "snapshot_indexed_point_lookups": snapshot_indexed_point_lookups,
@@ -10098,6 +10211,28 @@ def oracle_sql() -> dict[str, str]:
                   {_GEO_ORACLE_FROM}) g
             GROUP BY GROUPING SETS ((country_region_name), (city), ())
         """,
+        "embedding_label_auc": """
+            WITH s AS (
+                SELECT vec_id,
+                       CAST(label >= 5 AS INT) AS pos,
+                       round(sqrt(list_dot_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))), 6) AS score
+                FROM embeddings
+            ),
+            r AS (SELECT *, row_number() OVER (ORDER BY score, vec_id)
+                         AS rk FROM s),
+            g AS (SELECT score, sum(pos) AS np_s, min(rk) AS mn,
+                         max(rk) AS mx
+                  FROM r GROUP BY 1)
+            SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+                   CAST(max(mx) - sum(np_s) AS BIGINT) AS n_neg,
+                   CAST((1000000 * (sum(np_s * (mn + mx))
+                                    - sum(np_s) * (sum(np_s) + 1)))
+                        // (2 * sum(np_s) * (max(mx) - sum(np_s)))
+                        AS BIGINT) AS auc_micro
+            FROM g
+        """,
         "embedding_norm_stats": """
             WITH norms AS (
                 SELECT label,
@@ -11007,6 +11142,36 @@ def oracle_sql() -> dict[str, str]:
         # heavy_hitter_tokens — driver records rows-only checks; tests
         # cross-validate them against their exact counterparts.
     }
+    # the eval rollup re-derives the classifier's own predictions and
+    # reduces them to integer-exact per-class margins
+    d["lang_classifier_eval"] = f"""
+        WITH pred AS ({d['nb_lang_classifier']}),
+        cm AS (SELECT true_lang, pred_lang, count(*) AS n
+               FROM pred GROUP BY 1, 2),
+        rt AS (SELECT true_lang AS lang, sum(n) AS n_true FROM cm GROUP BY 1),
+        ct AS (SELECT pred_lang AS lang, sum(n) AS n_pred FROM cm GROUP BY 1),
+        dg AS (SELECT true_lang AS lang, n AS tp FROM cm
+               WHERE true_lang = pred_lang),
+        m AS (SELECT coalesce(rt.lang, ct.lang) AS lang,
+                     coalesce(n_true, 0) AS n_true,
+                     coalesce(n_pred, 0) AS n_pred
+              FROM rt FULL JOIN ct ON rt.lang = ct.lang)
+        SELECT m.lang,
+               CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+               CAST(n_pred - coalesce(tp, 0) AS BIGINT) AS fp,
+               CAST(n_true - coalesce(tp, 0) AS BIGINT) AS fn,
+               CAST(CASE WHEN n_pred = 0 THEN 0
+                    ELSE (1000000 * coalesce(tp, 0)) // n_pred END
+                    AS BIGINT) AS precision_micro,
+               CAST(CASE WHEN n_true = 0 THEN 0
+                    ELSE (1000000 * coalesce(tp, 0)) // n_true END
+                    AS BIGINT) AS recall_micro,
+               CAST(CASE WHEN n_true + n_pred = 0 THEN 0
+                    ELSE (2000000 * coalesce(tp, 0)) // (n_true + n_pred) END
+                    AS BIGINT) AS f1_micro
+        FROM m LEFT JOIN dg ON m.lang = dg.lang
+        ORDER BY m.lang
+    """
     # the stateful-streaming transition rollup must reproduce the batch
     # lag-window result bit-for-bit -> it shares the batch oracle
     d["streaming_transition_counts"] = d["event_transition_matrix"]
