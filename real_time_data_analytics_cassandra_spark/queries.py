@@ -5175,8 +5175,13 @@ def lang_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ |langs|² rows) and tiny margin joins on the class key."""
     ensure_query_confs(spark)
     pred = nb_lang_classifier(spark, sf_dir).select("true_lang", "pred_lang")
-    cm = pred.groupBy("true_lang", "pred_lang").agg(
-        F.count(F.lit(1)).alias("n")
+    # the confusion matrix is <= |langs|^2 rows and feeds THREE margin
+    # consumers — materialize it once so the classifier pipeline isn't
+    # replanned per consumer (47 -> ~5 exchanges)
+    cm = (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     row_tot = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
     col_tot = cm.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))

@@ -85,6 +85,16 @@ BUDGETS = {
     "schema_evolution_read": 2,
     "purchase_attribution_cogrouped": 2,
     "multimodal_features_arrow": 1,
+    # round 6 second wave: mergeable HDR quantiles (daily build +
+    # merge + per-type window + final agg over the tiny bucket
+    # relation), phrase search (scan form's only exchange is the
+    # output ordering; postings form adds one adjacency join), eval
+    # metrics (post-checkpoint margins; AUC over global_rank's leaf)
+    "hdr_value_percentiles": 4,
+    "phrase_search": 1,
+    "phrase_search_postings": 2,
+    "lang_classifier_eval": 5,
+    "embedding_label_auc": 4,
 }
 
 
