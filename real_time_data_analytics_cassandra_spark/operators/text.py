@@ -776,7 +776,9 @@ def phrase_occurrences(
     k = len(phrase)
     toks = F.split(F.col(text_col), " ")
     cond = " AND ".join(
-        f"element_at(__toks, CAST(i + {j} AS INT)) = '{w}'"
+        "element_at(__toks, CAST(i + {j} AS INT)) = '{w}'".format(
+            j=j, w=w.replace("'", "''")
+        )
         for j, w in enumerate(phrase)
     )
     # sequence(1, n) DESCENDS when n < 1 — guard short documents
