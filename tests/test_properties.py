@@ -1069,3 +1069,39 @@ def test_star_components_converge_on_deep_chain(spark):
         for r in connected_components_star(df, max_rounds=12).collect()
     }
     assert got == {(i, 0) for i in range(n)}
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=2**52), min_size=1, max_size=50
+    ),
+    p=st.integers(min_value=0, max_value=8),
+)
+@SET
+def test_hdr_bucket_matches_bit_model(spark, vals, p):
+    """The engine-shared bucket SQL must equal the pure-python bit
+    model (clear all but the top p+1 significant bits) for any
+    non-negative value below 2^53, any p — and the bucket must
+    contain its value within the 2^-p relative bound."""
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        hdr_bucket_lb_sql,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = [
+        r.lb
+        for r in df.selectExpr(f"{hdr_bucket_lb_sql('c', p)} AS lb")
+        .orderBy("c")
+        .collect()
+    ]
+
+    def model(v: int) -> int:
+        s = max(v.bit_length() - 1 - p, 0)
+        return (v >> s) << s
+
+    expected = [model(v) for v in sorted(vals)]
+    assert got == expected
+    for v, lb in zip(sorted(vals), expected):
+        assert lb <= v
+        if v > 0:
+            assert (v - lb) / v <= 2**-p

@@ -66,6 +66,13 @@ QUERIES = [
     ("weighted median", "weighted_median_prices"),
     ("incremental ANN index", "incremental_ann_search"),
     ("stream-maintained index", "streaming_incremental_index"),
+    # round-6 second-wave families
+    ("HDR quantile sketch", "hdr_value_percentiles"),
+    ("phrase search (scan)", "phrase_search"),
+    ("phrase search (postings)", "phrase_search_postings"),
+    ("star components", "part_copurchase_components"),
+    ("classifier eval rollup", "lang_classifier_eval"),
+    ("exact AUC (global rank)", "embedding_label_auc"),
 ]
 
 OUT = os.path.join(
