@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "join_key_skew_report",
     "bm25_search_persisted",
     "incremental_span_dedup",
+    "incremental_dedup_clusters",
     "incremental_bm25_search",
     "snapshot_docs_changes",
     "data_quality_report",

@@ -420,3 +420,123 @@ def connected_components_star(
         )
         .distinct()
     )
+
+
+def cluster_index_build(
+    spark,
+    pairs: DataFrame,
+    path: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> int:
+    """Materialize connected components as a SNAPSHOT-versioned
+    cluster index (id, component) — the persisted half of incremental
+    dedup clustering.  Labels come from
+    :func:`connected_components_star`; storage is
+    sinks/snapshots.py's manifest log, so later appends are atomic
+    merge-on-read commits that never rewrite existing files."""
+    from real_time_data_analytics_cassandra_spark.sinks.snapshots import (
+        write_snapshot,
+    )
+
+    comp = connected_components_star(pairs, src, dst)
+    return write_snapshot(comp, path, mode="overwrite", stats_cols=("id",))
+
+
+def cluster_index_append(
+    spark,
+    path: str,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> int:
+    """Fold a BATCH of new near-dup pairs into the persisted cluster
+    index without recomputing the corpus graph — the cluster-level
+    analog of the incremental BM25/ANN/span-dedup appends: a new
+    crawl slice's pairs arrive, clusters they touch merge, everything
+    else is untouched.
+
+    Mechanics (exact, not heuristic):
+
+    1. TOUCHED nodes = the batch pairs' endpoints; their current
+       labels come from one scan of the index with the (small) batch
+       node set broadcast into the scan-stage semi-join — the index
+       never shuffles.  (At 100 TB, hash-bucket the index on id so
+       this read is partition-pruned; the write side below is already
+       O(affected).)
+    2. LOCAL contraction: star contraction runs on the batch pairs
+       UNION (node -> current label) edges.  A component's stored
+       label is itself a member node, so connecting each touched node
+       to its label makes label-level merges visible to the local
+       graph — the contraction never needs the untouched members.
+    3. RELABEL cascade: any stored label L whose local component got
+       a smaller root renames; members of L (read with a scan-stage
+       IN filter on the changed labels only) are remapped through a
+       broadcast (old -> new) table — O(members of merged
+       components), never O(corpus).
+    4. One atomic MOR upsert commits touched nodes + cascaded members
+       (tombstone + append in a single manifest version; no data file
+       is rewritten).
+
+    Replaying a completed batch recomputes the identical labels (the
+    lookup now returns post-merge labels, whose local contraction is
+    a fixpoint), so replays are CONTENT-idempotent: a new version
+    commits, but every (id, component) row is unchanged —
+    tested in tests/test_graph.py."""
+    from real_time_data_analytics_cassandra_spark.sinks.snapshots import (
+        read_snapshot,
+        upsert_into_snapshot,
+    )
+
+    batch = (
+        new_pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        batch.select(F.col("u").alias("id"))
+        .union(batch.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    index = read_snapshot(spark, path)
+    # scan-stage broadcast semi-join: the index is filtered where it
+    # is read; only the <=|batch nodes| matching rows leave the scan
+    known = index.join(F.broadcast(nodes), "id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    local_edges = batch.unionByName(
+        known.select(F.col("id").alias("u"), F.col("component").alias("v"))
+    )
+    local = connected_components_star(local_edges, "u", "v").localCheckpoint(
+        eager=True
+    )
+    # stored labels whose local root changed -> cascade remap
+    remap = (
+        known.select(F.col("component").alias("id"))
+        .distinct()
+        .join(local, "id")
+        .filter(F.col("id") != F.col("component"))
+        .select(
+            F.col("id").alias("old_label"), F.col("component").alias("new_label")
+        )
+        .localCheckpoint(eager=True)
+    )
+    old_labels = [r.old_label for r in remap.select("old_label").collect()]
+    changed = local.select("id", "component")
+    if old_labels:
+        members = (
+            index.filter(F.col("component").isin(old_labels))
+            .join(
+                F.broadcast(remap),
+                index.component == F.col("old_label"),
+            )
+            .select("id", F.col("new_label").alias("component"))
+        )
+        changed = changed.unionByName(members)
+    # last-writer-wins inside the batch: cascaded members that are
+    # ALSO touched nodes already carry the local label — identical by
+    # construction; distinct collapses them
+    return upsert_into_snapshot(
+        spark, changed.distinct(), path, "id", stats_cols=("id",)
+    )

@@ -641,6 +641,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_op.dedup_clusters(pairs, docs, "doc_id")
 
 
+def incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters maintained INCREMENTALLY (operators/graph.py::
+    cluster_index_build/append): even-doc pairs build the persisted
+    snapshot-versioned cluster index, the remaining pairs (odd-odd
+    and even-odd — including the bridges that MERGE existing
+    components) arrive as one append batch, and the final table is
+    read back.  The append touches only the batch's nodes plus the
+    members of components it merges (one atomic MOR upsert, no file
+    rewrite) — the crawl-slice economics of incremental BM25/ANN/span
+    appends, applied to cluster maintenance.  The final labels equal
+    a full star-contraction rebuild over ALL pairs row-for-row, so
+    this query SHARES dedup_clusters' recursive-CTE oracle.  Index in
+    a tmp dir keyed on the corpus file identity."""
+    import os
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.operators import (
+        graph as graph_op,
+    )
+    from real_time_data_analytics_cassandra_spark.sinks.snapshots import (
+        read_snapshot,
+    )
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_cluster_idx_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    marker = os.path.join(idx_dir, "_built")
+    docs = table(spark, sf_dir, "documents")
+    if not os.path.exists(marker):
+        pairs = dedup_op.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).select("id_a", "id_b").localCheckpoint(eager=True)
+        both_even = (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)
+        graph_op.cluster_index_build(spark, pairs.filter(both_even), idx_dir)
+        graph_op.cluster_index_append(spark, idx_dir, pairs.filter(~both_even))
+        os.makedirs(idx_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    comp = read_snapshot(spark, idx_dir)
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("component", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")))
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features (token/char counts, avg token
     length, stopword ratio)."""
@@ -7452,6 +7508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": large_volume_customers,
         "value_zscores": value_zscores,
         "dedup_clusters": dedup_clusters,
+        "incremental_dedup_clusters": incremental_dedup_clusters,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "tfidf_top_terms": tfidf_top_terms,
         "events_profile": events_profile,
@@ -11184,6 +11241,9 @@ def oracle_sql() -> dict[str, str]:
     # it shares the batch sketch oracle bit-for-bit
     d["streaming_cms_token_counts"] = d["cms_token_counts"]
     d["streaming_kmv_distinct_per_type"] = d["kmv_distinct_per_type"]
+    # incremental cluster maintenance ends at the same labels as a
+    # full rebuild (tested bit-equal) -> it shares the batch oracle
+    d["incremental_dedup_clusters"] = d["dedup_clusters"]
     # the streamed HDR bucket counts merge exactly across micro-batches
     # (mergeable summary) -> it shares the batch quantile oracle
     d["streaming_hdr_percentiles"] = d["hdr_value_percentiles"]

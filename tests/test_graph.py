@@ -142,3 +142,113 @@ def test_triangle_counts_matches_brute_force_random_graph(spark):
         for r in triangle_counts(edges).collect()
     }
     assert got == _brute_triangles(pairs)
+
+
+def _index_rows(spark, path):
+    from real_time_data_analytics_cassandra_spark.sinks.snapshots import (
+        read_snapshot,
+    )
+
+    return {(r.id, r.component) for r in read_snapshot(spark, path).collect()}
+
+
+def test_cluster_index_append_equals_full_rebuild(spark, tmp_path):
+    """build(batch1) + append(batch2) must land on exactly the labels
+    of one star contraction over batch1 ∪ batch2 — including a merge
+    that bridges two pre-existing components and must cascade-relabel
+    the losing component's untouched members."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        cluster_index_append,
+        cluster_index_build,
+        connected_components_star,
+    )
+
+    path = str(tmp_path / "clusters")
+    # two separate components: {1,2,3} and {10,11,12}
+    b1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], ["id_a", "id_b"]
+    )
+    cluster_index_build(spark, b1, path)
+    assert _index_rows(spark, path) == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10),
+    }
+    # bridge 3-10 (merges the two; members 11, 12 are NOT touched by
+    # the batch and must cascade), plus a brand-new component {20,21}
+    b2 = spark.createDataFrame([(3, 10), (20, 21)], ["id_a", "id_b"])
+    cluster_index_append(spark, path, b2)
+    got = _index_rows(spark, path)
+    full = {
+        (r.id, r.component)
+        for r in connected_components_star(
+            b1.unionByName(b2)
+        ).collect()
+    }
+    assert got == full
+    assert (11, 1) in got and (12, 1) in got  # the cascade itself
+
+
+def test_cluster_index_append_replay_is_content_idempotent(spark, tmp_path):
+    """Re-appending a completed batch commits a new version whose
+    rows are identical — replays never move any label."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        cluster_index_append,
+        cluster_index_build,
+    )
+
+    path = str(tmp_path / "clusters")
+    cluster_index_build(
+        spark, spark.createDataFrame([(1, 2), (5, 6)], ["id_a", "id_b"]), path
+    )
+    batch = spark.createDataFrame([(2, 5), (7, 8)], ["id_a", "id_b"])
+    v1 = cluster_index_append(spark, path, batch)
+    rows1 = _index_rows(spark, path)
+    v2 = cluster_index_append(spark, path, batch)
+    rows2 = _index_rows(spark, path)
+    assert v2 == v1 + 1
+    assert rows1 == rows2 == {
+        (1, 1), (2, 1), (5, 1), (6, 1), (7, 7), (8, 7),
+    }
+
+
+def test_cluster_index_random_splits_match_union_find(spark, tmp_path):
+    """Any split of a random pair set into build + append must end at
+    the union-find ground truth."""
+    import random
+
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        cluster_index_append,
+        cluster_index_build,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        pairs = [
+            (rng.randrange(20), rng.randrange(20)) for _ in range(15)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        cut = rng.randrange(1, len(pairs) + 1)
+        path = str(tmp_path / f"clusters_{trial}")
+        cluster_index_build(
+            spark, spark.createDataFrame(pairs[:cut], ["id_a", "id_b"]), path
+        )
+        if pairs[cut:]:
+            cluster_index_append(
+                spark,
+                path,
+                spark.createDataFrame(pairs[cut:], ["id_a", "id_b"]),
+            )
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {(n, find(n)) for n in parent}
+        assert _index_rows(spark, path) == expected, (trial, pairs, cut)
