@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "purchase_session_interval",
     "ann_pq",
     "corpus_bigram_stats",
+    "top_bigrams_per_source",
     "length_bucket_stats",
     "hourly_value_ewma",
     "ann_ivfpq",

@@ -898,6 +898,48 @@ def corpus_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.corpus_ngram_stats(docs, "doc_id", "text", n=2, top_k=100)
 
 
+def top_bigrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE top-5 bigrams — corpus_bigram_stats sliced by the
+    mixture key, the per-domain vocabulary profile a training-mix
+    report wants.  One map-side-combined (source, bigram) count, then
+    the bounded two-phase rank (operators/topk.py::
+    bounded_topk_per_key): with a handful of sources a single
+    per-source window would funnel the whole bigram table into
+    |sources| tasks — the salted partial pass caps the final window
+    at 32·k rows per source."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+    from real_time_data_analytics_cassandra_spark.operators.topk import (
+        bounded_topk_per_key,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        spread(docs)
+        .select("source", tokens(F.col("text")).alias("__toks"))
+        .select("source", F.explode(word_ngrams("__toks", 2)).alias("ngram"))
+        .groupBy("source", "ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    return (
+        bounded_topk_per_key(
+            counts,
+            keys=["source"],
+            order=[F.desc("occurrences"), F.asc("ngram")],
+            k=5,
+            salt_on=["ngram"],
+            rank_col="rnk",
+        )
+        .withColumn("rnk", F.col("rnk").cast("long"))
+        .select("source", "ngram", "occurrences", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
 def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching audit (operators/text.py
     length_bucket_stats): exact-percentile token-length buckets and
@@ -7493,6 +7535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_session_interval": purchase_session_interval,
         "ann_pq": ann_pq,
         "corpus_bigram_stats": corpus_bigram_stats,
+        "top_bigrams_per_source": top_bigrams_per_source,
         "length_bucket_stats": length_bucket_stats,
         "hourly_value_ewma": hourly_value_ewma,
         "udtf_token_windows": udtf_token_windows,
@@ -11116,6 +11159,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ngram
             ORDER BY occurrences DESC, ngram
             LIMIT 100
+        """,
+        "top_bigrams_per_source": """
+            WITH toks AS (
+                SELECT source, string_split(text, ' ') AS t FROM documents
+            ),
+            ints AS (SELECT unnest(generate_series(
+                        1, (SELECT max(len(t)) FROM toks))) AS i),
+            ng AS (
+                SELECT source, t[i] || ' ' || t[i + 1] AS ngram
+                FROM toks JOIN ints ON ints.i + 1 <= len(toks.t)
+            ),
+            counts AS (
+                SELECT source, ngram, count(*) AS occurrences
+                FROM ng GROUP BY 1, 2
+            )
+            SELECT source, ngram, occurrences,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY occurrences DESC, ngram) AS rnk
+                  FROM counts)
+            WHERE rnk <= 5
+            ORDER BY source, rnk
         """,
         "length_bucket_stats": """
             WITH lengths AS (
