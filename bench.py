@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "nb_lang_classifier",
     "lang_classifier_eval",
     "embedding_label_auc",
+    "embedding_class_auc",
     "snapshot_docs_upsert",
     "snapshot_indexed_point_lookups",
     "snapshot_pruned_range_scan",

@@ -5376,6 +5376,57 @@ def embedding_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_class_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC-AUC per CLASS (all 10 labels) from a SINGLE
+    global rank: ranks over (score, vec_id) are class-independent, so
+    one range-partitioned rank pass serves every class's Mann-Whitney
+    statistic — per-(score) tie bounds join per-(score, label) positive
+    counts, and one aggregate per label folds its tie-corrected 2U.
+    The macro/multi-class upgrade of :func:`embedding_label_auc`; the
+    per-class sweep a quality-classifier eval reports.  Exact integer
+    micro-units; fixture labels are norm-independent so values sit
+    near 500000 — the gate is the shared-rank statistic."""
+    from real_time_data_analytics_cassandra_spark.functions.vectors import (
+        norm_expr,
+    )
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_rank,
+    )
+
+    ensure_query_confs(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", "label", F.round(norm_expr("embedding"), 6).alias("score")
+    )
+    ranked = global_rank(scored, ["score", "vec_id"], rank_col="rk")
+    bounds = ranked.groupBy("score").agg(
+        F.min("rk").alias("mn"), F.max("rk").alias("mx")
+    )
+    per_label = (
+        ranked.groupBy("score", "label")
+        .agg(F.count(F.lit(1)).alias("np_s"))
+        .join(bounds, "score")
+        .groupBy("label")
+        .agg(
+            F.sum("np_s").alias("n_pos"),
+            F.sum(F.col("np_s") * (F.col("mn") + F.col("mx"))).alias("r2"),
+        )
+    )
+    total = ranked.agg(F.max("rk").alias("n"))
+    return (
+        per_label.crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.expr(
+                "CAST((1000000 * (r2 - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * (n - n_pos)) AS BIGINT)"
+            ).alias("auc_micro"),
+        )
+        .orderBy("label")
+    )
+
+
 def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """event_transition_matrix maintained by the STREAM: the per-user
     lag becomes O(1)-per-user state in a custom stateful operator
@@ -7431,6 +7482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classifier": nb_lang_classifier,
         "lang_classifier_eval": lang_classifier_eval,
         "embedding_label_auc": embedding_label_auc,
+        "embedding_class_auc": embedding_class_auc,
         "source_token_kl": source_token_kl,
         "snapshot_docs_upsert": snapshot_docs_upsert,
         "snapshot_indexed_point_lookups": snapshot_indexed_point_lookups,
@@ -10337,6 +10389,36 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * sum(np_s) * (max(mx) - sum(np_s)))
                         AS BIGINT) AS auc_micro
             FROM g
+        """,
+        "embedding_class_auc": """
+            WITH s AS (
+                SELECT vec_id, label,
+                       round(sqrt(list_dot_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))), 6) AS score
+                FROM embeddings
+            ),
+            r AS (SELECT *, row_number() OVER (ORDER BY score, vec_id)
+                         AS rk FROM s),
+            bounds AS (SELECT score, min(rk) AS mn, max(rk) AS mx
+                       FROM r GROUP BY 1),
+            pl AS (
+                SELECT label,
+                       sum(np_s) AS n_pos,
+                       sum(np_s * (mn + mx)) AS r2
+                FROM (SELECT score, label, count(*) AS np_s
+                      FROM r GROUP BY 1, 2) c
+                JOIN bounds USING (score)
+                GROUP BY 1
+            ),
+            total AS (SELECT max(rk) AS n FROM r)
+            SELECT label,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST((1000000 * (r2 - n_pos * (n_pos + 1)))
+                        // (2 * n_pos * (n - n_pos)) AS BIGINT)
+                       AS auc_micro
+            FROM pl CROSS JOIN total
+            ORDER BY label
         """,
         "embedding_norm_stats": """
             WITH norms AS (
