@@ -334,6 +334,7 @@ _BNLJ_OK = {
     "doc_keywords",  # 1-row doc-count broadcast for the idf term
     "mmr_diverse_neighbors",  # knn's broadcast query x corpus non-equi join
     "ann_ivf_kmeans_refined",  # broadcast centroid/query non-equi probes
+    "embedding_class_auc",  # 1-row total-rank broadcast over 10 label rows
 }
 
 
