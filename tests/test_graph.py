@@ -252,3 +252,24 @@ def test_cluster_index_random_splits_match_union_find(spark, tmp_path):
                 parent[max(ra, rb)] = min(ra, rb)
         expected = {(n, find(n)) for n in parent}
         assert _index_rows(spark, path) == expected, (trial, pairs, cut)
+
+
+def test_cluster_index_append_empty_batch_is_noop_on_values(spark, tmp_path):
+    """An empty pair batch must leave every label unchanged (the
+    degenerate replay/quiet-crawl-slice case)."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        cluster_index_append,
+        cluster_index_build,
+    )
+
+    path = str(tmp_path / "clusters")
+    cluster_index_build(
+        spark, spark.createDataFrame([(1, 2)], ["id_a", "id_b"]), path
+    )
+    before = _index_rows(spark, path)
+    cluster_index_append(
+        spark,
+        path,
+        spark.createDataFrame([], "id_a long, id_b long"),
+    )
+    assert _index_rows(spark, path) == before == {(1, 1), (2, 1)}
