@@ -205,7 +205,12 @@ def triangle_counts(
     collects — and total intersection work is O(m^1.5) worst case
     instead of Σ d².  Both adjacency joins are equi-joins on the
     vertex key, hash-partitioned and AQE-sized.  The |V|-row degree
-    table broadcasts onto the edge list.
+    table joins onto the edge list WITHOUT a broadcast hint: the
+    degree table is derived from the (unbounded) input edge set, so
+    a forced broadcast would OOM on a billion-vertex graph — AQE
+    promotes the join to broadcast-hash at runtime when the built
+    side measures small, and degrades to a shuffle join when it
+    doesn't.
 
     Everything is exact integer arithmetic; the result is a pure
     function of the edge SET (orientation ties broken by id), so it
@@ -226,11 +231,14 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # No broadcast hint: ``deg`` has one row per vertex of the INPUT
+    # graph, so its size is unbounded.  AQE broadcasts it when its
+    # runtime size is under the threshold and shuffles otherwise.
     ed = e.join(
-        F.broadcast(deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))),
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")),
         "a",
     ).join(
-        F.broadcast(deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))),
+        deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b")),
         "b",
     )
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
@@ -363,6 +371,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_rounds):
         # -- large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m)
         #    for every neighbor v > u
@@ -409,8 +418,18 @@ def connected_components_star(
             ).count()
             if new_edges == 0:
                 e = ss
+                converged = True
                 break
         e = ss
+    if not converged:
+        # Returning the unconverged edge set would yield WRONG labels
+        # that cluster_index_build/append then persist — fail loudly.
+        raise RuntimeError(
+            "connected_components_star: small-star fixpoint not "
+            f"reached within max_rounds={max_rounds}; component "
+            "diameter exceeds the round budget — raise max_rounds "
+            "(rounds needed is O(log n))."
+        )
     # converged stars: (child u, root v) with v = component min; roots
     # appear as v — union both sides for the full node set
     return (

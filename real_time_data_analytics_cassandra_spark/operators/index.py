@@ -159,10 +159,23 @@ def _refresh_derived(spark, path: str, buckets: list[int], n_buckets: int):
     """Recompute the DERIVED tables from the durable ones: termstats
     for the given buckets re-aggregates the surviving postings of
     those buckets (dynamic overwrite, O(bucket slice)); stats
-    re-aggregates docstats (2 columns, one row out)."""
+    re-aggregates docstats (2 columns, one row out).
+
+    The touched ``termstats/bucket=X`` directories are DELETED before
+    the overwrite: dynamic partitionOverwriteMode only replaces
+    partitions that appear in the new data, so a bucket whose
+    surviving postings slice is EMPTY would otherwise keep its stale
+    directory (possibly already containing the crashed batch's
+    counts) and a retried append would merge on top of it, doubling
+    dfreq."""
     from real_time_data_analytics_cassandra_spark.sinks.merge import _conf
 
     if buckets:
+        fs, _ = _fs(spark, f"{path}/termstats")
+        for bkt in buckets:
+            _, bdir = _fs(spark, f"{path}/termstats/bucket={bkt}")
+            if fs.exists(bdir):
+                fs.delete(bdir, True)
         derived = (
             spark.read.parquet(f"{path}/postings")
             .filter(F.col("bucket").isin(buckets))

@@ -414,6 +414,24 @@ def hdr_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
     return sketch.groupBy(*group_cols, "lb").agg(F.sum("cnt").alias("cnt"))
 
 
+def hdr_rank_expr(q: float, n_sql: str = "n", divop: str = "div") -> str:
+    """SQL text for the 1-based rank ceil(q * n) in PURE INTEGER
+    arithmetic: q is taken as its exact decimal ratio qnum/qden
+    (0.99 -> 99/100) and ceil(a/b) is written (a + b - 1) <div> b —
+    with a, b >= 0 this is identical under truncating division
+    (Spark's ``div``) and floor division (DuckDB's ``//``), so the
+    Spark query and the DuckDB oracle evaluate the SAME integers.
+    Double-rounding of ceil(double_q * n) could straddle an integer
+    boundary when q*n is exactly integral; this cannot."""
+    from fractions import Fraction
+
+    fr = Fraction(str(q))
+    return (
+        f"(({fr.numerator} * {n_sql} + {fr.denominator - 1})"
+        f" {divop} {fr.denominator})"
+    )
+
+
 def hdr_quantiles(
     sketch: DataFrame,
     group_cols: list[str],
@@ -424,6 +442,8 @@ def hdr_quantiles(
     smallest lb whose running count reaches the rank).  Deterministic
     under-estimate by < factor (1 + 2^-p).  The window runs over the
     tiny bucket relation (<= B rows per group), never the data.
+    The rank is computed in integer arithmetic (:func:`hdr_rank_expr`)
+    so cross-engine oracle parity is bit-exact even at boundary ranks.
     Output: (group_cols..., n, q_<q> ... one BIGINT column per q)."""
     w = Window.partitionBy(*group_cols).orderBy("lb")
     cum = sketch.select(
@@ -435,7 +455,7 @@ def hdr_quantiles(
     aggs = [F.max("n").alias("n")] + [
         F.min(
             F.when(
-                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("lb")
+                F.col("cum") >= F.expr(hdr_rank_expr(q)), F.col("lb")
             )
         ).alias(f"q{str(q).replace('.', '_')}")
         for q in qs

@@ -9711,11 +9711,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type,
                    CAST(max(n) AS BIGINT) AS n_events,
-                   min(CASE WHEN cum >= ceil(0.5 * n) THEN lb END)
+                   min(CASE WHEN cum >= {sketches_op.hdr_rank_expr(0.5, divop="//")} THEN lb END)
                        AS p50_cents,
-                   min(CASE WHEN cum >= ceil(0.9 * n) THEN lb END)
+                   min(CASE WHEN cum >= {sketches_op.hdr_rank_expr(0.9, divop="//")} THEN lb END)
                        AS p90_cents,
-                   min(CASE WHEN cum >= ceil(0.99 * n) THEN lb END)
+                   min(CASE WHEN cum >= {sketches_op.hdr_rank_expr(0.99, divop="//")} THEN lb END)
                        AS p99_cents
             FROM cum GROUP BY 1 ORDER BY 1
         """,

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
+
 from real_time_data_analytics_cassandra_spark.operators.graph import (
     pagerank,
     triangle_counts,
@@ -273,3 +275,37 @@ def test_cluster_index_append_empty_batch_is_noop_on_values(spark, tmp_path):
         spark.createDataFrame([], "id_a long, id_b long"),
     )
     assert _index_rows(spark, path) == before == {(1, 1), (2, 1)}
+
+
+def test_star_components_raises_on_round_exhaustion(spark):
+    """Exhausting max_rounds without reaching the small-star fixpoint
+    must raise, not silently return unconverged (= wrong) labels that
+    cluster_index_build would then persist."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        connected_components_star(chain, max_rounds=1).collect()
+    # an adequate budget on the same graph converges to one component
+    labels = {
+        (r.id, r.component)
+        for r in connected_components_star(chain).collect()
+    }
+    assert labels == {(i, 0) for i in range(61)}
+
+
+def test_triangle_counts_has_no_forced_broadcast_hint(spark):
+    """The degree table derives from the (unbounded) input edge set —
+    a forced broadcast hint would OOM on a billion-vertex graph.  The
+    analyzed plan must carry NO broadcast hint; AQE alone decides."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["u", "v"]
+    )
+    df = triangle_counts(edges)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "UnresolvedHint" not in analyzed, analyzed

@@ -237,3 +237,60 @@ def test_phrase_hof_plan_is_shuffle_free_before_ordering(spark):
         text_op.phrase_occurrences(docs, "doc_id", "text", ["value", "table"])
     )
     assert "Exchange" not in plan, plan
+
+
+def test_repair_clears_stale_termstats_of_emptied_bucket(
+    spark, tmp_path_factory
+):
+    """A crash AFTER the termstats overwrite (marker still present,
+    every table already written) where the crashed batch is the ONLY
+    contributor to a termstats bucket: rollback deletes that bucket's
+    postings, so the re-derived slice is EMPTY and dynamic partition
+    overwrite alone would leave the stale termstats/bucket=X directory
+    in place — the retried append would then merge on top of it and
+    double dfreq.  _refresh_derived must clear the touched bucket dirs
+    explicitly.  ("uniqterm" hashes to bucket 14; "alpha"/"beta" to
+    23/59 — the batch is the bucket's sole contributor.)"""
+    base = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(2, "uniqterm")], "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("index") / "stale")
+    idx.build_text_index(base, path, "doc_id", "text")
+    meta = idx.append_text_index(new, path, "doc_id", "text")
+    batch = meta["batch"]
+    assert meta["n_new_docs"] == 1
+
+    # forge the crash: the committed state with the marker re-created
+    # is byte-identical to a crash between the stats write and the
+    # marker delete
+    fs, marker = idx._fs(spark, f"{path}/pending/{batch}")
+    fs.mkdirs(marker.getParent())
+    fs.create(marker, True).close()
+
+    meta2 = idx.append_text_index(new, path, "doc_id", "text")
+    assert meta2["repaired"] == [batch]
+    assert not fs.exists(marker)
+
+    got = (
+        spark.read.parquet(f"{path}/termstats")
+        .filter(F.col("term") == "uniqterm")
+        .select("term", "dfreq")
+        .collect()
+    )
+    assert [(r.term, r.dfreq) for r in got] == [("uniqterm", 1)]
+
+    full_path = str(tmp_path_factory.mktemp("index") / "stale_full")
+    idx.build_text_index(base.unionByName(new), full_path, "doc_id", "text")
+    for t in ("postings", "termstats", "docstats", "stats"):
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/{t}").drop("batch").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{full_path}/{t}")
+            .drop("batch")
+            .collect()
+        )
+        assert a == b, f"{t} differs after emptied-bucket repair"
