@@ -84,6 +84,7 @@ def main() -> None:
     for name, floor, gate in (
         ("ann_ivf", 0.8, "test_ann_ivf_recall_vs_bruteforce"),
         ("ann_ivf_kmeans", 0.8, "test_ann_kmeans_recall_vs_bruteforce"),
+        ("ann_ivf_kmeans_refined", 0.8, "test_ann_kmeans_refined_recall_floor"),
         ("ann_pq", 0.8, "test_ann_pq_recall_vs_bruteforce"),
         ("ann_ivfpq", 0.8, "test_ann_ivfpq_recall_vs_bruteforce"),
     ):
