@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_prefix",
     "containment_near_dup",
     "media_wav_decode",
+    "media_png_decode",
     "incremental_ann_search",
     "streaming_incremental_index",
     "json_decode_quarantine",

@@ -9,9 +9,12 @@ overhead.
 Compressed-codec libraries (PIL/ffmpeg/torchaudio) are NOT available
 in this environment, so ``decode_media_meta`` computes a deterministic
 fake for arbitrary payloads — but ``decode_media_real`` DOES decode
-the two dependency-free containers end-to-end: RIFF/WAVE PCM audio
-(chunk-walking header parse + sample extraction) and binary PPM (P6)
-images.  Payloads in any other container raise NotImplementedError —
+three dependency-free containers end-to-end: RIFF/WAVE PCM audio
+(chunk-walking header parse + sample extraction), binary PPM (P6)
+images, and 8-bit non-interlaced PNG (stdlib-zlib inflate, per-chunk
+CRC32 verification, full defiltering of all five spec filter types —
+a genuinely COMPRESSED codec).  Payloads in any other container
+(JPEG/MP3; palette/16-bit/Adam7 PNG) raise NotImplementedError —
 that boundary now means "codec genuinely absent", not "no decoder
 exists".  Everything Spark-side — schema handling, Arrow batching,
 partition parallelism, the UDF signature — is real and tested.
@@ -295,18 +298,195 @@ def _decode_ppm(payload: bytes) -> tuple[dict, np.ndarray]:
     return meta, pixels
 
 
+PNG_WIDTH = 64
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec §9.4): nearest of left/up/up-left
+    to a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
+    """A GENUINE PNG file holding ``data`` as an 8-bit grayscale image
+    of fixed ``width`` (final row zero-padded; empty input becomes one
+    blank row), written with stdlib zlib only.  Scanline filter types
+    CYCLE through all five spec filters (None/Sub/Up/Average/Paeth)
+    and the zlib stream is split across TWO IDAT chunks, so a decoder
+    only recovers the pixels by doing real defiltering and multi-IDAT
+    concatenation — any PNG viewer opens the output."""
+    import struct
+    import zlib
+
+    height = max(1, -(-len(data) // width))
+    plane = data + b"\x00" * (width * height - len(data))
+    prev = bytes(width)
+    filtered = bytearray()
+    for r in range(height):
+        row = plane[r * width : (r + 1) * width]
+        ft = r % 5
+        filtered.append(ft)
+        if ft == 0:
+            filtered += row
+        elif ft == 1:  # Sub
+            filtered += bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                for i in range(width)
+            )
+        elif ft == 2:  # Up
+            filtered += bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(width)
+            )
+        elif ft == 3:  # Average
+            filtered += bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(width)
+            )
+        else:  # Paeth
+            filtered += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 1] if i else 0,
+                        prev[i],
+                        prev[i - 1] if i else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(width)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    idat = zlib.compress(bytes(filtered))
+    mid = len(idat) // 2
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if mid:
+        out += _png_chunk(b"IDAT", idat[:mid]) + _png_chunk(
+            b"IDAT", idat[mid:]
+        )
+    else:
+        out += _png_chunk(b"IDAT", idat)
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
+    """REAL PNG decode via stdlib zlib: chunk walk with per-chunk
+    CRC32 verification, IHDR parse, multi-IDAT concatenation, zlib
+    inflate, and full defiltering of all five spec filter types for
+    8-bit gray/RGB/RGBA non-interlaced images.  Palette (color type
+    3), sub-8-bit/16-bit depths, and Adam7 interlacing raise
+    NotImplementedError — documented boundaries, not fakes."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + size : pos + 12 + size]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG planes not supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(
+            f"PNG color type {color} (palette/alpha-gray) not supported"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    recon = bytearray(height * stride)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        base = r * stride
+        for i in range(stride):
+            x = line[i]
+            a = recon[base + i - channels] if i >= channels else 0
+            b = recon[base + i - stride] if r else 0
+            c = (
+                recon[base + i - stride - channels]
+                if (r and i >= channels)
+                else 0
+            )
+            if ft == 1:
+                x += a
+            elif ft == 2:
+                x += b
+            elif ft == 3:
+                x += (a + b) >> 1
+            elif ft == 4:
+                x += _paeth(a, b, c)
+            elif ft != 0:
+                raise ValueError(f"PNG filter type {ft} invalid")
+            recon[base + i] = x & 0xFF
+    meta = {
+        "format": "png",
+        "n_channels": channels,
+        "sample_rate": None,
+        "bits_per_sample": 8,
+        "n_samples": None,
+        "width": width,
+        "height": height,
+    }
+    return meta, np.frombuffer(bytes(recon), dtype=np.uint8)
+
+
 def decode_payload(payload: bytes) -> tuple[dict, np.ndarray]:
     """Route a payload to its REAL decoder by magic bytes.
 
     Raises:
         NotImplementedError: for containers whose codecs are genuinely
-        absent in this environment (JPEG/PNG/MP3/...); RIFF-PCM WAV
-        and binary PPM decode for real.
+        absent in this environment (JPEG/MP3/...); RIFF-PCM WAV,
+        binary PPM, and 8-bit non-interlaced PNG decode for real.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
         f"no decoder for payload magic {payload[:4]!r}: compressed codecs "
         "(PIL/ffmpeg/torchaudio) are not present in this environment"
@@ -327,6 +507,39 @@ def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     "doc_id": batch["doc_id"].astype("int64"),
                     "payload": batch["text"].map(
                         lambda t: _wav_container(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    src = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Wrap each document's utf-8 bytes in a GENUINE PNG container
+    (8-bit grayscale, cycling scanline filters, two IDAT chunks —
+    :func:`_png_container`): the deterministic stand-in for reading
+    real image blobs from object storage, except the container is a
+    spec-valid PNG that only a real defiltering decoder can read."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": batch["text"].map(
+                        lambda t: _png_container(t.encode("utf-8"))
                     ),
                 }
             )

@@ -1293,6 +1293,35 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode through the Arrow path: each
+    document's bytes are wrapped in a genuine PNG (8-bit grayscale,
+    stdlib-zlib IDAT, scanline filters cycling through all five spec
+    types, two IDAT chunks — operators/multimodal.py::_png_container)
+    and the decode stage (::_decode_png) actually verifies chunk
+    CRCs, inflates, and defilters — the pixel plane round-trips
+    bit-exactly (gated in tests/test_multimodal_real.py).  Full
+    oracle: the container geometry is deterministic, so width (fixed
+    64), height (ceil of byte length / 64, min 1) and the padded
+    pixel count are SQL-derivable from the text length; the
+    compressed byte length is inherently not, so the query reports
+    plane geometry, not container size."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = mm_op.decode_media_real(
+        mm_op.attach_png_payload(docs, "doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        "format",
+        "n_channels",
+        "bits_per_sample",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -7581,6 +7610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_refined": ann_ivf_kmeans_refined,
         "multimodal_decode_meta": multimodal_decode_meta,
         "media_wav_decode": media_wav_decode,
+        "media_png_decode": media_png_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
         "schema_evolution_read": schema_evolution_read,
@@ -9506,6 +9536,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(44 + octet_length(encode(text))
                         + (octet_length(encode(text)) % 2) AS BIGINT)
                        AS byte_len
+            FROM documents ORDER BY doc_id
+        """,
+        # geometry is deterministic (fixed width 64, zero-padded final
+        # row, empty text -> one blank row); the zlib-compressed
+        # container size is inherently not SQL-derivable, so the query
+        # reports the decoded plane geometry instead
+        "media_png_decode": """
+            SELECT doc_id,
+                   'png' AS format,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(8 AS BIGINT) AS bits_per_sample,
+                   CAST(64 AS BIGINT) AS width,
+                   CAST(greatest(1, (octet_length(encode(text)) + 63) // 64)
+                        AS BIGINT) AS height,
+                   CAST(64 * greatest(1,
+                        (octet_length(encode(text)) + 63) // 64)
+                        AS BIGINT) AS n_pixels
             FROM documents ORDER BY doc_id
         """,
         "multimodal_features": """

@@ -89,3 +89,86 @@ def test_real_decode_through_arrow_path(spark):
         and r["width"] is None
         for r in out.values()
     )
+
+
+def test_png_pixels_round_trip_all_filters_and_multi_idat():
+    """The encoder cycles all five spec filter types and splits the
+    zlib stream across two IDAT chunks; the decoder must defilter and
+    concatenate to recover the plane bit-exactly (padding included)."""
+    for n in (0, 1, 63, 64, 65, 64 * 5 + 7, 5000):
+        data = bytes((i * 37 + n) % 256 for i in range(n))
+        png = mm._png_container(data)
+        assert png.count(b"IDAT") >= (2 if n > 0 else 1)
+        meta, px = mm.decode_payload(png)
+        h = max(1, -(-n // mm.PNG_WIDTH))
+        assert meta["format"] == "png"
+        assert (meta["width"], meta["height"]) == (mm.PNG_WIDTH, h)
+        assert (meta["n_channels"], meta["bits_per_sample"]) == (1, 8)
+        assert bytes(px) == data + b"\x00" * (mm.PNG_WIDTH * h - n)
+
+
+def test_png_crc_verification_and_boundaries():
+    import zlib
+
+    png = bytearray(mm._png_container(b"abcdef" * 40))
+    # flip a byte inside the first IDAT body -> its CRC must trip
+    png[png.index(b"IDAT") + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm._decode_png(bytes(png))
+
+    def mk(width, height, depth, color, interlace, raw):
+        ihdr = struct.pack(
+            ">IIBBBBB", width, height, depth, color, 0, 0, interlace
+        )
+        idat = zlib.compress(raw)
+        return (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", idat)
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    # RGB (color type 2) decodes: 2x2 image, per-row filters Sub then Up
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    row1 = bytes([5, 5, 5, 105, 105, 105])
+    filt = (
+        bytes([1])
+        + row0[:3]
+        + bytes((row0[i] - row0[i - 3]) & 0xFF for i in range(3, 6))
+        + bytes([2])
+        + bytes((row1[i] - row0[i]) & 0xFF for i in range(6))
+    )
+    meta, px = mm._decode_png(mk(2, 2, 8, 2, 0, filt))
+    assert meta["n_channels"] == 3 and (meta["width"], meta["height"]) == (2, 2)
+    assert bytes(px) == row0 + row1
+
+    # documented boundaries raise NotImplementedError, not garbage
+    raw = bytes([0, 1, 2, 3, 4])
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm._decode_png(mk(4, 1, 8, 0, 1, raw))
+    with pytest.raises(NotImplementedError, match="16-bit|not supported"):
+        mm._decode_png(mk(2, 1, 16, 0, 0, bytes([0, 0, 1, 0, 2])))
+    with pytest.raises(NotImplementedError, match="color type"):
+        mm._decode_png(mk(4, 1, 8, 3, 0, raw))
+
+
+def test_png_decode_through_arrow_path(spark):
+    rows = [(1, "hello world"), (2, "x" * 101), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_media_real(
+            mm.attach_png_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (64, 1)
+    assert (out[2]["width"], out[2]["height"]) == (64, 2)
+    assert (out[3]["width"], out[3]["height"]) == (64, 1)
+    assert all(
+        r["format"] == "png"
+        and r["n_channels"] == 1
+        and r["bits_per_sample"] == 8
+        and r["n_samples"] is None
+        and r["sample_rate"] is None
+        for r in out.values()
+    )

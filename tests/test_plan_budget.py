@@ -81,6 +81,7 @@ BUDGETS = {
     "containment_near_dup": 10,
     "ngram_jaccard_prefix": 9,
     "media_wav_decode": 2,
+    "media_png_decode": 2,
     "json_decode_quarantine": 3,
     "schema_evolution_read": 2,
     "purchase_attribution_cogrouped": 2,

@@ -261,6 +261,7 @@ def test_embedding_norm_stats_python_free(spark):
 _ARROW_QUERIES = {
     "multimodal_decode_meta",
     "media_wav_decode",  # real RIFF parse via mapInPandas
+    "media_png_decode",  # real zlib inflate + defilter via mapInPandas
     "multimodal_features",
     "frame_samples",
     "audio_window_features",
