@@ -54,6 +54,7 @@ FIXTURE_PREFIXES = (
     "rtdac_ckpt_stream_idx_",  # the streamed index's REUSED checkpoint
     "rtdac_cluster_idx_",
     "rtdac_copurchase_",
+    "rtdac_sf1_",
     "rtdac_evo_docs_",
     "rtdac_pb_shim",
     "rtdac_snap_docs_",

@@ -34,6 +34,23 @@ SFS = [
 ]
 N = int(os.environ.get("SCALING_N", "3"))
 
+# The 10 most expensive families at sf0.1 also get a DERIVED sf1
+# point (tools/make_sf1.py: weak-scaling 10x key-shifted copies) and a
+# re-fitted 0.1->1 slope — the 2-decade fit below can hide
+# super-linear onset that only shows in the 3rd decade.
+SF1_QUERIES = {
+    "part_triangle_clustering",
+    "part_pagerank",
+    "lang_classifier_eval",
+    "phrase_search",
+    "ann_ivfpq",
+    "join_size_estimate_cms",
+    "part_copurchase_components",
+    "hybrid_search_rrf",
+    "weighted_median_prices",
+    "nb_lang_classifier",
+}
+
 # one representative per operator family
 QUERIES = [
     ("scan+agg", "pricing_summary"),
@@ -92,10 +109,15 @@ def main() -> None:
     force(registry["geo_hourly_counts"](spark, SFS[0][0]))
     force(registry["multimodal_decode_meta"](spark, SFS[0][0]))
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_sf1 import ensure_sf1
+
+    sf1_dir = ensure_sf1()
     rows = []
     for family, name in QUERIES:
         times = {}
-        for sf_dir, sf in SFS:
+        points = list(SFS) + ([(sf1_dir, 1.0)] if name in SF1_QUERIES else [])
+        for sf_dir, sf in points:
             samples = []
             for _ in range(N):
                 t0 = time.monotonic()
@@ -103,10 +125,16 @@ def main() -> None:
                 samples.append(time.monotonic() - t0)
             times[sf] = statistics.median(samples)
         slope = math.log(times[0.1] / times[0.01]) / math.log(10)
-        rows.append((family, name, times, slope))
+        slope1 = (
+            math.log(times[1.0] / times[0.1]) / math.log(10)
+            if 1.0 in times
+            else None
+        )
+        rows.append((family, name, times, slope, slope1))
+        s1 = f" sf1 {times[1.0]:.2f}s slope1 {slope1:.2f}" if slope1 is not None else ""
         print(
             f"{name}: {times[0.001]:.2f}/{times[0.01]:.2f}/{times[0.1]:.2f}s "
-            f"slope {slope:.2f}",
+            f"slope {slope:.2f}{s1}",
             file=sys.stderr,
         )
 
@@ -118,16 +146,29 @@ def main() -> None:
             "points, so slope 1.0 = linear scaling, <1 = fixed costs "
             "still amortizing, >1.3 would flag super-linear work "
             "(none present).  sf0.001 is shown for the overhead "
-            "floor.  Regenerate: `python tools/scaling_report.py`.\n\n"
-            "| family | query | sf0.001 s | sf0.01 s | sf0.1 s | slope |\n"
-            "|---|---|---|---|---|---|\n".format(n=N)
+            "floor.  The 10 most expensive families also carry a "
+            "DERIVED sf1 point (tools/make_sf1.py: weak-scaling 10x "
+            "key-shifted copies of sf0.1, per-copy text rehash so "
+            "near-dup candidate sets scale honestly) and the "
+            "re-fitted 0.1→1 slope — a slope1 > 1.1 gets a named "
+            "explanation or a fix.  "
+            "Regenerate: `python tools/scaling_report.py`.\n\n"
+            "| family | query | sf0.001 s | sf0.01 s | sf0.1 s | "
+            "slope | sf1 s | slope 0.1→1 |\n"
+            "|---|---|---|---|---|---|---|---|\n".format(n=N)
         )
-        for family, name, times, slope in rows:
+        for family, name, times, slope, slope1 in rows:
             flag = " ⚠" if slope > 1.3 else ""
+            s1c = f"{times[1.0]:.2f}" if slope1 is not None else "—"
+            s1s = (
+                f"{slope1:.2f}{' ⚠' if slope1 > 1.1 else ''}"
+                if slope1 is not None
+                else "—"
+            )
             fh.write(
                 f"| {family} | `{name}` | {times[0.001]:.2f} | "
                 f"{times[0.01]:.2f} | {times[0.1]:.2f} | "
-                f"{slope:.2f}{flag} |\n"
+                f"{slope:.2f}{flag} | {s1c} | {s1s} |\n"
             )
         worst = max(rows, key=lambda r: r[3])
         fh.write(
@@ -137,6 +178,13 @@ def main() -> None:
             "that amortize with scale — their slopes are still the "
             "distributed part's.\n"
         )
+        sf1_rows = [r for r in rows if r[4] is not None]
+        if sf1_rows:
+            worst1 = max(sf1_rows, key=lambda r: r[4])
+            fh.write(
+                f"\nWorst 0.1→1 slope: `{worst1[1]}` at "
+                f"{worst1[4]:.2f} (over the derived sf1).\n"
+            )
     print(f"wrote {OUT}")
     spark.stop()
 
