@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "bpe_encode_docs",
     "ngram_jaccard_prefix",
     "containment_near_dup",
+    "split_leakage_report",
+    "dup_cluster_size_histogram",
+    "vocab_coverage_topk",
+    "event_hourly_ols_trend",
     "media_wav_decode",
     "media_png_decode",
     "incremental_ann_search",

@@ -563,6 +563,202 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test CONTAMINATION audit: near-duplicate pairs that
+    straddle split boundaries.  An eval doc with a near-dup in train
+    silently inflates every benchmark run on it — this is the check a
+    training-data release pipeline runs before publishing splits.
+
+    Composition of two existing exact primitives: the deterministic
+    hash split (operators/sampling.py::with_split — a row's split
+    never changes as the corpus grows) and the lossless prefix-
+    filtered Jaccard pairs (operators/dedup.py::
+    ngram_jaccard_prefix_pairs, the non-quadratic exact path).  Pair
+    endpoints are normalized with LEAST/GREATEST over the split
+    labels so each unordered split pair is one output row; is_leak
+    marks cross-split rows.  Scale shape: the pair set is already
+    prefix-filter bounded; the split decoration is a projection (no
+    extra shuffle beyond the two id joins, which AQE sizes)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_op.ngram_jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    s = sampling_op.with_split(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    j = pairs.join(
+        s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sp_a")),
+        "id_a",
+    ).join(
+        s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sp_b")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of EXACT-duplicate cluster sizes: how much of the
+    corpus is singletons vs 2-copies vs heavy clusters — the one-line
+    summary that decides whether dedup is worth a pipeline stage and
+    what keep-one saves.  Two map-side-combined aggregations (text
+    hash -> cluster size -> histogram); n_docs = size * clusters is
+    exact bookkeeping, so sum(n_docs) equals the corpus size."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    groups = dedup_op.exact_duplicate_groups(docs, "doc_id", "text")
+    return (
+        groups.groupBy(F.col("dup_count").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary concentration: the share of all token
+    occurrences covered by that source's top-100 tokens — the Zipf
+    head mass that decides how small a vocabulary can be before OOV
+    explodes, per mixture component.  The per-source rank rides the
+    bounded two-phase top-k (operators/topk.py::bounded_topk_per_key):
+    with ~20 sources a naive per-source window would funnel the whole
+    (source, term) count table into 20 tasks; the salted partial pass
+    caps the final window at 32·k rows per source."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.functions.textfns import (
+        tokens,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = (
+        topk_op.bounded_topk_per_key(
+            counts,
+            keys=["source"],
+            order=[F.desc("n"), F.asc("term")],
+            k=100,
+            salt_on=["term"],
+            rank_col="rnk",
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("top100_tokens"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total_tokens")
+    )
+    return (
+        totals.join(top, "source")
+        .select(
+            "source",
+            "total_tokens",
+            "top100_tokens",
+            F.round(
+                F.col("top100_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+def _floordiv_sql(a: str, b: str, divop: str = "div") -> str:
+    """floor(a / b) in PURE integer arithmetic, identical under
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` even for
+    negative numerators: subtract the positive mod first (both
+    engines' ``%`` follows the dividend's sign, so ``((a % b) + b) %
+    b`` is the canonical non-negative residue), making the division
+    exact."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) {divop} ({b}))"
+
+
+def event_hourly_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type LINEAR TREND of hourly event volume: exact ordinary-
+    least-squares slope/intercept over (hour index, hourly count)
+    points, reported in integer micro-units — "is this event type
+    growing, and how fast" as one closed-form aggregation instead of
+    an iterative fit.
+
+    Exactness: x is the hour index relative to the corpus's first
+    hour (small integers), y is an exact count, and the OLS closed
+    form slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) is evaluated
+    entirely in BIGINT with a floor division shared verbatim with the
+    oracle (:func:`_floordiv_sql`) — no floating point anywhere, so
+    DuckDB reproduces every micro-unit bit-for-bit.
+
+    Scale shape: one map-side-combined (type, hour) count, one
+    per-type aggregation of the five OLS sums, then a scalar
+    projection — two shuffles total, no window, no collect."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    hours = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    x0 = hours.agg(F.min("h").alias("x0"))
+    hourly = (
+        hours.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .crossJoin(F.broadcast(x0))
+        .select("event_type", (F.col("h") - F.col("x0")).alias("x"), "y")
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = _floordiv_sql(
+        "1000000 * (n * sxy - sx * sy)", "n * sxx - sx * sx"
+    )
+    fit = s.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            f"CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE {slope} END"
+        ).alias("slope_micro"),
+    )
+    intercept = _floordiv_sql("1000000 * sy - slope_micro * sx", "n")
+    return (
+        fit.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_hours"),
+            F.col("slope_micro").cast("long").alias("slope_micro"),
+            F.expr(
+                "CASE WHEN slope_micro IS NULL THEN NULL "
+                f"ELSE {intercept} END"
+            )
+            .cast("long")
+            .alias("intercept_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) candidate pairs, exact-Jaccard
     verified (sim >= 0.5).  The 100 TB-scale dedup path — and since
@@ -7539,6 +7735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned_merges": bpe_learned_merges,
         "bpe_encode_docs": bpe_encode_docs,
         "ngram_jaccard_prefix": ngram_jaccard_prefix,
+        "split_leakage_report": split_leakage_report,
+        "dup_cluster_size_histogram": dup_cluster_size_histogram,
+        "vocab_coverage_topk": vocab_coverage_topk,
+        "event_hourly_ols_trend": event_hourly_ols_trend,
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
@@ -9350,6 +9550,94 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.5
+        """,
+        # same pair CTE as ngram_jaccard, decorated with the
+        # deterministic hash split and folded to unordered split pairs
+        "split_leakage_report": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 ints AS (SELECT unnest(generate_series(1, (SELECT max(len(t)) FROM toks))) AS i),
+                 sh AS (SELECT DISTINCT doc_id,
+                               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+                        FROM toks JOIN ints ON ints.i + 2 <= len(toks.t)),
+                 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+                 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (
+                     SELECT id_a, id_b FROM inter
+                     JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+                     WHERE round(CAST(n_inter AS DOUBLE)
+                                 / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.5
+                 ),
+                 sp AS (SELECT doc_id, {sampling_op.split_case_sql("doc_id")} AS split
+                        FROM documents)
+            SELECT least(a.split, b.split) AS split_a,
+                   greatest(a.split, b.split) AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+            FROM pairs
+            JOIN sp a ON a.doc_id = pairs.id_a
+            JOIN sp b ON b.doc_id = pairs.id_b
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dup_cluster_size_histogram": """
+            WITH g AS (SELECT text, count(*) AS cluster_size
+                       FROM documents GROUP BY 1)
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM g GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        "vocab_coverage_topk": """
+            WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+                 counts AS (SELECT source, term, count(*) AS n
+                            FROM tok GROUP BY 1, 2),
+                 ranked AS (SELECT source, n,
+                                   row_number() OVER (PARTITION BY source
+                                                      ORDER BY n DESC, term) AS rnk
+                            FROM counts)
+            SELECT source,
+                   CAST((SELECT sum(n) FROM counts c WHERE c.source = r.source)
+                        AS BIGINT) AS total_tokens,
+                   CAST(sum(n) FILTER (WHERE rnk <= 100) AS BIGINT) AS top100_tokens,
+                   round(CAST(sum(n) FILTER (WHERE rnk <= 100) AS DOUBLE)
+                         / (SELECT sum(n) FROM counts c WHERE c.source = r.source),
+                         6) AS coverage
+            FROM ranked r GROUP BY source ORDER BY source
+        """,
+        # OLS sums and both micro-unit coefficients in pure BIGINT
+        # arithmetic; the floor division text is shared verbatim with
+        # the Spark side (_floordiv_sql) modulo the div operator
+        "event_hourly_ols_trend": f"""
+            WITH h AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+                       FROM events),
+                 x0 AS (SELECT min(h) AS x0 FROM h),
+                 hourly AS (SELECT event_type,
+                                   h - (SELECT x0 FROM x0) AS x,
+                                   count(*) AS y
+                            FROM h GROUP BY 1, 2),
+                 s AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(x) AS BIGINT) AS sx,
+                              CAST(sum(y) AS BIGINT) AS sy,
+                              CAST(sum(x * x) AS BIGINT) AS sxx,
+                              CAST(sum(x * y) AS BIGINT) AS sxy
+                       FROM hourly GROUP BY 1),
+                 fit AS (SELECT event_type, n, sx, sy,
+                                CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                                     ELSE {_floordiv_sql("1000000 * (n * sxy - sx * sy)", "n * sxx - sx * sx", divop="//")}
+                                END AS slope_micro
+                         FROM s)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_hours,
+                   CAST(slope_micro AS BIGINT) AS slope_micro,
+                   CAST(CASE WHEN slope_micro IS NULL THEN NULL
+                        ELSE {_floordiv_sql("1000000 * sy - slope_micro * sx", "n", divop="//")}
+                        END AS BIGINT) AS intercept_micro
+            FROM fit ORDER BY event_type
         """,
         "text_quality": """
             SELECT doc_id,

@@ -80,6 +80,16 @@ BUDGETS = {
     "hard_negative_mining": 3,
     "containment_near_dup": 10,
     "ngram_jaccard_prefix": 9,
+    # split-leakage = the 9-exchange prefix-filtered pair set + two
+    # split-decoration id joins
+    "split_leakage_report": 11,
+    "dup_cluster_size_histogram": 3,
+    # per-source bounded two-phase rank (salted partial + final) +
+    # the totals aggregation and its join
+    "vocab_coverage_topk": 8,
+    # (type, hour) count + per-type OLS sums + ordered output +
+    # the 1-row first-hour broadcast's exchange
+    "event_hourly_ols_trend": 4,
     "media_wav_decode": 2,
     "media_png_decode": 2,
     "json_decode_quarantine": 3,
