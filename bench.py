@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "incremental_ingest_dedup",
     "streaming_cms_token_counts",
     "streaming_hdr_percentiles",
+    "streaming_ols_trend",
+    "event_type_correlation_matrix",
     "streaming_kmv_distinct_per_type",
     "streaming_hourly_cusum",
     "training_shard_shuffle",

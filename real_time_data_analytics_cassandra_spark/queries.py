@@ -712,18 +712,23 @@ def event_hourly_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — two shuffles total, no window, no collect."""
     ensure_query_confs(spark)
     events = table(spark, sf_dir, "events")
-    hours = events.select(
+    hourly = events.select(
         "event_type",
         F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    ).groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("y"))
+    return _ols_fit_micro(hourly)
+
+
+def _ols_fit_micro(hourly: DataFrame) -> DataFrame:
+    """Exact integer OLS over (event_type, h, y) points — the shared
+    tail of the batch and streaming trend queries (identical code =
+    identical arithmetic = shared oracle).  Re-bases x to the first
+    hour so every sum stays far from BIGINT overflow."""
+    x0 = hourly.agg(F.min("h").alias("x0"))
+    based = hourly.crossJoin(F.broadcast(x0)).select(
+        "event_type", (F.col("h") - F.col("x0")).alias("x"), "y"
     )
-    x0 = hours.agg(F.min("h").alias("x0"))
-    hourly = (
-        hours.groupBy("event_type", "h")
-        .agg(F.count(F.lit(1)).alias("y"))
-        .crossJoin(F.broadcast(x0))
-        .select("event_type", (F.col("h") - F.col("x0")).alias("x"), "y")
-    )
-    s = hourly.groupBy("event_type").agg(
+    s = based.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -756,6 +761,75 @@ def event_hourly_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("intercept_micro"),
         )
         .orderBy("event_type")
+    )
+
+
+def event_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' HOURLY
+    VOLUMES — "which event streams move together", the co-movement
+    matrix behind alerting correlation and mixture drift analysis.
+
+    Exactness: counts are densified onto the full (hour x type) grid
+    (missing hours count 0 — correlation over a common x-grid, not
+    over each type's own support), and every covariance/variance
+    NUMERATOR (n·Σab − Σa·Σb form) is exact BIGINT; the only floating
+    point is the final sqrt/divide over identical integers, which is
+    IEEE-identical cross-engine, then round-6.
+
+    Scale shape: the grid is |hours| x |types| (types is a tiny enum,
+    broadcast); the pair join is per-hour with |types|² fan-out —
+    bounded by the type-enum square, never by |events| — and the five
+    sums reduce map-side.  No window, no collect."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("y"))
+    hours = ev.select("h").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"),
+        F.col("h"),
+        F.col("y").alias("ya"),
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h"),
+        F.col("y").alias("yb"),
+    )
+    p = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+    )
+    return (
+        s.select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_hours"),
+            F.expr(
+                "CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 "
+                "THEN NULL ELSE round(CAST(n * sab - sa * sb AS DOUBLE) "
+                "/ (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) "
+                "* sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) END"
+            ).alias("corr"),
+        )
+        .orderBy("type_a", "type_b")
     )
 
 
@@ -7442,6 +7516,40 @@ def streaming_hdr_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def streaming_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact OLS trend MAINTAINED BY THE STREAM: the (type, hour)
+    count aggregation of event_hourly_ols_trend runs unchanged as a
+    Structured Streaming aggregation over the bounded events replay
+    (counts merge exactly at any micro-batch boundary), then the
+    integer closed-form fit reads off the finished table through
+    literally the same helper (:func:`_ols_fit_micro`) the batch
+    query uses — so this streaming query shares the batch query's
+    full DuckDB oracle bit-for-bit, the same claim as
+    streaming_hdr_percentiles for quantiles."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_table_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    ev_stream = bounded_table_stream(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    hourly_q = ev_stream.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_streaming_ols_")
+    hourly = run_available_now(
+        hourly_q, "streaming_ols_trend_q", ckpt, output_mode="complete"
+    )
+    return _ols_fit_micro(hourly)
+
+
 def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup (operators/dedup.py::
     incremental_near_dups): the src0 slice plays the NEW crawl batch,
@@ -7739,6 +7847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_size_histogram": dup_cluster_size_histogram,
         "vocab_coverage_topk": vocab_coverage_topk,
         "event_hourly_ols_trend": event_hourly_ols_trend,
+        "streaming_ols_trend": streaming_ols_trend,
+        "event_type_correlation_matrix": event_type_correlation_matrix,
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
@@ -9606,6 +9716,44 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT sum(n) FROM counts c WHERE c.source = r.source),
                          6) AS coverage
             FROM ranked r GROUP BY source ORDER BY source
+        """,
+        # densified (hour x type) grid, exact BIGINT covariance
+        # numerators, one final IEEE-identical sqrt/divide + round-6
+        "event_type_correlation_matrix": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+                       FROM events),
+                 c AS (SELECT event_type, h, count(*) AS y
+                       FROM e GROUP BY 1, 2),
+                 hours AS (SELECT DISTINCT h FROM e),
+                 types AS (SELECT DISTINCT event_type FROM e),
+                 grid AS (SELECT t.event_type, hours.h,
+                                 CAST(coalesce(c.y, 0) AS BIGINT) AS y
+                          FROM hours CROSS JOIN types t
+                          LEFT JOIN c ON c.event_type = t.event_type
+                                     AND c.h = hours.h),
+                 p AS (SELECT a.event_type AS type_a,
+                              b.event_type AS type_b,
+                              a.y AS ya, b.y AS yb
+                       FROM grid a JOIN grid b
+                         ON a.h = b.h AND a.event_type < b.event_type),
+                 s AS (SELECT type_a, type_b,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(ya) AS BIGINT) AS sa,
+                              CAST(sum(yb) AS BIGINT) AS sb,
+                              CAST(sum(ya * ya) AS BIGINT) AS saa,
+                              CAST(sum(yb * yb) AS BIGINT) AS sbb,
+                              CAST(sum(ya * yb) AS BIGINT) AS sab
+                       FROM p GROUP BY 1, 2)
+            SELECT type_a, type_b,
+                   n AS n_hours,
+                   CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0
+                        THEN NULL
+                        ELSE round(CAST(n * sab - sa * sb AS DOUBLE)
+                             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))),
+                             6) END AS corr
+            FROM s ORDER BY 1, 2
         """,
         # OLS sums and both micro-unit coefficients in pure BIGINT
         # arithmetic; the floor division text is shared verbatim with
@@ -11771,6 +11919,7 @@ def oracle_sql() -> dict[str, str]:
     # the streamed HDR bucket counts merge exactly across micro-batches
     # (mergeable summary) -> it shares the batch quantile oracle
     d["streaming_hdr_percentiles"] = d["hdr_value_percentiles"]
+    d["streaming_ols_trend"] = d["event_hourly_ols_trend"]
     d["streaming_hourly_cusum"] = d["hourly_value_cusum"]
     d["streaming_new_vs_returning"] = d["daily_new_vs_returning"]
     d["geo_hourly_counts_autosalted"] = d["geo_hourly_counts"]

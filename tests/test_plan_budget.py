@@ -90,6 +90,9 @@ BUDGETS = {
     # (type, hour) count + per-type OLS sums + ordered output +
     # the 1-row first-hour broadcast's exchange
     "event_hourly_ols_trend": 4,
+    # hourly counts + hour spine + grid left join + per-hour pair
+    # join + pair sums + ordered output (types ride a broadcast)
+    "event_type_correlation_matrix": 8,
     "media_wav_decode": 2,
     "media_png_decode": 2,
     "json_decode_quarantine": 3,

@@ -318,6 +318,7 @@ _BNLJ_OK = {
     "lm_quality_buckets",  # same + 1-row tercile-boundary broadcast
     "source_mixture_weights",  # 1-row totals broadcast
     "event_hourly_ols_trend",  # 1-row first-hour broadcast
+    "event_type_correlation_matrix",  # type-enum grid broadcast
     "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
     "curriculum_shards",  # 1-row per-shard-size broadcast over the ranked frame
     "heavy_hitter_tokens",  # 1-row error-mass broadcast
