@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "purchase_attribution",
     "user_sessions",
     "geo_rollup",
+    "order_priority_cube",
+    "signup_no_purchase_7d",
     "distinct_users_per_type",
     "approx_distinct_users",
     "embedding_near_dup",

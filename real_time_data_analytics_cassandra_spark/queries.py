@@ -1673,6 +1673,95 @@ def geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order priority, order status) with exact decimal
+    revenue — every margin of the 2-D contingency table (cells, both
+    one-way subtotals, grand total) in ONE aggregation pass, the
+    GROUPING SETS surface next to geo_rollup's ROLLUP.  Spark plans
+    CUBE as a single expand + hash aggregate (rows expand 4x before
+    the map-side combine — never a per-margin rescan), and the
+    grouping id disambiguates real NULL-less labels from subtotal
+    rows.  Money stays on the exact decimal path (functions/
+    numeric.py), so the oracle matches to the cent."""
+    ensure_query_confs(spark)
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            money("o_totalprice").alias("tp"),
+        )
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("tp"), "total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "priority", "status")
+    )
+
+
+def signup_no_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signups with NO purchase inside their 7-day activation window,
+    per signup day — the ABSENCE query (funnel drop-off) that a plain
+    join cannot answer without row duplication.  The absence test is
+    a LEFT ANTI equi-join on user_id with the time window folded into
+    the join condition, so each signup is checked, never multiplied;
+    both legs are epoch-microsecond integer comparisons (engine-
+    portable, no interval arithmetic).  Day key = epoch-day integer,
+    the same convention as daily_new_vs_returning."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    s = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("s_us"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.expr("unix_micros(ts)").alias("p_us"),
+    )
+    no_buy = s.join(
+        p,
+        (s.user_id == p.p_uid)
+        & (p.p_us >= s.s_us)
+        & (p.p_us <= s.s_us + F.lit(604800000000)),
+        "left_anti",
+    )
+    day = F.expr("s_us div 1000000 div 86400")
+    all_days = s.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_signups")
+    )
+    cold = no_buy.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_no_purchase_7d")
+    )
+    return (
+        all_days.join(cold, "day", "left")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_signups",
+            F.coalesce("n_no_purchase_7d", F.lit(0))
+            .cast("long")
+            .alias("n_no_purchase_7d"),
+        )
+        .withColumn(
+            "drop_ratio",
+            F.round(
+                F.col("n_no_purchase_7d").cast("double")
+                / F.col("n_signups"),
+                6,
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct counts per event type."""
     ensure_query_confs(spark)
@@ -7932,6 +8021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": purchase_attribution,
         "user_sessions": user_sessions,
         "geo_rollup": geo_rollup,
+        "order_priority_cube": order_priority_cube,
+        "signup_no_purchase_7d": signup_no_purchase_7d,
         "distinct_users_per_type": distinct_users_per_type,
         "signup_purchase_overlap": signup_purchase_overlap,
         "embedding_near_dup": embedding_near_dup,
@@ -9497,6 +9588,48 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # Spark grouping_id() for cube(a, b) = 2*grouping(a) +
+        # grouping(b) — mirrored bit-for-bit with DuckDB's GROUPING()
+        "order_priority_cube": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   CAST(2 * GROUPING(o_orderpriority)
+                        + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+                   count(*) AS n_orders,
+                   CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                        AS DECIMAL(15,2)) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY gid, priority, status
+        """,
+        "signup_no_purchase_7d": """
+            WITH s AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS s_us
+                       FROM events WHERE event_type = 'signup'),
+                 p AS (SELECT user_id AS p_uid,
+                              CAST(epoch_us(ts) AS BIGINT) AS p_us
+                       FROM events WHERE event_type = 'purchase'),
+                 cold AS (SELECT s.user_id, s.s_us FROM s
+                          WHERE NOT EXISTS (
+                              SELECT 1 FROM p
+                              WHERE p.p_uid = s.user_id
+                                AND p.p_us >= s.s_us
+                                AND p.p_us <= s.s_us + 604800000000)),
+                 a AS (SELECT s_us // 1000000 // 86400 AS day,
+                              count(*) AS n_signups
+                       FROM s GROUP BY 1),
+                 c AS (SELECT s_us // 1000000 // 86400 AS day,
+                              count(*) AS n_no_purchase_7d
+                       FROM cold GROUP BY 1)
+            SELECT CAST(a.day AS BIGINT) AS day,
+                   CAST(a.n_signups AS BIGINT) AS n_signups,
+                   CAST(coalesce(c.n_no_purchase_7d, 0) AS BIGINT)
+                       AS n_no_purchase_7d,
+                   round(CAST(coalesce(c.n_no_purchase_7d, 0) AS DOUBLE)
+                         / a.n_signups, 6) AS drop_ratio
+            FROM a LEFT JOIN c ON a.day = c.day
+            ORDER BY day
         """,
         "revenue_by_nation": f"""
             SELECT n.n_name AS nation,

@@ -93,6 +93,11 @@ BUDGETS = {
     # hourly counts + hour spine + grid left join + per-hour pair
     # join + pair sums + ordered output (types ride a broadcast)
     "event_type_correlation_matrix": 8,
+    # one expand + hash aggregate + ordered output: CUBE never
+    # rescans per margin
+    "order_priority_cube": 2,
+    # anti-join + two day aggregations + their join + ordered output
+    "signup_no_purchase_7d": 6,
     "media_wav_decode": 2,
     "media_png_decode": 2,
     "json_decode_quarantine": 3,

@@ -33,6 +33,7 @@ SCRATCH_PREFIXES = (
     "rtdac_annidx_",
     "rtdac_bloomq_",
     "rtdac_ckpt_",  # every checkpoint family (dedup/ssjoin/cms/hdr/...)
+    "rtdac_corrtest_",
     "rtdac_firstseen_",
     "rtdac_mor_",
     "rtdac_rangeq_",
