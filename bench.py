@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "geo_rollup",
     "order_priority_cube",
     "signup_no_purchase_7d",
+    "lang_confusion_matrix",
+    "weekly_cohort_retention",
     "distinct_users_per_type",
     "approx_distinct_users",
     "embedding_near_dup",

@@ -1005,6 +1005,67 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_op.lang_scores(docs, "doc_id", "text")
 
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted CONFUSION MATRIX for the language-ID
+    heuristic — the error-analysis rollup of lang_id (which scores
+    each doc): one count per (labeled, predicted) cell.  Composes the
+    identical scorer (operators/text.py::lang_scores), so the oracle
+    is the lang_id oracle wrapped in one GROUP BY — any argmax or
+    tie-policy drift between engines lands in a cell count."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        text_op.lang_scores(docs, "doc_id", "text")
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly COHORT RETENTION MATRIX: users grouped by their first
+    active epoch-week, each later week's active share of the cohort —
+    the (cohort x offset) triangle behind every retention dashboard.
+
+    Exactness: week key = integer epoch-week (floor(epoch/604800) —
+    identical truncation both engines on non-negative epochs); the
+    distinct (user, week) projection makes count(*) an exact distinct
+    user count with no count_distinct rewrite; rates are one round-6
+    division of exact integers.
+
+    Scale shape: one distinct projection, one per-user min, two
+    map-side-combined counts and an AQE-sized join — no window, no
+    collect; the matrix is |weeks|² rows at most."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000 div 604800").alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        active.join(sizes, "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("long").alias("cohort_wk"),
+            F.col("offset_wk").cast("long").alias("offset_wk"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_wk", "offset_wk")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (operators/text.py): three
     map-side-combined aggregations + broadcast corpus size, ranked
@@ -8003,6 +8064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "token_count": token_count,
         "lang_id": lang_id,
+        "lang_confusion_matrix": lang_confusion_matrix,
+        "weekly_cohort_retention": weekly_cohort_retention,
         "hard_negative_mining": hard_negative_mining,
         "knn_bruteforce": knn_bruteforce,
         "mmr_diverse_neighbors": mmr_diverse_neighbors,
@@ -12053,6 +12116,34 @@ def oracle_sql() -> dict[str, str]:
     # (mergeable summary) -> it shares the batch quantile oracle
     d["streaming_hdr_percentiles"] = d["hdr_value_percentiles"]
     d["streaming_ols_trend"] = d["event_hourly_ols_trend"]
+    # the confusion matrix composes the lang_id scorer verbatim
+    d["lang_confusion_matrix"] = (
+        "SELECT labeled_lang, predicted_lang,"
+        " CAST(count(*) AS BIGINT) AS n_docs"
+        f" FROM ({d['lang_id']}) GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    d["weekly_cohort_retention"] = """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+                    FROM events),
+             cohort AS (SELECT user_id, min(wk) AS cohort_wk
+                        FROM uw GROUP BY 1),
+             sizes AS (SELECT cohort_wk, count(*) AS cohort_size
+                       FROM cohort GROUP BY 1),
+             active AS (SELECT c.cohort_wk,
+                               uw.wk - c.cohort_wk AS offset_wk,
+                               count(*) AS n_active
+                        FROM uw JOIN cohort c ON c.user_id = uw.user_id
+                        GROUP BY 1, 2)
+        SELECT CAST(a.cohort_wk AS BIGINT) AS cohort_wk,
+               CAST(a.offset_wk AS BIGINT) AS offset_wk,
+               CAST(a.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6)
+                   AS retention
+        FROM active a JOIN sizes s ON s.cohort_wk = a.cohort_wk
+        ORDER BY cohort_wk, offset_wk
+    """
     d["streaming_hourly_cusum"] = d["hourly_value_cusum"]
     d["streaming_new_vs_returning"] = d["daily_new_vs_returning"]
     d["geo_hourly_counts_autosalted"] = d["geo_hourly_counts"]

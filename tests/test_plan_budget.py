@@ -96,8 +96,13 @@ BUDGETS = {
     # one expand + hash aggregate + ordered output: CUBE never
     # rescans per margin
     "order_priority_cube": 2,
-    # anti-join + two day aggregations + their join + ordered output
-    "signup_no_purchase_7d": 6,
+    # broadcast anti-join + two day aggregations reusing one
+    # exchange + ordered output
+    "signup_no_purchase_7d": 3,
+    "lang_confusion_matrix": 2,
+    # distinct projection + per-user min + cohort sizes + offset
+    # counts + the size join + ordered output
+    "weekly_cohort_retention": 6,
     "media_wav_decode": 2,
     "media_png_decode": 2,
     "json_decode_quarantine": 3,
