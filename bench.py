@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "signup_no_purchase_7d",
     "lang_confusion_matrix",
     "weekly_cohort_retention",
+    "part_copurchase_kcore",
+    "order_backlog_daily",
     "distinct_users_per_type",
     "approx_distinct_users",
     "embedding_near_dup",

@@ -306,6 +306,66 @@ def triangle_counts(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Exact K-CORE of an undirected simple graph: the maximal
+    subgraph where every vertex has degree >= k, by iterative peeling
+    (drop all vertices with degree < k, recompute, repeat to
+    fixpoint).  Output: (id, core_deg) for every surviving vertex,
+    core_deg = its degree INSIDE the core.
+
+    Each round is one degree aggregation plus two anti-joins that
+    delete edges touching peeled vertices — all hash equi-joins on
+    the vertex key, no forced broadcasts (the peel set derives from
+    the unbounded input; AQE broadcasts it when its runtime size is
+    small).  ``localCheckpoint`` truncates lineage per round like the
+    other iterative operators here.  Peeling converges in at most
+    |V| rounds but in practice a handful; like
+    :func:`connected_components_star`, round-budget exhaustion RAISES
+    instead of returning a wrong (unconverged) subgraph.
+
+    Oracle-compatible by construction: a fixed-depth unrolled SQL
+    peel with AT LEAST as many rounds reaches the identical fixpoint,
+    because extra rounds after convergence are no-ops (the edge set
+    is unchanged once every degree >= k)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        bad = deg.filter(F.col("deg") < k)
+        if bad.isEmpty():
+            return deg.select("id", F.col("deg").cast("long").alias("core_deg"))
+        e = (
+            e.join(bad.select(F.col("id").alias("a")), "a", "left_anti")
+            .join(bad.select(F.col("id").alias("b")), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core: peeling did not reach a fixpoint within max_rounds="
+        f"{max_rounds}; raise max_rounds (an unrolled oracle must "
+        "cover at least as many rounds)."
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_docs: DataFrame,

@@ -6869,6 +6869,128 @@ def part_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-CORE of the REPEAT co-purchase graph (parts linked when >= 2
+    distinct orders contain both): iterative peeling strips pendant
+    trees until every surviving part has >= 2 repeat partners —
+    "bundle membership" as a subgraph property, the fourth member of
+    the graph family (components, PageRank, triangles, k-core).
+
+    operators/graph.py::k_core raises on round-budget exhaustion
+    instead of returning an unconverged subgraph; the oracle unrolls
+    10 peel rounds — more than the measured fixpoint depth at every
+    test SF, and rounds after convergence are no-ops, so both engines
+    compute the identical fixpoint.  Output: (p_partkey, core_deg),
+    degree inside the core."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        k_core,
+    )
+
+    edges = _copurchase_pairs(spark, sf_dir).filter(F.col("n_orders") >= 2)
+    return (
+        k_core(edges, 2, "u", "v", max_rounds=10)
+        .select(F.col("id").alias("p_partkey"), "core_deg")
+        .orderBy("p_partkey")
+    )
+
+
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG over time by SWEEP-LINE: each order is an
+    interval [order day, last ship day]; the backlog on any day is
+    answered with interval-delta encoding (+1 at open, −1 the day
+    after close) and ONE running sum over the per-day deltas — the
+    interval-stabbing shape that never materializes a (day x order)
+    cross join.
+
+    Scale shape: per-order close day is a map-side-combined max, the
+    delta table is two projections unioned then summed per day, and
+    the final window orders the per-DAY relation (thousands of rows
+    at any corpus size, since days are bounded by the calendar — the
+    one place a global window is genuinely safe).  All day keys are
+    integer epoch-days; counts are exact."""
+    ensure_query_confs(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    day = lambda c: F.expr(f"unix_micros({c}) div 1000000 div 86400")
+    iv = orders.select(
+        "o_orderkey", day("o_orderdate").alias("start_day")
+    ).join(
+        li.groupBy("l_orderkey").agg(
+            F.max(day("l_shipdate")).alias("close_day")
+        ),
+        orders.o_orderkey == F.col("l_orderkey"),
+    )
+    deltas = (
+        iv.select(F.col("start_day").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            iv.select(
+                (F.col("close_day") + 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("d").alias("delta"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    ).orderBy("day")
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 10) -> str:
+    """Unrolled ANSI-SQL mirror of operators/graph.py::k_core over the
+    repeat co-purchase graph: one (degree, filter) CTE pair per peel
+    round.  Rounds beyond the fixpoint are no-ops, so unrolling MORE
+    rounds than the measured convergence depth is safe."""
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pc AS MATERIALIZED (
+            SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )""",
+        "e0 AS MATERIALIZED (SELECT a, b FROM pc WHERE n >= 2)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM e{i - 1}
+                UNION ALL SELECT b AS id FROM e{i - 1}
+            ) GROUP BY 1
+        )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{i - 1} e
+            JOIN d{i} da ON da.id = e.a AND da.deg >= {k}
+            JOIN d{i} db ON db.id = e.b AND db.deg >= {k}
+        )"""
+        )
+    ctes.append(
+        f"""df AS MATERIALIZED (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM e{rounds}
+                UNION ALL SELECT b AS id FROM e{rounds}
+            ) GROUP BY 1
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT id AS p_partkey, CAST(deg AS BIGINT) AS core_deg
+        FROM df WHERE deg >= {k} ORDER BY p_partkey
+    """
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 4) -> str:
     """Unrolled ANSI-SQL mirror of operators/graph.py::pagerank over
     the part co-purchase graph: one CTE pair (contribs, ranks) per
@@ -8004,6 +8126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pagerank": part_pagerank,
         "part_triangle_clustering": part_triangle_clustering,
         "part_copurchase_components": part_copurchase_components,
+        "part_copurchase_kcore": part_copurchase_kcore,
+        "order_backlog_daily": order_backlog_daily,
         "kmv_user_overlap": kmv_user_overlap,
         "entity_match_parts": entity_match_parts,
         "entity_sorted_neighborhood": entity_sorted_neighborhood,
@@ -8376,6 +8500,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stage_idx
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
+        "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
+        "order_backlog_daily": """
+            WITH iv AS (
+                SELECT o.o_orderkey,
+                       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
+                           AS start_day,
+                       CAST(max(CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
+                            // 86400) AS BIGINT) AS close_day
+                FROM orders o JOIN lineitem l
+                  ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1, 2
+            ),
+            deltas AS (
+                SELECT day,
+                       CAST(sum(d) AS BIGINT) AS delta,
+                       CAST(count(*) FILTER (WHERE d = 1) AS BIGINT)
+                           AS n_opened,
+                       CAST(count(*) FILTER (WHERE d = -1) AS BIGINT)
+                           AS n_closed
+                FROM (
+                    SELECT start_day AS day, 1 AS d FROM iv
+                    UNION ALL
+                    SELECT close_day + 1 AS day, -1 AS d FROM iv
+                ) GROUP BY 1
+            )
+            SELECT CAST(day AS BIGINT) AS day, n_opened, n_closed,
+                   CAST(sum(delta) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+            FROM deltas ORDER BY day
+        """,
         "part_copurchase_components": """
             WITH RECURSIVE
             op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -309,3 +309,41 @@ def test_triangle_counts_has_no_forced_broadcast_hint(spark):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
     assert "UnresolvedHint" not in analyzed, analyzed
+
+
+def test_k_core_hand_computed_and_invariance(spark):
+    """Triangle {1,2,3} with pendant chain 3-4-5: the 2-core is
+    exactly the triangle (the chain peels over two rounds); output is
+    invariant to edge orientation and duplicates."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        k_core,
+    )
+
+    base = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    noisy = base + [(b, a) for a, b in base] + base  # flipped + dupes
+    for pairs in (base, noisy):
+        edges = spark.createDataFrame(pairs, ["u", "v"])
+        got = {
+            (r.id, r.core_deg) for r in k_core(edges, 2, "u", "v").collect()
+        }
+        assert got == {(1, 2), (2, 2), (3, 2)}
+    # k above the max degree peels everything
+    edges = spark.createDataFrame(base, ["u", "v"])
+    assert k_core(edges, 5, "u", "v").count() == 0
+
+
+def test_k_core_raises_on_round_exhaustion(spark):
+    """A long pendant chain needs one round per link — an undersized
+    round budget must raise, not return an unconverged subgraph."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        k_core,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["u", "v"]
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        k_core(chain, 2, "u", "v", max_rounds=2)
+    # an adequate budget peels the whole chain away (a path has no
+    # 2-core)
+    assert k_core(chain, 2, "u", "v", max_rounds=16).count() == 0

@@ -100,6 +100,9 @@ BUDGETS = {
     # exchange + ordered output
     "signup_no_purchase_7d": 3,
     "lang_confusion_matrix": 2,
+    # per-order close-day max + interval join + day deltas + the
+    # (calendar-bounded) global running sum
+    "order_backlog_daily": 4,
     # distinct projection + per-user min + cohort sizes + offset
     # counts + the size join + ordered output
     "weekly_cohort_retention": 6,

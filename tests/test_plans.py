@@ -413,6 +413,7 @@ def test_registry_wide_plan_hygiene(spark):
         "amqp_replay_type_counts",  # local dump fixture, covered by its gate
         "dedup_clusters",  # iterative; cross-checked by recursive-CTE oracle
         "part_copurchase_components",  # iterative star contraction, same gate
+        "part_copurchase_kcore",  # iterative peeling, unrolled-CTE oracle
         "incremental_dedup_clusters",  # iterative + persisted fixture, own gates
         "dedup_cluster_representatives",
     }
