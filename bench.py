@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "event_hourly_ols_trend",
     "media_wav_decode",
     "media_png_decode",
+    "media_ppm_decode",
     "incremental_ann_search",
     "streaming_incremental_index",
     "json_decode_quarantine",

@@ -525,6 +525,52 @@ def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+PPM_WIDTH = 32
+
+
+def _ppm_container(data: bytes, width: int = PPM_WIDTH) -> bytes:
+    """A genuine binary PPM (P6) holding ``data`` as the RGB plane of
+    a ``width``-wide image (zero-padded final row; empty input becomes
+    one black row) — includes a comment line so decoders must handle
+    the spec's comment syntax."""
+    height = max(1, -(-len(data) // (width * 3)))
+    plane = data + b"\x00" * (width * height * 3 - len(data))
+    header = f"P6\n# rtdac fixture\n{width} {height}\n255\n".encode()
+    return header + plane
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Wrap each document's utf-8 bytes in a GENUINE binary PPM (P6)
+    container — the uncompressed-image sibling of attach_png_payload;
+    the decode side must run a real header token scan (with comment
+    handling) to find the plane."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": batch["text"].map(
+                        lambda t: _ppm_container(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    src = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
 def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Wrap each document's utf-8 bytes in a GENUINE PNG container
     (8-bit grayscale, cycling scanline filters, two IDAT chunks —

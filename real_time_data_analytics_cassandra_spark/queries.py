@@ -1658,6 +1658,35 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct counts, set ops, ISO serialization
 
 
+def media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-image decode through the Arrow path: each
+    document's bytes become the RGB plane of a genuine binary PPM
+    (P6, comment line included — operators/multimodal.py::
+    _ppm_container) and the decode stage (::_decode_ppm) actually
+    token-scans the header and reads the plane.  Full oracle: fixed
+    width 32, height = ceil(bytes / 96) (min 1), 3 channels — all
+    SQL-derivable from the text length, and the container length is
+    header + plane (unlike PNG, nothing is compressed, so byte
+    bookkeeping is exact too; the header length varies with the
+    printed digits, so the oracle checks plane geometry)."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = mm_op.decode_media_real(
+        mm_op.attach_ppm_payload(docs, "doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        "format",
+        "n_channels",
+        "bits_per_sample",
+        "width",
+        "height",
+        (F.col("width") * F.col("height") * F.lit(3))
+        .cast("long")
+        .alias("plane_bytes"),
+    ).orderBy("doc_id")
+
+
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union-trick, operators/asof.py): each purchase
     attributed to the user's most recent at-or-before signup."""
@@ -8197,6 +8226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_meta": multimodal_decode_meta,
         "media_wav_decode": media_wav_decode,
         "media_png_decode": media_png_decode,
+        "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
         "schema_evolution_read": schema_evolution_read,
@@ -10104,6 +10134,19 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))),
                              6) END AS corr
             FROM s ORDER BY 1, 2
+        """,
+        "media_ppm_decode": """
+            SELECT doc_id,
+                   'ppm' AS format,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(8 AS BIGINT) AS bits_per_sample,
+                   CAST(32 AS BIGINT) AS width,
+                   CAST(greatest(1, (octet_length(encode(text)) + 95) // 96)
+                        AS BIGINT) AS height,
+                   CAST(96 * greatest(1,
+                        (octet_length(encode(text)) + 95) // 96)
+                        AS BIGINT) AS plane_bytes
+            FROM documents ORDER BY doc_id
         """,
         # OLS sums and both micro-unit coefficients in pure BIGINT
         # arithmetic; the floor division text is shared verbatim with

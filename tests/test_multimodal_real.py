@@ -172,3 +172,24 @@ def test_png_decode_through_arrow_path(spark):
         and r["sample_rate"] is None
         for r in out.values()
     )
+
+
+def test_ppm_container_round_trips_through_arrow_path(spark):
+    rows = [(1, "hello world"), (2, "x" * 200), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_media_real(
+            mm.attach_ppm_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (32, 1)
+    assert (out[2]["width"], out[2]["height"]) == (32, 3)
+    assert (out[3]["width"], out[3]["height"]) == (32, 1)
+    assert all(
+        r["format"] == "ppm" and r["n_channels"] == 3 for r in out.values()
+    )
+    # plane bytes round-trip: the decoded pixels ARE the utf-8 bytes
+    # (zero-padded)
+    meta, px = mm.decode_payload(mm._ppm_container(b"abc"))
+    assert bytes(px) == b"abc" + b"\x00" * (32 * 1 * 3 - 3)

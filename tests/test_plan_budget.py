@@ -108,6 +108,7 @@ BUDGETS = {
     "weekly_cohort_retention": 6,
     "media_wav_decode": 2,
     "media_png_decode": 2,
+    "media_ppm_decode": 2,
     "json_decode_quarantine": 3,
     "schema_evolution_read": 2,
     "purchase_attribution_cogrouped": 2,
