@@ -379,3 +379,41 @@ def test_copurchase_fixture_matches_direct_self_join(spark):
         .collect()
     }
     assert fixture == direct
+
+
+def test_k_core_matches_brute_force_random_graphs(spark):
+    """Deterministic pseudo-random graphs vs a pure-Python peel for
+    several k — the distributed fixpoint must equal the sequential
+    model exactly, including core degrees."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        k_core,
+    )
+
+    def brute_kcore(pairs, k):
+        es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        while True:
+            deg: dict = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            bad = {v for v, d in deg.items() if d < k}
+            if not bad:
+                return {(v, d) for v, d in deg.items()}
+            es = {e for e in es if e[0] not in bad and e[1] not in bad}
+
+    x = 11
+    pairs = []
+    for _ in range(90):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 23
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 23
+        if a != b:
+            pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, ["u", "v"])
+    for k in (2, 3, 5):
+        got = {
+            (r.id, r.core_deg)
+            for r in k_core(edges, k, "u", "v", max_rounds=30).collect()
+        }
+        assert got == brute_kcore(pairs, k), k
