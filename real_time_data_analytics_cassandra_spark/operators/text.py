@@ -546,8 +546,14 @@ def build_vocab(
     tokens by (count desc, token asc), assigned ids 1..V by that
     rank (0 is reserved for UNK).  The counting pass is one
     map-side-combined aggregate (one row per DISTINCT token on the
-    shuffle); the rank window runs over the vocab-sized aggregate —
-    TakeOrdered-scale data, never the corpus."""
+    shuffle); the top-V cut is ``orderBy(...).limit(vocab_size)`` —
+    a distributed TakeOrdered over the distinct-token relation, so
+    at 100 TB the billions of noisy singleton tokens never funnel
+    through one task.  Only the <= vocab_size survivors pass through
+    the unpartitioned rank window that assigns contiguous ids — a
+    model-sized relation by construction (same pattern as
+    ``doc_frequencies``' top-k and part_affinity's TakeOrdered-then-
+    rank)."""
     from pyspark.sql import Window
 
     counts = (
@@ -555,11 +561,10 @@ def build_vocab(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_size)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("token_id", F.row_number().over(w).cast("long"))
-        .filter(F.col("token_id") <= vocab_size)
-        .select("token", "token_id")
+    return top.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id")
     )
 
 

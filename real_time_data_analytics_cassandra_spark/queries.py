@@ -2651,7 +2651,7 @@ def bloom_prefiltered_part_revenue(
     one = F.lit(1).cast(ONE)
     rev = money("l_extendedprice") * (one - frac("l_discount"))
     return (
-        pref.join(F.broadcast(parts), pref.l_partkey == parts.p_partkey)
+        pref.join(parts, pref.l_partkey == parts.p_partkey)
         .groupBy("p_brand")
         .agg(
             dsum(rev, "revenue"),
@@ -2975,7 +2975,7 @@ def disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .groupBy("p_brand")
         .agg(
@@ -3005,11 +3005,11 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(bad_suppliers),
+            bad_suppliers,
             li.l_suppkey == bad_suppliers.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        .join(parts, F.col("l_partkey") == parts.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3071,9 +3071,12 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-line profit by supplier nation and
     order year — the widest join tree in the registry (lineitem ⋈
-    part ⋈ supplier ⋈ orders ⋈ nation).  part/nation broadcast; the
-    orders join shuffles on orderkey; profit = revenue - cost in one
-    exact decimal expression (no intermediate rounding)."""
+    part ⋈ supplier ⋈ orders ⋈ nation).  nation (25 rows, fixed) is
+    broadcast by hint; the filtered part and supplier dims are
+    SF-scaled, so no forced hint — AQE broadcasts them while they fit
+    and falls back to shuffle joins at 100× without a code change.
+    The orders join shuffles on orderkey; profit = revenue - cost in
+    one exact decimal expression (no intermediate rounding)."""
     ensure_query_confs(spark)
     one = F.lit(1).cast(ONE)
     parts = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
@@ -3085,7 +3088,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * money("l_quantity")
     return (
-        li.join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        li.join(parts, F.col("l_partkey") == parts.p_partkey)
         .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
@@ -3129,8 +3132,10 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated-min subquery — for each (size-10)
     part, the supplier offering the lowest observed price.  The
     argmin-per-group is a rank window over the join (the batch twin
-    of latest_per_key's argmax); part and supplier are broadcast
-    dims, so the only shuffle is the per-part window."""
+    of latest_per_key's argmax); part and supplier are SF-scaled
+    dims left to AQE (broadcast at every tested SF, shuffle-join
+    escape at 100×), so the only planned shuffle is the per-part
+    window."""
     ensure_query_confs(spark)
     from pyspark.sql.window import Window
 
@@ -3141,12 +3146,12 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("l_extendedprice"), F.asc("l_suppkey")
     )
     best = (
-        li.join(F.broadcast(parts), F.col("l_partkey") == parts.p_partkey)
+        li.join(parts, F.col("l_partkey") == parts.p_partkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
     return best.join(
-        F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey
+        supplier, best.l_suppkey == supplier.s_suppkey
     ).select(
         "p_partkey",
         "p_name",
@@ -3516,7 +3521,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -3568,8 +3573,8 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
@@ -3664,7 +3669,7 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         blamed.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(20)
@@ -5117,7 +5122,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_ps.filter(F.col("supp_qty") > F.col("part_qty") * F.lit(0.2))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "n_dominated_parts")
         .orderBy(F.desc("n_dominated_parts"), F.asc("s_suppkey"))
         .limit(20)

@@ -366,6 +366,27 @@ def test_connected_components_plan_is_o1_not_o_iterations(spark):
     assert len(rows) == 13 and all(r.component == 0 for r in rows)
 
 
+def test_build_vocab_rank_window_is_post_takeordered(spark):
+    """The vocabulary rank window must NOT run over the whole
+    distinct-token relation (billions of noisy singletons at 100 TB
+    in one task).  build_vocab cuts top-V with orderBy().limit()
+    first — a distributed TakeOrdered — and only the <= vocab_size
+    survivors reach the unpartitioned id-assignment window."""
+    from real_time_data_analytics_cassandra_spark.operators.text import build_vocab
+
+    docs = table(spark, SF_SMOKE, "documents")
+    vocab = build_vocab(docs, "doc_id", "text", vocab_size=20)
+    plan = explain_str(vocab)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # The window must sit ABOVE the TakeOrdered cut, i.e. the global
+    # sort for the window consumes the limited relation, not the raw
+    # token counts: in the formatted plan the Window's child chain
+    # contains the TakeOrderedAndProject node.
+    win_pos = plan.find("Window")
+    take_pos = plan.find("TakeOrderedAndProject")
+    assert 0 <= win_pos < take_pos, (win_pos, take_pos)
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     """Shuffle-pruning posture for big x big joins at scale: when the
     build side carries a selective filter and the join cannot

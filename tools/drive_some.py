@@ -3,7 +3,13 @@ oracle compare at a chosen SF.  Usage:
 
     python tools/drive_some.py [--sf /root/testdata/sf0.01] name [name ...]
 
-Same normalization/compare protocol as .claude/skills/verify/drive_all.py.
+Compare protocol (same shape as the per-round driver): run the
+registry query on a fresh hostile-config session (non-UTC timezone,
+200 shuffle partitions) AND the oracle SQL on DuckDB over the same
+parquet views, sort columns by name and rows by all columns
+(timestamps normalized to microsecond strings), then require
+column-set, row-count, and exact cell-by-cell value equality
+(NaN == NaN allowed; no float tolerance).
 """
 import math
 import sys
