@@ -332,7 +332,10 @@ def k_core(
     Oracle-compatible by construction: a fixed-depth unrolled SQL
     peel with AT LEAST as many rounds reaches the identical fixpoint,
     because extra rounds after convergence are no-ops (the edge set
-    is unchanged once every degree >= k)."""
+    is unchanged once every degree >= k).  ``max_rounds`` counts
+    PEELS, and the degree check runs once more after the final peel,
+    so a graph needing exactly ``max_rounds`` peels converges (an
+    unrolled oracle with N rounds pairs with ``max_rounds=N``)."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -342,7 +345,8 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    peels = 0
+    while True:
         deg = (
             e.select(F.col("a").alias("id"))
             .unionAll(e.select(F.col("b").alias("id")))
@@ -353,17 +357,19 @@ def k_core(
         bad = deg.filter(F.col("deg") < k)
         if bad.isEmpty():
             return deg.select("id", F.col("deg").cast("long").alias("core_deg"))
+        if peels >= max_rounds:
+            raise RuntimeError(
+                f"k_core: peeling did not reach a fixpoint within "
+                f"max_rounds={max_rounds} peels; raise max_rounds (an "
+                "unrolled oracle must cover at least as many rounds)."
+            )
+        peels += 1
         e = (
             e.join(bad.select(F.col("id").alias("a")), "a", "left_anti")
             .join(bad.select(F.col("id").alias("b")), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-    raise RuntimeError(
-        f"k_core: peeling did not reach a fixpoint within max_rounds="
-        f"{max_rounds}; raise max_rounds (an unrolled oracle must "
-        "cover at least as many rounds)."
-    )
 
 
 def dedup_clusters(

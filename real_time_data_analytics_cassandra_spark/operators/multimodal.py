@@ -227,8 +227,14 @@ def _decode_wav(payload: bytes) -> tuple[dict, np.ndarray]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        if pos + 8 + size > len(payload):
+            # a lying size field would silently truncate the sample
+            # plane (or crash the fmt unpack) — raise a typed error
+            raise ValueError(f"truncated WAV chunk {cid!r}")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk shorter than 16 bytes")
             (audio_fmt, channels, rate, _br, _ba, bits) = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -281,8 +287,15 @@ def _decode_ppm(payload: bytes) -> tuple[dict, np.ndarray]:
         tokens_out.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     width, height, maxval = tokens_out
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError("non-positive PPM header dimensions")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM planes not supported")
+    # Over-declared dims (including width*height overflow attempts)
+    # would otherwise silently shorten the plane slice — hostile
+    # crawl bytes must raise, not truncate.
+    if len(payload) - pos < width * height * 3:
+        raise ValueError("truncated PPM pixel plane")
     pixels = np.frombuffer(
         payload[pos : pos + width * height * 3], dtype=np.uint8
     )
@@ -407,6 +420,12 @@ def _decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
     while pos + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + size > len(payload):
+            # A lying length field would otherwise silently shorten
+            # `body` before the CRC check (or crash struct.unpack on
+            # the short CRC slice) — hostile crawl bytes hit this
+            # before anything else.
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         body = payload[pos + 8 : pos + 8 + size]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + size : pos + 12 + size]

@@ -689,7 +689,17 @@ def _floordiv_sql(a: str, b: str, divop: str = "div") -> str:
     negative numerators: subtract the positive mod first (both
     engines' ``%`` follows the dividend's sign, so ``((a % b) + b) %
     b`` is the canonical non-negative residue), making the division
-    exact."""
+    exact.
+
+    Time-bucket convention (stated once, relied on throughout): the
+    bare ``unix_micros(ts) div 1000000 div 3600``-style bucketing
+    used by the hour/day/week queries (and their DuckDB oracles'
+    ``floor(epoch(ts)) // 3600``) agree only for NON-NEGATIVE epochs
+    — Spark's ``div`` truncates toward zero, DuckDB's ``//`` floors,
+    and the two diverge for pre-1970 timestamps.  Every testdata
+    generator emits post-epoch timestamps; a dataset with pre-epoch
+    rows must route its bucketing through this helper instead of the
+    bare ``div`` chain."""
     return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) {divop} ({b}))"
 
 
@@ -6672,9 +6682,18 @@ def build_copurchase_pairs_fixture(spark: SparkSession, sf_dir: str) -> str:
     and rebuilding it inside every query re-pays the same
     |lineitem|-scan + self-join four times.  Oracles still derive the
     pair set from lineitem directly — the fixture is bit-identical by
-    construction (exact integer counts over a distinct projection)."""
+    construction (exact integer counts over a distinct projection).
+
+    The build is ATOMIC: pairs are written into a session-private
+    staging directory and ``os.rename``d into the keyed path, so a
+    concurrent session either sees the complete fixture or builds its
+    own staging copy — never a half-written directory (the rename is
+    atomic on one filesystem; a loser of the rename race just deletes
+    its staging copy)."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     ensure_query_confs(spark)
     src = os.path.join(sf_dir, "lineitem.parquet")
@@ -6685,8 +6704,7 @@ def build_copurchase_pairs_fixture(spark: SparkSession, sf_dir: str) -> str:
         + sf_dir.strip("/").replace("/", "_")
         + f"_{int(st.st_mtime)}_{st.st_size}",
     )
-    marker = os.path.join(out_dir, "_complete")
-    if not os.path.exists(marker):
+    if not os.path.isdir(os.path.join(out_dir, "pairs")):
         li = table(spark, sf_dir, "lineitem")
         op = li.select("l_orderkey", "l_partkey").distinct()
         pairs = (
@@ -6701,9 +6719,14 @@ def build_copurchase_pairs_fixture(spark: SparkSession, sf_dir: str) -> str:
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         )
-        pairs.write.mode("overwrite").parquet(os.path.join(out_dir, "pairs"))
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        stage = out_dir + ".stage-" + uuid.uuid4().hex
+        pairs.write.mode("overwrite").parquet(os.path.join(stage, "pairs"))
+        try:
+            os.rename(stage, out_dir)
+        except OSError:
+            # Another session won the rename race with a complete
+            # fixture of its own; keep theirs, drop our staging copy.
+            shutil.rmtree(stage, ignore_errors=True)
     return out_dir
 
 

@@ -347,6 +347,14 @@ def test_k_core_raises_on_round_exhaustion(spark):
     # an adequate budget peels the whole chain away (a path has no
     # 2-core)
     assert k_core(chain, 2, "u", "v", max_rounds=16).count() == 0
+    # boundary: max_rounds counts PEELS and the degree check runs
+    # once more after the final peel, so a graph needing EXACTLY
+    # max_rounds peels converges (the 11-vertex path needs 5: edge
+    # counts 10 -> 8 -> 6 -> 4 -> 2 -> 0).  An oracle unrolled to N
+    # rounds therefore pairs with max_rounds=N, not N+1.
+    assert k_core(chain, 2, "u", "v", max_rounds=5).count() == 0
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        k_core(chain, 2, "u", "v", max_rounds=4)
 
 
 def test_copurchase_fixture_matches_direct_self_join(spark):

@@ -226,3 +226,65 @@ def test_ppm_codec_fuzz_round_trip():
         assert bytes(px) == data + b"\x00" * (plane - len(data))
 
     prop()
+
+
+def test_malformed_containers_raise_typed_errors():
+    """Hostile-bytes gate: decoders facing real crawl data see
+    malformed containers first.  Lying length fields, short pixel/
+    sample planes, and over-declared dimensions must raise ValueError
+    (typed, catchable by the quarantine path) — never hang, OOM on a
+    bogus allocation, or silently truncate the plane."""
+    import zlib
+
+    # --- PNG: lying chunk length (extends past payload end) ---
+    png = bytearray(mm._png_container(b"xyz" * 50))
+    i = png.index(b"IDAT") - 4
+    png[i : i + 4] = struct.pack(">I", 10_000_000)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        mm._decode_png(bytes(png))
+
+    # --- PNG: truncated mid-IDAT (cut payload) ---
+    whole = mm._png_container(b"xyz" * 50)
+    cut = whole[: whole.index(b"IDAT") + 8]
+    with pytest.raises(ValueError, match="truncated PNG chunk|missing"):
+        mm._decode_png(cut)
+
+    # --- PNG: over-declared dims (IHDR claims 2^15 x 2^15) ---
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 0, 0, 0, 0)
+    bomb = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(8)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm._decode_png(bomb)
+
+    # --- PPM: short plane (header declares more than the payload) ---
+    good = mm._ppm_container(b"abcdef" * 32)
+    with pytest.raises(ValueError, match="truncated PPM"):
+        mm._decode_ppm(good[:-5])
+
+    # --- PPM: width*height overflow attempt ---
+    with pytest.raises(ValueError, match="truncated PPM"):
+        mm._decode_ppm(b"P6\n999999999 999999999\n255\n" + b"\x00" * 64)
+
+    # --- PPM: non-positive dims ---
+    with pytest.raises(ValueError, match="non-positive"):
+        mm._decode_ppm(b"P6\n0 4\n255\n" + b"\x00" * 16)
+
+    # --- WAV: lying chunk size field ---
+    wav = bytearray(mm._wav_container(bytes(64)))
+    i = wav.index(b"data") + 4
+    wav[i : i + 4] = struct.pack("<I", 10_000_000)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        mm._decode_wav(bytes(wav))
+
+    # --- WAV: fmt chunk shorter than the PCM header ---
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + bytes(8)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="fmt chunk shorter"):
+        mm._decode_wav(short_fmt)

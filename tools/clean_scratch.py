@@ -72,6 +72,12 @@ def main() -> None:
     removed = kept = 0
     for d in tmp.glob("rtdac_*"):
         name = d.name
+        # crash-leaked atomic-build staging copies (renamed into the
+        # fixture path on success) are scratch regardless of prefix
+        if ".stage-" in name:
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+            continue
         # fixtures win over scratch on any prefix overlap
         if name in FIXTURE_EXACT or any(
             name.startswith(p) for p in FIXTURE_PREFIXES
