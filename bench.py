@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "lang_confusion_matrix",
     "weekly_cohort_retention",
     "part_copurchase_kcore",
+    "part_copurchase_coreness",
     "order_backlog_daily",
     "distinct_users_per_type",
     "approx_distinct_users",

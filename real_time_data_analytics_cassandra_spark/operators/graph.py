@@ -372,6 +372,92 @@ def k_core(
         )
 
 
+def core_decomposition(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """FULL core decomposition of an undirected simple graph: every
+    vertex's CORENESS — the maximum k such that the vertex belongs to
+    the k-core.  Output: (id, coreness) for every vertex with at
+    least one edge.  Coreness is the density-tier primitive of
+    LLM-graph dedup (how deeply embedded a document is in its
+    near-dup neighborhood) where :func:`k_core` answers only a single
+    membership question.
+
+    Algorithm: the distributed H-INDEX ITERATION (Lü et al., "The
+    H-index of a network node and its relation to degree and
+    coreness", Nat. Commun. 2016; Montresor et al., "Distributed
+    k-core decomposition", IEEE TPDS 2013 for the message-passing
+    frame): labels start at degree; each SYNCHRONOUS round every
+    vertex replaces its label with the h-index of its neighbors'
+    labels (the largest h with >= h neighbors labelled >= h).  The
+    sequence is monotone non-increasing, lower-bounded by coreness,
+    and its fixpoint IS the coreness vector — peeling level-by-level
+    would need max-coreness rounds (82 on the sf0.01 co-purchase
+    graph), while the h-index iteration converges in ~log-ish
+    practical rounds (19 there).
+
+    Spark shape per round: one hash join (directed edges x labels,
+    shuffle on the neighbor key), one PARTITIONED rank window (per
+    vertex — never global), one aggregate; ``localCheckpoint``
+    truncates lineage so the plan stays O(1) per round.  Convergence
+    is an EXACT join-based no-change check, and round-budget
+    exhaustion RAISES like the other iterative operators here.
+
+    Oracle-compatible by construction: the synchronous update makes
+    every intermediate round reproducible in unrolled SQL, and
+    post-fixpoint rounds are no-ops, so an oracle unrolled to AT
+    LEAST the convergence depth matches bit-for-bit."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dir_e = (
+        e.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .unionAll(e.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        dir_e.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("c"))
+    for _ in range(max_rounds):
+        nb = dir_e.join(
+            labels.select(F.col("id").alias("nb"), "c"), "nb"
+        ).select("id", "c")
+        new_labels = (
+            nb.withColumn("rn", F.row_number().over(w).cast("long"))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("c"), F.col("rn"))).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.c") != F.col("o.c"))
+        )
+        if changed.isEmpty():
+            return new_labels.select(
+                "id", F.col("c").cast("long").alias("coreness")
+            )
+        labels = new_labels
+    raise RuntimeError(
+        f"core_decomposition: h-index iteration did not reach a "
+        f"fixpoint within max_rounds={max_rounds}; raise max_rounds "
+        "(an unrolled oracle must cover at least as many rounds)."
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_docs: DataFrame,

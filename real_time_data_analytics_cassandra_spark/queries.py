@@ -6952,6 +6952,35 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CORE DECOMPOSITION of the repeat co-purchase graph: every
+    part's CORENESS (max k with the part inside the k-core) — the
+    density-tier label LLM-graph dedup uses to stratify how deeply a
+    node is embedded in its neighborhood, where part_copurchase_kcore
+    answers only one k's membership.
+
+    operators/graph.py::core_decomposition runs the distributed
+    h-index iteration (labels start at degree; each synchronous round
+    takes the h-index of neighbor labels; the fixpoint is coreness —
+    Lü et al. 2016): ~2 shuffles a round, PARTITIONED rank windows
+    only, lineage checkpointed, RAISES on budget exhaustion.  The
+    oracle unrolls 24 synchronous rounds — beyond the measured
+    fixpoint depth at every test SF (21 at sf0.001, 10 at sf0.01, 5
+    at sf0.1), and post-fixpoint rounds are no-ops, so both engines
+    land on the identical vector.  Output: (p_partkey, coreness)."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        core_decomposition,
+    )
+
+    edges = _copurchase_pairs(spark, sf_dir).filter(F.col("n_orders") >= 2)
+    return (
+        core_decomposition(edges, "u", "v", max_rounds=64)
+        .select(F.col("id").alias("p_partkey"), "coreness")
+        .orderBy("p_partkey")
+    )
+
+
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order BACKLOG over time by SWEEP-LINE: each order is an
     interval [order day, last ship day]; the backlog on any day is
@@ -7044,6 +7073,51 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 10) -> str:
         "WITH " + ",\n".join(ctes) + f"""
         SELECT id AS p_partkey, CAST(deg AS BIGINT) AS core_deg
         FROM df WHERE deg >= {k} ORDER BY p_partkey
+    """
+    )
+
+
+def _coreness_oracle_sql(rounds: int = 24) -> str:
+    """Unrolled ANSI-SQL mirror of operators/graph.py::
+    core_decomposition over the repeat co-purchase graph: one
+    (neighbor-labels, ranked, h-index) CTE triple per synchronous
+    round.  The h-index of the neighbor-label multiset is
+    MAX(LEAST(label, rank)) over labels ranked descending — identical
+    text in both engines.  Rounds beyond the fixpoint are no-ops, so
+    unrolling MORE rounds than the measured convergence depth is
+    safe."""
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pc AS MATERIALIZED (
+            SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )""",
+        """dir AS MATERIALIZED (
+            SELECT a AS id, b AS nb FROM pc WHERE n >= 2
+            UNION ALL
+            SELECT b AS id, a AS nb FROM pc WHERE n >= 2
+        )""",
+        "lab0 AS MATERIALIZED (SELECT id, count(*) AS c FROM dir GROUP BY id)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""rk{i} AS (
+            SELECT d.id, l.c,
+                   row_number() OVER (PARTITION BY d.id ORDER BY l.c DESC) AS rn
+            FROM dir d JOIN lab{i - 1} l ON l.id = d.nb
+        )"""
+        )
+        ctes.append(
+            f"""lab{i} AS MATERIALIZED (
+            SELECT id, MAX(LEAST(c, rn)) AS c FROM rk{i} GROUP BY id
+        )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT id AS p_partkey, CAST(c AS BIGINT) AS coreness
+        FROM lab{rounds} ORDER BY p_partkey
     """
     )
 
@@ -8184,6 +8258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangle_clustering": part_triangle_clustering,
         "part_copurchase_components": part_copurchase_components,
         "part_copurchase_kcore": part_copurchase_kcore,
+        "part_copurchase_coreness": part_copurchase_coreness,
         "order_backlog_daily": order_backlog_daily,
         "kmv_user_overlap": kmv_user_overlap,
         "entity_match_parts": entity_match_parts,
@@ -8559,6 +8634,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
+        "part_copurchase_coreness": _coreness_oracle_sql(rounds=24),
         "order_backlog_daily": """
             WITH iv AS (
                 SELECT o.o_orderkey,

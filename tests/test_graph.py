@@ -425,3 +425,77 @@ def test_k_core_matches_brute_force_random_graphs(spark):
             for r in k_core(edges, k, "u", "v", max_rounds=30).collect()
         }
         assert got == brute_kcore(pairs, k), k
+
+
+def test_core_decomposition_matches_brute_force_random_graphs(spark):
+    """The h-index fixpoint must equal the SEQUENTIAL min-degree peel
+    coreness (the textbook definition) on deterministic pseudo-random
+    graphs, and stay consistent with k_core membership: the vertices
+    with coreness >= k are exactly the k-core."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        core_decomposition,
+        k_core,
+    )
+
+    def brute_coreness(pairs):
+        es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        core, deg = {}, {v: len(ns) for v, ns in adj.items()}
+        alive = set(adj)
+        while alive:
+            v = min(alive, key=lambda n: (deg[n], n))
+            core[v] = max(deg[v], core.get(v, 0))
+            # sequential peel: coreness(v) = max degree seen when
+            # removed, propagated monotonically
+            kv = core[v]
+            alive.discard(v)
+            for m in adj[v]:
+                if m in alive:
+                    deg[m] -= 1
+                    adj[m].discard(v)
+                    if deg[m] < kv:
+                        deg[m] = kv  # never below current level
+            adj[v] = set()
+        return core
+
+    for seed, nv, ne in ((7, 19, 70), (41, 29, 140), (97, 13, 25)):
+        x = seed
+        pairs = []
+        for _ in range(ne):
+            x = (x * 1103515245 + 12345) % (2**31)
+            a = x % nv
+            x = (x * 1103515245 + 12345) % (2**31)
+            b = x % nv
+            if a != b:
+                pairs.append((a, b))
+        edges = spark.createDataFrame(pairs, ["u", "v"])
+        got = {
+            (r.id, r.coreness)
+            for r in core_decomposition(edges, "u", "v").collect()
+        }
+        want = set(brute_coreness(pairs).items())
+        assert got == want, (seed, sorted(got ^ want))
+        # cross-operator consistency at one k
+        k = 1 + max(c for _, c in want) // 2
+        in_core = {r.id for r in k_core(edges, k, "u", "v").collect()}
+        assert in_core == {v for v, c in want if c >= k}, (seed, k)
+
+
+def test_core_decomposition_raises_on_round_exhaustion(spark):
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        core_decomposition,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["u", "v"]
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        core_decomposition(chain, "u", "v", max_rounds=1)
+    got = {
+        (r.id, r.coreness)
+        for r in core_decomposition(chain, "u", "v").collect()
+    }
+    assert got == {(i, 1) for i in range(31)}  # a path is all 1-core
