@@ -49,6 +49,13 @@ SF1_QUERIES = {
     "hybrid_search_rrf",
     "weighted_median_prices",
     "nb_lang_classifier",
+    # round-8 additions: every family whose fitted 0.01->0.1 slope
+    # reached ~0.45 now carries a derived-sf1 point too
+    "json_decode_quarantine",
+    "pricing_summary",
+    "containment_near_dup",
+    "ngram_jaccard_prefix",
+    "part_copurchase_coreness",
 }
 
 # one representative per operator family
@@ -88,6 +95,7 @@ QUERIES = [
     ("phrase search (scan)", "phrase_search"),
     ("phrase search (postings)", "phrase_search_postings"),
     ("star components", "part_copurchase_components"),
+    ("core decomposition", "part_copurchase_coreness"),
     ("classifier eval rollup", "lang_classifier_eval"),
     ("exact AUC (global rank)", "embedding_label_auc"),
 ]
