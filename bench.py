@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "source_upsample_repeats",
     "source_token_kl",
     "ab_test_purchase_values",
+    "ks_test_purchase_values",
     "chi2_type_daypart",
     "hourly_value_cusum",
     "doc_keywords",

@@ -100,6 +100,70 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: list,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact INCLUSIVE running sums of ``sum_cols`` over the global
+    ``order_cols`` order WITHOUT a single-partition sort — the prefix
+    -sum sibling of :func:`global_rank`, and the scale-safe form of
+    every "cumulative distribution / running total over an unbounded
+    ordered domain" query (ECDFs, Lorenz curves, sweep lines whose
+    key domain is NOT calendar-bounded).
+
+    Same construction: range-exchange on the order keys (globally
+    ordered, disjoint ranges), per-partition running sums keyed on
+    ``spark_partition_id`` (each window sorts only its own range),
+    then one broadcast join of the ≤num_partitions-row exclusive
+    prefix of per-partition totals.  Output adds ``cum_<col>`` (long)
+    per requested column.  Integer-exact: sums are BIGINT throughout,
+    so results are partitioning-invariant and engine-portable."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(n), *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged
+    for c in sum_cols:
+        local = local.withColumn(f"__l_{c}", F.sum(c).over(w))
+    if materialize:
+        local = local.localCheckpoint(eager=True)
+    # per-partition totals -> exclusive prefix over pid order: the
+    # offsets relation is <= num_partitions rows, so the global
+    # window below sorts a handful of rows on one task — bounded by
+    # construction, not by data volume (same posture as global_rank)
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = local.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    for c in sum_cols:
+        offsets = offsets.withColumn(
+            f"__o_{c}", F.coalesce(F.sum(f"__t_{c}").over(woff), F.lit(0))
+        )
+    out = local.join(
+        F.broadcast(offsets.select("__pid", *[f"__o_{c}" for c in sum_cols])),
+        "__pid",
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"__o_{c}") + F.col(f"__l_{c}")).cast("long"),
+        ).drop(f"__o_{c}", f"__l_{c}")
+    return out.drop("__pid")
+
+
 def rrf_fuse(
     a: DataFrame,
     b: DataFrame,

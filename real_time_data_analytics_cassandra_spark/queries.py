@@ -4198,6 +4198,78 @@ def ab_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KOLMOGOROV-SMIRNOV distance between the two
+    A/B arms' purchase-value distributions — the distribution-free
+    companion to ab_test_purchase_values' Welch t-test: means can
+    match while shapes diverge (the drift mode a mean test never
+    sees), and KS is the standard pre-launch guardrail for it.
+
+    Exactness: D = max_v |F_a(v) - F_b(v)| evaluates as the INTEGER
+    sup-norm numerator max_v |n_b·cumA(v) - n_a·cumB(v)| over the
+    per-distinct-value cumulative counts — no floats until one final
+    division (reported as round(D, 6) plus the exact d_num).  BIGINT
+    is exact while n_a·n_b < 2^63 (~3e9 rows per arm); beyond that
+    swap the products to decimal(38,0) — documented bound, same
+    convention as the OLS trend's re-based sums.
+
+    Scale shape: one map-side-combined (value, arm) count, then the
+    cumulative counts ride operators/ranks.py::global_cumsum — the
+    range-exchange + broadcast-offset prefix sum, NO unpartitioned
+    window over the (unbounded) distinct-value relation — and one
+    1-row max.  The only global window sorts the ≤ partitions-row
+    offset table."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.functions.numeric import money
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_cumsum,
+    )
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            hash_bucket("user_id", 2).alias("arm"),
+            money(F.col("value")).alias("v"),
+        )
+    )
+    per_v = ev.groupBy("v").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("cb"),
+    )
+    cum = global_cumsum(per_v, ["v"], ["ca", "cb"])
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n_b") * F.col("cum_ca")
+                    - F.col("n_a") * F.col("cum_cb")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
 def chi2_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between event type and
     day-part (6-hour buckets of the UTC hour): are event kinds
@@ -8275,6 +8347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pruned_range_scan": snapshot_pruned_range_scan,
         "source_upsample_repeats": source_upsample_repeats,
         "ab_test_purchase_values": ab_test_purchase_values,
+        "ks_test_purchase_values": ks_test_purchase_values,
         "chi2_type_daypart": chi2_type_daypart,
         "hourly_value_cusum": hourly_value_cusum,
         "streaming_hourly_cusum": streaming_hourly_cusum,
@@ -8810,6 +8883,40 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(var_a / na + var_b / nb)) > 1.96
                        AS significant
             FROM calc
+        """,
+        "ks_test_purchase_values": f"""
+            WITH ev AS (
+                SELECT {sampling_op.hash_bucket_sql("user_id", 2)} AS arm,
+                       CAST(value AS DECIMAL(12,2)) AS v
+                FROM events WHERE event_type = 'purchase'
+            ),
+            per_v AS (
+                SELECT v,
+                       count(*) FILTER (WHERE arm = 0) AS ca,
+                       count(*) FILTER (WHERE arm = 1) AS cb
+                FROM ev GROUP BY v
+            ),
+            cum AS (
+                SELECT v,
+                       CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+                       CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb
+                FROM per_v
+            ),
+            tot AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b
+                FROM per_v
+            ),
+            d AS (
+                SELECT CAST(max(abs(n_b * cum_ca - n_a * cum_cb))
+                            AS BIGINT) AS d_num
+                FROM cum, tot
+            )
+            SELECT n_a, n_b, d_num,
+                   round(CAST(d_num AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
+                         6) AS ks_stat
+            FROM d, tot
         """,
         "source_upsample_repeats": f"""
             WITH counts AS (

@@ -46,6 +46,10 @@ BUDGETS = {
     "revenue_concentration": 8,
     "customer_spend_rank": 3,
     "conversion_latency_percentiles": 2,
+    # range-partitioned global_cumsum (ECDF prefix sums): same
+    # construction as global_rank, no single-task sort of the
+    # distinct-value relation
+    "ks_test_purchase_values": 7,
     "retention_survival_curve": 5,
     # training-data pipeline
     "dedup_exact": 1,

@@ -319,6 +319,7 @@ _BNLJ_OK = {
     "lm_quality_buckets",  # same + 1-row tercile-boundary broadcast
     "source_mixture_weights",  # 1-row totals broadcast
     "event_hourly_ols_trend",  # 1-row first-hour broadcast
+    "ks_test_purchase_values",  # 1-row arm-totals broadcast (twice)
     "event_type_correlation_matrix",  # type-enum grid broadcast
     "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
     "curriculum_shards",  # 1-row per-shard-size broadcast over the ranked frame

@@ -95,3 +95,52 @@ def test_rrf_fuse_semantics(spark):
     assert out[10]["lex_rank"] == 1 and out[10]["dense_rank"] is None
     # tie between 10 (lex rank 1) and 13? 1/61 > 1/62 -> 10 above 13
     assert out[10]["fused_rank"] < out[13]["fused_rank"]
+
+
+def test_global_cumsum_equals_unpartitioned_running_sum(spark):
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_cumsum,
+    )
+
+    df = _fixture(spark).withColumn("w", (F.col("id") % 7 + 1).cast("long"))
+    # unique order key: (v, id) — ties in v broken by id, exactly the
+    # deterministic total order the registry queries use
+    got = {
+        r["id"]: (r["cum_w"], r["cum_id2"])
+        for r in global_cumsum(
+            df.withColumn("id2", F.col("id")),
+            [F.asc("v"), F.asc("id")],
+            ["w", "id2"],
+            num_partitions=7,
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.asc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: (r["cw"], r["ci"])
+        for r in df.withColumn("cw", F.sum("w").over(w))
+        .withColumn("ci", F.sum("id").over(w))
+        .collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_partition_count_invariance(spark):
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_cumsum,
+    )
+
+    df = _fixture(spark, 300).withColumn("w", F.lit(1).cast("long"))
+    order = [F.asc("v"), F.asc("id")]
+    a = {
+        r["id"]: r["cum_w"]
+        for r in global_cumsum(df, order, ["w"], num_partitions=3).collect()
+    }
+    b = {
+        r["id"]: r["cum_w"]
+        for r in global_cumsum(df, order, ["w"], num_partitions=13).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 301))
