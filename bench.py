@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "source_token_kl",
     "ab_test_purchase_values",
     "ks_test_purchase_values",
+    "source_length_ks_drift",
     "chi2_type_daypart",
     "hourly_value_cusum",
     "doc_keywords",

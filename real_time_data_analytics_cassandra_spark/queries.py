@@ -4270,6 +4270,80 @@ def ks_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift report: for every corpus source,
+    the exact two-sample KS distance between ITS document-length
+    distribution and the rest of the corpus — "which source changed
+    shape" is the first question after a crawl refresh, and length is
+    the canonical cheap proxy (truncation bugs, boilerplate floods
+    and dedup regressions all move it).
+
+    Exactness: ECDFs densify onto the (distinct length x source)
+    grid — bounded by |distinct lengths| x |sources|, never |docs|,
+    the correlation matrix's densification argument — per-source
+    cumulative counts are PARTITIONED windows, the pooled cumulative
+    is one per-length partition sum (|sources| rows each), and the
+    sup-norm numerator max_len |n_rest·cum_s − n_s·cum_rest| stays in
+    BIGINT with one final division per source.
+
+    Scale shape: one map-side-combined (source, length) count, then
+    every window is keyed (source or length); the grid is the only
+    fan-out and it is enum-bounded.  Output: (source, n_docs, d_num,
+    ks_stat) ordered by source."""
+    ensure_query_confs(spark)
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("len")
+    )
+    per = docs.groupBy("source", "len").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lens = per.select("len").distinct()
+    srcs = per.select("source").distinct()
+    dense = (
+        lens.crossJoin(F.broadcast(srcs))
+        .join(per, ["source", "len"], "left")
+        .select("source", "len", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.withColumn("cum_s", F.sum("c").over(w_s).cast("long"))
+    cum = cum.withColumn(
+        "cum_tot",
+        F.sum("cum_s").over(Window.partitionBy("len")).cast("long"),
+    )
+    n_s = per.groupBy("source").agg(F.sum("c").cast("long").alias("n_docs"))
+    n_tot = per.agg(F.sum("c").cast("long").alias("n"))
+    scored = cum.join(n_s, "source").crossJoin(F.broadcast(n_tot))
+    d = scored.groupBy("source", "n_docs", "n").agg(
+        F.max(
+            F.abs(
+                (F.col("n") - F.col("n_docs")) * F.col("cum_s")
+                - F.col("n_docs") * (F.col("cum_tot") - F.col("cum_s"))
+            )
+        )
+        .cast("long")
+        .alias("d_num")
+    )
+    return d.select(
+        "source",
+        "n_docs",
+        "d_num",
+        F.round(
+            F.col("d_num").cast("double")
+            / (
+                F.col("n_docs").cast("double")
+                * (F.col("n") - F.col("n_docs")).cast("double")
+            ),
+            6,
+        ).alias("ks_stat"),
+    ).orderBy("source")
+
+
 def chi2_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between event type and
     day-part (6-hour buckets of the UTC hour): are event kinds
@@ -8348,6 +8422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_upsample_repeats": source_upsample_repeats,
         "ab_test_purchase_values": ab_test_purchase_values,
         "ks_test_purchase_values": ks_test_purchase_values,
+        "source_length_ks_drift": source_length_ks_drift,
         "chi2_type_daypart": chi2_type_daypart,
         "hourly_value_cusum": hourly_value_cusum,
         "streaming_hourly_cusum": streaming_hourly_cusum,
@@ -8917,6 +8992,55 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
                          6) AS ks_stat
             FROM d, tot
+        """,
+        "source_length_ks_drift": """
+            WITH per AS (
+                SELECT source, length(text) AS len,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            lens AS (SELECT DISTINCT len FROM per),
+            srcs AS (SELECT DISTINCT source FROM per),
+            dense AS (
+                SELECT s.source, l.len, COALESCE(p.c, 0) AS c
+                FROM lens l CROSS JOIN srcs s
+                LEFT JOIN per p ON p.source = s.source AND p.len = l.len
+            ),
+            cum AS (
+                SELECT source, len,
+                       CAST(sum(c) OVER (
+                           PARTITION BY source ORDER BY len
+                       ) AS BIGINT) AS cum_s
+                FROM dense
+            ),
+            cum2 AS (
+                SELECT source, len, cum_s,
+                       CAST(sum(cum_s) OVER (PARTITION BY len)
+                            AS BIGINT) AS cum_tot
+                FROM cum
+            ),
+            n_s AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+                FROM per GROUP BY 1
+            ),
+            n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+            d AS (
+                SELECT c2.source, s.n_docs, t.n,
+                       CAST(max(abs(
+                           (t.n - s.n_docs) * c2.cum_s
+                           - s.n_docs * (c2.cum_tot - c2.cum_s)
+                       )) AS BIGINT) AS d_num
+                FROM cum2 c2
+                JOIN n_s s ON s.source = c2.source
+                CROSS JOIN n_tot t
+                GROUP BY 1, 2, 3
+            )
+            SELECT source, n_docs, d_num,
+                   round(CAST(d_num AS DOUBLE)
+                         / (CAST(n_docs AS DOUBLE)
+                            * CAST(n - n_docs AS DOUBLE)),
+                         6) AS ks_stat
+            FROM d ORDER BY source
         """,
         "source_upsample_repeats": f"""
             WITH counts AS (

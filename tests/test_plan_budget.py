@@ -50,6 +50,8 @@ BUDGETS = {
     # construction as global_rank, no single-task sort of the
     # distinct-value relation
     "ks_test_purchase_values": 7,
+    # enum-bounded densified grid + keyed windows only
+    "source_length_ks_drift": 11,
     "retention_survival_curve": 5,
     # training-data pipeline
     "dedup_exact": 1,
