@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "dup_cluster_size_histogram",
     "vocab_coverage_topk",
     "event_hourly_ols_trend",
+    "event_hourly_theil_sen",
     "media_wav_decode",
     "media_png_decode",
     "media_ppm_decode",

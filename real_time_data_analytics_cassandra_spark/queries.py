@@ -729,6 +729,63 @@ def event_hourly_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ols_fit_micro(hourly)
 
 
+def event_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type ROBUST trend of hourly event volume: the THEIL-SEN
+    estimator — the (lower) median of all pairwise slopes between
+    hourly points — in integer micro-units.  OLS (the sibling
+    `event_hourly_ols_trend`) moves with a single outlier hour; the
+    median-of-slopes has a 29% breakdown point, which is why it is
+    the monitoring-grade trend for volume guardrails.
+
+    Exactness: each pairwise slope is ONE shared floor division
+    (:func:`_floordiv_sql` — dy may be negative) of
+    1_000_000·(y2−y1) by (h2−h1); the median is a deterministic
+    row_number pick at rank (n_pairs+1) div 2 under the total order
+    (slope_micro, h1, h2) — pure integers end to end, bit-identical
+    in the oracle.
+
+    Scale shape: the pair fan-out is per-type |hours|² — bounded by
+    the CALENDAR squared (the order_backlog_daily boundedness
+    argument, squared), never by |events|; the rank window is
+    PARTITIONED by event_type.  One map-side-combined hourly count,
+    one bounded self-join, one keyed window."""
+    ensure_query_confs(spark)
+    from pyspark.sql.window import Window
+
+    events = table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a = hourly.select(
+        "event_type", F.col("h").alias("h1"), F.col("y").alias("y1")
+    )
+    b = hourly.select(
+        "event_type", F.col("h").alias("h2"), F.col("y").alias("y2")
+    )
+    slope = _floordiv_sql("1000000 * (y2 - y1)", "h2 - h1")
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .withColumn("slope_micro", F.expr(slope).cast("long"))
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro", "h1", "h2")
+    ranked = pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+    n_pairs = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return (
+        ranked.join(n_pairs, "event_type")
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("event_type", "n_pairs", "slope_micro")
+        .orderBy("event_type")
+    )
+
+
 def _ols_fit_micro(hourly: DataFrame) -> DataFrame:
     """Exact integer OLS over (event_type, h, y) points — the shared
     tail of the batch and streaming trend queries (identical code =
@@ -8396,6 +8453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_size_histogram": dup_cluster_size_histogram,
         "vocab_coverage_topk": vocab_coverage_topk,
         "event_hourly_ols_trend": event_hourly_ols_trend,
+        "event_hourly_theil_sen": event_hourly_theil_sen,
         "streaming_ols_trend": streaming_ols_trend,
         "event_type_correlation_matrix": event_type_correlation_matrix,
         "sampled_revenue_estimate": sampled_revenue_estimate,
@@ -10486,6 +10544,35 @@ def oracle_sql() -> dict[str, str]:
         # OLS sums and both micro-unit coefficients in pure BIGINT
         # arithmetic; the floor division text is shared verbatim with
         # the Spark side (_floordiv_sql) modulo the div operator
+        "event_hourly_theil_sen": f"""
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT a.event_type,
+                       a.h AS h1, b.h AS h2,
+                       CAST({_floordiv_sql("1000000 * (b.y - a.y)", "b.h - a.h", divop="//")}
+                            AS BIGINT) AS slope_micro
+                FROM hourly a JOIN hourly b
+                  ON a.event_type = b.event_type AND a.h < b.h
+            ),
+            ranked AS (
+                SELECT event_type, slope_micro,
+                       CAST(row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY slope_micro, h1, h2
+                       ) AS BIGINT) AS rn,
+                       CAST(count(*) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS n_pairs
+                FROM pairs
+            )
+            SELECT event_type, n_pairs, slope_micro
+            FROM ranked WHERE rn = (n_pairs + 1) // 2
+            ORDER BY event_type
+        """,
         "event_hourly_ols_trend": f"""
             WITH h AS (SELECT event_type,
                               CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
