@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "ab_test_purchase_values",
     "ks_test_purchase_values",
     "source_length_ks_drift",
+    "value_benford_audit",
+    "purchase_mean_bootstrap_ci",
     "chi2_type_daypart",
     "hourly_value_cusum",
     "doc_keywords",

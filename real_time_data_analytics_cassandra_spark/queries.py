@@ -4401,6 +4401,181 @@ def source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of purchase values — the
+    classic fabricated/synthetic-data smell test (a naturally-grown
+    monetary column follows P(d) = log10(1+1/d); generators, capped
+    prices and unit-price grids visibly don't): per leading digit,
+    the observed count, the observed share, the Benford expectation,
+    and the deviation, all in integer micro-units.
+
+    Exactness: the leading digit comes from INTEGER string prefixing
+    (cents = value·100 is exact on the decimal(12,2) money type;
+    integer-to-string renders identically in both engines — no float
+    log10, whose libm rounding is NOT portable); the nine Benford
+    probabilities are shared micro-unit literals summing to exactly
+    1_000_000.  A 9-row digit spine densifies absent digits to 0.
+
+    Scale shape: one map-side-combined digit count over the filtered
+    scan; everything after is 9 rows."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.functions.numeric import money
+
+    benford = {
+        1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+        6: 66947, 7: 57992, 8: 51153, 9: 45757,
+    }  # round(1e6*log10(1+1/d)): sums to exactly 1_000_000
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(money(F.col("value")).alias("v"))
+        .select(F.expr("CAST(v * 100 AS BIGINT)").alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    counts = ev.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    dense = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")
+    )
+    total = dense.agg(F.sum("n_obs").cast("long").alias("n_tot"))
+    bexpr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {m}" for d, m in benford.items()
+    ) + " END"
+    return (
+        dense.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("CAST((1000000 * n_obs) div n_tot AS BIGINT)").alias(
+                "share_micro"
+            ),
+            F.expr(f"CAST({bexpr} AS BIGINT)").alias("benford_micro"),
+        )
+        .withColumn(
+            "dev_micro", F.col("share_micro") - F.col("benford_micro")
+        )
+        .orderBy("digit")
+    )
+
+
+# Cumulative Poisson(1) CDF, k = 0..7 — shared literal text between
+# the Spark expression and the DuckDB oracle (same doubles, same
+# comparisons, same draws); draws above the last threshold cap at 8.
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+)
+
+
+def _poisson1_case(u_expr: str) -> str:
+    """CASE expression mapping a uniform draw to a Poisson(1) count
+    by inverse CDF — identical text in Spark SQL and DuckDB."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {whens} ELSE 8 END"
+
+
+def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP 95% confidence interval for the mean
+    purchase value — the uncertainty readout every guardrail metric
+    needs next to its point estimate, computed the distributed way
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): resample weights are independent
+    Poisson(1) draws per (event, resample), so no resample ever needs
+    a global multinomial pass over the data.
+
+    Determinism/exactness: draws come from the registry's md5
+    uniform01 on (event_id, resample) keys through a shared
+    literal-text inverse-CDF CASE (no engine RNG anywhere); each
+    resample mean is exact decimal sums with ONE double division; the
+    CI bounds are nearest-rank picks (ranks 3 and 98 of the B=100
+    sorted means) under the deterministic (mean, b) order.
+
+    Scale shape: the fan-out is exactly B× the filtered scan
+    (map-side explode of the literal 0..B-1 spine, no shuffle until
+    the per-b partial aggregate); the only global window sorts the
+    B-row means relation — bounded by the literal B, not the data."""
+    ensure_query_confs(spark)
+    from pyspark.sql.window import Window
+
+    from real_time_data_analytics_cassandra_spark.functions.numeric import money
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        uniform01,
+    )
+
+    B = 100
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", money(F.col("value")).alias("v"))
+    )
+    fan = ev.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+        F.col("event_id"),
+    ).withColumn(
+        "bkey",
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        ),
+    )
+    drawn = fan.withColumn("u", uniform01("bkey", salt="boot")).withColumn(
+        "w", F.expr(_poisson1_case("u")).cast("long")
+    )
+    per_b = drawn.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_b"),
+        F.round(F.sum(F.col("w") * F.col("v")), 2)
+        .cast("decimal(15,2)")
+        .cast("double")
+        .alias("s_b"),
+    )
+    means = per_b.select(
+        "b", (F.col("s_b") / F.col("n_b").cast("double")).alias("m")
+    )
+    # the rank window sorts exactly B rows — bounded by the literal
+    # resample count, not by data volume
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    full = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("v"), 2)
+        .cast("decimal(15,2)")
+        .cast("double")
+        .alias("s_full"),
+    )
+    lo = ranked.filter(F.col("rk") == 3).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == 98).select(F.col("m").alias("ci_hi"))
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_events",
+            F.round(
+                F.col("s_full") / F.col("n_events").cast("double"), 6
+            ).alias("mean_value"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+        )
+    )
+
+
 def chi2_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between event type and
     day-part (6-hour buckets of the UTC hour): are event kinds
@@ -8481,6 +8656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_purchase_values": ab_test_purchase_values,
         "ks_test_purchase_values": ks_test_purchase_values,
         "source_length_ks_drift": source_length_ks_drift,
+        "value_benford_audit": value_benford_audit,
+        "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
         "chi2_type_daypart": chi2_type_daypart,
         "hourly_value_cusum": hourly_value_cusum,
         "streaming_hourly_cusum": streaming_hourly_cusum,
@@ -9050,6 +9227,87 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
                          6) AS ks_stat
             FROM d, tot
+        """,
+        "purchase_mean_bootstrap_ci": f"""
+            WITH ev AS (
+                SELECT event_id, CAST(value AS DECIMAL(12,2)) AS v
+                FROM events WHERE event_type = 'purchase'
+            ),
+            fan AS (
+                SELECT v, event_id,
+                       unnest(generate_series(0, 99)) AS b
+                FROM ev
+            ),
+            drawn AS (
+                SELECT v, b,
+                       CAST({_poisson1_case(sampling_op.uniform01_sql("CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", "boot"))}
+                            AS BIGINT) AS w
+                FROM fan
+            ),
+            per_b AS (
+                SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
+                       CAST(CAST(round(sum(w * v), 2) AS DECIMAL(15,2))
+                            AS DOUBLE) AS s_b
+                FROM drawn GROUP BY b
+            ),
+            means AS (
+                SELECT b, s_b / CAST(n_b AS DOUBLE) AS m FROM per_b
+            ),
+            ranked AS (
+                SELECT m, row_number() OVER (ORDER BY m, b) AS rk
+                FROM means
+            ),
+            fullagg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(CAST(round(sum(v), 2) AS DECIMAL(15,2))
+                            AS DOUBLE) AS s_full
+                FROM ev
+            )
+            SELECT n_events,
+                   round(s_full / CAST(n_events AS DOUBLE), 6) AS mean_value,
+                   round((SELECT m FROM ranked WHERE rk = 3), 6) AS ci_lo,
+                   round((SELECT m FROM ranked WHERE rk = 98), 6) AS ci_hi
+            FROM fullagg
+        """,
+        "value_benford_audit": """
+            WITH cents AS (
+                SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents
+                FROM events WHERE event_type = 'purchase'
+            ),
+            digits AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+                FROM cents WHERE cents > 0
+            ),
+            counts AS (
+                SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                FROM digits GROUP BY 1
+            ),
+            spine AS (
+                SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit
+            ),
+            dense AS (
+                SELECT s.digit, CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs
+                FROM spine s LEFT JOIN counts c ON c.digit = s.digit
+            ),
+            tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM dense)
+            SELECT digit, n_obs,
+                   CAST((1000000 * n_obs) // n_tot AS BIGINT) AS share_micro,
+                   CAST(CASE digit
+                        WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                        WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                        WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                        WHEN 9 THEN 45757 END AS BIGINT) AS benford_micro,
+                   CAST((1000000 * n_obs) // n_tot AS BIGINT)
+                   - CAST(CASE digit
+                          WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                          WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                          WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                          WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                          WHEN 9 THEN 45757 END AS BIGINT) AS dev_micro
+            FROM dense, tot ORDER BY digit
         """,
         "source_length_ks_drift": """
             WITH per AS (

@@ -321,6 +321,8 @@ _BNLJ_OK = {
     "event_hourly_ols_trend",  # 1-row first-hour broadcast
     "ks_test_purchase_values",  # 1-row arm-totals broadcast (twice)
     "source_length_ks_drift",  # source-enum grid + 1-row total broadcasts
+    "value_benford_audit",  # 1-row digit-total broadcast
+    "purchase_mean_bootstrap_ci",  # 1-row CI-bound broadcasts
     "event_type_correlation_matrix",  # type-enum grid broadcast
     "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
     "curriculum_shards",  # 1-row per-shard-size broadcast over the ranked frame
