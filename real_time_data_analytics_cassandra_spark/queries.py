@@ -4293,10 +4293,13 @@ def ks_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.col("value")).alias("v"),
         )
     )
+    # three consumers read the per-value counts (the range sampler,
+    # the prefix-sum pass, the totals); checkpoint so the events scan
+    # + aggregate runs once, not once per consumer
     per_v = ev.groupBy("v").agg(
         F.sum((F.col("arm") == 0).cast("long")).alias("ca"),
         F.sum((F.col("arm") == 1).cast("long")).alias("cb"),
-    )
+    ).localCheckpoint(eager=True)
     cum = global_cumsum(per_v, ["v"], ["ca", "cb"])
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
