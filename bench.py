@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "streaming_cms_token_counts",
     "streaming_hdr_percentiles",
     "streaming_ols_trend",
+    "streaming_ks_drift",
     "event_type_correlation_matrix",
     "streaming_kmv_distinct_per_type",
     "streaming_hourly_cusum",

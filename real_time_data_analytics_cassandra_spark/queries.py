@@ -4293,13 +4293,25 @@ def ks_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.col("value")).alias("v"),
         )
     )
-    # three consumers read the per-value counts (the range sampler,
-    # the prefix-sum pass, the totals); checkpoint so the events scan
-    # + aggregate runs once, not once per consumer
     per_v = ev.groupBy("v").agg(
         F.sum((F.col("arm") == 0).cast("long")).alias("ca"),
         F.sum((F.col("arm") == 1).cast("long")).alias("cb"),
-    ).localCheckpoint(eager=True)
+    )
+    return _ks_from_value_counts(per_v)
+
+
+def _ks_from_value_counts(per_v: DataFrame) -> DataFrame:
+    """The exact-KS readout over a per-value (v, ca, cb) count table —
+    the shared tail of the batch and streaming KS queries (identical
+    code = identical arithmetic = shared oracle).  Checkpoints the
+    counts so the three consumers (range sampler, prefix-sum pass,
+    totals) read one materialization instead of re-deriving the
+    upstream scan each."""
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_cumsum,
+    )
+
+    per_v = per_v.localCheckpoint(eager=True)
     cum = global_cumsum(per_v, ["v"], ["ca", "cb"])
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -4328,6 +4340,51 @@ def ks_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact two-sample KS distance MAINTAINED BY THE STREAM: the
+    per-(value, arm) count aggregation of ks_test_purchase_values
+    runs unchanged as a Structured Streaming aggregation over the
+    bounded events replay (counts merge exactly at any micro-batch
+    boundary — the KS state is just a count table), then the integer
+    sup-norm reads off the finished table through literally the same
+    helper (:func:`_ks_from_value_counts`) the batch query uses — so
+    this streaming query shares the batch query's full DuckDB oracle
+    bit-for-bit, the same claim as streaming_ols_trend for trends.
+    This is the production drift monitor: arms accumulate in
+    streaming state, the sup-norm is evaluated on demand."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from real_time_data_analytics_cassandra_spark.functions.numeric import money
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_table_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    ev_stream = (
+        bounded_table_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            hash_bucket("user_id", 2).alias("arm"),
+            money(F.col("value")).alias("v"),
+        )
+    )
+    per_v_q = ev_stream.groupBy("v").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("cb"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_streaming_ks_")
+    per_v = run_available_now(
+        per_v_q, "streaming_ks_drift_q", ckpt, output_mode="complete"
+    )
+    return _ks_from_value_counts(per_v)
 
 
 def source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8633,6 +8690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_ols_trend": event_hourly_ols_trend,
         "event_hourly_theil_sen": event_hourly_theil_sen,
         "streaming_ols_trend": streaming_ols_trend,
+        "streaming_ks_drift": streaming_ks_drift,
         "event_type_correlation_matrix": event_type_correlation_matrix,
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
@@ -12996,6 +13054,7 @@ def oracle_sql() -> dict[str, str]:
     # (mergeable summary) -> it shares the batch quantile oracle
     d["streaming_hdr_percentiles"] = d["hdr_value_percentiles"]
     d["streaming_ols_trend"] = d["event_hourly_ols_trend"]
+    d["streaming_ks_drift"] = d["ks_test_purchase_values"]
     # the confusion matrix composes the lang_id scorer verbatim
     d["lang_confusion_matrix"] = (
         "SELECT labeled_lang, predicted_lang,"

@@ -323,6 +323,7 @@ _BNLJ_OK = {
     "source_length_ks_drift",  # source-enum grid + 1-row total broadcasts
     "value_benford_audit",  # 1-row digit-total broadcast
     "purchase_mean_bootstrap_ci",  # 1-row CI-bound broadcasts
+    "streaming_ks_drift",  # same 1-row arm-totals broadcasts as the batch KS
     "event_type_correlation_matrix",  # type-enum grid broadcast
     "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
     "curriculum_shards",  # 1-row per-shard-size broadcast over the ranked frame
