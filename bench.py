@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "weekly_cohort_retention",
     "part_copurchase_kcore",
     "part_copurchase_coreness",
+    "copurchase_degree_assortativity",
+    "copurchase_degree_histogram",
     "order_backlog_daily",
     "distinct_users_per_type",
     "approx_distinct_users",

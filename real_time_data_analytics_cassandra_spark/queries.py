@@ -7364,6 +7364,105 @@ def part_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# floor(log2(deg)) as a pure-integer CASE ladder — shared literal
+# text between the Spark projection and the DuckDB oracle (float
+# log2 would inherit libm rounding at exact powers of two)
+_LOG2_LADDER_SQL = (
+    "CASE "
+    + " ".join(f"WHEN deg < {1 << (k + 1)} THEN {k}" for k in range(40))
+    + " ELSE 40 END"
+)
+
+
+def copurchase_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over all directed
+    edges — one number saying whether hubs link to hubs (r > 0,
+    social-graph-like) or hubs link to leaves (r < 0,
+    hub-and-spoke-like).  The graph-health readout that tells a dedup
+    pipeline whether its near-dup graph is clustered or star-shaped
+    BEFORE committing to a peeling strategy.
+
+    Exactness: degrees are exact integers off the shared pair
+    fixture; both edge orientations contribute (the standard
+    undirected convention, so Σx = Σy and Σx² = Σy² by symmetry);
+    all five moments are BIGINT sums (bounded by 2E·V² — fine far
+    beyond any tested SF; swap to decimal(38,0) past ~10¹⁸); r is
+    ONE double expression over the 1-row moment frame.
+
+    Scale shape: one degree aggregate, one join of degrees onto the
+    edge list (shuffle on the vertex key), one map-side-combined
+    1-row moment reduce."""
+    ensure_query_confs(spark)
+    pairs = _copurchase_pairs(spark, sf_dir)
+    dir_e = pairs.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        pairs.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    deg = dir_e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    both = (
+        dir_e.join(deg.select(F.col("s"), F.col("deg").alias("dx")), "s")
+        .join(
+            deg.select(F.col("s").alias("t"), F.col("deg").alias("dy")), "t"
+        )
+        .select("dx", "dy")
+    )
+    m = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.expr("CAST(n div 2 AS BIGINT)").alias("n_edges"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def copurchase_degree_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOG2-BUCKETED DEGREE DISTRIBUTION of the co-purchase graph:
+    how many parts have degree in [2^k, 2^(k+1)) — the heavy-tail
+    check that tells a near-dup pipeline whether its pair graph has
+    power-law hubs (needing skew handling) before any join strategy
+    is chosen.
+
+    Portability: floor(log2(deg)) through float log2 would inherit
+    libm rounding at exact powers of two, so the bucket index is a
+    pure-integer CASE ladder of BIGINT comparisons against the 40
+    powers of two below 2^40 (beyond any conceivable degree) —
+    identical text in both engines.
+
+    Scale shape: one degree aggregate, one 40-arm CASE projection,
+    one map-side-combined bucket count."""
+    ensure_query_confs(spark)
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("id"))
+        .unionAll(pairs.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        deg.select(F.expr(_LOG2_LADDER_SQL).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("bucket")
+    )
+
+
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-CORE of the REPEAT co-purchase graph (parts linked when >= 2
     distinct orders contain both): iterative peeling strips pendant
@@ -8699,6 +8798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_components": part_copurchase_components,
         "part_copurchase_kcore": part_copurchase_kcore,
         "part_copurchase_coreness": part_copurchase_coreness,
+        "copurchase_degree_assortativity": copurchase_degree_assortativity,
+        "copurchase_degree_histogram": copurchase_degree_histogram,
         "order_backlog_daily": order_backlog_daily,
         "kmv_user_overlap": kmv_user_overlap,
         "entity_match_parts": entity_match_parts,
@@ -9079,6 +9180,64 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _pagerank_oracle_sql(4),
         "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
         "part_copurchase_coreness": _coreness_oracle_sql(rounds=24),
+        "copurchase_degree_assortativity": """
+            WITH op AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e0 AS MATERIALIZED (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),
+            dir AS (
+                SELECT u AS s, v AS t FROM e0
+                UNION ALL SELECT v AS s, u AS t FROM e0
+            ),
+            deg AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS deg
+                FROM dir GROUP BY 1
+            ),
+            endpoint_degs AS (
+                SELECT dx.deg AS dx, dy.deg AS dy
+                FROM dir d
+                JOIN deg dx ON dx.s = d.s
+                JOIN deg dy ON dy.s = d.t
+            ),
+            m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dx) AS BIGINT) AS sx,
+                       CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                       CAST(sum(dx * dy) AS BIGINT) AS sxy
+                FROM endpoint_degs
+            )
+            SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                         6) AS assortativity
+            FROM m
+        """,
+        "copurchase_degree_histogram": f"""
+            WITH op AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            e0 AS MATERIALIZED (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0
+                ) GROUP BY 1
+            )
+            SELECT CAST({_LOG2_LADDER_SQL} AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM deg GROUP BY 1 ORDER BY bucket
+        """,
         "order_backlog_daily": """
             WITH iv AS (
                 SELECT o.o_orderkey,
