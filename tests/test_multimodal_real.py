@@ -148,7 +148,8 @@ def test_png_crc_verification_and_boundaries():
         mm._decode_png(mk(4, 1, 8, 0, 1, raw))
     with pytest.raises(NotImplementedError, match="16-bit|not supported"):
         mm._decode_png(mk(2, 1, 16, 0, 0, bytes([0, 0, 1, 0, 2])))
-    with pytest.raises(NotImplementedError, match="color type"):
+    # a bare color-type-3 stream without PLTE is malformed, not absent
+    with pytest.raises(ValueError, match="missing PLTE"):
         mm._decode_png(mk(4, 1, 8, 3, 0, raw))
 
 
@@ -288,3 +289,57 @@ def test_malformed_containers_raise_typed_errors():
     )
     with pytest.raises(ValueError, match="fmt chunk shorter"):
         mm._decode_wav(short_fmt)
+
+
+def test_png_palette_and_gray_alpha_decode():
+    """Color type 3 (palette) decodes through the CRC-checked PLTE
+    table; color type 4 (gray+alpha) defilters like any 2-channel
+    plane — neither needs an external codec, so neither may raise."""
+    import zlib
+
+    # hand-build a palette PNG: 4x2 indices 0..7, 8-entry palette
+    pal = bytes(
+        [10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 50, 60, 70, 80, 90,
+         200, 210, 220, 11, 22, 33, 99, 88, 77]
+    )
+    idx_rows = [bytes([0, 1, 2, 3]), bytes([4, 5, 6, 7])]
+    filtered = b"".join(bytes([0]) + r for r in idx_rows)  # filter None
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", pal)
+        + mm._png_chunk(b"IDAT", zlib.compress(filtered))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    meta, px = mm._decode_png(png)
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (4, 2, 3)
+    want = b"".join(pal[3 * i : 3 * i + 3] for i in range(8))
+    assert bytes(px) == want
+
+    # index beyond the palette table is malformed data, not a crash
+    bad = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", pal[:9])  # only 3 entries
+        + mm._png_chunk(b"IDAT", zlib.compress(filtered))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="beyond PLTE"):
+        mm._decode_png(bad)
+
+    # gray+alpha (color type 4): 2x1, Sub filter on 2-byte pixels
+    row = bytes([100, 200, 110, 210])
+    filt = bytes([1]) + row[:2] + bytes(
+        (row[i] - row[i - 2]) & 0xFF for i in (2, 3)
+    )
+    ga_ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)
+    ga = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ga_ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(filt))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    meta2, px2 = mm._decode_png(ga)
+    assert meta2["n_channels"] == 2
+    assert bytes(px2) == row
