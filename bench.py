@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "ks_test_purchase_values",
     "source_length_ks_drift",
     "value_benford_audit",
+    "value_skewness_by_type",
     "purchase_mean_bootstrap_ci",
     "chi2_type_daypart",
     "hourly_value_cusum",

@@ -4636,6 +4636,62 @@ def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type SKEWNESS of event values (population g1 = m3/m2^1.5)
+    from exact decimal power sums — the shape diagnostic that says
+    WHICH WAY a value distribution drifted when the mean alone moved
+    (heavier right tail vs a shifted body), the third-moment sibling
+    of value_zscores/robust_value_outliers.
+
+    Exactness: Σv, Σv², Σv³ accumulate as decimals (order-invariant,
+    partial-aggregate-friendly) with ONE rounded cast to double each
+    (the ab_test recipe, one power higher: v³ stays far inside
+    decimal(38,6) for any money-typed column); the g1 formula is a
+    fixed double expression tree — IEEE ±/×/÷/sqrt are correctly
+    rounded, hence engine-portable, unlike libm log/exp.
+
+    Scale shape: one map-side-combined aggregate per type; the whole
+    query is a |types|-row reduce."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.functions.numeric import money
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", money(F.col("value")).alias("v")
+    )
+
+    def dsum(expr, alias):
+        return (
+            F.round(F.sum(expr), 2)
+            .cast("decimal(25,2)")
+            .cast("double")
+            .alias(alias)
+        )
+
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("v"), "sx"),
+        dsum(F.col("v") * F.col("v"), "sxx"),
+        dsum(F.col("v") * F.col("v") * F.col("v"), "sxxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx") / nd
+    m2 = F.col("sxx") / nd - mean * mean
+    m3 = (
+        F.col("sxxx") / nd
+        - F.lit(3.0) * mean * (F.col("sxx") / nd)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(m2), 6).alias("stddev_value"),
+        F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias(
+            "skewness"
+        ),
+    ).orderBy("event_type")
+
+
 def chi2_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between event type and
     day-part (6-hour buckets of the UTC hour): are event kinds
@@ -8819,6 +8875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_purchase_values": ks_test_purchase_values,
         "source_length_ks_drift": source_length_ks_drift,
         "value_benford_audit": value_benford_audit,
+        "value_skewness_by_type": value_skewness_by_type,
         "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
         "chi2_type_daypart": chi2_type_daypart,
         "hourly_value_cusum": hourly_value_cusum,
@@ -9447,6 +9504,44 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
                          6) AS ks_stat
             FROM d, tot
+        """,
+        "value_skewness_by_type": """
+            WITH ev AS (
+                SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+                FROM events
+            ),
+            m AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(CAST(round(sum(v), 2) AS DECIMAL(25,2))
+                            AS DOUBLE) AS sx,
+                       CAST(CAST(round(sum(v * v), 2) AS DECIMAL(25,2))
+                            AS DOUBLE) AS sxx,
+                       CAST(CAST(round(sum(v * v * v), 2) AS DECIMAL(25,2))
+                            AS DOUBLE) AS sxxx
+                FROM ev GROUP BY 1
+            ),
+            calc AS (
+                SELECT event_type, n,
+                       sx / CAST(n AS DOUBLE) AS mean,
+                       sxx / CAST(n AS DOUBLE)
+                       - (sx / CAST(n AS DOUBLE))
+                         * (sx / CAST(n AS DOUBLE)) AS m2,
+                       sxxx / CAST(n AS DOUBLE)
+                       - 3.0 * (sx / CAST(n AS DOUBLE))
+                             * (sxx / CAST(n AS DOUBLE))
+                       + 2.0 * (sx / CAST(n AS DOUBLE))
+                             * (sx / CAST(n AS DOUBLE))
+                             * (sx / CAST(n AS DOUBLE)) AS m3
+                FROM m
+            )
+            SELECT event_type, n,
+                   round(mean, 6) AS mean_value,
+                   round(sqrt(m2), 6) AS stddev_value,
+                   CASE WHEN m2 > 0
+                        THEN round(m3 / (m2 * sqrt(m2)), 6)
+                   END AS skewness
+            FROM calc ORDER BY event_type
         """,
         "purchase_mean_bootstrap_ci": f"""
             WITH ev AS (
