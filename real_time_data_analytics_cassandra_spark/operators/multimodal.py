@@ -11,11 +11,12 @@ in this environment, so ``decode_media_meta`` computes a deterministic
 fake for arbitrary payloads — but ``decode_media_real`` DOES decode
 three dependency-free containers end-to-end: RIFF/WAVE PCM audio
 (chunk-walking header parse + sample extraction), binary PPM (P6)
-images, and 8-bit non-interlaced PNG (stdlib-zlib inflate, per-chunk
+images, and PNG (stdlib-zlib inflate, per-chunk
 CRC32 verification, full defiltering of all five spec filter types —
-a genuinely COMPRESSED codec, including PALETTE images via the
-CRC-checked PLTE table and gray+alpha planes).  Payloads in any
-other container (JPEG/MP3; 16-bit/Adam7 PNG) raise NotImplementedError —
+a genuinely COMPRESSED codec, across the complete static-image
+spec surface: every legal color-type/bit-depth combination, palette
+via the CRC-checked PLTE table, sequential and Adam7 interlaced).
+Payloads in any other container (JPEG/MP3) raise NotImplementedError —
 that boundary now means "codec genuinely absent", not "no decoder
 exists".  Everything Spark-side — schema handling, Arrow batching,
 partition parallelism, the UDF signature — is real and tested.
@@ -403,15 +404,101 @@ def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
     return out + _png_chunk(b"IEND", b"")
 
 
+# Adam7 interlace passes (spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+# spec §11.2.2: legal (color type -> bit depths)
+_PNG_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_defilter_image(
+    raw: bytes, offset: int, width: int, height: int, channels: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Defilter one (sub)image of ``height`` scanlines starting at
+    byte ``offset`` of the inflated stream and unpack it to one value
+    per SAMPLE (int64).  Filtering is byte-oriented per spec §9
+    regardless of depth: bpp = max(1, channels·depth/8); scanline
+    payload = ceil(width·channels·depth/8) bytes.  Returns (samples
+    row-major, bytes consumed)."""
+    if width == 0 or height == 0:
+        return np.zeros(0, dtype=np.int64), 0
+    row_bytes = (width * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    need = height * (row_bytes + 1)
+    if offset + need > len(raw):
+        raise ValueError("PNG pixel stream length mismatch")
+    recon = bytearray(height * row_bytes)
+    for r in range(height):
+        ft = raw[offset + r * (row_bytes + 1)]
+        line = raw[
+            offset + r * (row_bytes + 1) + 1 : offset + (r + 1) * (row_bytes + 1)
+        ]
+        base = r * row_bytes
+        for i in range(row_bytes):
+            x = line[i]
+            a = recon[base + i - bpp] if i >= bpp else 0
+            b = recon[base + i - row_bytes] if r else 0
+            c = (
+                recon[base + i - row_bytes - bpp]
+                if (r and i >= bpp)
+                else 0
+            )
+            if ft == 1:
+                x += a
+            elif ft == 2:
+                x += b
+            elif ft == 3:
+                x += (a + b) >> 1
+            elif ft == 4:
+                x += _paeth(a, b, c)
+            elif ft != 0:
+                raise ValueError(f"PNG filter type {ft} invalid")
+            recon[base + i] = x & 0xFF
+    grid = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(
+        height, row_bytes
+    )
+    n_samples = width * channels
+    if depth == 8:
+        samples = grid[:, :n_samples].astype(np.int64)
+    elif depth == 16:
+        samples = (
+            grid.astype(np.int64)[:, 0 : 2 * n_samples : 2] << 8
+        ) | grid.astype(np.int64)[:, 1 : 2 * n_samples : 2]
+    else:  # 1/2/4-bit: MSB-first bit groups, pad bits dropped per row
+        bits = np.unpackbits(grid, axis=1)
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
+        samples = (
+            bits.reshape(height, -1, depth).astype(np.int64) @ weights
+        )[:, :n_samples]
+    return samples.reshape(-1), need
+
+
 def _decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
-    """REAL PNG decode via stdlib zlib: chunk walk with per-chunk
-    CRC32 verification, IHDR parse, multi-IDAT concatenation, zlib
-    inflate, and full defiltering of all five spec filter types for
-    8-bit gray / gray+alpha / RGB / RGBA / PALETTE non-interlaced
-    images (palette indices defilter at 1 byte/px then map through
-    the CRC-checked PLTE table to RGB).  Sub-8-bit/16-bit depths and
-    Adam7 interlacing raise NotImplementedError — documented
-    boundaries, not fakes."""
+    """REAL PNG decode via stdlib zlib — the COMPLETE static-image
+    spec surface: chunk walk with per-chunk CRC32 verification, IHDR
+    parse, multi-IDAT concatenation, zlib inflate, byte-oriented
+    defiltering of all five filter types, every legal (color type,
+    bit depth) combination — gray 1/2/4/8/16, palette 1/2/4/8 (via
+    the CRC-checked PLTE table), gray+alpha and RGB(A) 8/16 — and
+    Adam7 interlacing (seven defiltered sub-images recomposed onto
+    the pixel grid).  Output: uint8 samples (uint16 for 16-bit
+    planes), palette always expanded to 8-bit RGB.  Only codecs that
+    genuinely need an absent library (JPEG/MP3) remain
+    NotImplementedError."""
     import struct
     import zlib
 
@@ -450,58 +537,62 @@ def _decode_png(payload: bytes) -> tuple[dict, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     width, height, depth, color, _comp, _filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG planes not supported")
-    # filtered-stream bytes per pixel; palette planes carry 1-byte
-    # indices that expand to RGB only after defiltering
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PNG dimensions")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if depth not in _PNG_LEGAL_DEPTHS[color]:
+        raise ValueError(
+            f"PNG depth {depth} illegal for color type {color}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel stream length mismatch")
-    recon = bytearray(height * stride)
-    for r in range(height):
-        ft = raw[r * (stride + 1)]
-        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
-        base = r * stride
-        for i in range(stride):
-            x = line[i]
-            a = recon[base + i - channels] if i >= channels else 0
-            b = recon[base + i - stride] if r else 0
-            c = (
-                recon[base + i - stride - channels]
-                if (r and i >= channels)
-                else 0
+    if interlace == 0:
+        samples, used = _png_defilter_image(
+            raw, 0, width, height, channels, depth
+        )
+        if used != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+        sample_grid = samples.reshape(height, width * channels)
+    else:  # Adam7: seven independently-filtered sub-images recompose
+        sample_grid = np.zeros((height, width * channels), dtype=np.int64)
+        offset = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            pw = (width - x0 + xs - 1) // xs if x0 < width else 0
+            ph = (height - y0 + ys - 1) // ys if y0 < height else 0
+            sub, used = _png_defilter_image(
+                raw, offset, pw, ph, channels, depth
             )
-            if ft == 1:
-                x += a
-            elif ft == 2:
-                x += b
-            elif ft == 3:
-                x += (a + b) >> 1
-            elif ft == 4:
-                x += _paeth(a, b, c)
-            elif ft != 0:
-                raise ValueError(f"PNG filter type {ft} invalid")
-            recon[base + i] = x & 0xFF
-    px = np.frombuffer(bytes(recon), dtype=np.uint8)
+            offset += used
+            if pw and ph:
+                sub = sub.reshape(ph, pw, channels)
+                for ch in range(channels):
+                    sample_grid[
+                        y0::ys, (x0 * channels + ch) :: (xs * channels)
+                    ] = sub[:, :, ch]
+        if offset != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+    px = sample_grid.reshape(-1)
+    bits = depth
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(px.max(initial=0)) >= pal.shape[0]:
             raise ValueError("palette PNG index beyond PLTE table")
-        px = pal[px].reshape(-1)
-        channels = 3
+        px = pal[px].reshape(-1).astype(np.uint8)
+        channels, bits = 3, 8
+    elif depth == 16:
+        px = px.astype(np.uint16)
+    else:
+        px = px.astype(np.uint8)
     meta = {
         "format": "png",
         "n_channels": channels,
         "sample_rate": None,
-        "bits_per_sample": 8,
+        "bits_per_sample": bits,
         "n_samples": None,
         "width": width,
         "height": height,

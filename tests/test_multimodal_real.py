@@ -142,15 +142,19 @@ def test_png_crc_verification_and_boundaries():
     assert meta["n_channels"] == 3 and (meta["width"], meta["height"]) == (2, 2)
     assert bytes(px) == row0 + row1
 
-    # documented boundaries raise NotImplementedError, not garbage
-    raw = bytes([0, 1, 2, 3, 4])
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        mm._decode_png(mk(4, 1, 8, 0, 1, raw))
-    with pytest.raises(NotImplementedError, match="16-bit|not supported"):
-        mm._decode_png(mk(2, 1, 16, 0, 0, bytes([0, 0, 1, 0, 2])))
+    # 16-bit gray decodes to uint16 samples (big-endian pairs)
+    meta16, px16 = mm._decode_png(mk(2, 1, 16, 0, 0, bytes([0, 0, 1, 0, 2])))
+    assert meta16["bits_per_sample"] == 16
+    assert px16.dtype.name == "uint16" and px16.tolist() == [1, 2]
+    # an interlace=1 stream sized for a sequential image is malformed
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm._decode_png(mk(4, 1, 8, 0, 1, bytes([0, 1, 2, 3, 4])))
+    # illegal (color, depth) combos are data errors, not boundaries
+    with pytest.raises(ValueError, match="illegal"):
+        mm._decode_png(mk(2, 1, 4, 2, 0, bytes([0, 1])))
     # a bare color-type-3 stream without PLTE is malformed, not absent
     with pytest.raises(ValueError, match="missing PLTE"):
-        mm._decode_png(mk(4, 1, 8, 3, 0, raw))
+        mm._decode_png(mk(4, 1, 8, 3, 0, bytes([0, 1, 2, 3, 4])))
 
 
 def test_png_decode_through_arrow_path(spark):
@@ -343,3 +347,147 @@ def test_png_palette_and_gray_alpha_decode():
     meta2, px2 = mm._decode_png(ga)
     assert meta2["n_channels"] == 2
     assert bytes(px2) == row
+
+
+def _chunked_png(width, height, depth, color, interlace, stream, plte=None):
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+    out = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += mm._png_chunk(b"PLTE", plte)
+    return (
+        out
+        + mm._png_chunk(b"IDAT", zlib.compress(stream))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlace_hand_computed():
+    """4x2 gray-8 Adam7: pass1 gets (0,0), pass4 (2,0), pass6 (1,0)
+    and (3,0), pass7 the whole second row — recomposition must land
+    every pixel on its spec position."""
+    stream = (
+        bytes([0, 10])            # pass 1: pixel (0,0)
+        + bytes([0, 30])          # pass 4: pixel (2,0)
+        + bytes([0, 20, 40])      # pass 6: pixels (1,0), (3,0)
+        + bytes([0, 50, 60, 70, 80])  # pass 7: row y=1
+    )
+    meta, px = mm._decode_png(_chunked_png(4, 2, 8, 0, 1, stream))
+    assert (meta["width"], meta["height"]) == (4, 2)
+    assert px.tolist() == [10, 20, 30, 40, 50, 60, 70, 80]
+
+
+def test_png_sub8bit_gray_and_palette():
+    # 2-bit gray 5x2 (row pad bits dropped): values 0..3
+    row0 = bytes([0b01101110, 0b10000000])  # 1,2,3,2 | 2,pad
+    row1 = bytes([0b11110100, 0b01000000])  # 3,3,1,0 | 1,pad
+    stream = bytes([0]) + row0 + bytes([0]) + row1
+    meta, px = mm._decode_png(_chunked_png(5, 2, 2, 0, 0, stream))
+    assert meta["bits_per_sample"] == 2
+    assert px.tolist() == [1, 2, 3, 2, 2, 3, 3, 1, 0, 1]
+
+    # 4-bit palette 3x1: indices 1, 0, 2 through a 3-entry table
+    pal = bytes([5, 6, 7, 50, 60, 70, 150, 160, 170])
+    stream = bytes([0, 0x10, 0x20])
+    meta2, px2 = mm._decode_png(_chunked_png(3, 1, 4, 3, 0, stream, plte=pal))
+    assert meta2["n_channels"] == 3 and meta2["bits_per_sample"] == 8
+    assert px2.tolist() == [50, 60, 70, 5, 6, 7, 150, 160, 170]
+
+
+def test_png_16bit_sub_filter_uses_two_byte_bpp():
+    """Sub filtering on 16-bit planes references the byte TWO back
+    (bpp = 2), not the previous byte."""
+    stream = bytes([1, 0x03, 0xE8, 0x00, 0x05, 0x00, 0x05])
+    meta, px = mm._decode_png(_chunked_png(3, 1, 16, 0, 0, stream))
+    assert px.tolist() == [1000, 1005, 1010]
+
+
+def test_png_generic_round_trip_all_modes():
+    """Deterministic encode->decode round trip across every legal
+    (color, depth) combination, sequential AND Adam7: a test-side
+    filter-0 encoder packs samples per spec (MSB-first bit groups,
+    big-endian 16-bit, per-pass sub-images), the product decoder must
+    return them bit-exactly."""
+    import zlib
+
+    def pack_row(vals, depth):
+        if depth == 8:
+            return bytes(vals)
+        if depth == 16:
+            out = bytearray()
+            for v in vals:
+                out += bytes([v >> 8, v & 0xFF])
+            return bytes(out)
+        acc = bitlen = 0
+        out = bytearray()
+        for v in vals:
+            acc = (acc << depth) | v
+            bitlen += depth
+            if bitlen == 8:
+                out.append(acc)
+                acc = bitlen = 0
+        if bitlen:
+            out.append(acc << (8 - bitlen))
+        return bytes(out)
+
+    def encode(grid, width, height, channels, depth, interlace):
+        def rows_of(x0, y0, xs, ys):
+            sub_rows = []
+            for y in range(y0, height, ys):
+                vals = []
+                for x in range(x0, width, xs):
+                    vals.extend(grid[y][x])
+                if vals:
+                    sub_rows.append(vals)
+            return sub_rows
+
+        passes = (
+            [(0, 0, 1, 1)] if interlace == 0 else list(mm._ADAM7_PASSES)
+        )
+        stream = bytearray()
+        for x0, y0, xs, ys in passes:
+            for vals in rows_of(x0, y0, xs, ys):
+                stream += bytes([0]) + pack_row(vals, depth)
+        return bytes(stream)
+
+    x = 41  # deterministic congruential stream
+    for color, channels in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for depth in mm._PNG_LEGAL_DEPTHS[color]:
+            for interlace in (0, 1):
+                width, height = 11, 6
+                grid, flat = [], []
+                for y in range(height):
+                    row = []
+                    for xx in range(width):
+                        pix = []
+                        for _ in range(channels):
+                            x = (x * 1103515245 + 12345) % (2**31)
+                            pix.append(x % (1 << depth))
+                        row.append(pix)
+                        flat.extend(pix)
+                    grid.append(row)
+                stream = encode(grid, width, height, channels, depth, interlace)
+                png = _chunked_png(width, height, depth, color, interlace, stream)
+                meta, px = mm._decode_png(png)
+                assert px.tolist() == flat, (color, depth, interlace)
+                assert meta["n_channels"] == channels
+
+    # palette round-trip (indices map through the table)
+    pal = bytes(range(48))  # 16 RGB entries
+    for depth in (1, 2, 4, 8):
+        for interlace in (0, 1):
+            width, height = 9, 5
+            grid, flat = [], []
+            for y in range(height):
+                row = []
+                for xx in range(width):
+                    x = (x * 1103515245 + 12345) % (2**31)
+                    idx = x % min(16, 1 << depth)
+                    row.append([idx])
+                    flat.extend(pal[3 * idx : 3 * idx + 3])
+                grid.append(row)
+            stream = encode(grid, width, height, 1, depth, interlace)
+            png = _chunked_png(width, height, depth, 3, interlace, stream, plte=pal)
+            meta, px = mm._decode_png(png)
+            assert px.tolist() == list(flat), (depth, interlace)
