@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "event_hourly_theil_sen",
     "media_wav_decode",
     "media_png_decode",
+    "media_png_adam7_decode",
     "media_ppm_decode",
     "incremental_ann_search",
     "streaming_incremental_index",

@@ -698,6 +698,67 @@ def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _png_container_adam7(data: bytes, width: int = PNG_WIDTH) -> bytes:
+    """A genuine ADAM7-INTERLACED PNG holding ``data`` as an 8-bit
+    grayscale image (zero-padded final row): the pixel grid splits
+    into the seven spec passes, each pass filtered as its own
+    sub-image — a decoder only recovers the row-major plane by
+    implementing the full interlace recomposition.  Filter type 0 per
+    scanline (the sequential container exercises the five filters;
+    this one exercises pass geometry)."""
+    import struct
+    import zlib
+
+    height = max(1, -(-len(data) // width))
+    plane = data + b"\x00" * (width * height - len(data))
+    stream = bytearray()
+    for x0, y0, xs, ys in _ADAM7_PASSES:
+        for y in range(y0, height, ys):
+            row = plane[y * width : (y + 1) * width][x0::xs]
+            if row:
+                stream += bytes([0]) + row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def attach_png_adam7_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Wrap each document's utf-8 bytes in a GENUINE Adam7-interlaced
+    PNG (:func:`_png_container_adam7`) — the interlaced twin of
+    :func:`attach_png_payload`."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": batch["text"].map(
+                        lambda t: _png_container_adam7(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    src = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
 def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Wrap each document's utf-8 bytes in a GENUINE PNG container
     (8-bit grayscale, cycling scanline filters, two IDAT chunks —

@@ -1720,6 +1720,31 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def media_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-INTERLACED PNG decode through the Arrow path: the
+    interlaced twin of media_png_decode — each document's bytes wrap
+    in a genuine interlace-method-1 PNG (operators/multimodal.py::
+    _png_container_adam7: seven independently-filtered pass
+    sub-images) and the decoder recomposes the row-major plane via
+    the spec pass table (round-trip bit-exactness gated in
+    tests/test_multimodal_real.py's mode matrix).  Same deterministic
+    geometry, so the SAME SQL oracle text as the sequential twin."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = mm_op.decode_media_real(
+        mm_op.attach_png_adam7_payload(docs, "doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        "format",
+        "n_channels",
+        "bits_per_sample",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -8931,6 +8956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_meta": multimodal_decode_meta,
         "media_wav_decode": media_wav_decode,
         "media_png_decode": media_png_decode,
+        "media_png_adam7_decode": media_png_adam7_decode,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
@@ -13309,6 +13335,8 @@ def oracle_sql() -> dict[str, str]:
     d["streaming_hdr_percentiles"] = d["hdr_value_percentiles"]
     d["streaming_ols_trend"] = d["event_hourly_ols_trend"]
     d["streaming_ks_drift"] = d["ks_test_purchase_values"]
+    # the interlaced PNG twin has identical deterministic geometry
+    d["media_png_adam7_decode"] = d["media_png_decode"]
     # the confusion matrix composes the lang_id scorer verbatim
     d["lang_confusion_matrix"] = (
         "SELECT labeled_lang, predicted_lang,"

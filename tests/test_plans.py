@@ -262,6 +262,7 @@ _ARROW_QUERIES = {
     "multimodal_decode_meta",
     "media_wav_decode",  # real RIFF parse via mapInPandas
     "media_png_decode",  # real zlib inflate + defilter via mapInPandas
+    "media_png_adam7_decode",  # interlaced twin, same Arrow stage
     "media_ppm_decode",  # real P6 header token scan via mapInPandas
     "multimodal_features",
     "frame_samples",
