@@ -7,6 +7,7 @@ from real_time_data_analytics_cassandra_spark.plans.checks import (
     pushed_filters,
     python_eval_free,
     scan_count,
+    unpartitioned_window_count,
     wholestage_codegen_count,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "pushed_filters",
     "python_eval_free",
     "scan_count",
+    "unpartitioned_window_count",
     "wholestage_codegen_count",
 ]

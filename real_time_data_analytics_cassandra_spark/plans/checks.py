@@ -95,3 +95,46 @@ def python_eval_free(df: DataFrame) -> bool:
     (Arrow-batched pandas stages report as ArrowEvalPython/MapInPandas
     and are allowed)."""
     return "BatchEvalPython" not in explain_str(df)
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of window specs in the physical plan whose PARTITION BY
+    list is empty — each one funnels its whole input relation through
+    a single task, the canonical distributed-sort scale-killer.
+
+    A plan-wide zero is the default posture; the registry hygiene
+    sweep allows named exceptions only where the windowed relation is
+    bounded by CONSTRUCTION (a <= num_partitions offset table, a
+    literal resample count, the calendar) — the allowlist documents
+    each bound.
+
+    Detection: every ``windowspecdefinition(part..., order..., frame)``
+    in the formatted plan; partition columns precede the first
+    ordering argument (marked ASC/DESC) — if the first depth-0
+    argument is an ordering or the frame itself, the spec has no
+    partition key."""
+    text = explain_str(df)
+    count = 0
+    for m in re.finditer(r"windowspecdefinition\(", text):
+        depth, start, args = 1, m.end(), []
+        i = start
+        while i < len(text) and depth:
+            ch = text[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(text[start:i])
+            elif ch == "," and depth == 1:
+                args.append(text[start:i])
+                start = i + 1
+            i += 1
+        first = args[0].strip() if args else ""
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
+            count += 1
+    return count

@@ -15,6 +15,7 @@ from real_time_data_analytics_cassandra_spark.plans import (
     operator_count,
     pushed_filters,
     python_eval_free,
+    unpartitioned_window_count,
     wholestage_codegen_count,
 )
 from tests.conftest import SF_SMOKE
@@ -432,11 +433,41 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.set(k, v)
 
 
+# Unpartitioned (empty PARTITION BY) windows funnel their input
+# through ONE task — allowed only where the windowed relation is
+# bounded by CONSTRUCTION, never by data volume.  name -> (max spec
+# count, the bound).  Anything else planning a global window fails
+# the sweep — this automates the audit the round-7 review did by
+# hand ("remaining unpartitioned windows all run over bounded or
+# pre-truncated relations — verified individually").
+_GLOBAL_WINDOW_OK = {
+    "bm25_search": (1, "rank over the <= k retrieved results"),
+    "bm25_search_persisted": (1, "rank over the <= k retrieved results"),
+    "incremental_bm25_search": (1, "rank over the <= k retrieved results"),
+    "curriculum_shards": (1, "shard boundaries over the <= n_shards row frame"),
+    "customer_spend_rank": (1, "global_rank offsets: <= num_partitions rows"),
+    "embedding_label_auc": (1, "global_rank offsets: <= num_partitions rows"),
+    "embedding_class_auc": (2, "global_rank offsets, reused per class"),
+    "heavy_hitter_tokens": (1, "rank over the <= k Misra-Gries summary"),
+    "ks_test_purchase_values": (2, "global_cumsum offsets: <= num_partitions rows"),
+    "order_backlog_daily": (1, "running sum over the per-DAY relation (calendar-bounded)"),
+    "part_affinity": (1, "rank over the TakeOrdered(20) survivors"),
+    "purchase_mean_bootstrap_ci": (2, "CI rank over the B=100 resample means"),
+    "retention_survival_curve": (1, "KM product over the per-day relation (calendar-bounded)"),
+    "revenue_concentration": (2, "global_rank offsets + Lorenz over them"),
+    "token_budget_mixture": (6, "per-level cuts over the <= |langs| mixture frame"),
+    "vocab_encode_docs": (1, "id assignment over the <= vocab_size TakeOrdered cut"),
+    "weighted_token_sample": (1, "rank over the <= k weighted sample"),
+}
+
+
 def test_registry_wide_plan_hygiene(spark):
     """Every batch registry query must plan without a CartesianProduct
     and without row-at-a-time Python (BatchEvalPython); Arrow stages
-    are allowed only where declared.  Streaming and environment-
-    dependent queries are exercised by their own gates."""
+    are allowed only where declared; unpartitioned windows only over
+    construction-bounded relations (named in _GLOBAL_WINDOW_OK with
+    the bound).  Streaming and environment-dependent queries are
+    exercised by their own gates."""
     skip = {n for n in q.queries() if n.startswith("streaming_")} | {
         "amqp_replay_type_counts",  # local dump fixture, covered by its gate
         "dedup_clusters",  # iterative; cross-checked by recursive-CTE oracle
@@ -464,4 +495,10 @@ def test_registry_wide_plan_hygiene(spark):
             failures.append(f"{name}: undeclared Arrow stage")
         if name not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        n_glob = unpartitioned_window_count(df)
+        cap = _GLOBAL_WINDOW_OK.get(name, (0, "not allowlisted"))[0]
+        if n_glob > cap:
+            failures.append(
+                f"{name}: {n_glob} unpartitioned window(s), allowed {cap}"
+            )
     assert not failures, failures
