@@ -491,3 +491,28 @@ def test_png_generic_round_trip_all_modes():
             png = _chunked_png(width, height, depth, 3, interlace, stream, plte=pal)
             meta, px = mm._decode_png(png)
             assert px.tolist() == list(flat), (depth, interlace)
+
+
+def test_png_adam7_malformed_streams_raise_typed_errors():
+    """Interlaced hostile bytes: a truncated pass stream and a stream
+    with a whole pass missing must raise the typed length error, not
+    index garbage into the pixel grid."""
+    import zlib
+
+    stream = (
+        bytes([0, 10])
+        + bytes([0, 30])
+        + bytes([0, 20, 40])
+        + bytes([0, 50, 60, 70, 80])
+    )
+    whole = _chunked_png(4, 2, 8, 0, 1, stream)
+    # drop the last pass entirely (re-wrap a shorter stream)
+    short = _chunked_png(4, 2, 8, 0, 1, stream[:-5])
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm._decode_png(short)
+    # extra trailing bytes after the final pass are also malformed
+    extra = _chunked_png(4, 2, 8, 0, 1, stream + b"\x00\x00")
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm._decode_png(extra)
+    # the well-formed twin still decodes (guard against over-strictness)
+    assert mm._decode_png(whole)[1].tolist() == [10, 20, 30, 40, 50, 60, 70, 80]

@@ -144,3 +144,15 @@ def test_global_cumsum_partition_count_invariance(spark):
     }
     assert a == b
     assert sorted(a.values()) == list(range(1, 301))
+
+
+def test_global_cumsum_single_row_and_column_passthrough(spark):
+    """Degenerate shapes: a 1-row frame cumsums to itself, and input
+    columns pass through unchanged next to the cum_ columns."""
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_cumsum,
+    )
+
+    df = spark.createDataFrame([(7, 3)], "k long, w long")
+    out = global_cumsum(df, ["k"], ["w"], num_partitions=4).collect()
+    assert [(r.k, r.w, r.cum_w) for r in out] == [(7, 3, 3)]
