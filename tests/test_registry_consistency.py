@@ -1,0 +1,49 @@
+"""Registry <-> docs <-> bench drift gates: the bookkeeping rules the
+round checklist enforces by hand (every query benched or named in the
+README exclusion table, every oracle keyed to a real query, every
+rows-only query carrying a cross-validation row) become CI failures
+instead of review findings."""
+
+from __future__ import annotations
+
+import json
+import re
+
+from real_time_data_analytics_cassandra_spark import queries as q
+
+
+def _bench_queries():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return list(mod.BENCH_QUERIES)
+
+
+def test_every_query_is_benched_or_excluded_with_reason():
+    reg = set(q.queries())
+    benched = set(_bench_queries())
+    readme = open("/root/repo/README.md").read()
+    excluded = set(re.findall(r"^\| `(\w+)` \|", readme, re.M))
+    assert benched <= reg, sorted(benched - reg)
+    unaccounted = reg - benched - excluded
+    assert not unaccounted, sorted(unaccounted)
+    # an exclusion row for a query that is actually benched (or gone)
+    # is stale documentation
+    assert excluded <= reg - benched, sorted(excluded - (reg - benched))
+
+
+def test_every_oracle_keys_a_registry_query():
+    reg, ora = set(q.queries()), set(q.oracle_sql())
+    assert ora <= reg, sorted(ora - reg)
+
+
+def test_every_rows_only_query_has_a_crossval_row():
+    reg, ora = set(q.queries()), set(q.oracle_sql())
+    cv = json.load(open("/root/repo/CROSSVAL.json"))
+    cv_names = set(cv) if isinstance(cv, dict) else {r["name"] for r in cv}
+    missing = sorted((reg - ora) - cv_names)
+    assert not missing, missing
