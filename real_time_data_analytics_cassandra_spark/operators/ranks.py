@@ -119,8 +119,14 @@ def global_cumsum(
     ``spark_partition_id`` (each window sorts only its own range),
     then one broadcast join of the ≤num_partitions-row exclusive
     prefix of per-partition totals.  Output adds ``cum_<col>`` (long)
-    per requested column.  Integer-exact: sums are BIGINT throughout,
-    so results are partitioning-invariant and engine-portable."""
+    per requested column.  Integer-exact: sums are BIGINT throughout.
+
+    ``order_cols`` must determine rows UNIQUELY (include a unique
+    tiebreaker for determinism, same contract as :func:`global_rank`):
+    the running sum uses a row frame, so duplicate order keys would
+    make the per-row cumulative values depend on the tie order within
+    the frame.  With unique keys, results are partitioning-invariant
+    and engine-portable."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"

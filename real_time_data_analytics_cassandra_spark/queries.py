@@ -4303,9 +4303,6 @@ def ks_test_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset table."""
     ensure_query_confs(spark)
     from real_time_data_analytics_cassandra_spark.functions.numeric import money
-    from real_time_data_analytics_cassandra_spark.operators.ranks import (
-        global_cumsum,
-    )
     from real_time_data_analytics_cassandra_spark.operators.sampling import (
         hash_bucket,
     )
@@ -7243,9 +7240,17 @@ def build_copurchase_pairs_fixture(spark: SparkSession, sf_dir: str) -> str:
         try:
             os.rename(stage, out_dir)
         except OSError:
-            # Another session won the rename race with a complete
-            # fixture of its own; keep theirs, drop our staging copy.
-            shutil.rmtree(stage, ignore_errors=True)
+            # A rename failure USUALLY means another session won the
+            # race with a complete fixture — but it can also mean a
+            # stale/partial out_dir from a crashed run is squatting on
+            # the path.  Only discard our staging copy once the
+            # supposed winner's pairs/ directory actually exists;
+            # otherwise evict the squatter and promote our copy.
+            if os.path.isdir(os.path.join(out_dir, "pairs")):
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                os.rename(stage, out_dir)
     return out_dir
 
 
@@ -7495,19 +7500,29 @@ def copurchase_degree_assortativity(
         F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
         F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
     )
+    # degree-regular graphs make the Pearson denominator exactly 0;
+    # pin the degenerate case to NULL explicitly (Spark's NULL-on-
+    # zero-divisor vs DuckDB's IEEE inf/nan would otherwise disagree)
+    denom = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
     return m.select(
         F.expr("CAST(n div 2 AS BIGINT)").alias("n_edges"),
-        F.round(
-            (
-                F.col("n").cast("double") * F.col("sxy").cast("double")
-                - F.col("sx").cast("double") * F.col("sx").cast("double")
+        F.when(
+            denom == F.lit(0.0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                )
+                / denom,
+                6,
             )
-            / (
-                F.col("n").cast("double") * F.col("sxx").cast("double")
-                - F.col("sx").cast("double") * F.col("sx").cast("double")
-            ),
-            6,
-        ).alias("assortativity"),
+        )
+        .alias("assortativity"),
     )
 
 
@@ -9295,11 +9310,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM endpoint_degs
             )
             SELECT CAST(n // 2 AS BIGINT) AS n_edges,
-                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                         6) AS assortativity
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                        THEN NULL
+                        ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                              6)
+                   END AS assortativity
             FROM m
         """,
         "copurchase_degree_histogram": f"""

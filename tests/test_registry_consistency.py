@@ -7,16 +7,19 @@ instead of review findings."""
 from __future__ import annotations
 
 import json
+import pathlib
 import re
 
 from real_time_data_analytics_cassandra_spark import queries as q
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
 def _bench_queries():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
-        "bench", "/root/repo/bench.py"
+        "bench", str(REPO / "bench.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -26,7 +29,7 @@ def _bench_queries():
 def test_every_query_is_benched_or_excluded_with_reason():
     reg = set(q.queries())
     benched = set(_bench_queries())
-    readme = open("/root/repo/README.md").read()
+    readme = open(REPO / "README.md").read()
     excluded = set(re.findall(r"^\| `(\w+)` \|", readme, re.M))
     assert benched <= reg, sorted(benched - reg)
     unaccounted = reg - benched - excluded
@@ -43,7 +46,7 @@ def test_every_oracle_keys_a_registry_query():
 
 def test_every_rows_only_query_has_a_crossval_row():
     reg, ora = set(q.queries()), set(q.oracle_sql())
-    cv = json.load(open("/root/repo/CROSSVAL.json"))
+    cv = json.load(open(REPO / "CROSSVAL.json"))
     cv_names = set(cv) if isinstance(cv, dict) else {r["name"] for r in cv}
     missing = sorted((reg - ora) - cv_names)
     assert not missing, missing
