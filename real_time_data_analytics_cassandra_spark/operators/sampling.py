@@ -195,6 +195,53 @@ def uniform01_sql(key_sql: str, salt: str = "u01") -> str:
     )
 
 
+def digest_slice_u01(digest: Column, slice_idx: Column | int) -> Column:
+    """u ~ Uniform(0,1) from 8 hex chars of an ALREADY-COMPUTED md5
+    digest column — the slicing half of :func:`uniform01_slice`, for
+    plans that materialize one digest per key block and read all four
+    slices from it (the digest, not the slice, is the dominant cost
+    of a draw — computing it once per 4 draws is the whole point)."""
+    s = F.lit(slice_idx) if isinstance(slice_idx, int) else slice_idx
+    v = F.conv(
+        digest.substr(F.lit(1) + s.cast("int") * F.lit(8), F.lit(8)),
+        16,
+        10,
+    ).cast("bigint")
+    return (v.cast("double") + 0.5) / F.lit(float(16**8))
+
+
+def uniform01_slice(
+    key: Column | str, slice_idx: Column | int, salt: str = "u01"
+) -> Column:
+    """FOUR independent u ~ Uniform(0,1) draws from ONE md5 digest:
+    slice ``slice_idx`` ∈ {0,1,2,3} reads hex chars
+    [1 + 8·slice, 8·slice + 8] of md5(salt || key).  md5 output bytes
+    are uniform and independent enough for resampling weights, so a
+    B-way fan-out (e.g. Poisson bootstrap) needs only B/4 digests.
+    To actually realize the 4× digest saving, materialize the digest
+    once per key block and slice it with :func:`digest_slice_u01`
+    (separate rows never share a digest computation).  Slice 0
+    reproduces :func:`uniform01` bit-for-bit."""
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col(key).cast("string") if isinstance(key, str) else key.cast("string"),
+        )
+    )
+    return digest_slice_u01(h, slice_idx)
+
+
+def uniform01_slice_sql(
+    key_sql: str, slice_sql: str, salt: str = "u01"
+) -> str:
+    """DuckDB expression computing exactly :func:`uniform01_slice`
+    (same digest, same slice arithmetic, same +0.5 scaling)."""
+    return (
+        f"((CAST('0x' || substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), "
+        f"1 + 8 * ({slice_sql}), 8) AS BIGINT) + 0.5) / {float(16**8)!r})"
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     id_col: str,

@@ -4581,11 +4581,18 @@ def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global multinomial pass over the data.
 
     Determinism/exactness: draws come from the registry's md5
-    uniform01 on (event_id, resample) keys through a shared
-    literal-text inverse-CDF CASE (no engine RNG anywhere); each
-    resample mean is exact decimal sums with ONE double division; the
-    CI bounds are nearest-rank picks (ranks 3 and 98 of the B=100
-    sorted means) under the deterministic (mean, b) order.
+    uniform through a shared literal-text inverse-CDF CASE (no engine
+    RNG anywhere); each resample mean is exact decimal sums with ONE
+    double division; the CI bounds are nearest-rank picks (ranks 3
+    and 98 of the B=100 sorted means) under the deterministic
+    (mean, b) order.
+
+    Digest economy: the md5 is the dominant per-row cost of the B×
+    fan-out, so resamples draw through operators/sampling.py::
+    uniform01_slice — ONE digest per (event_id, b div 4) block yields
+    FOUR independent uniforms (8-hex-char slices), cutting the digest
+    count 4× vs one md5 per (event, resample).  The oracle mirrors
+    the identical slice arithmetic (uniform01_slice_sql).
 
     Scale shape: the fan-out is exactly B× the filtered scan
     (map-side explode of the literal 0..B-1 spine, no shuffle until
@@ -4596,7 +4603,7 @@ def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from real_time_data_analytics_cassandra_spark.functions.numeric import money
     from real_time_data_analytics_cassandra_spark.operators.sampling import (
-        uniform01,
+        digest_slice_u01,
     )
 
     B = 100
@@ -4605,28 +4612,69 @@ def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", money(F.col("value")).alias("v"))
     )
+    # explode BLOCKS of 4 resamples and materialize ONE digest per
+    # block row — the 4 slice reads below share it (separate rows
+    # never share a digest, so the block structure IS the saving)
     fan = ev.select(
         "v",
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(B // 4 - 1))).alias("blk"),
         F.col("event_id"),
     ).withColumn(
-        "bkey",
-        F.concat(
-            F.col("event_id").cast("string"),
-            F.lit(":"),
-            F.col("b").cast("string"),
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("boot"),
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("blk").cast("string"),
+            )
         ),
     )
-    drawn = fan.withColumn("u", uniform01("bkey", salt="boot")).withColumn(
-        "w", F.expr(_poisson1_case("u")).cast("long")
+    # draw the 4 slice weights as COLUMNS and aggregate per block
+    # BEFORE any explode: the hash-agg sees N·(B/4) rows with 8
+    # buffers instead of N·B exploded rows — the per-row hash-probe
+    # overhead, not the arithmetic, dominates a 100× fan
+    fan = fan.select(
+        "v",
+        "blk",
+        *[
+            digest_slice_u01(F.col("h"), s).alias(f"u{s}")
+            for s in range(4)
+        ],
+    ).select(
+        "v",
+        "blk",
+        *[
+            F.expr(_poisson1_case(f"u{s}")).cast("long").alias(f"w{s}")
+            for s in range(4)
+        ],
     )
-    per_b = drawn.groupBy("b").agg(
-        F.sum("w").cast("long").alias("n_b"),
-        F.round(F.sum(F.col("w") * F.col("v")), 2)
-        .cast("decimal(15,2)")
-        .cast("double")
-        .alias("s_b"),
+    per_blk = fan.groupBy("blk").agg(
+        *[F.sum(f"w{s}").cast("long").alias(f"n{s}") for s in range(4)],
+        *[
+            F.round(F.sum(F.col(f"w{s}") * F.col("v")), 2)
+            .cast("decimal(15,2)")
+            .cast("double")
+            .alias(f"s{s}")
+            for s in range(4)
+        ],
     )
+    per_b = per_blk.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("blk") * F.lit(4) + F.lit(s))
+                        .cast("int")
+                        .alias("b"),
+                        F.col(f"n{s}").alias("n_b"),
+                        F.col(f"s{s}").alias("s_b"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("x")
+    ).select("x.b", "x.n_b", "x.s_b")
     means = per_b.select(
         "b", (F.col("s_b") / F.col("n_b").cast("double")).alias("m")
     )
@@ -4642,11 +4690,15 @@ def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("s_full"),
     )
-    lo = ranked.filter(F.col("rk") == 3).select(F.col("m").alias("ci_lo"))
-    hi = ranked.filter(F.col("rk") == 98).select(F.col("m").alias("ci_hi"))
+    # ONE conditional aggregate picks both rank bounds — two filtered
+    # branches would each re-execute the whole fan+aggregate pipeline
+    # (one per broadcast subjob)
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") == 3, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == 98, F.col("m"))).alias("ci_hi"),
+    )
     return (
-        full.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        full.crossJoin(F.broadcast(ci))
         .select(
             "n_events",
             F.round(
@@ -9600,7 +9652,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             drawn AS (
                 SELECT v, b,
-                       CAST({_poisson1_case(sampling_op.uniform01_sql("CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", "boot"))}
+                       CAST({_poisson1_case(sampling_op.uniform01_slice_sql("CAST(event_id AS VARCHAR) || ':' || CAST(b // 4 AS VARCHAR)", "b % 4", "boot"))}
                             AS BIGINT) AS w
                 FROM fan
             ),

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from real_time_data_analytics_cassandra_spark.operators.sampling import (
     uniform01,
+    uniform01_slice,
+    uniform01_slice_sql,
     uniform01_sql,
 )
 from real_time_data_analytics_cassandra_spark.queries import (
@@ -39,6 +41,40 @@ def test_uniform_and_poisson_draws_match_duckdb(spark):
     # the draws really are Poisson-ish: mean near 1, support bounded
     ws = [w for _, w in got.values()]
     assert 0.8 < sum(ws) / n < 1.2 and 0 <= min(ws) and max(ws) <= 8
+
+
+def test_uniform_slices_match_duckdb_and_slice0_is_uniform01(spark):
+    """Four 8-hex-char slices of one md5 digest = four independent
+    uniforms (the Poisson-bootstrap digest-economy primitive): exact
+    cross-engine equality per (key, slice), slice 0 bit-equal to the
+    plain uniform01, and the slices of one digest are distinct."""
+    n = 200
+    sdf = spark.range(n).select(
+        F.col("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+    ).select(
+        "id",
+        "s",
+        uniform01_slice("id", F.col("s"), salt="boot").alias("u"),
+        uniform01("id", salt="boot").alias("u0"),
+    )
+    got = {(r.id, r.s): (r.u, r.u0) for r in sdf.collect()}
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT i AS id, s, "
+        f"{uniform01_slice_sql('i', 's', 'boot')} AS u "
+        f"FROM (SELECT unnest(generate_series(0, {n - 1})) AS i), "
+        f"(SELECT unnest(generate_series(0, 3)) AS s)"
+    ).fetchall()
+    want = {(r[0], r[1]): r[2] for r in rows}
+    assert {k: v[0] for k, v in got.items()} == want  # exact doubles
+    for i in range(n):
+        assert got[(i, 0)][0] == got[(i, 0)][1]  # slice 0 == uniform01
+        assert len({got[(i, s)][0] for s in range(4)}) == 4
+    # the pooled draws look uniform: mean near 0.5 on 4n samples
+    us = [v[0] for v in got.values()]
+    assert 0.45 < sum(us) / len(us) < 0.55
+    assert all(0.0 < u < 1.0 for u in us)
 
 
 def test_log2_ladder_matches_duckdb_and_floor_log2(spark):
