@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",
+    "part_pagerank_weighted",
     "part_triangle_clustering",
     "part_copurchase_components",
     "kmv_user_overlap",

@@ -174,6 +174,89 @@ def pagerank(
     return ranks.select("id", F.col("r").alias("rank_micro"))
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    iterations: int = 4,
+    unit: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """WEIGHTED fixed-iteration PageRank: node u distributes its rank
+    proportionally to positive integer edge weights instead of
+    uniformly — the form link-strength ranking actually uses (a part
+    co-purchased with another in 50 orders should pull more rank mass
+    along that edge than along a one-order fluke).
+
+    Same integer "micro-rank" model as :func:`pagerank` (BIGINT
+    everywhere, no float summation order), with the per-edge
+    contribution generalized to ``(rank_u * w_uv) div W_u`` where
+    ``W_u = Σ_v w_uv`` is u's total out-weight (uniform weights
+    reduce to the unweighted operator exactly when every w is 1).
+    Weights must be POSITIVE BIGINTs; callers wanting undirected
+    semantics symmetrize first, which guarantees W_u >= 1 for every
+    source.
+
+    Overflow: the per-edge product ``rank_u * w_uv`` needs
+    N·unit·max_w < 2^63 — with the default unit=1e9 that allows
+    ~1e8 rank-mass units times the max edge weight; drop ``unit``
+    when N·max_w approaches 1e9·1e9 (documented trade, same
+    convention as :func:`pagerank`).
+
+    At 100 TB: identical shape to the unweighted operator — the
+    weighted edge list (with its out-weight) is localCheckpoint-
+    materialized once, each iteration is two hash-partitioned passes
+    with lineage truncated every second round, plan cost O(1) per
+    round."""
+    from pyspark.sql import Window
+
+    base = (unit * (damp_den - damp_num)) // damp_den
+    # (u, v, w, wout) in ONE pass: the out-weight is a sum window
+    # over the same u-partitioning — no separate groupBy + join
+    win = Window.partitionBy("u")
+    ewd = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .withColumn("wout", F.sum("w").over(win).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        ewd.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("r", F.lit(unit).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(iterations):
+        contribs = (
+            ewd.join(ranks, ewd.u == ranks.id)
+            .select(
+                F.col("v").alias("id"),
+                F.expr("(r * w) div wout").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
+                ).alias("r"),
+            )
+        )
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", F.col("r").alias("rank_micro"))
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "u",

@@ -7414,6 +7414,48 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank of parts over the co-purchase graph with
+    repeat-co-purchase strength (n_orders) as edge weights — rank
+    mass flows proportionally to how OFTEN two parts co-occur, not
+    just whether they ever did.  This is the link-strength form a
+    dedup/curation pipeline ranks with (a 50-order bundle edge should
+    anchor the catalog more than a one-order fluke), the weighted
+    sibling of :func:`part_pagerank`.
+
+    Exactness: operators/graph.py::pagerank_weighted — per-edge
+    contribution (rank_u * w_uv) div W_u, all BIGINT; the unrolled
+    oracle reproduces it bit-for-bit (uniform weights reduce to the
+    unweighted operator exactly).
+
+    Scale shape: identical to part_pagerank — weighted edges come
+    from the shared write-once pair materialization, symmetrized;
+    each of the 4 fixed iterations is two hash-partitioned passes
+    over the checkpointed edge list with lineage truncated per round.
+    """
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    half = _copurchase_pairs(spark, sf_dir).select("u", "v", "n_orders")
+    edges = half.unionByName(
+        half.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("n_orders")
+        )
+    )
+    ranks = pagerank_weighted(edges, "u", "v", "n_orders", iterations=4)
+    return (
+        ranks.select(
+            F.col("id").alias("p_partkey"),
+            F.col("rank_micro").cast("long").alias("rank_micro"),
+            (F.col("rank_micro").cast("double") / F.lit(1e9)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
 def part_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count and local clustering coefficient per part
     over the co-purchase graph (parts linked when some order contains
@@ -7840,6 +7882,61 @@ def _pagerank_oracle_sql(iterations: int = 4) -> str:
             # float64 and break the driver's value-hash) back to the
             # BIGINT the Spark side carries.
             f"""r{i} AS (
+            SELECT p.id,
+                   CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS r
+            FROM r{i - 1} p LEFT JOIN c{i} c ON c.id = p.id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS p_partkey,
+               r AS rank_micro,
+               CAST(r AS DOUBLE) / 1e9 AS rank
+        FROM r{iterations}
+        ORDER BY rank_micro DESC, p_partkey
+        LIMIT 50
+    """
+    )
+
+
+def _pagerank_weighted_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled ANSI-SQL mirror of operators/graph.py::
+    pagerank_weighted over the repeat-co-purchase graph: the pair
+    self-join keeps BOTH orientations (a <> b) so each direction
+    carries the same n_orders weight; per-edge contribution is
+    (r * w) // wout in BIGINT, exactly the Spark integer model."""
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pw AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+        )""",
+        """wdeg AS MATERIALIZED (
+            SELECT u, CAST(sum(w) AS BIGINT) AS wout FROM pw GROUP BY u
+        )""",
+        """r0 AS (
+            SELECT u AS id, CAST(1000000000 AS BIGINT) AS r FROM wdeg
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT e.v AS id,
+                   CAST(sum((r.r * e.w) // d.wout) AS BIGINT) AS s
+            FROM pw e
+            JOIN r{i - 1} r ON r.id = e.u
+            JOIN wdeg d ON d.u = e.u
+            GROUP BY e.v
+        )"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
             SELECT p.id,
                    CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
                         AS BIGINT) AS r
@@ -8942,6 +9039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
+        "part_pagerank_weighted": part_pagerank_weighted,
         "part_triangle_clustering": part_triangle_clustering,
         "part_copurchase_components": part_copurchase_components,
         "part_copurchase_kcore": part_copurchase_kcore,
@@ -9328,6 +9426,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stage_idx
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
+        "part_pagerank_weighted": _pagerank_weighted_oracle_sql(4),
         "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
         "part_copurchase_coreness": _coreness_oracle_sql(rounds=24),
         "copurchase_degree_assortativity": """

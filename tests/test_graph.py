@@ -11,9 +11,11 @@ from __future__ import annotations
 import itertools
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_data_analytics_cassandra_spark.operators.graph import (
     pagerank,
+    pagerank_weighted,
     triangle_counts,
 )
 
@@ -72,6 +74,79 @@ def test_pagerank_plan_is_o1_not_o_iterations(spark):
         )
     )
     assert plan.count("Exchange") // 2 <= 2, plan[:2000]
+
+def _model_pagerank_weighted(wpairs, iterations, unit=10**9):
+    """networkx-free reference model of the exact integer semantics:
+    symmetrized weighted edges, contribution (r*w) // wout, damped
+    update 0.15*unit + (85*s) // 100 — pure Python ints (arbitrary
+    precision, so any overflow bug in the operator would diverge)."""
+    edges = {}
+    for a, b, w in wpairs:
+        edges[(a, b)] = w
+        edges[(b, a)] = w
+    wout = {}
+    for (a, _b), w in edges.items():
+        wout[a] = wout.get(a, 0) + w
+    r = {v: unit for v in wout}
+    base = (unit * 15) // 100
+    for _ in range(iterations):
+        s = {v: 0 for v in wout}
+        for (a, b), w in edges.items():
+            s[b] += (r[a] * w) // wout[a]
+        r = {v: base + (85 * s[v]) // 100 for v in wout}
+    return r
+
+
+def test_pagerank_weighted_matches_python_model(spark):
+    """Property gate vs the pure-Python integer model on an irregular
+    weighted graph (hub with one heavy edge, a pendant, a triangle)."""
+    wpairs = [
+        (1, 2, 50),
+        (1, 3, 1),
+        (2, 3, 7),
+        (3, 4, 2),
+        (4, 5, 1),
+        (2, 5, 3),
+    ]
+    rows = [(a, b, w) for a, b, w in wpairs] + [
+        (b, a, w) for a, b, w in wpairs
+    ]
+    edges = spark.createDataFrame(rows, "u long, v long, w long")
+    for iters in (1, 3, 4):
+        got = {
+            r.id: r.rank_micro
+            for r in pagerank_weighted(edges, iterations=iters).collect()
+        }
+        assert got == _model_pagerank_weighted(wpairs, iters), iters
+
+
+def test_pagerank_weighted_uniform_weights_reduce_to_unweighted(spark):
+    """w=1 everywhere must reproduce the unweighted operator
+    bit-for-bit (wout == outdeg, (r*1) div wout == r div outdeg)."""
+    pairs = _sym([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)])
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    weighted = edges.withColumn("w", F.lit(1).cast("long"))
+    base = {r.id: r.rank_micro for r in pagerank(edges).collect()}
+    got = {r.id: r.rank_micro for r in pagerank_weighted(weighted).collect()}
+    assert got == base
+
+
+def test_pagerank_weighted_partitioning_invariant(spark):
+    """BIGINT arithmetic only — the result is a pure function of the
+    weighted edge set, identical under any repartitioning."""
+    wpairs = [(1, 2, 9), (2, 3, 4), (3, 1, 2), (3, 4, 30), (4, 5, 1)]
+    rows = [(a, b, w) for a, b, w in wpairs] + [
+        (b, a, w) for a, b, w in wpairs
+    ]
+    edges = spark.createDataFrame(rows, "u long, v long, w long")
+    base = {r.id: r.rank_micro for r in pagerank_weighted(edges).collect()}
+    again = {
+        r.id: r.rank_micro
+        for r in pagerank_weighted(edges.repartition(7)).collect()
+    }
+    assert base == again
+    assert sum(base.values()) <= 5 * 10**9  # damped mass conservation
+
 
 def _brute_triangles(pairs):
     """Reference model: per-vertex triangle membership by enumerating

@@ -77,6 +77,7 @@ BUDGETS = {
     # contribution regroup + output-degree regroup over the
     # checkpointed oriented-edge leaf)
     "part_pagerank": 0,
+    "part_pagerank_weighted": 0,
     "part_triangle_clustering": 6,
     "entity_match_parts": 9,
     "entity_sorted_neighborhood": 3,
