@@ -7018,18 +7018,50 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+# The SHIPPED tokenizer: a frozen merge table, exactly how production
+# encode paths run (the tokenizer is trained once and versioned; every
+# later corpus batch is encoded with the FROZEN merges, never
+# retrained per batch).  Frozen from train_bpe_merges(k=12) on the
+# sf0.01 documents corpus; the literal is mirrored into the DuckDB
+# oracle, which replays the identical greedy folds.  The LEARNED
+# pipeline stays exercised end-to-end by `bpe_learned_merges` (driver
+# argmax trainer, bit-equality-gated vs a pure-Python reference) and
+# by tests/test_bpe.py's encode-vs-Python gate under learned merges.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+]
+
+
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenization of the corpus with the learned merges
-    (operators/bpe.py::apply_bpe_merges): per document the word and
-    subword counts plus the md5 of the full subword sequence — one
-    shuffle-free projection with the k merge folds chained in a
-    single stage.  No SQL oracle (inherits the trained merges);
-    tests/test_bpe.py proves encode parity with the Python tokenizer
-    word-for-word."""
+    """BPE tokenization of the corpus with the FROZEN merge table
+    (`_BPE_FIXED_MERGES` — the shipped-tokenizer convention;
+    operators/bpe.py::apply_bpe_merges): per document the word and
+    subword counts plus the md5 of the full subword sequence.
+
+    Exactness: given a fixed merge list the encode is k deterministic
+    greedy folds over the DISTINCT-word table, so the FULL DuckDB
+    oracle replays the identical folds from the same literal merges
+    (list_reduce over singleton-wrapped symbols — the same
+    leftmost-first overlap rule) and matches bit-for-bit.
+
+    Scale shape: the merge folds run over the vocab-sized distinct
+    words only; the corpus joins the broadcast word -> subwords map
+    and reassembles per-doc sequences with one shuffle."""
     from real_time_data_analytics_cassandra_spark.operators import bpe as bpe_op
 
     ensure_query_confs(spark)
-    merges = _bpe_merges_for(spark, sf_dir)
+    merges = [(a, b, 0) for a, b in _BPE_FIXED_MERGES]
     docs = table(spark, sf_dir, "documents")
     return bpe_op.apply_bpe_merges(docs, "doc_id", "text", merges).select(
         F.col("id").alias("doc_id"),
@@ -7037,6 +7069,56 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_subwords",
         "subwords_md5",
     ).orderBy("doc_id")
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """FULL DuckDB mirror of :func:`bpe_encode_docs`: the frozen
+    `_BPE_FIXED_MERGES` replayed as k nested greedy folds over the
+    distinct-word table.  Each fold is list_reduce over the symbol
+    list with every element wrapped as a singleton list (DuckDB's
+    reduce accumulator must share the element type), seeded by a
+    prepended empty list — the same leftmost-first overlap rule as
+    operators/bpe.py::_merge_expr."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "string_split(word, '')"
+    for left, right in _BPE_FIXED_MERGES:
+        expr = (
+            "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"list_transform({expr}, s -> [s])), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 "
+            f"AND acc[len(acc)] = '{esc(left)}' AND x[1] = '{esc(right)}' "
+            f"THEN list_concat(list_slice(acc, 1, len(acc) - 1), "
+            f"['{esc(left + right)}']) "
+            "ELSE list_concat(acc, x) END)"
+        )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE length(text) > 0
+        ),
+        posw AS (
+            SELECT doc_id, unnest(words) AS word,
+                   generate_subscripts(words, 1) AS pos
+            FROM base
+        ),
+        vocab AS (SELECT DISTINCT word FROM posw),
+        enc AS (
+            SELECT word, array_to_string({expr}, '▁') AS sub FROM vocab
+        ),
+        joined AS (
+            SELECT p.doc_id, p.pos, e.sub
+            FROM posw p JOIN enc e USING (word)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(sub, '▁'))) AS BIGINT)
+                   AS n_subwords,
+               md5(string_agg(sub, ' ' ORDER BY pos)) AS subwords_md5
+        FROM joined GROUP BY doc_id ORDER BY doc_id
+    """
 
 
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9427,6 +9509,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
         "part_pagerank_weighted": _pagerank_weighted_oracle_sql(4),
+        "bpe_encode_docs": _bpe_encode_oracle_sql(),
         "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
         "part_copurchase_coreness": _coreness_oracle_sql(rounds=24),
         "copurchase_degree_assortativity": """

@@ -150,13 +150,11 @@ def main() -> None:
         "value": {"k": len(got_merges), "exact_match": got_merges == ref_merges},
         "gate": "tests/test_bpe.py::test_trained_merges_match_python_reference",
     }
-    report["bpe_encode_docs"] = {
-        "metric": "per-doc subword sequences md5-equal to the Python "
-                  "tokenizer under the same merges",
-        "floor": "exact equality (50-doc sample in the gate)",
-        "value": {"n_docs": q.bpe_encode_docs(spark, SF).count()},
-        "gate": "tests/test_bpe.py::test_encoding_matches_python_reference",
-    }
+    # bpe_encode_docs moved to a FULL DuckDB oracle in round 9 (frozen
+    # merge table replayed as literal folds) — no longer rows-only, so
+    # it needs no cross-validation row; the encode-vs-Python gate
+    # (test_encoding_matches_python_reference) still covers the
+    # learned-merges application path.
 
     srp = _pairs(q.srp_near_dup(spark, SF))
     report["srp_near_dup"] = {
