@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "vocab_coverage_topk",
     "event_hourly_ols_trend",
     "event_hourly_theil_sen",
+    "event_hourly_theil_sen_sampled",
     "media_wav_decode",
     "media_png_decode",
     "media_png_adam7_decode",

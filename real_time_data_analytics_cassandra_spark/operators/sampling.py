@@ -177,9 +177,10 @@ def uniform01(key: Column | str, salt: str = "u01") -> Column:
     """Deterministic u ~ Uniform(0,1) from md5(salt || key) — the
     same 32-bit-prefix construction :func:`weighted_sample_topk`
     uses, factored out for rate-based (Bernoulli) samplers."""
+    k = F.col(key) if isinstance(key, str) else key
     v = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+            F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 8
         ),
         16,
         10,

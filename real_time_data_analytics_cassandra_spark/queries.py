@@ -786,6 +786,120 @@ def event_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Literal per-type pair budget for the SAMPLED Theil-Sen: above this
+# many pairwise slopes the estimator switches to a deterministic md5
+# pair sample.  Shared verbatim with the oracle.
+_THEIL_SEN_PAIR_BUDGET = 20_000
+
+
+def event_hourly_theil_sen_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED Theil-Sen trend — the documented long-calendar scale
+    path of :func:`event_hourly_theil_sen`: the exact form
+    materializes per-type |hours|² slope pairs, which is fine for a
+    30-day calendar (~260k pairs) but a 10-year hourly window is
+    ~3.8e9 pairs per type.  This variant keeps a DETERMINISTIC md5
+    Bernoulli sample of the pairs, sized so the expected kept count
+    stays at the literal `_THEIL_SEN_PAIR_BUDGET`; the median of the
+    sampled slopes is the classic randomized Theil-Sen estimator
+    (same breakdown point in expectation).
+
+    Determinism/exactness: the keep rate is INTEGER micro-units —
+    1e6·budget div n_pairs_total, exact BIGINT arithmetic — and the
+    keep verdict is `uniform01(type:h1:h2) < rate_micro/1e6` (one
+    exact double division; the md5 uniform is the registry's
+    engine-portable draw), so both engines keep the IDENTICAL pair
+    subset and the oracle matches bit-for-bit.  When the pair space
+    is within budget the rate pins to exactly 1.0 and the estimate
+    equals the exact form (the sf0.001 regime; at sf0.01+ the
+    sampler genuinely engages).
+
+    Scale shape: same bounded shapes as the exact form, with the
+    pair fan-out capped at ~budget rows per type regardless of
+    calendar length; the rank window stays PARTITIONED by type."""
+    ensure_query_confs(spark)
+    from pyspark.sql.window import Window
+
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        uniform01,
+    )
+
+    B = _THEIL_SEN_PAIR_BUDGET
+    events = table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    # per-type pair-space size -> integer micro-unit keep rate; the
+    # rates relation is |event types| rows (enum-bounded) but derives
+    # from unbounded input, so NO forced broadcast (AQE promotes it)
+    rates = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    ).select(
+        "event_type",
+        F.expr("CAST((n_hours * (n_hours - 1)) div 2 AS BIGINT)").alias(
+            "n_pairs_total"
+        ),
+    ).select(
+        "event_type",
+        "n_pairs_total",
+        F.expr(
+            f"CAST(CASE WHEN n_pairs_total <= {B} THEN 1000000 "
+            f"ELSE {1000000 * B} div n_pairs_total END AS BIGINT)"
+        ).alias("rate_micro"),
+    )
+    a = hourly.select(
+        "event_type", F.col("h").alias("h1"), F.col("y").alias("y1")
+    )
+    b = hourly.select(
+        "event_type", F.col("h").alias("h2"), F.col("y").alias("y2")
+    )
+    slope = _floordiv_sql("1000000 * (y2 - y1)", "h2 - h1")
+    pairkey = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.col("h1").cast("string"),
+        F.lit(":"),
+        F.col("h2").cast("string"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .join(rates, "event_type")
+        .withColumn("u", uniform01(pairkey, salt="ts"))
+        .filter(
+            F.col("u")
+            < F.col("rate_micro").cast("double") / F.lit(1000000.0)
+        )
+        .withColumn("slope_micro", F.expr(slope).cast("long"))
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro", "h1", "h2")
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "n_pairs_sampled",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs_sampled + 1) div 2"))
+        .select(
+            "event_type",
+            "n_pairs_total",
+            "n_pairs_sampled",
+            "rate_micro",
+            "slope_micro",
+        )
+        .orderBy("event_type")
+    )
+
+
 def _ols_fit_micro(hourly: DataFrame) -> DataFrame:
     """Exact integer OLS over (event_type, h, y) points — the shared
     tail of the batch and streaming trend queries (identical code =
@@ -9115,6 +9229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_topk": vocab_coverage_topk,
         "event_hourly_ols_trend": event_hourly_ols_trend,
         "event_hourly_theil_sen": event_hourly_theil_sen,
+        "event_hourly_theil_sen_sampled": event_hourly_theil_sen_sampled,
         "streaming_ols_trend": streaming_ols_trend,
         "streaming_ks_drift": streaming_ks_drift,
         "event_type_correlation_matrix": event_type_correlation_matrix,
@@ -11423,6 +11538,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, n_pairs, slope_micro
             FROM ranked WHERE rn = (n_pairs + 1) // 2
+            ORDER BY event_type
+        """,
+        "event_hourly_theil_sen_sampled": f"""
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            rates AS (
+                SELECT event_type,
+                       CAST((n_hours * (n_hours - 1)) // 2 AS BIGINT)
+                           AS n_pairs_total,
+                       CAST(CASE WHEN (n_hours * (n_hours - 1)) // 2
+                                      <= {_THEIL_SEN_PAIR_BUDGET}
+                                 THEN 1000000
+                                 ELSE {1000000 * _THEIL_SEN_PAIR_BUDGET}
+                                      // ((n_hours * (n_hours - 1)) // 2)
+                            END AS BIGINT) AS rate_micro
+                FROM (SELECT event_type,
+                             CAST(count(*) AS BIGINT) AS n_hours
+                      FROM hourly GROUP BY 1)
+            ),
+            pairs AS (
+                SELECT a.event_type, r.n_pairs_total, r.rate_micro,
+                       a.h AS h1, b.h AS h2,
+                       CAST({_floordiv_sql("1000000 * (b.y - a.y)", "b.h - a.h", divop="//")}
+                            AS BIGINT) AS slope_micro
+                FROM hourly a
+                JOIN hourly b
+                  ON a.event_type = b.event_type AND a.h < b.h
+                JOIN rates r ON r.event_type = a.event_type
+                WHERE {sampling_op.uniform01_sql(
+                    "a.event_type || ':' || CAST(a.h AS VARCHAR) || ':' || CAST(b.h AS VARCHAR)",
+                    "ts",
+                )} < CAST(r.rate_micro AS DOUBLE) / 1000000.0
+            ),
+            ranked AS (
+                SELECT event_type, n_pairs_total, rate_micro, slope_micro,
+                       CAST(row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY slope_micro, h1, h2
+                       ) AS BIGINT) AS rn,
+                       CAST(count(*) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS n_pairs_sampled
+                FROM pairs
+            )
+            SELECT event_type, n_pairs_total, n_pairs_sampled,
+                   rate_micro, slope_micro
+            FROM ranked WHERE rn = (n_pairs_sampled + 1) // 2
             ORDER BY event_type
         """,
         "event_hourly_ols_trend": f"""

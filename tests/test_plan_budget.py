@@ -53,6 +53,9 @@ BUDGETS = {
     # enum-bounded densified grid + keyed windows only
     "source_length_ks_drift": 11,
     "retention_survival_curve": 5,
+    # deterministic md5 pair sample: hourly count + rates agg +
+    # pair join + keyed rank window + ordered output
+    "event_hourly_theil_sen_sampled": 6,
     # training-data pipeline
     "dedup_exact": 1,
     "dedup_fingerprint": 1,
