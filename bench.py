@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "ks_test_purchase_values",
     "source_length_ks_drift",
     "value_benford_audit",
+    "streaming_benford_drift",
     "value_skewness_by_type",
     "purchase_mean_bootstrap_ci",
     "chi2_type_daypart",

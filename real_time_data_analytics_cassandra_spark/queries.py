@@ -4597,6 +4597,124 @@ def source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# round(1e6*log10(1+1/d)) per leading digit: sums to exactly
+# 1_000_000 — shared micro-unit literals between the batch audit, the
+# streaming drift monitor, and both DuckDB oracles.
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items()
+) + " END"
+
+
+def streaming_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-TYPE Benford first-digit drift MAINTAINED BY THE STREAM:
+    each micro-batch folds (event_type, digit) count deltas into an
+    additive counter table (sinks/merge.py::merge_add — the
+    replay-protected counter MERGE), and the Benford readout (share,
+    expectation, deviation in integer micro-units) runs over the
+    MERGED table, never the raw events.  First-digit counts are
+    ADDITIVE, so any micro-batch split reaches the identical counter
+    table and the streamed result equals the batch computation
+    bit-for-bit — the streaming_ks_drift claim, through the
+    streaming_hourly_cusum sink.  Grouping by type is what makes it
+    a DRIFT monitor: a generator or price-grid bug in ONE event
+    family shows as that family's deviation moving while the others
+    hold.
+
+    Exactness: same integer pipeline as value_benford_audit (exact
+    cents from the decimal money type, integer string prefix — no
+    libm log10; shared micro-unit Benford literals); the per-type
+    digit spine densifies absent digits to 0.
+
+    Scale shape at 100 TB: the stream maintains a tiny
+    (types x 9 digits) counter table incrementally; each evaluation
+    re-reads only that table."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks.merge import merge_add
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_event_stream,
+    )
+
+    ensure_query_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="rtdac_streaming_benford_")
+    path, ckpt = f"{tmp}/counters", f"{tmp}/ckpt"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        deltas = (
+            batch.select(
+                "event_type",
+                F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+                .alias("cents"),
+            )
+            .filter(F.col("cents") > 0)
+            .select(
+                "event_type",
+                F.substring(F.col("cents").cast("string"), 1, 1)
+                .cast("long")
+                .alias("digit"),
+            )
+            .groupBy("event_type", "digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        merge_add(
+            batch.sparkSession,
+            deltas,
+            path,
+            keys=["digit"],
+            count_col="n",
+            partition_col="event_type",
+            batch_id=batch_id,
+        )
+
+    (
+        bounded_event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    counts = spark.read.parquet(path).groupBy("event_type", "digit").agg(
+        F.sum("n").cast("long").alias("n_obs")
+    )
+    types = counts.select("event_type").distinct()
+    spine = types.crossJoin(
+        spark.range(1, 10).select(F.col("id").alias("digit"))
+    )
+    dense = spine.join(counts, ["event_type", "digit"], "left").select(
+        "event_type",
+        "digit",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+    )
+    totals = dense.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("n_tot")
+    )
+    return (
+        dense.join(totals, "event_type")
+        .select(
+            "event_type",
+            "digit",
+            "n_obs",
+            F.expr("CAST((1000000 * n_obs) div n_tot AS BIGINT)").alias(
+                "share_micro"
+            ),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias(
+                "benford_micro"
+            ),
+        )
+        .withColumn(
+            "dev_micro", F.col("share_micro") - F.col("benford_micro")
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
 def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENFORD'S-LAW first-digit audit of purchase values — the
     classic fabricated/synthetic-data smell test (a naturally-grown
@@ -4617,10 +4735,6 @@ def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from real_time_data_analytics_cassandra_spark.functions.numeric import money
 
-    benford = {
-        1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
-        6: 66947, 7: 57992, 8: 51153, 9: 45757,
-    }  # round(1e6*log10(1+1/d)): sums to exactly 1_000_000
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -4641,9 +4755,6 @@ def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")
     )
     total = dense.agg(F.sum("n_obs").cast("long").alias("n_tot"))
-    bexpr = "CASE digit " + " ".join(
-        f"WHEN {d} THEN {m}" for d, m in benford.items()
-    ) + " END"
     return (
         dense.crossJoin(F.broadcast(total))
         .select(
@@ -4652,7 +4763,9 @@ def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * n_obs) div n_tot AS BIGINT)").alias(
                 "share_micro"
             ),
-            F.expr(f"CAST({bexpr} AS BIGINT)").alias("benford_micro"),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias(
+                "benford_micro"
+            ),
         )
         .withColumn(
             "dev_micro", F.col("share_micro") - F.col("benford_micro")
@@ -9262,6 +9375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_purchase_values": ks_test_purchase_values,
         "source_length_ks_drift": source_length_ks_drift,
         "value_benford_audit": value_benford_audit,
+        "streaming_benford_drift": streaming_benford_drift,
         "value_skewness_by_type": value_skewness_by_type,
         "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
         "chi2_type_daypart": chi2_type_daypart,
@@ -10017,6 +10131,52 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 7 THEN 57992 WHEN 8 THEN 51153
                           WHEN 9 THEN 45757 END AS BIGINT) AS dev_micro
             FROM dense, tot ORDER BY digit
+        """,
+        "streaming_benford_drift": f"""
+            WITH cents AS (
+                SELECT event_type,
+                       CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents
+                FROM events
+            ),
+            digits AS (
+                SELECT event_type,
+                       CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+                FROM cents WHERE cents > 0
+            ),
+            counts AS (
+                SELECT event_type, digit,
+                       CAST(count(*) AS BIGINT) AS n_obs
+                FROM digits GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT t.event_type,
+                       CAST(d.d AS BIGINT) AS digit
+                FROM (SELECT DISTINCT event_type FROM digits) t,
+                     (SELECT unnest(generate_series(1, 9)) AS d) d
+            ),
+            dense AS (
+                SELECT s.event_type, s.digit,
+                       CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs
+                FROM spine s
+                LEFT JOIN counts c
+                  ON c.event_type = s.event_type AND c.digit = s.digit
+            ),
+            tot AS (
+                SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_tot
+                FROM dense GROUP BY 1
+            )
+            SELECT d.event_type, d.digit, d.n_obs,
+                   CAST((1000000 * d.n_obs) // t.n_tot AS BIGINT)
+                       AS share_micro,
+                   CAST({_BENFORD_CASE.replace("CASE digit", "CASE d.digit")}
+                        AS BIGINT) AS benford_micro,
+                   CAST((1000000 * d.n_obs) // t.n_tot AS BIGINT)
+                   - CAST({_BENFORD_CASE.replace("CASE digit", "CASE d.digit")}
+                          AS BIGINT) AS dev_micro
+            FROM dense d JOIN tot t ON t.event_type = d.event_type
+            ORDER BY d.event_type, d.digit
         """,
         "source_length_ks_drift": """
             WITH per AS (

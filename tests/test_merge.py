@@ -299,6 +299,49 @@ def test_streaming_counter_matches_batch(spark):
     events.unpersist()
 
 
+def test_streaming_benford_drift_matches_batch_recompute(spark):
+    """The stream-maintained per-type Benford monitor (merge_add
+    counter family) must equal an INDEPENDENT batch recompute:
+    first-digit counts are additive, so however the replay is
+    micro-batched, the merged counter table — and the micro-unit
+    readout over it — matches the one-shot aggregation (Python-int
+    arithmetic here, so any BIGINT overflow would also diverge)."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    rows = q.queries()["streaming_benford_drift"](spark, SF_SMOKE).collect()
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+    )
+    want = {
+        (r.event_type, r.digit): r.n
+        for r in ev.groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    types = {t for t, _ in want}
+    assert len(rows) == 9 * len(types)  # densified digit spine
+    totals: dict = {}
+    for (t, _d), n in want.items():
+        totals[t] = totals.get(t, 0) + n
+    for r in rows:
+        assert r.n_obs == want.get((r.event_type, r.digit), 0)
+        assert r.share_micro == (1_000_000 * r.n_obs) // totals[r.event_type]
+        assert r.dev_micro == r.share_micro - r.benford_micro
+
+
 def test_streaming_merge_matches_batch(spark):
     events = _signups(spark, SF_SMOKE).cache()
     cut = events.selectExpr(f"timestamp_micros(cast(percentile(unix_micros({TS}), 0.5) as long)) as c").collect()[0][0]

@@ -40,6 +40,7 @@ SCRATCH_PREFIXES = (
     "rtdac_sketch_stream_",
     "rtdac_sketch_tbl_",
     "rtdac_span_stream_",
+    "rtdac_streaming_benford_",
     "rtdac_streaming_cusum_",
     "rtdac_streaming_kmv_",
 )
