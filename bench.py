@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "media_wav_decode",
     "media_png_decode",
     "media_png_adam7_decode",
+    "media_png_palette_decode",
     "media_ppm_decode",
     "incremental_ann_search",
     "streaming_incremental_index",

@@ -341,23 +341,17 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
-    """A GENUINE PNG file holding ``data`` as an 8-bit grayscale image
-    of fixed ``width`` (final row zero-padded; empty input becomes one
-    blank row), written with stdlib zlib only.  Scanline filter types
-    CYCLE through all five spec filters (None/Sub/Up/Average/Paeth)
-    and the zlib stream is split across TWO IDAT chunks, so a decoder
-    only recovers the pixels by doing real defiltering and multi-IDAT
-    concatenation — any PNG viewer opens the output."""
-    import struct
-    import zlib
-
-    height = max(1, -(-len(data) // width))
-    plane = data + b"\x00" * (width * height - len(data))
-    prev = bytes(width)
+def _png_filter_plane(plane: bytes, row_bytes: int, height: int) -> bytes:
+    """Apply the five PNG scanline filters CYCLING by row (None/Sub/
+    Up/Average/Paeth, spec §9) over a packed plane of ``height`` rows
+    of ``row_bytes`` bytes each.  Filtering is byte-oriented with a
+    1-byte left step — correct for 8-bit grayscale AND for any
+    sub-8-bit packed image, where bpp = max(1, bits·channels/8) = 1
+    byte per spec."""
+    prev = bytes(row_bytes)
     filtered = bytearray()
     for r in range(height):
-        row = plane[r * width : (r + 1) * width]
+        row = plane[r * row_bytes : (r + 1) * row_bytes]
         ft = r % 5
         filtered.append(ft)
         if ft == 0:
@@ -365,17 +359,17 @@ def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
         elif ft == 1:  # Sub
             filtered += bytes(
                 (row[i] - (row[i - 1] if i else 0)) & 0xFF
-                for i in range(width)
+                for i in range(row_bytes)
             )
         elif ft == 2:  # Up
             filtered += bytes(
-                (row[i] - prev[i]) & 0xFF for i in range(width)
+                (row[i] - prev[i]) & 0xFF for i in range(row_bytes)
             )
         elif ft == 3:  # Average
             filtered += bytes(
                 (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1))
                 & 0xFF
-                for i in range(width)
+                for i in range(row_bytes)
             )
         else:  # Paeth
             filtered += bytes(
@@ -388,13 +382,23 @@ def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
                     )
                 )
                 & 0xFF
-                for i in range(width)
+                for i in range(row_bytes)
             )
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    idat = zlib.compress(bytes(filtered))
+    return bytes(filtered)
+
+
+def _png_assemble(ihdr: bytes, filtered: bytes, plte: bytes = b"") -> bytes:
+    """Chunk assembly shared by the container builders: IHDR [+PLTE],
+    the zlib stream split across TWO IDAT chunks (decoders must
+    really concatenate), IEND."""
+    import zlib
+
+    idat = zlib.compress(filtered)
     mid = len(idat) // 2
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
     if mid:
         out += _png_chunk(b"IDAT", idat[:mid]) + _png_chunk(
             b"IDAT", idat[mid:]
@@ -402,6 +406,44 @@ def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
     else:
         out += _png_chunk(b"IDAT", idat)
     return out + _png_chunk(b"IEND", b"")
+
+
+def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
+    """A GENUINE PNG file holding ``data`` as an 8-bit grayscale image
+    of fixed ``width`` (final row zero-padded; empty input becomes one
+    blank row), written with stdlib zlib only.  Scanline filter types
+    CYCLE through all five spec filters (None/Sub/Up/Average/Paeth)
+    and the zlib stream is split across TWO IDAT chunks, so a decoder
+    only recovers the pixels by doing real defiltering and multi-IDAT
+    concatenation — any PNG viewer opens the output."""
+    import struct
+
+    height = max(1, -(-len(data) // width))
+    plane = data + b"\x00" * (width * height - len(data))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return _png_assemble(ihdr, _png_filter_plane(plane, width, height))
+
+
+def _png_container_palette(data: bytes, width: int = PNG_WIDTH) -> bytes:
+    """A GENUINE 4-BIT PALETTE PNG (color type 3, depth 4) holding
+    ``data`` as pixel INDICES: each input byte becomes two 4-bit
+    palette indices (hi nibble first, per spec bit order), mapped
+    through a CRC-checked 16-entry grayscale-ramp PLTE (entry i =
+    i·17 in every channel, spanning 0..255).  Same cycling scanline
+    filters and two-IDAT split as :func:`_png_container`; rows pack
+    ``width``/2 input bytes, final row zero-padded, empty input
+    becomes one blank row.  A decoder only recovers the data by real
+    defiltering, sub-byte unpacking AND palette expansion."""
+    import struct
+
+    row_bytes = width // 2  # 2 pixels per packed byte at depth 4
+    height = max(1, -(-len(data) // row_bytes))
+    plane = data + b"\x00" * (row_bytes * height - len(data))
+    ihdr = struct.pack(">IIBBBBB", width, height, 4, 3, 0, 0, 0)
+    plte = bytes(v for i in range(16) for v in (i * 17,) * 3)
+    return _png_assemble(
+        ihdr, _png_filter_plane(plane, row_bytes, height), plte
+    )
 
 
 # Adam7 interlace passes (spec §8.2): (x_start, y_start, x_step, y_step)
@@ -774,6 +816,41 @@ def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     "doc_id": batch["doc_id"].astype("int64"),
                     "payload": batch["text"].map(
                         lambda t: _png_container(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    src = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def attach_png_palette_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Wrap each document's utf-8 bytes in a GENUINE 4-bit PALETTE PNG
+    (:func:`_png_container_palette`) — the sub-8-bit/PLTE sibling of
+    :func:`attach_png_payload`, so the palette-expansion and sub-byte
+    unpacking decode paths are exercised end-to-end by a registry
+    query, not only by test-side encoders."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": batch["text"].map(
+                        lambda t: _png_container_palette(t.encode("utf-8"))
                     ),
                 }
             )

@@ -1859,6 +1859,33 @@ def media_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def media_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4-BIT PALETTE PNG decode through the Arrow path: each
+    document's bytes become pixel INDICES of a genuine color-type-3
+    depth-4 PNG (operators/multimodal.py::_png_container_palette —
+    two indices per byte through a CRC-checked 16-entry PLTE ramp),
+    so the decoder's sub-byte unpacking and palette-expansion paths
+    run end-to-end in the registry, not only under test-side
+    encoders.  Full oracle: the decoder expands palettes to 8-bit
+    RGB (n_channels 3, bits 8) and the geometry is deterministic —
+    width fixed 64, height = ceil(2·byte_len / 64) (min 1; each byte
+    is two 4-bit pixels) — all SQL-derivable from the text length."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = mm_op.decode_media_real(
+        mm_op.attach_png_palette_payload(docs, "doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        "format",
+        "n_channels",
+        "bits_per_sample",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -9433,6 +9460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decode": media_wav_decode,
         "media_png_decode": media_png_decode,
         "media_png_adam7_decode": media_png_adam7_decode,
+        "media_png_palette_decode": media_png_palette_decode,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
@@ -11980,6 +12008,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS height,
                    CAST(64 * greatest(1,
                         (octet_length(encode(text)) + 63) // 64)
+                        AS BIGINT) AS n_pixels
+            FROM documents ORDER BY doc_id
+        """,
+        "media_png_palette_decode": """
+            SELECT doc_id,
+                   'png' AS format,
+                   CAST(3 AS BIGINT) AS n_channels,
+                   CAST(8 AS BIGINT) AS bits_per_sample,
+                   CAST(64 AS BIGINT) AS width,
+                   CAST(greatest(1, (2 * octet_length(encode(text)) + 63)
+                                    // 64) AS BIGINT) AS height,
+                   CAST(64 * greatest(1,
+                        (2 * octet_length(encode(text)) + 63) // 64)
                         AS BIGINT) AS n_pixels
             FROM documents ORDER BY doc_id
         """,

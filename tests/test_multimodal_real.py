@@ -107,6 +107,33 @@ def test_png_pixels_round_trip_all_filters_and_multi_idat():
         assert bytes(px) == data + b"\x00" * (mm.PNG_WIDTH * h - n)
 
 
+def test_png_palette_container_round_trip():
+    """The product-side 4-bit palette container (registry query
+    media_png_palette_decode): every input byte becomes two palette
+    indices (hi nibble first), expanded through the 16-entry gray
+    ramp to 8-bit RGB — recovered bit-exactly through defiltering,
+    sub-byte unpacking AND palette expansion, for lengths crossing
+    every row boundary."""
+    for n in (0, 1, 31, 32, 33, 32 * 5 + 7, 5000):
+        data = bytes((i * 37 + n) % 256 for i in range(n))
+        png = mm._png_container_palette(data)
+        assert png.count(b"PLTE") == 1
+        assert png.count(b"IDAT") >= (2 if n > 0 else 1)
+        meta, px = mm.decode_payload(png)
+        row_bytes = mm.PNG_WIDTH // 2
+        h = max(1, -(-n // row_bytes))
+        assert meta["format"] == "png"
+        assert (meta["width"], meta["height"]) == (mm.PNG_WIDTH, h)
+        # palette expands to 8-bit RGB regardless of the stored depth
+        assert (meta["n_channels"], meta["bits_per_sample"]) == (3, 8)
+        padded = data + b"\x00" * (row_bytes * h - n)
+        want = []
+        for byte in padded:
+            for idx in (byte >> 4, byte & 0x0F):
+                want.extend((idx * 17,) * 3)
+        assert list(px) == want
+
+
 def test_png_crc_verification_and_boundaries():
     import zlib
 
