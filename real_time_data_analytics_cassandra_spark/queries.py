@@ -7258,9 +7258,13 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k=12 learned merges with their pair counts, in training
     order.  Iterative driver-coordinated loop over the VOCAB-sized
     word-frequency table (the real algorithm's economics — one
-    corpus pass total), so no SQL oracle; tests/test_bpe.py asserts
-    the merge sequence is IDENTICAL to a pure-Python reference
-    trainer on the same corpus."""
+    corpus pass total).  FULL oracle since round 9: the argmax loop
+    unrolls into k (pair-count -> 1-row argmax -> fold-apply) CTE
+    triplets (:func:`_bpe_train_oracle_sql`) — the trainer's total
+    order (count desc, left asc, right asc) and the greedy overlap
+    rule are deterministic, so DuckDB replays the identical training
+    run; tests/test_bpe.py additionally asserts bit-equality with a
+    pure-Python reference trainer."""
     ensure_query_confs(spark)
     merges = _bpe_merges_for(spark, sf_dir)
     return spark.createDataFrame(
@@ -7323,6 +7327,68 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_subwords",
         "subwords_md5",
     ).orderBy("doc_id")
+
+
+def _bpe_train_oracle_sql(k: int = _BPE_K, vocab_cap: int = 1_000_000) -> str:
+    """FULL DuckDB mirror of the BPE TRAINER (operators/bpe.py::
+    train_bpe_merges) — the driver-argmax loop unrolled as ``k``
+    CTE triplets: p_i (pair counts over the current symbol tables,
+    weighted by word frequency), m_i (the deterministic argmax —
+    count desc, left asc, right asc — as a 1-row MATERIALIZED CTE),
+    w_i (the greedy fold of m_i applied to every word's symbols via
+    the same singleton-wrapped list_reduce as the encode oracle; the
+    lambda references the cross-joined m_i row).  The word-frequency
+    head keeps the trainer's (n desc, word asc) truncation at
+    ``vocab_cap``.  Every intermediate is vocab-sized, so the whole
+    unrolled program runs in well under a second at test SFs."""
+    fold = (
+        "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        "list_transform({src}.syms, s -> [s])), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 "
+        "AND acc[len(acc)] = m.a AND x[1] = m.b "
+        "THEN list_concat(list_slice(acc, 1, len(acc) - 1), [m.a || m.b]) "
+        "ELSE list_concat(acc, x) END)"
+    )
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS n,
+                   string_split(word, '') AS syms
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE length(word) > 0
+            GROUP BY word ORDER BY n DESC, word LIMIT {vocab_cap}
+        )"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""p{i} AS (
+            SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+            FROM (SELECT n, syms[j] AS a, syms[j+1] AS b
+                  FROM w{i - 1},
+                       unnest(generate_series(1, len(syms) - 1)) AS t(j))
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+            SELECT {i} AS step, a, b, cnt FROM p{i}
+            ORDER BY cnt DESC, a, b LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+            SELECT word, n, {fold.format(src=f"w{i - 1}")} AS syms
+            FROM w{i - 1}, m{i} m
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(step AS BIGINT) AS step, a AS left, b AS right,"
+        + " cnt AS pair_count FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, k + 1))
+        + ") ORDER BY step"
+    )
 
 
 def _bpe_encode_oracle_sql() -> str:
@@ -9767,6 +9833,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank": _pagerank_oracle_sql(4),
         "part_pagerank_weighted": _pagerank_weighted_oracle_sql(4),
         "bpe_encode_docs": _bpe_encode_oracle_sql(),
+        "bpe_learned_merges": _bpe_train_oracle_sql(),
         "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
         "part_copurchase_coreness": _coreness_oracle_sql(rounds=24),
         "copurchase_degree_assortativity": """
