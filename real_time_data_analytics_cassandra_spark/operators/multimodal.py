@@ -341,13 +341,15 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def _png_filter_plane(plane: bytes, row_bytes: int, height: int) -> bytes:
+def _png_filter_plane(
+    plane: bytes, row_bytes: int, height: int, bpp: int = 1
+) -> bytes:
     """Apply the five PNG scanline filters CYCLING by row (None/Sub/
     Up/Average/Paeth, spec §9) over a packed plane of ``height`` rows
-    of ``row_bytes`` bytes each.  Filtering is byte-oriented with a
-    1-byte left step — correct for 8-bit grayscale AND for any
-    sub-8-bit packed image, where bpp = max(1, bits·channels/8) = 1
-    byte per spec."""
+    of ``row_bytes`` bytes each.  Filtering is byte-oriented per spec
+    with the left neighbor ``bpp`` bytes back, where bpp =
+    max(1, bits·channels/8): 1 for 8-bit grayscale and ANY sub-8-bit
+    packed image, 2 for 16-bit grayscale."""
     prev = bytes(row_bytes)
     filtered = bytearray()
     for r in range(height):
@@ -358,7 +360,7 @@ def _png_filter_plane(plane: bytes, row_bytes: int, height: int) -> bytes:
             filtered += row
         elif ft == 1:  # Sub
             filtered += bytes(
-                (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
                 for i in range(row_bytes)
             )
         elif ft == 2:  # Up
@@ -367,7 +369,10 @@ def _png_filter_plane(plane: bytes, row_bytes: int, height: int) -> bytes:
             )
         elif ft == 3:  # Average
             filtered += bytes(
-                (row[i] - (((row[i - 1] if i else 0) + prev[i]) >> 1))
+                (
+                    row[i]
+                    - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
+                )
                 & 0xFF
                 for i in range(row_bytes)
             )
@@ -376,9 +381,9 @@ def _png_filter_plane(plane: bytes, row_bytes: int, height: int) -> bytes:
                 (
                     row[i]
                     - _paeth(
-                        row[i - 1] if i else 0,
+                        row[i - bpp] if i >= bpp else 0,
                         prev[i],
-                        prev[i - 1] if i else 0,
+                        prev[i - bpp] if i >= bpp else 0,
                     )
                 )
                 & 0xFF
@@ -422,6 +427,26 @@ def _png_container(data: bytes, width: int = PNG_WIDTH) -> bytes:
     plane = data + b"\x00" * (width * height - len(data))
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return _png_assemble(ihdr, _png_filter_plane(plane, width, height))
+
+
+def _png_container_gray16(data: bytes, width: int = PNG_WIDTH) -> bytes:
+    """A GENUINE 16-BIT GRAYSCALE PNG (color type 0, depth 16)
+    holding ``data`` as big-endian sample bytes: each PAIR of input
+    bytes becomes one 16-bit sample (the spec's network byte order),
+    so the decoder's two-byte unpacking and bpp=2 defiltering paths
+    run for real.  Same cycling scanline filters and two-IDAT split
+    as :func:`_png_container`; rows hold ``width`` samples = 2·width
+    bytes, final row zero-padded, empty input becomes one blank
+    row."""
+    import struct
+
+    row_bytes = width * 2
+    height = max(1, -(-len(data) // row_bytes))
+    plane = data + b"\x00" * (row_bytes * height - len(data))
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return _png_assemble(
+        ihdr, _png_filter_plane(plane, row_bytes, height, bpp=2)
+    )
 
 
 def _png_container_palette(data: bytes, width: int = PNG_WIDTH) -> bytes:
@@ -851,6 +876,40 @@ def attach_png_palette_payload(
                     "doc_id": batch["doc_id"].astype("int64"),
                     "payload": batch["text"].map(
                         lambda t: _png_container_palette(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    src = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def attach_png_gray16_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Wrap each document's utf-8 bytes in a GENUINE 16-bit grayscale
+    PNG (:func:`_png_container_gray16`) — the high-bit-depth sibling
+    of :func:`attach_png_payload`, driving the decoder's two-byte
+    sample unpacking and bpp=2 defiltering end-to-end."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": batch["text"].map(
+                        lambda t: _png_container_gray16(t.encode("utf-8"))
                     ),
                 }
             )

@@ -1886,6 +1886,31 @@ def media_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def media_png_gray16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-BIT grayscale PNG decode through the Arrow path: each
+    document's bytes become big-endian 16-bit samples of a genuine
+    depth-16 PNG (operators/multimodal.py::_png_container_gray16), so
+    the decoder's two-byte unpacking and bpp=2 defiltering run
+    end-to-end in the registry.  Full oracle: width fixed 64, height
+    = ceil(byte_len / 128) (min 1; two bytes per sample, 64 samples
+    per row), n_channels 1, bits 16 — all SQL-derivable from the
+    text length."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = mm_op.decode_media_real(
+        mm_op.attach_png_gray16_payload(docs, "doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        "format",
+        "n_channels",
+        "bits_per_sample",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -9527,6 +9552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": media_png_decode,
         "media_png_adam7_decode": media_png_adam7_decode,
         "media_png_palette_decode": media_png_palette_decode,
+        "media_png_gray16_decode": media_png_gray16_decode,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
@@ -12088,6 +12114,19 @@ def oracle_sql() -> dict[str, str]:
                                     // 64) AS BIGINT) AS height,
                    CAST(64 * greatest(1,
                         (2 * octet_length(encode(text)) + 63) // 64)
+                        AS BIGINT) AS n_pixels
+            FROM documents ORDER BY doc_id
+        """,
+        "media_png_gray16_decode": """
+            SELECT doc_id,
+                   'png' AS format,
+                   CAST(1 AS BIGINT) AS n_channels,
+                   CAST(16 AS BIGINT) AS bits_per_sample,
+                   CAST(64 AS BIGINT) AS width,
+                   CAST(greatest(1, (octet_length(encode(text)) + 127)
+                                    // 128) AS BIGINT) AS height,
+                   CAST(64 * greatest(1,
+                        (octet_length(encode(text)) + 127) // 128)
                         AS BIGINT) AS n_pixels
             FROM documents ORDER BY doc_id
         """,

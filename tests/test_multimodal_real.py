@@ -134,6 +134,30 @@ def test_png_palette_container_round_trip():
         assert list(px) == want
 
 
+def test_png_gray16_container_round_trip():
+    """The product-side 16-bit grayscale container (registry query
+    media_png_gray16_decode): byte pairs become big-endian uint16
+    samples, recovered bit-exactly through bpp=2 defiltering across
+    row-boundary lengths (including an odd length exercising the
+    zero-padded low byte)."""
+    for n in (0, 1, 2, 127, 128, 129, 128 * 5 + 7, 5000):
+        data = bytes((i * 37 + n) % 256 for i in range(n))
+        png = mm._png_container_gray16(data)
+        assert png.count(b"IDAT") >= (2 if n > 0 else 1)
+        meta, px = mm.decode_payload(png)
+        row_bytes = mm.PNG_WIDTH * 2
+        h = max(1, -(-n // row_bytes))
+        assert meta["format"] == "png"
+        assert (meta["width"], meta["height"]) == (mm.PNG_WIDTH, h)
+        assert (meta["n_channels"], meta["bits_per_sample"]) == (1, 16)
+        padded = data + b"\x00" * (row_bytes * h - n)
+        want = [
+            (padded[i] << 8) | padded[i + 1]
+            for i in range(0, len(padded), 2)
+        ]
+        assert px.dtype.name == "uint16" and list(px) == want
+
+
 def test_png_crc_verification_and_boundaries():
     import zlib
 
