@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "ab_test_purchase_values",
     "ks_test_purchase_values",
     "source_length_ks_drift",
+    "source_length_psi",
     "value_benford_audit",
     "streaming_benford_drift",
     "value_skewness_by_type",

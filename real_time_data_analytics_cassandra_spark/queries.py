@@ -4767,6 +4767,100 @@ def streaming_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source POPULATION STABILITY INDEX of document length — the
+    industry-standard binned drift score (credit-risk monitoring's
+    PSI, the number every model-monitoring dashboard shows next to a
+    KS statistic): for each corpus source, Σ_b (p_b − q_b)·ln(p_b/q_b)
+    between ITS length distribution (p) and the rest of the corpus
+    (q) over floor(log2(length)) buckets.  Rule of thumb read the
+    same way everywhere: < 0.1 stable, 0.1–0.25 moderate shift,
+    > 0.25 action.  Complements `source_length_ks_drift` (continuous
+    sup-norm) with the binned integral form.
+
+    Determinism/exactness: buckets come from the shared pure-integer
+    log2 CASE ladder (no libm log2); p and q are each ONE exact
+    BIGINT→double division; the ln and the term sum follow the
+    doc_char_entropy convention — terms fold in sorted bucket order
+    on both engines, so the double accumulation is bit-identical.
+    Buckets populated on only one side would contribute ±∞, so they
+    are EXCLUDED from the sum and reported in ``n_onesided`` instead
+    (the explicit form of the usual epsilon clip — deterministic and
+    engine-portable, unlike an epsilon).
+
+    Scale shape: one map-side-combined (source, bucket) count; the
+    densified grid is |sources| × ≤41 rows; everything after is
+    bounded arithmetic."""
+    ensure_query_confs(spark)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("long").alias("len")
+    )
+    per = (
+        docs.select(
+            "source", F.expr(_log2_ladder("len")).cast("long").alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    buckets = per.select("bucket").distinct()
+    srcs = per.select("source").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(srcs))
+        .join(per, ["source", "bucket"], "left")
+        .select(
+            "source", "bucket", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    tot_b = per.groupBy("bucket").agg(F.sum("c").cast("long").alias("t_b"))
+    n_s = per.groupBy("source").agg(F.sum("c").cast("long").alias("n_docs"))
+    n_tot = per.agg(F.sum("c").cast("long").alias("n"))
+    scored = (
+        grid.join(tot_b, "bucket")
+        .join(n_s, "source")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("rest", (F.col("t_b") - F.col("c")).cast("long"))
+        .withColumn("n_rest", (F.col("n") - F.col("n_docs")).cast("long"))
+    )
+    term = (
+        "(CAST(c AS DOUBLE) / n_docs - CAST(rest AS DOUBLE) / n_rest) "
+        "* ln((CAST(c AS DOUBLE) / n_docs) / (CAST(rest AS DOUBLE) / n_rest))"
+    )
+    flagged = scored.select(
+        "source",
+        "bucket",
+        "n_docs",
+        (F.col("c") > 0).cast("long").alias("has_s"),
+        (F.col("rest") > 0).cast("long").alias("has_r"),
+        F.when(
+            (F.col("c") > 0) & (F.col("rest") > 0), F.expr(term)
+        ).alias("term"),
+    )
+    return (
+        flagged.groupBy("source", "n_docs")
+        .agg(
+            F.sum(
+                ((F.col("has_s") + F.col("has_r")) == 1).cast("long")
+            ).alias("n_onesided"),
+            F.count("term").cast("long").alias("n_buckets_used"),
+            F.round(
+                F.expr(
+                    # collect_list keeps structs whose term FIELD is
+                    # null (the struct itself is non-null), so the
+                    # one-sided buckets must be filtered inside the
+                    # expression before the fold
+                    "aggregate(filter(array_sort(collect_list("
+                    "struct(bucket, term))), x -> x.term IS NOT NULL),"
+                    " CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)"
+                ),
+                6,
+            ).alias("psi"),
+        )
+        .select("source", "n_docs", "n_buckets_used", "n_onesided", "psi")
+        .orderBy("source")
+    )
+
+
 def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENFORD'S-LAW first-digit audit of purchase values — the
     classic fabricated/synthetic-data smell test (a naturally-grown
@@ -7971,14 +8065,18 @@ def part_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# floor(log2(deg)) as a pure-integer CASE ladder — shared literal
+# floor(log2(x)) as a pure-integer CASE ladder — shared literal
 # text between the Spark projection and the DuckDB oracle (float
 # log2 would inherit libm rounding at exact powers of two)
-_LOG2_LADDER_SQL = (
-    "CASE "
-    + " ".join(f"WHEN deg < {1 << (k + 1)} THEN {k}" for k in range(40))
-    + " ELSE 40 END"
-)
+def _log2_ladder(col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN {col} < {1 << (k + 1)} THEN {k}" for k in range(40))
+        + " ELSE 40 END"
+    )
+
+
+_LOG2_LADDER_SQL = _log2_ladder("deg")
 
 
 def copurchase_degree_assortativity(
@@ -9494,6 +9592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_ks_drift": source_length_ks_drift,
         "value_benford_audit": value_benford_audit,
         "streaming_benford_drift": streaming_benford_drift,
+        "source_length_psi": source_length_psi,
         "value_skewness_by_type": value_skewness_by_type,
         "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
         "chi2_type_daypart": chi2_type_daypart,
@@ -10347,6 +10446,66 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(n - n_docs AS DOUBLE)),
                          6) AS ks_stat
             FROM d ORDER BY source
+        """,
+        "source_length_psi": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST({_log2_ladder("length(text)")} AS BIGINT)
+                           AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            buckets AS (SELECT DISTINCT bucket FROM per),
+            srcs AS (SELECT DISTINCT source FROM per),
+            grid AS (
+                SELECT s.source, b.bucket, COALESCE(p.c, 0) AS c
+                FROM buckets b CROSS JOIN srcs s
+                LEFT JOIN per p
+                  ON p.source = s.source AND p.bucket = b.bucket
+            ),
+            tot_b AS (
+                SELECT bucket, CAST(sum(c) AS BIGINT) AS t_b
+                FROM per GROUP BY 1
+            ),
+            n_s AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+                FROM per GROUP BY 1
+            ),
+            n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+            scored AS (
+                SELECT g.source, g.bucket, s.n_docs, g.c,
+                       CAST(t.t_b - g.c AS BIGINT) AS rest,
+                       CAST(nt.n - s.n_docs AS BIGINT) AS n_rest
+                FROM grid g
+                JOIN tot_b t ON t.bucket = g.bucket
+                JOIN n_s s ON s.source = g.source
+                CROSS JOIN n_tot nt
+            ),
+            flagged AS (
+                SELECT source, bucket, n_docs,
+                       CAST(c > 0 AS BIGINT) + CAST(rest > 0 AS BIGINT)
+                           AS sides,
+                       CASE WHEN c > 0 AND rest > 0 THEN
+                           (CAST(c AS DOUBLE) / n_docs
+                            - CAST(rest AS DOUBLE) / n_rest)
+                           * ln((CAST(c AS DOUBLE) / n_docs)
+                                / (CAST(rest AS DOUBLE) / n_rest))
+                       END AS term
+                FROM scored
+            )
+            SELECT source,
+                   n_docs,
+                   CAST(count(term) AS BIGINT) AS n_buckets_used,
+                   CAST(sum(CASE WHEN sides = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_onesided,
+                   round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(term ORDER BY bucket)
+                                        FILTER (WHERE term IS NOT NULL)),
+                       (a, b) -> a + b), 6) AS psi
+            FROM flagged
+            GROUP BY source, n_docs
+            ORDER BY source
         """,
         "source_upsample_repeats": f"""
             WITH counts AS (

@@ -325,6 +325,7 @@ _BNLJ_OK = {
     "event_hourly_ols_trend",  # 1-row first-hour broadcast
     "ks_test_purchase_values",  # 1-row arm-totals broadcast (twice)
     "source_length_ks_drift",  # source-enum grid + 1-row total broadcasts
+    "source_length_psi",  # same source-enum grid + 1-row total broadcast
     "value_benford_audit",  # 1-row digit-total broadcast
     "purchase_mean_bootstrap_ci",  # 1-row CI-bound broadcasts
     "streaming_ks_drift",  # same 1-row arm-totals broadcasts as the batch KS
