@@ -250,7 +250,6 @@ BENCH_QUERIES = [
     "ks_test_purchase_values",
     "source_length_ks_drift",
     "source_length_psi",
-    "event_type_hour_chi2",
     "value_benford_audit",
     "streaming_benford_drift",
     "value_skewness_by_type",

@@ -4767,83 +4767,6 @@ def streaming_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CHI-SQUARED INDEPENDENCE audit of the (event type × hour of
-    day) contingency table — "is the event mix stationary across the
-    day, or does some family surge off-profile"; the categorical
-    independence test that belongs next to the correlation matrix
-    (co-movement) and the KS/PSI drifts (distribution shape).
-
-    Exactness: observed counts are exact integers on the densified
-    (type × 24-hour) grid; each expected count is ONE double division
-    of the exact BIGINT product row_total·col_total by n (product
-    bounded by n² — fine to ~3e9 events, swap to decimal(38,0)
-    beyond, the assortativity convention); each cell term is a fixed
-    IEEE ±/×/÷ expression tree, and the 24·|types| terms fold in
-    sorted (type, hour) order on both engines, so the statistic is
-    partitioning-invariant and oracle-exact with NO libm calls at
-    all.
-
-    Scale shape: one map-side-combined (type, hour) count; the grid,
-    margins, and fold are all enum-bounded (≤ 24·|types| rows)."""
-    ensure_query_confs(spark)
-
-    ev = table(spark, sf_dir, "events").select(
-        "event_type", F.expr("CAST(hour(ts) AS BIGINT)").alias("hod")
-    )
-    per = ev.groupBy("event_type", "hod").agg(
-        F.count(F.lit(1)).cast("long").alias("o")
-    )
-    types = per.select("event_type").distinct()
-    hours = spark.range(0, 24).select(F.col("id").alias("hod"))
-    grid = (
-        types.crossJoin(F.broadcast(hours))
-        .join(per, ["event_type", "hod"], "left")
-        .select(
-            "event_type",
-            "hod",
-            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
-        )
-    )
-    row_tot = per.groupBy("event_type").agg(
-        F.sum("o").cast("long").alias("r")
-    )
-    col_tot = per.groupBy("hod").agg(F.sum("o").cast("long").alias("c"))
-    n_tot = per.agg(F.sum("o").cast("long").alias("n"))
-    n_types = types.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
-    term = (
-        "(CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / n)"
-        " * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / n)"
-        " / (CAST(r * c AS DOUBLE) / n)"
-    )
-    cells = (
-        grid.join(row_tot, "event_type")
-        .join(col_tot, "hod")
-        .crossJoin(F.broadcast(n_tot))
-        .select("event_type", "hod", "n", F.expr(term).alias("term"))
-    )
-    return (
-        cells.groupBy("n")
-        .agg(
-            F.round(
-                F.expr(
-                    "aggregate(array_sort(collect_list("
-                    "struct(event_type, hod, term))),"
-                    " CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)"
-                ),
-                6,
-            ).alias("chi2")
-        )
-        .crossJoin(F.broadcast(n_types))
-        .select(
-            F.col("n").cast("long").alias("n_events"),
-            "n_types",
-            ((F.col("n_types") - 1) * F.lit(23)).cast("long").alias("df"),
-            "chi2",
-        )
-    )
-
-
 def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source POPULATION STABILITY INDEX of document length — the
     industry-standard binned drift score (credit-risk monitoring's
@@ -9670,7 +9593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_benford_audit": value_benford_audit,
         "streaming_benford_drift": streaming_benford_drift,
         "source_length_psi": source_length_psi,
-        "event_type_hour_chi2": event_type_hour_chi2,
         "value_skewness_by_type": value_skewness_by_type,
         "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
         "chi2_type_daypart": chi2_type_daypart,
@@ -10524,54 +10446,6 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(n - n_docs AS DOUBLE)),
                          6) AS ks_stat
             FROM d ORDER BY source
-        """,
-        "event_type_hour_chi2": """
-            WITH per AS (
-                SELECT event_type,
-                       CAST(extract(hour FROM ts) AS BIGINT) AS hod,
-                       CAST(count(*) AS BIGINT) AS o
-                FROM events GROUP BY 1, 2
-            ),
-            types AS (SELECT DISTINCT event_type FROM per),
-            hours AS (
-                SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT)
-                    AS hod
-            ),
-            grid AS (
-                SELECT t.event_type, h.hod, COALESCE(p.o, 0) AS o
-                FROM types t CROSS JOIN hours h
-                LEFT JOIN per p
-                  ON p.event_type = t.event_type AND p.hod = h.hod
-            ),
-            row_tot AS (
-                SELECT event_type, CAST(sum(o) AS BIGINT) AS r
-                FROM per GROUP BY 1
-            ),
-            col_tot AS (
-                SELECT hod, CAST(sum(o) AS BIGINT) AS c
-                FROM per GROUP BY 1
-            ),
-            n_tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM per),
-            cells AS (
-                SELECT g.event_type, g.hod, nt.n,
-                       (CAST(g.o AS DOUBLE) - CAST(rt.r * ct.c AS DOUBLE) / nt.n)
-                       * (CAST(g.o AS DOUBLE) - CAST(rt.r * ct.c AS DOUBLE) / nt.n)
-                       / (CAST(rt.r * ct.c AS DOUBLE) / nt.n) AS term
-                FROM grid g
-                JOIN row_tot rt ON rt.event_type = g.event_type
-                JOIN col_tot ct ON ct.hod = g.hod
-                CROSS JOIN n_tot nt
-            )
-            SELECT CAST(n AS BIGINT) AS n_events,
-                   (SELECT CAST(count(*) AS BIGINT) FROM types)
-                       AS n_types,
-                   CAST(((SELECT count(*) FROM types) - 1) * 23
-                        AS BIGINT) AS df,
-                   round(list_reduce(
-                       list_prepend(CAST(0 AS DOUBLE),
-                                    list(term ORDER BY event_type, hod)),
-                       (a, b) -> a + b), 6) AS chi2
-            FROM cells GROUP BY n
         """,
         "source_length_psi": f"""
             WITH per AS (

@@ -326,7 +326,6 @@ _BNLJ_OK = {
     "ks_test_purchase_values",  # 1-row arm-totals broadcast (twice)
     "source_length_ks_drift",  # source-enum grid + 1-row total broadcasts
     "source_length_psi",  # same source-enum grid + 1-row total broadcast
-    "event_type_hour_chi2",  # enum grid + 1-row total/df broadcasts
     "value_benford_audit",  # 1-row digit-total broadcast
     "purchase_mean_bootstrap_ci",  # 1-row CI-bound broadcasts
     "streaming_ks_drift",  # same 1-row arm-totals broadcasts as the batch KS
