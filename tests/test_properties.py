@@ -232,6 +232,38 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == expected
 
 
+@given(wedges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=0, max_value=9),
+              st.integers(min_value=1, max_value=50)),
+    min_size=1,
+    max_size=20,
+).map(lambda es: list({
+    (min(a, b), max(a, b)): w for a, b, w in es if a != b
+}.items()) or [((0, 1), 1)]))
+@SET
+def test_pagerank_weighted_matches_model_on_random_graphs(spark, wedges):
+    """pagerank_weighted vs the pure-Python arbitrary-precision
+    integer model on RANDOM weighted graphs (random topology, random
+    positive weights, duplicate pairs deduped keeping the last
+    weight) — the fixed-graph unit test's randomized sibling."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        pagerank_weighted,
+    )
+    from tests.test_graph import _model_pagerank_weighted
+
+    wpairs = [(a, b, w) for (a, b), w in wedges]
+    rows = [(a, b, w) for a, b, w in wpairs] + [
+        (b, a, w) for a, b, w in wpairs
+    ]
+    edges = spark.createDataFrame(rows, "u long, v long, w long")
+    got = {
+        r.id: r.rank_micro
+        for r in pagerank_weighted(edges, iterations=2).collect()
+    }
+    assert got == _model_pagerank_weighted(wpairs, 2)
+
+
 @given(rows=events_strategy)
 @SET
 def test_decimal_sum_partition_invariant(spark, rows):
