@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "ks_test_purchase_values",
     "source_length_ks_drift",
     "source_length_psi",
+    "token_zipf_fit",
     "value_benford_audit",
     "streaming_benford_drift",
     "value_skewness_by_type",

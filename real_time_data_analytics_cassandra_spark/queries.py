@@ -4767,6 +4767,78 @@ def streaming_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit over the corpus token frequencies: OLS of
+    ln(freq) on ln(rank) across the top-K tokens — natural language
+    sits near slope −1; synthetic, templated, or boilerplate-flooded
+    corpora visibly bend the log-log line, making the fitted slope a
+    one-number corpus-health readout next to the entropy and PSI
+    audits.
+
+    Determinism/exactness: the top-K cut is TakeOrdered under the
+    total order (freq desc, token asc) with K a literal (the
+    build_vocab discipline — no global sort of the vocabulary); rank
+    is a row_number over the K-row cut (bounded global window,
+    allowlisted).  ln(rank)/ln(freq) of exact integers are
+    engine-portable doubles, and all four OLS sums fold in sorted
+    rank order (the doc_char_entropy convention), so slope and
+    intercept are bit-identical in the oracle.
+
+    Scale shape: one map-side-combined token count, one
+    TakeOrdered(K); everything after runs on the K-row frame."""
+    ensure_query_confs(spark)
+    from pyspark.sql.window import Window
+
+    from real_time_data_analytics_cassandra_spark.functions.textfns import (
+        tokens,
+    )
+
+    K = 1000
+    counts = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(K)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "rank",
+        F.expr("ln(CAST(rank AS DOUBLE))").alias("x"),
+        F.expr("ln(CAST(n AS DOUBLE))").alias("y"),
+    )
+    folds = {
+        name: (
+            "aggregate(array_sort(collect_list(struct(rank, "
+            f"{expr} AS t))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.t)"
+        )
+        for name, expr in (
+            ("sx", "x"),
+            ("sy", "y"),
+            ("sxx", "x * x"),
+            ("sxy", "x * y"),
+        )
+    }
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("k_tokens"),
+        *[F.expr(sql).alias(name) for name, sql in folds.items()],
+    )
+    kd = F.col("k_tokens").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "k_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / kd, 6).alias(
+            "ln_intercept"
+        ),
+    )
+
+
 def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source POPULATION STABILITY INDEX of document length — the
     industry-standard binned drift score (credit-risk monitoring's
@@ -9593,6 +9665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_benford_audit": value_benford_audit,
         "streaming_benford_drift": streaming_benford_drift,
         "source_length_psi": source_length_psi,
+        "token_zipf_fit": token_zipf_fit,
         "value_skewness_by_type": value_skewness_by_type,
         "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
         "chi2_type_daypart": chi2_type_daypart,
@@ -10446,6 +10519,52 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(n - n_docs AS DOUBLE)),
                          6) AS ks_stat
             FROM d ORDER BY source
+        """,
+        "token_zipf_fit": """
+            WITH counts AS (
+                SELECT word AS token, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE length(word) > 0
+                GROUP BY 1
+            ),
+            top AS (
+                SELECT token, n FROM counts
+                ORDER BY n DESC, token LIMIT 1000
+            ),
+            ranked AS (
+                SELECT rank,
+                       ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM (SELECT n,
+                             CAST(row_number() OVER (
+                                 ORDER BY n DESC, token
+                             ) AS BIGINT) AS rank
+                      FROM top)
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS k_tokens,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(x ORDER BY rank)), (a, b) -> a + b) AS sx,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(y ORDER BY rank)), (a, b) -> a + b) AS sy,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(x * x ORDER BY rank)), (a, b) -> a + b)
+                           AS sxx,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(x * y ORDER BY rank)), (a, b) -> a + b)
+                           AS sxy
+                FROM ranked
+            )
+            SELECT k_tokens,
+                   round((CAST(k_tokens AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(k_tokens AS DOUBLE) * sxx - sx * sx),
+                         6) AS zipf_slope,
+                   round((sy - (CAST(k_tokens AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(k_tokens AS DOUBLE) * sxx - sx * sx)
+                               * sx) / CAST(k_tokens AS DOUBLE),
+                         6) AS ln_intercept
+            FROM s
         """,
         "source_length_psi": f"""
             WITH per AS (

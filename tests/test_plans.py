@@ -460,6 +460,7 @@ _GLOBAL_WINDOW_OK = {
     "revenue_concentration": (2, "global_rank offsets + Lorenz over them"),
     "token_budget_mixture": (6, "per-level cuts over the <= |langs| mixture frame"),
     "vocab_encode_docs": (1, "id assignment over the <= vocab_size TakeOrdered cut"),
+    "token_zipf_fit": (1, "rank over the <= K TakeOrdered cut"),
     "weighted_token_sample": (1, "rank over the <= k weighted sample"),
 }
 
