@@ -815,9 +815,14 @@ def event_hourly_theil_sen_sampled(
     equals the exact form (the sf0.001 regime; at sf0.01+ the
     sampler genuinely engages).
 
-    Scale shape: same bounded shapes as the exact form, with the
-    pair fan-out capped at ~budget rows per type regardless of
-    calendar length; the rank window stays PARTITIONED by type."""
+    Scale shape: the pair stream is still generated at calendar²
+    map-side (an equi-join fan, cheap to produce), but the sample
+    predicate filters it BEFORE any shuffle — so the rank window's
+    sort state, the exchange volume, and the median pick are all
+    capped at ~budget rows per type regardless of calendar length,
+    which is where the exact form actually hurts (the generation is
+    embarrassingly parallel; the per-type sort of 3.8e9 pairs is
+    not).  The rank window stays PARTITIONED by type."""
     ensure_query_confs(spark)
     from pyspark.sql.window import Window
 
