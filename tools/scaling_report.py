@@ -56,6 +56,15 @@ SF1_QUERIES = {
     "containment_near_dup",
     "ngram_jaccard_prefix",
     "part_copurchase_coreness",
+    # round-9 additions: the weighted-PageRank twin of the existing
+    # sf1 family, and both Theil-Sen forms — the derived sf1 keeps
+    # the CALENDAR fixed while multiplying rows 10x, so the exact
+    # form's calendar-bounded-pair-space claim and the sampled
+    # form's capped-sort-state claim are both directly measured
+    "part_pagerank_weighted",
+    "event_hourly_theil_sen",
+    "event_hourly_theil_sen_sampled",
+    "purchase_mean_bootstrap_ci",
 }
 
 # one representative per operator family
@@ -98,6 +107,13 @@ QUERIES = [
     ("core decomposition", "part_copurchase_coreness"),
     ("classifier eval rollup", "lang_classifier_eval"),
     ("exact AUC (global rank)", "embedding_label_auc"),
+    # round-9 families
+    ("Theil-Sen trend (exact)", "event_hourly_theil_sen"),
+    ("Theil-Sen trend (sampled)", "event_hourly_theil_sen_sampled"),
+    ("weighted PageRank", "part_pagerank_weighted"),
+    ("PSI drift", "source_length_psi"),
+    ("Zipf fit", "token_zipf_fit"),
+    ("Poisson bootstrap CI", "purchase_mean_bootstrap_ci"),
 ]
 
 OUT = os.path.join(
