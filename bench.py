@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "media_png_adam7_decode",
     "media_png_palette_decode",
     "media_png_gray16_decode",
+    "media_png_rgba_decode",
     "media_ppm_decode",
     "incremental_ann_search",
     "streaming_incremental_index",

@@ -449,6 +449,26 @@ def _png_container_gray16(data: bytes, width: int = PNG_WIDTH) -> bytes:
     )
 
 
+def _png_container_rgba(data: bytes, width: int = PNG_WIDTH) -> bytes:
+    """A GENUINE 8-BIT RGBA PNG (color type 6, depth 8) holding
+    ``data`` as interleaved R,G,B,A sample bytes: each group of four
+    input bytes becomes one pixel, so the decoder's 4-channel
+    interleaving and bpp=4 defiltering (left neighbor four bytes
+    back) run for real.  Same cycling scanline filters and two-IDAT
+    split as :func:`_png_container`; rows hold ``width`` pixels =
+    4·width bytes, final row zero-padded, empty input becomes one
+    blank row."""
+    import struct
+
+    row_bytes = width * 4
+    height = max(1, -(-len(data) // row_bytes))
+    plane = data + b"\x00" * (row_bytes * height - len(data))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    return _png_assemble(
+        ihdr, _png_filter_plane(plane, row_bytes, height, bpp=4)
+    )
+
+
 def _png_container_palette(data: bytes, width: int = PNG_WIDTH) -> bytes:
     """A GENUINE 4-BIT PALETTE PNG (color type 3, depth 4) holding
     ``data`` as pixel INDICES: each input byte becomes two 4-bit
@@ -910,6 +930,40 @@ def attach_png_gray16_payload(
                     "doc_id": batch["doc_id"].astype("int64"),
                     "payload": batch["text"].map(
                         lambda t: _png_container_gray16(t.encode("utf-8"))
+                    ),
+                }
+            )
+
+    src = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def attach_png_rgba_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Wrap each document's utf-8 bytes in a GENUINE 8-bit RGBA PNG
+    (:func:`_png_container_rgba`) — the multi-channel sibling of
+    :func:`attach_png_payload`, driving the decoder's 4-channel
+    interleaving and bpp=4 defiltering end-to-end."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "payload": batch["text"].map(
+                        lambda t: _png_container_rgba(t.encode("utf-8"))
                     ),
                 }
             )

@@ -1891,6 +1891,32 @@ def media_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def media_png_rgba_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 8-bit RGBA PNG decode through the Arrow path: each
+    document's bytes become interleaved R,G,B,A samples of a genuine
+    color-type-6 PNG (operators/multimodal.py::_png_container_rgba),
+    so the decoder's 4-channel interleaving and bpp=4 defiltering
+    (left neighbor four bytes back) run end-to-end in the registry —
+    with palette and 16-bit this closes the last decode path that
+    was proven only by test-side encoders.  Full oracle: width fixed
+    64, height = ceil(byte_len / 256) (min 1; four bytes per pixel),
+    n_channels 4, bits 8 — all SQL-derivable from the text length."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = mm_op.decode_media_real(
+        mm_op.attach_png_rgba_payload(docs, "doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        "format",
+        "n_channels",
+        "bits_per_sample",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+    ).orderBy("doc_id")
+
+
 def media_png_gray16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 16-BIT grayscale PNG decode through the Arrow path: each
     document's bytes become big-endian 16-bit samples of a genuine
@@ -9730,6 +9756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_adam7_decode": media_png_adam7_decode,
         "media_png_palette_decode": media_png_palette_decode,
         "media_png_gray16_decode": media_png_gray16_decode,
+        "media_png_rgba_decode": media_png_rgba_decode,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
@@ -12410,6 +12437,19 @@ def oracle_sql() -> dict[str, str]:
                                     // 128) AS BIGINT) AS height,
                    CAST(64 * greatest(1,
                         (octet_length(encode(text)) + 127) // 128)
+                        AS BIGINT) AS n_pixels
+            FROM documents ORDER BY doc_id
+        """,
+        "media_png_rgba_decode": """
+            SELECT doc_id,
+                   'png' AS format,
+                   CAST(4 AS BIGINT) AS n_channels,
+                   CAST(8 AS BIGINT) AS bits_per_sample,
+                   CAST(64 AS BIGINT) AS width,
+                   CAST(greatest(1, (octet_length(encode(text)) + 255)
+                                    // 256) AS BIGINT) AS height,
+                   CAST(64 * greatest(1,
+                        (octet_length(encode(text)) + 255) // 256)
                         AS BIGINT) AS n_pixels
             FROM documents ORDER BY doc_id
         """,

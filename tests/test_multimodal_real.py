@@ -158,6 +158,25 @@ def test_png_gray16_container_round_trip():
         assert px.dtype.name == "uint16" and list(px) == want
 
 
+def test_png_rgba_container_round_trip():
+    """The product-side 8-bit RGBA container (registry query
+    media_png_rgba_decode): groups of four input bytes become one
+    interleaved R,G,B,A pixel, recovered bit-exactly through bpp=4
+    defiltering across row-boundary lengths (including lengths not
+    divisible by 4, exercising the zero-padded trailing channels)."""
+    for n in (0, 1, 3, 4, 255, 256, 257, 256 * 5 + 7, 5000):
+        data = bytes((i * 37 + n) % 256 for i in range(n))
+        png = mm._png_container_rgba(data)
+        assert png.count(b"IDAT") >= (2 if n > 0 else 1)
+        meta, px = mm.decode_payload(png)
+        row_bytes = mm.PNG_WIDTH * 4
+        h = max(1, -(-n // row_bytes))
+        assert meta["format"] == "png"
+        assert (meta["width"], meta["height"]) == (mm.PNG_WIDTH, h)
+        assert (meta["n_channels"], meta["bits_per_sample"]) == (4, 8)
+        assert bytes(px) == data + b"\x00" * (row_bytes * h - n)
+
+
 def test_png_crc_verification_and_boundaries():
     import zlib
 

@@ -266,6 +266,7 @@ _ARROW_QUERIES = {
     "media_png_adam7_decode",  # interlaced twin, same Arrow stage
     "media_png_palette_decode",  # 4-bit PLTE twin, same Arrow stage
     "media_png_gray16_decode",  # 16-bit twin, same Arrow stage
+    "media_png_rgba_decode",  # 4-channel twin, same Arrow stage
     "media_ppm_decode",  # real P6 header token scan via mapInPandas
     "multimodal_features",
     "frame_samples",
