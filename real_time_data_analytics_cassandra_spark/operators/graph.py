@@ -195,9 +195,13 @@ def pagerank_weighted(
     contribution generalized to ``(rank_u * w_uv) div W_u`` where
     ``W_u = Σ_v w_uv`` is u's total out-weight (uniform weights
     reduce to the unweighted operator exactly when every w is 1).
-    Weights must be POSITIVE BIGINTs; callers wanting undirected
-    semantics symmetrize first, which guarantees W_u >= 1 for every
-    source.
+    Weights must be POSITIVE BIGINTs, and the input must carry ONE
+    row per directed edge — unlike :func:`pagerank` there is no
+    ``distinct()`` here (deduping weighted rows would need a
+    weight-combine rule the caller should choose), so duplicate
+    (src, dst) rows would double-count their weight.  Callers
+    wanting undirected semantics symmetrize first, which guarantees
+    W_u >= 1 for every source.
 
     Overflow: the per-edge product ``rank_u * w_uv`` needs
     N·unit·max_w < 2^63 — with the default unit=1e9 that allows

@@ -201,7 +201,9 @@ def digest_slice_u01(digest: Column, slice_idx: Column | int) -> Column:
     digest column — the slicing half of :func:`uniform01_slice`, for
     plans that materialize one digest per key block and read all four
     slices from it (the digest, not the slice, is the dominant cost
-    of a draw — computing it once per 4 draws is the whole point)."""
+    of a draw — computing it once per 4 draws is the whole point).
+    ``slice_idx`` must be in 0..3: an md5 digest is 32 hex chars, so
+    slice 4+ would substr past the end and yield NULL draws."""
     s = F.lit(slice_idx) if isinstance(slice_idx, int) else slice_idx
     v = F.conv(
         digest.substr(F.lit(1) + s.cast("int") * F.lit(8), F.lit(8)),
