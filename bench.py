@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "source_token_kl",
     "ab_test_purchase_values",
     "ks_test_purchase_values",
+    "mannwhitney_purchase_values",
     "source_length_ks_drift",
     "source_length_psi",
     "token_zipf_fit",

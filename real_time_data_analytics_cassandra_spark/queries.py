@@ -4606,6 +4606,83 @@ def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ks_from_value_counts(per_v)
 
 
+def mannwhitney_purchase_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact two-sample MANN-WHITNEY U (Wilcoxon rank-sum) between
+    the two A/B arms' purchase-value distributions — the rank-based
+    LOCATION test that completes the A/B trio: Welch
+    (`ab_test_purchase_values`) compares means, KS
+    (`ks_test_purchase_values`) compares shapes, Mann-Whitney asks
+    the question a product owner actually poses — "is a random
+    purchase from arm A bigger than one from arm B more often than
+    not" — and its U/(n_a·n_b) effect size IS that probability (the
+    common-language effect size), robust to the heavy right tail
+    that purchase values always have.
+
+    Exactness: with per-distinct-value counts (ties are the rule for
+    money values), U_a = Σ_v ca(v)·cumB_below(v) + ½·Σ_v ca(v)·cb(v);
+    reported as the INTEGER 2·U_a = Σ_v ca·(2·(cum_cb − cb) + cb) —
+    pure BIGINT until one final division (round(…, 6)).  Exact while
+    n_a·n_b < 2^62 (~2e9 rows per arm) — the KS query's documented
+    bound, one bit tighter for the ×2; swap the products to
+    decimal(38,0) beyond.
+
+    Scale shape: identical to the exact-KS query — one
+    map-side-combined (value, arm) count, cumulative counts via
+    operators/ranks.py::global_cumsum (range-exchange prefix sum, NO
+    unpartitioned window over the unbounded distinct-value relation),
+    one 1-row aggregate.  The only global window sorts the
+    ≤ partitions-row offset table."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_cumsum,
+    )
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            hash_bucket("user_id", 2).alias("arm"),
+            money(F.col("value")).alias("v"),
+        )
+    )
+    per_v = ev.groupBy("v").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("cb"),
+    ).localCheckpoint(eager=True)
+    cum = global_cumsum(per_v, ["v"], ["cb"])
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    u = cum.agg(
+        F.sum(
+            F.col("ca")
+            * (2 * (F.col("cum_cb") - F.col("cb")) + F.col("cb"))
+        )
+        .cast("long")
+        .alias("u2_a")
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.round(
+            F.col("u2_a").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            ),
+            6,
+        ).alias("p_superiority"),
+    )
+
+
 def source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift report: for every corpus source,
     the exact two-sample KS distance between ITS document-length
@@ -9692,6 +9769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_upsample_repeats": source_upsample_repeats,
         "ab_test_purchase_values": ab_test_purchase_values,
         "ks_test_purchase_values": ks_test_purchase_values,
+        "mannwhitney_purchase_values": mannwhitney_purchase_values,
         "source_length_ks_drift": source_length_ks_drift,
         "value_benford_audit": value_benford_audit,
         "streaming_benford_drift": streaming_benford_drift,
@@ -10337,6 +10415,40 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
                          6) AS ks_stat
             FROM d, tot
+        """,
+        "mannwhitney_purchase_values": f"""
+            WITH ev AS (
+                SELECT {sampling_op.hash_bucket_sql("user_id", 2)} AS arm,
+                       CAST(value AS DECIMAL(12,2)) AS v
+                FROM events WHERE event_type = 'purchase'
+            ),
+            per_v AS (
+                SELECT v,
+                       count(*) FILTER (WHERE arm = 0) AS ca,
+                       count(*) FILTER (WHERE arm = 1) AS cb
+                FROM ev GROUP BY v
+            ),
+            cum AS (
+                SELECT v, ca, cb,
+                       CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb
+                FROM per_v
+            ),
+            tot AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b
+                FROM per_v
+            ),
+            u AS (
+                SELECT CAST(sum(ca * (2 * (cum_cb - cb) + cb))
+                            AS BIGINT) AS u2_a
+                FROM cum
+            )
+            SELECT n_a, n_b, u2_a,
+                   round(CAST(u2_a AS DOUBLE)
+                         / (2.0 * CAST(n_a AS DOUBLE)
+                            * CAST(n_b AS DOUBLE)),
+                         6) AS p_superiority
+            FROM u, tot
         """,
         "value_skewness_by_type": """
             WITH ev AS (

@@ -325,6 +325,7 @@ _BNLJ_OK = {
     "source_mixture_weights",  # 1-row totals broadcast
     "event_hourly_ols_trend",  # 1-row first-hour broadcast
     "ks_test_purchase_values",  # 1-row arm-totals broadcast (twice)
+    "mannwhitney_purchase_values",  # same 1-row arm-totals broadcast
     "source_length_ks_drift",  # source-enum grid + 1-row total broadcasts
     "source_length_psi",  # same source-enum grid + 1-row total broadcast
     "value_benford_audit",  # 1-row digit-total broadcast
@@ -454,6 +455,7 @@ _GLOBAL_WINDOW_OK = {
     "embedding_class_auc": (2, "global_rank offsets, reused per class"),
     "heavy_hitter_tokens": (1, "rank over the <= k Misra-Gries summary"),
     "ks_test_purchase_values": (2, "global_cumsum offsets: <= num_partitions rows"),
+    "mannwhitney_purchase_values": (1, "global_cumsum offsets: <= num_partitions rows"),
     "order_backlog_daily": (1, "running sum over the per-DAY relation (calendar-bounded)"),
     "part_affinity": (1, "rank over the TakeOrdered(20) survivors"),
     "purchase_mean_bootstrap_ci": (2, "CI rank over the B=100 resample means"),

@@ -68,3 +68,41 @@ def test_degree_histogram_counts_every_vertex_once(spark):
     )
     assert n_vertices == verts
     assert all(0 <= r.bucket <= 40 for r in hist)
+
+
+def test_mannwhitney_matches_bruteforce_rank_sum(spark):
+    """The exact 2U statistic must equal a pure-Python O(n_a*n_b)
+    recount of #{a>b} pairs (x2) + #{ties} over the SAME arm split —
+    an engine-independent recomputation, stronger than an invariant."""
+    from real_time_data_analytics_cassandra_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.functions.numeric import (
+        money,
+    )
+    from pyspark.sql import functions as F
+
+    row = q.mannwhitney_purchase_values(spark, SF_SMOKE).collect()[0]
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            hash_bucket("user_id", 2).alias("arm"),
+            money(F.col("value")).alias("v"),
+        )
+        .collect()
+    )
+    a = sorted(r.v for r in ev if r.arm == 0)
+    b = sorted(r.v for r in ev if r.arm == 1)
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    u2 = sum(
+        2 if x > y else (1 if x == y else 0) for x in a for y in b
+    )
+    assert row.u2_a == u2
+    assert 0.0 <= row.p_superiority <= 1.0
+    # U_a + U_b partitions the pair space
+    u2_b = sum(
+        2 if y > x else (1 if x == y else 0) for x in a for y in b
+    )
+    assert u2 + u2_b == 2 * len(a) * len(b)
