@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "ab_test_purchase_values",
     "ks_test_purchase_values",
     "mannwhitney_purchase_values",
+    "event_hourly_mann_kendall",
     "hourly_count_acf",
     "source_length_ks_drift",
     "source_length_psi",

@@ -905,6 +905,104 @@ def event_hourly_theil_sen_sampled(
     )
 
 
+def event_hourly_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type MANN-KENDALL trend test over the hourly counts — the
+    significance companion every environmental/monitoring stack
+    reports NEXT TO the Theil-Sen slope (`event_hourly_theil_sen`):
+    Theil-Sen says how steep, Mann-Kendall says whether the monotone
+    trend is distinguishable from noise, and both are rank-based so
+    one outlier hour moves neither.
+
+    Exactness: S = Σ_{h1<h2} sign(y2 − y1) is a pure integer pair
+    sum; the tie-corrected variance is reported as the INTEGER
+    18·Var(S) = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5) (the classic
+    Kendall 1975 formula ×18 — no division, no sqrt, so no libm and
+    no rounding anywhere); tau_a = S / (n(n−1)/2) is the one final
+    double division.  BIGINT is exact to ~2e6 hours (n³ < 2^63) —
+    two centuries of hourly data.
+
+    Scale shape: identical to the exact Theil-Sen — one
+    map-side-combined hourly count, the per-type pair fan bounded by
+    CALENDAR², and plain keyed aggregates (no windows at all: the
+    median pick that needs a rank window in Theil-Sen is just a SUM
+    here).  The sampled Theil-Sen's md5 pair-sampling path applies
+    verbatim if the calendar ever outgrows the pair budget."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    ).localCheckpoint(eager=True)
+    a = hourly.select(
+        "event_type", F.col("h").alias("h1"), F.col("y").alias("y1")
+    )
+    b = hourly.select(
+        "event_type", F.col("h").alias("h2"), F.col("y").alias("y2")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("h1") < F.col("h2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), 1)
+                .when(F.col("y2") < F.col("y1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours")
+    )
+    ties = (
+        hourly.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    return (
+        s.join(n, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            "s_stat",
+            (
+                F.col("n_hours")
+                * (F.col("n_hours") - 1)
+                * (2 * F.col("n_hours") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var_s_x18"),
+            F.round(
+                F.col("s_stat").cast("double")
+                / (
+                    F.col("n_hours").cast("double")
+                    * (F.col("n_hours") - 1).cast("double")
+                    / F.lit(2.0)
+                ),
+                6,
+            ).alias("tau_a"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def hourly_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUTOCORRELATION FUNCTION of the hourly event-count series at
     lags 1..24 — the seasonality fingerprint the trend family can't
@@ -9816,6 +9914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_ols_trend": event_hourly_ols_trend,
         "event_hourly_theil_sen": event_hourly_theil_sen,
         "event_hourly_theil_sen_sampled": event_hourly_theil_sen_sampled,
+        "event_hourly_mann_kendall": event_hourly_mann_kendall,
         "hourly_count_acf": hourly_count_acf,
         "streaming_ols_trend": streaming_ols_trend,
         "streaming_ks_drift": streaming_ks_drift,
@@ -12370,6 +12469,47 @@ def oracle_sql() -> dict[str, str]:
                    rate_micro, slope_micro
             FROM ranked WHERE rn = (n_pairs_sampled + 1) // 2
             ORDER BY event_type
+        """,
+        "event_hourly_mann_kendall": """
+            WITH hourly AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT a.event_type,
+                       CAST(sum(CASE WHEN b.y > a.y THEN 1
+                                     WHEN b.y < a.y THEN -1
+                                     ELSE 0 END) AS BIGINT) AS s_stat
+                FROM hourly a JOIN hourly b
+                  ON a.event_type = b.event_type AND a.h < b.h
+                GROUP BY 1
+            ),
+            n AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+                FROM hourly GROUP BY 1
+            ),
+            ties AS (
+                SELECT event_type,
+                       CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                           AS tie_term
+                FROM (SELECT event_type, y,
+                             CAST(count(*) AS BIGINT) AS t
+                      FROM hourly GROUP BY 1, 2)
+                GROUP BY 1
+            )
+            SELECT s.event_type, n.n_hours, s.s_stat,
+                   CAST(n.n_hours * (n.n_hours - 1) * (2 * n.n_hours + 5)
+                        - ties.tie_term AS BIGINT) AS var_s_x18,
+                   round(CAST(s.s_stat AS DOUBLE)
+                         / (CAST(n.n_hours AS DOUBLE)
+                            * CAST(n.n_hours - 1 AS DOUBLE) / 2.0),
+                         6) AS tau_a
+            FROM s
+            JOIN n ON n.event_type = s.event_type
+            JOIN ties ON ties.event_type = s.event_type
+            ORDER BY s.event_type
         """,
         "hourly_count_acf": """
             WITH ev AS (

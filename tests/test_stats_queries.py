@@ -145,3 +145,49 @@ def test_acf_matches_bruteforce_series_recompute(spark):
         assert r.acf == expect, (r.lag, r.acf, expect)
         assert -1.5 < r.acf < 1.5  # |r_k| can slightly exceed 1 only
         # via the biased estimator on tiny series; sanity bound
+
+
+def test_mann_kendall_matches_bruteforce_pair_recount(spark):
+    """S, the tie-corrected 18*Var(S), and tau_a must equal a
+    pure-Python recount over the same per-type hourly series."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    rows = {
+        r.event_type: r
+        for r in q.event_hourly_mann_kendall(spark, SF_SMOKE).collect()
+    }
+    hourly = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .count()
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.h, r["count"]))
+    assert set(series) == set(rows)
+    for et, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        r = rows[et]
+        assert (r.n_hours, r.s_stat) == (n, s)
+        assert r.var_s_x18 == n * (n - 1) * (2 * n + 5) - tie
+        assert r.tau_a == round(s / (n * (n - 1) / 2.0), 6)
+        assert -1.0 <= r.tau_a <= 1.0
