@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "ks_test_purchase_values",
     "mannwhitney_purchase_values",
     "event_hourly_mann_kendall",
+    "copurchase_link_prediction",
     "hourly_count_acf",
     "source_length_ks_drift",
     "source_length_psi",

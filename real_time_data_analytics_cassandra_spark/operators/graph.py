@@ -393,6 +393,55 @@ def triangle_counts(
     )
 
 
+def common_neighbor_counts(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    hub_cap: int = 64,
+) -> DataFrame:
+    """Common-neighbor counts for every unordered vertex pair joined
+    by at least one length-2 path — the classic LINK-PREDICTION
+    score (Liben-Nowell & Kleinberg 2003): pairs with many shared
+    neighbors but no edge are the edges most likely to appear next.
+    Output: (u, v, cn) with u < v, INCLUDING pairs that are already
+    edges (callers wanting candidates anti-join the edge list; the
+    raw counts also feed Jaccard/Adamic-Adar style rescoring).
+
+    Wedge centers are CAPPED at degree ≤ ``hub_cap``: a wedge
+    through a center of degree d contributes C(d,2) pairs, so the
+    exact all-centers count is Σ C(d,2) — quadratic in hub degree
+    and a genuine 100 TB scale-killer on power-law graphs.  The cap
+    is PART OF THE OPERATOR CONTRACT, not an approximation knob: a
+    shared neighbor that half the graph touches carries no
+    predictive signal (the same argument Adamic-Adar encodes by
+    1/log(deg) down-weighting — here the weight just hits 0 at the
+    cap), and with it total wedge work is ≤ C(hub_cap, 2) per
+    center — LINEAR in vertices.  Both engines apply the identical
+    cap, so results stay oracle-exact.
+
+    Scale shape: one degree aggregate, one equi-self-join of the
+    capped adjacency on the center key (hash join, AQE-sized; the
+    per-center fan is ≤ hub_cap rows), one count aggregate keyed on
+    the pair.  No broadcast hints: the adjacency is unbounded."""
+    bidir = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = bidir.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    adj = bidir.join(
+        deg.filter(F.col("deg") <= hub_cap).select("a"), "a"
+    ).localCheckpoint(eager=True)
+    return (
+        adj.select(F.col("a"), F.col("b").alias("u"))
+        .join(adj.select(F.col("a"), F.col("b").alias("v")), "a")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

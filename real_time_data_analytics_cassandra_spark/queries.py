@@ -8588,6 +8588,74 @@ def part_copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wedge-center degree cap for link prediction: part of the operator
+# contract (hubs carry no predictive signal — the Adamic-Adar
+# argument with the weight pinned to 0), shared verbatim with the
+# oracle.  See operators/graph.py::common_neighbor_counts.
+_LINKPRED_HUB_CAP = 64
+
+
+def copurchase_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LINK PREDICTION over the repeat co-purchase graph: the top-20
+    part pairs that share the most common neighbors but have NO edge
+    yet — "these two parts are bought alongside the same partners
+    but never yet together", the classic common-neighbors candidate
+    list (Liben-Nowell & Kleinberg 2003) that drives both
+    recommendation ("bundle these next") and graph-curation ("this
+    edge is probably missing data").  Completes the graph-family
+    story: components/k-core/coreness describe the graph that IS,
+    this ranks the edges that AREN'T.
+
+    Exactness & scale: common-neighbor counts ride
+    operators/graph.py::common_neighbor_counts with wedge centers
+    capped at degree ≤ 64 (the cap is the operator contract, applied
+    identically in the oracle — Σ C(d,2) wedge work is quadratic in
+    hub degree without it, ≤ C(64,2) per center with it); candidates
+    are the counts ANTI-joined against the edge list; endpoint
+    degrees (context columns) are the UNCAPPED subgraph degrees.
+    Pure integer counts, one deterministic TakeOrdered(20) under the
+    total order (cn DESC, u, v)."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        common_neighbor_counts,
+    )
+
+    edges = _copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_orders") >= 2
+    )
+    cn = common_neighbor_counts(
+        edges, "u", "v", hub_cap=_LINKPRED_HUB_CAP
+    )
+    cand = cn.join(edges.select("u", "v"), ["u", "v"], "left_anti")
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        cand.join(
+            deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+        )
+        .orderBy(F.desc("common_neighbors"), "part_u", "part_v")
+        .limit(20)
+    )
+
+
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order BACKLOG over time by SWEEP-LINE: each order is an
     interval [order day, last ship day]; the backlog on any day is
@@ -9927,6 +9995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_components": part_copurchase_components,
         "part_copurchase_kcore": part_copurchase_kcore,
         "part_copurchase_coreness": part_copurchase_coreness,
+        "copurchase_link_prediction": copurchase_link_prediction,
         "copurchase_degree_assortativity": copurchase_degree_assortativity,
         "copurchase_degree_histogram": copurchase_degree_histogram,
         "order_backlog_daily": order_backlog_daily,
@@ -10321,6 +10390,49 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learned_merges": _bpe_train_oracle_sql(),
         "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
         "part_copurchase_coreness": _coreness_oracle_sql(rounds=24),
+        "copurchase_link_prediction": f"""
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a
+                JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            edges AS (SELECT u AS a, v AS b FROM pairs
+                      UNION SELECT v, u FROM pairs),
+            deg AS (
+                SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1
+            ),
+            adj AS (
+                SELECT e.a, e.b FROM edges e
+                JOIN deg d ON d.id = e.a
+                WHERE d.deg <= {_LINKPRED_HUB_CAP}
+            ),
+            cn AS (
+                SELECT l.b AS u, r.b AS v,
+                       CAST(count(*) AS BIGINT) AS cn
+                FROM adj l JOIN adj r
+                  ON l.a = r.a AND l.b < r.b
+                GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT cn.u, cn.v, cn.cn
+                FROM cn LEFT JOIN pairs p
+                  ON p.u = cn.u AND p.v = cn.v
+                WHERE p.u IS NULL
+            )
+            SELECT c.u AS part_u, c.v AS part_v,
+                   c.cn AS common_neighbors,
+                   du.deg AS deg_u, dv.deg AS deg_v
+            FROM cand c
+            JOIN deg du ON du.id = c.u
+            JOIN deg dv ON dv.id = c.v
+            ORDER BY common_neighbors DESC, part_u, part_v
+            LIMIT 20
+        """,
         "copurchase_degree_assortativity": """
             WITH op AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -574,3 +574,45 @@ def test_core_decomposition_raises_on_round_exhaustion(spark):
         for r in core_decomposition(chain, "u", "v").collect()
     }
     assert got == {(i, 1) for i in range(31)}  # a path is all 1-core
+
+
+def test_common_neighbor_counts_match_brute_force_random_graph(spark):
+    """Capped common-neighbor counts vs a brute-force Python recount
+    on a deterministic pseudo-random graph, at a cap that actually
+    excludes some centers (hub_cap=3 on a 17-vertex graph) and at one
+    that excludes none."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        common_neighbor_counts,
+    )
+
+    pairs = []
+    x = 11
+    for _ in range(90):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 17
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 17
+        if a != b:
+            pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, "u long, v long")
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for cap in (3, 10_000):
+        centers = {n for n, nb in adj.items() if len(nb) <= cap}
+        expect: dict[tuple[int, int], int] = {}
+        for c in centers:
+            nb = sorted(adj[c])
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    k = (nb[i], nb[j])
+                    expect[k] = expect.get(k, 0) + 1
+        got = {
+            (r.u, r.v): r.cn
+            for r in common_neighbor_counts(
+                edges, hub_cap=cap
+            ).collect()
+        }
+        assert got == expect, f"cap={cap}"
