@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "mannwhitney_purchase_values",
     "event_hourly_mann_kendall",
     "copurchase_link_prediction",
+    "copurchase_hub_hop_histogram",
     "hourly_count_acf",
     "source_length_ks_drift",
     "source_length_psi",

@@ -442,6 +442,76 @@ def common_neighbor_counts(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 12,
+) -> DataFrame:
+    """Minimum HOP DISTANCE from a source vertex set, by synchronous
+    frontier expansion bounded at ``max_hops`` — the reachability
+    primitive behind "how far does this cluster/contamination spread"
+    audits.  Output: (id, hops) for every vertex within ``max_hops``
+    of a source (sources themselves at 0); vertices farther away are
+    ABSENT (the bound is part of the contract, mirrored in oracles as
+    a depth-limited recursion).
+
+    ``sources`` is a 1-column DataFrame of vertex ids.
+
+    Scale shape: the loop relaxes distances like
+    :func:`connected_components` relaxes labels — per round, ONE
+    equi-join of the current distance table against the
+    bidirectional edge list on the vertex key plus ONE min-aggregate,
+    both hash-partitioned and AQE-sized; ``localCheckpoint`` keeps
+    every round's plan O(1) (the components rationale).  Early-exits
+    when a round changes nothing, so the cost is
+    O(min(diameter, max_hops)) shuffles, with no driver state beyond
+    the loop counter."""
+    bidir = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    src_col = sources.columns[0]
+    dist = (
+        sources.select(F.col(src_col).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            bidir.join(dist, bidir.a == dist.id)
+            .select(
+                F.col("b").alias("id"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no vertex improved AND none was added
+        changed = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "id", "left")
+            .filter(
+                F.col("o.hops").isNull()
+                | (F.col("n.hops") != F.col("o.hops"))
+            )
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+    return dist
+
+
 def k_core(
     edges: DataFrame,
     k: int,

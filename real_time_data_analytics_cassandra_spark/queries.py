@@ -8656,6 +8656,60 @@ def copurchase_link_prediction(
     )
 
 
+def copurchase_hub_hop_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BFS HOP-DISTANCE histogram from the HUB of the repeat
+    co-purchase graph (highest-degree part, ties to the lowest key):
+    how many parts sit 1, 2, … hops from the best-connected part,
+    plus an explicit `-1` row for parts of the graph the hub cannot
+    reach within the bound — the small-world/fragmentation readout
+    ("is this one ball around the hub, or islands?") that components
+    (existence of a path) and coreness (density tiers) don't answer.
+
+    Exactness: hop distances are unique minima, so the histogram is
+    deterministic; the traversal is BOUNDED at 12 hops as part of
+    the contract, and the oracle mirrors it as a depth-limited
+    recursive CTE (both engines see the identical ball; the `-1` row
+    counts everything outside it).
+
+    Scale shape: operators/graph.py::bfs_hops — per round one
+    vertex-keyed equi-join + one min-aggregate, lineage
+    checkpointed (O(1) plan per round), early exit on convergence,
+    so O(min(diameter, 12)) shuffles; the hub pick is a
+    TakeOrdered(1) over the degree aggregate; the histogram is
+    enum-bounded (≤ 14 rows)."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    edges = _copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_orders") >= 2
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ).localCheckpoint(eager=True)
+    hub = deg.orderBy(F.desc("deg"), F.asc("id")).limit(1).select("id")
+    dist = bfs_hops(edges, hub, "u", "v", max_hops=12)
+    reached = dist.groupBy("hops").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    totals = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_reached = dist.agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    unreach = (
+        totals.crossJoin(F.broadcast(n_reached))
+        .select(
+            F.lit(-1).cast("long").alias("hops"),
+            (F.col("n_nodes") - F.col("n_r")).cast("long").alias("n_parts"),
+        )
+    )
+    return reached.unionByName(unreach).orderBy("hops")
+
+
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order BACKLOG over time by SWEEP-LINE: each order is an
     interval [order day, last ship day]; the backlog on any day is
@@ -9996,6 +10050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_kcore": part_copurchase_kcore,
         "part_copurchase_coreness": part_copurchase_coreness,
         "copurchase_link_prediction": copurchase_link_prediction,
+        "copurchase_hub_hop_histogram": copurchase_hub_hop_histogram,
         "copurchase_degree_assortativity": copurchase_degree_assortativity,
         "copurchase_degree_histogram": copurchase_degree_histogram,
         "order_backlog_daily": order_backlog_daily,
@@ -10432,6 +10487,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg dv ON dv.id = c.v
             ORDER BY common_neighbors DESC, part_u, part_v
             LIMIT 20
+        """,
+        "copurchase_hub_hop_histogram": """
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a
+                JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            edges AS (SELECT u AS a, v AS b FROM pairs
+                      UNION SELECT v, u FROM pairs),
+            deg AS (
+                SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1
+            ),
+            hub AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 1),
+            walk(id, d) AS (
+                SELECT id, CAST(0 AS BIGINT) FROM hub
+                UNION
+                SELECT e.b, w.d + 1
+                FROM walk w JOIN edges e ON e.a = w.id
+                WHERE w.d < 12
+            ),
+            dist AS (SELECT id, min(d) AS hops FROM walk GROUP BY 1),
+            reached AS (
+                SELECT CAST(hops AS BIGINT) AS hops,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM dist GROUP BY 1
+            )
+            SELECT hops, n_parts FROM reached
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT) AS hops,
+                   CAST((SELECT count(*) FROM deg)
+                        - (SELECT count(*) FROM dist) AS BIGINT)
+                       AS n_parts
+            ORDER BY hops
         """,
         "copurchase_degree_assortativity": """
             WITH op AS MATERIALIZED (

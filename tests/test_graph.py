@@ -616,3 +616,56 @@ def test_common_neighbor_counts_match_brute_force_random_graph(spark):
             ).collect()
         }
         assert got == expect, f"cap={cap}"
+
+
+def _brute_bfs(pairs, sources, max_hops):
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = h
+                    nxt.add(m)
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def test_bfs_hops_matches_brute_force_random_graph(spark):
+    """bfs_hops vs a Python BFS on a deterministic pseudo-random
+    graph with TWO components, from one and from two sources, at a
+    bound that truncates and one that doesn't."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    pairs = []
+    x = 5
+    for _ in range(40):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 12
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 12
+        if a != b:
+            pairs.append((a, b))
+    # second component, disjoint ids 100.. — a path so hops go deep
+    pairs += [(100, 101), (101, 102), (102, 103), (103, 104)]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    for srcs, cap in [([100], 12), ([100], 2), ([0, 100], 3)]:
+        sources = spark.createDataFrame(
+            [(s,) for s in srcs], "id long"
+        )
+        got = {
+            r.id: r.hops
+            for r in bfs_hops(edges, sources, max_hops=cap).collect()
+        }
+        assert got == _brute_bfs(pairs, srcs, cap), (srcs, cap)

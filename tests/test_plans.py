@@ -482,6 +482,7 @@ def test_registry_wide_plan_hygiene(spark):
         "part_copurchase_components",  # iterative star contraction, same gate
         "part_copurchase_kcore",  # iterative peeling, unrolled-CTE oracle
         "part_copurchase_coreness",  # iterative h-index, unrolled-CTE oracle
+        "copurchase_hub_hop_histogram",  # iterative BFS, recursive-CTE oracle
         "incremental_dedup_clusters",  # iterative + persisted fixture, own gates
         "dedup_cluster_representatives",
     }
