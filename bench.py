@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "token_zipf_fit",
     "value_benford_audit",
     "streaming_benford_drift",
+    "streaming_psi_drift",
     "value_skewness_by_type",
     "purchase_mean_bootstrap_ci",
     "chi2_type_daypart",

@@ -5158,6 +5158,19 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    return _psi_from_bucket_counts(per)
+
+
+def _psi_from_bucket_counts(per: DataFrame) -> DataFrame:
+    """The PSI readout over a per-(source, bucket) count table — the
+    shared tail of the batch and streaming PSI queries (identical
+    code = identical arithmetic = shared oracle, the
+    _ks_from_value_counts recipe).  Checkpoints the counts so the
+    four consumers (grid, bucket totals, source totals, grand total)
+    read one materialization — and so the memory-sink relation the
+    streaming form feeds in can be self-joined at all (reusing a
+    MemoryPlan leaf verbatim trips conflicting-attribute analysis)."""
+    per = per.localCheckpoint(eager=True)
     buckets = per.select("bucket").distinct()
     srcs = per.select("source").distinct()
     grid = (
@@ -5214,6 +5227,48 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "n_buckets_used", "n_onesided", "psi")
         .orderBy("source")
     )
+
+
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source PSI drift score MAINTAINED BY THE STREAM: the
+    per-(source, log2-length-bucket) count aggregation of
+    `source_length_psi` runs as a Structured Streaming aggregation
+    over the bounded documents replay — bucket counts are additive,
+    so ANY micro-batch split reaches the identical count table — and
+    the micro-unit-deterministic PSI readout runs over the finished
+    table through literally the same helper
+    (:func:`_psi_from_bucket_counts`) the batch query uses, so this
+    streaming query shares the batch query's full DuckDB oracle
+    bit-for-bit (the streaming_ks_drift recipe applied to the binned
+    integral drift score).  This is the production monitor shape:
+    crawl shards accumulate into streaming state, the dashboard PSI
+    is evaluated on demand."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_table_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    docs = bounded_table_stream(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("long").alias("len")
+    )
+    per_q = (
+        docs.select(
+            "source",
+            F.expr(_log2_ladder("len")).cast("long").alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_streaming_psi_")
+    per = run_available_now(
+        per_q, "streaming_psi_drift_q", ckpt, output_mode="complete"
+    )
+    return _psi_from_bucket_counts(per)
 
 
 def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10075,6 +10130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_benford_audit": value_benford_audit,
         "streaming_benford_drift": streaming_benford_drift,
         "source_length_psi": source_length_psi,
+        "streaming_psi_drift": streaming_psi_drift,
         "token_zipf_fit": token_zipf_fit,
         "value_skewness_by_type": value_skewness_by_type,
         "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
@@ -14966,6 +15022,9 @@ def oracle_sql() -> dict[str, str]:
     d["streaming_hdr_percentiles"] = d["hdr_value_percentiles"]
     d["streaming_ols_trend"] = d["event_hourly_ols_trend"]
     d["streaming_ks_drift"] = d["ks_test_purchase_values"]
+    # the streamed (source, bucket) counts merge exactly across
+    # micro-batches (additive) -> the PSI readout shares the batch oracle
+    d["streaming_psi_drift"] = d["source_length_psi"]
     # the interlaced PNG twin has identical deterministic geometry
     d["media_png_adam7_decode"] = d["media_png_decode"]
     # the confusion matrix composes the lang_id scorer verbatim
