@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "ks_test_purchase_values",
     "mannwhitney_purchase_values",
     "event_hourly_mann_kendall",
+    "hourly_spearman_matrix",
     "copurchase_link_prediction",
     "copurchase_hub_hop_histogram",
     "hourly_count_acf",

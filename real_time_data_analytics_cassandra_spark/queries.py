@@ -1194,6 +1194,101 @@ def event_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def hourly_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation between event types'
+    hourly volumes — the robust sibling of
+    `event_type_correlation_matrix`: Pearson on counts is dragged by
+    a single flash-crowd hour, Spearman on ranks is not, and the gap
+    between the two matrices is itself the classic "co-movement is
+    outlier-driven" diagnostic.
+
+    Exactness: ranks are computed per type over the SAME zero-filled
+    (hour × type) grid as Pearson, with ties by MIDRANK carried as
+    the exact INTEGER 2·midrank = 2·(count below) + t + 1 (Spearman
+    is scale-invariant, so doubling changes nothing); the five
+    Pearson sums over these integer ranks are exact BIGINT, and the
+    only floating point is the final sqrt/divide over identical
+    integers (IEEE-identical cross-engine — the Pearson matrix
+    argument), then round-6, NULL when a type's ranks are constant.
+    BIGINT headroom: n·Σr² ~ 4n⁴ — exact to ~35k hours (a 4-year
+    hourly calendar); swap the moment sums to decimal(38,0) beyond.
+
+    Scale shape: midranks derive from a per-type (y, count)
+    aggregate plus a PARTITIONED cumulative window over each type's
+    ≤|hours| distinct counts (calendar-bounded); the pair join is
+    the Pearson per-hour |types|² fan; five map-side sums; no
+    global window, no collect."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    counts = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    hours = ev.select("h").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    vals = grid.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vals = vals.withColumn(
+        "below", F.coalesce(F.sum("t").over(wv), F.lit(0)).cast("long")
+    )
+    ranked = grid.join(vals, ["event_type", "y"]).select(
+        "event_type",
+        "h",
+        (2 * F.col("below") + F.col("t") + 1).cast("long").alias("r2"),
+    )
+    a = ranked.select(
+        F.col("event_type").alias("type_a"),
+        F.col("h"),
+        F.col("r2").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("event_type").alias("type_b"),
+        F.col("h"),
+        F.col("r2").alias("rb"),
+    )
+    p = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    return (
+        s.select(
+            "type_a",
+            "type_b",
+            F.col("n").cast("long").alias("n_hours"),
+            F.expr(
+                "CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 "
+                "THEN NULL ELSE round(CAST(n * sab - sa * sb AS DOUBLE) "
+                "/ (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) "
+                "* sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) END"
+            ).alias("rho"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) candidate pairs, exact-Jaccard
     verified (sim >= 0.5).  The 100 TB-scale dedup path — and since
@@ -10096,6 +10191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ols_trend": streaming_ols_trend,
         "streaming_ks_drift": streaming_ks_drift,
         "event_type_correlation_matrix": event_type_correlation_matrix,
+        "hourly_spearman_matrix": hourly_spearman_matrix,
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
@@ -12635,6 +12731,56 @@ def oracle_sql() -> dict[str, str]:
                              / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
                                 * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))),
                              6) END AS corr
+            FROM s ORDER BY 1, 2
+        """,
+        "hourly_spearman_matrix": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+                       FROM events),
+                 c AS (SELECT event_type, h, count(*) AS y
+                       FROM e GROUP BY 1, 2),
+                 hours AS (SELECT DISTINCT h FROM e),
+                 types AS (SELECT DISTINCT event_type FROM e),
+                 grid AS (SELECT t.event_type, hours.h,
+                                 CAST(coalesce(c.y, 0) AS BIGINT) AS y
+                          FROM hours CROSS JOIN types t
+                          LEFT JOIN c ON c.event_type = t.event_type
+                                     AND c.h = hours.h),
+                 vals AS (SELECT event_type, y,
+                                 CAST(count(*) AS BIGINT) AS t,
+                                 CAST(coalesce(sum(count(*)) OVER (
+                                     PARTITION BY event_type ORDER BY y
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING
+                                 ), 0) AS BIGINT) AS below
+                          FROM grid GROUP BY event_type, y),
+                 ranked AS (SELECT g.event_type, g.h,
+                                   CAST(2 * v.below + v.t + 1 AS BIGINT)
+                                       AS r2
+                            FROM grid g
+                            JOIN vals v ON v.event_type = g.event_type
+                                       AND v.y = g.y),
+                 p AS (SELECT a.event_type AS type_a,
+                              b.event_type AS type_b,
+                              a.r2 AS ra, b.r2 AS rb
+                       FROM ranked a JOIN ranked b
+                         ON a.h = b.h AND a.event_type < b.event_type),
+                 s AS (SELECT type_a, type_b,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(ra) AS BIGINT) AS sa,
+                              CAST(sum(rb) AS BIGINT) AS sb,
+                              CAST(sum(ra * ra) AS BIGINT) AS saa,
+                              CAST(sum(rb * rb) AS BIGINT) AS sbb,
+                              CAST(sum(ra * rb) AS BIGINT) AS sab
+                       FROM p GROUP BY 1, 2)
+            SELECT type_a, type_b,
+                   n AS n_hours,
+                   CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0
+                        THEN NULL
+                        ELSE round(CAST(n * sab - sa * sb AS DOUBLE)
+                             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))),
+                             6) END AS rho
             FROM s ORDER BY 1, 2
         """,
         "media_ppm_decode": """

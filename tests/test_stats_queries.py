@@ -191,3 +191,71 @@ def test_mann_kendall_matches_bruteforce_pair_recount(spark):
         assert r.var_s_x18 == n * (n - 1) * (2 * n + 5) - tie
         assert r.tau_a == round(s / (n * (n - 1) / 2.0), 6)
         assert -1.0 <= r.tau_a <= 1.0
+
+
+def test_spearman_matrix_matches_bruteforce_midranks(spark):
+    """Every pair's rho must equal a pure-Python midrank + Pearson
+    recompute over the same zero-filled (hour x type) grid."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    got = {
+        (r.type_a, r.type_b): (r.n_hours, r.rho)
+        for r in q.hourly_spearman_matrix(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .count()
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {}
+    hours: set[int] = set()
+    for r in rows:
+        counts.setdefault(r.event_type, {})[r.h] = r["count"]
+        hours.add(r.h)
+    hs = sorted(hours)
+
+    def midranks2(series):
+        out = []
+        svals = sorted(series)
+        for v in series:
+            below = sum(1 for x in svals if x < v)
+            t = sum(1 for x in svals if x == v)
+            out.append(2 * below + t + 1)
+        return out
+
+    ranks = {
+        et: midranks2([counts[et].get(h, 0) for h in hs])
+        for et in counts
+    }
+    types = sorted(counts)
+    n = len(hs)
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            ra, rb = ranks[types[i]], ranks[types[j]]
+            sa, sb = sum(ra), sum(rb)
+            saa = sum(x * x for x in ra)
+            sbb = sum(x * x for x in rb)
+            sab = sum(x * y for x, y in zip(ra, rb))
+            da, db = n * saa - sa * sa, n * sbb - sb * sb
+            expect = (
+                None
+                if da == 0 or db == 0
+                else round(
+                    (n * sab - sa * sb) / (math.sqrt(da) * math.sqrt(db)),
+                    6,
+                )
+            )
+            g_n, g_rho = got[(types[i], types[j])]
+            assert g_n == n
+            assert g_rho == expect, (types[i], types[j], g_rho, expect)
+            if g_rho is not None:
+                assert -1.0 <= g_rho <= 1.0
