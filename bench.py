@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "mannwhitney_purchase_values",
     "event_hourly_mann_kendall",
     "hourly_spearman_matrix",
+    "hourly_dispersion_index",
+    "type_audience_overlap",
     "copurchase_link_prediction",
     "copurchase_hub_hop_histogram",
     "hourly_count_acf",

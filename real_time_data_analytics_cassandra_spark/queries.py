@@ -1194,6 +1194,136 @@ def event_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def hourly_dispersion_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type DISPERSION INDEX (variance-to-mean ratio) of the
+    hourly counts — the one-number Poisson/burstiness audit: a
+    memoryless arrival stream has VMR = 1, campaign bursts and
+    thundering herds push it far above, and a rate-limited or
+    quota-capped source pushes it below.  The capacity-planning
+    companion to the ACF (rhythm) and CUSUM (level shifts).
+
+    Exactness: on the zero-filled per-type hourly grid, VMR =
+    (n·Σy² − S²) / (n·S) — the numerator and denominator are exact
+    BIGINT (the OLS re-based convention's headroom argument), ONE
+    double division at the end, NULL for a type with no events.
+
+    Scale shape: one map-side-combined (type, hour) count densified
+    onto the global hour spine via the tiny type-enum broadcast
+    (the correlation-matrix recipe), then one keyed aggregate."""
+    ensure_query_confs(spark)
+    events = table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    counts = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    hours = ev.select("h").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("y").cast("long").alias("n_events"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return (
+        s.select(
+            "event_type",
+            "n_hours",
+            "n_events",
+            F.expr(
+                "CASE WHEN n_events = 0 THEN NULL ELSE "
+                "round(CAST(n_hours * syy - n_events * n_events AS DOUBLE)"
+                " / CAST(n_hours * n_events AS DOUBLE), 6) END"
+            ).alias("vmr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP matrix: for every event-type pair, how many
+    users did both, and the exact JACCARD of the two audiences — the
+    engagement-funnel geometry question ("are purchasers a subset of
+    clickers, or a different crowd?") that
+    `signup_purchase_overlap` answers for one hand-picked pair and
+    `kmv_user_overlap` answers approximately; this is the exact,
+    all-pairs form.
+
+    Exactness: pure integer set sizes off ONE distinct
+    (user, type) projection; the pair counts come from a self-join
+    ON THE USER key whose per-user fan is ≤ |types|² (a tiny enum
+    square, never |users|²); Jaccard is one final double division.
+
+    Scale shape: one distinct projection (map-side combinable), one
+    user-keyed equi-join (hash, AQE-sized), two keyed aggregates.
+    The |types|-row audience-size relation joins onto the
+    |types|²-row pair relation — enum-bounded, AQE broadcasts."""
+    ensure_query_confs(spark)
+    ut = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    pairs = (
+        ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+        .join(
+            ut.select(
+                F.col("user_id"), F.col("event_type").alias("type_b")
+            ),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_users").alias("n_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            sizes.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_users").alias("n_b"),
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def hourly_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise SPEARMAN rank correlation between event types'
     hourly volumes — the robust sibling of
@@ -10192,6 +10322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ks_drift": streaming_ks_drift,
         "event_type_correlation_matrix": event_type_correlation_matrix,
         "hourly_spearman_matrix": hourly_spearman_matrix,
+        "hourly_dispersion_index": hourly_dispersion_index,
+        "type_audience_overlap": type_audience_overlap,
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
@@ -12732,6 +12864,54 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))),
                              6) END AS corr
             FROM s ORDER BY 1, 2
+        """,
+        "hourly_dispersion_index": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+                       FROM events),
+                 c AS (SELECT event_type, h, count(*) AS y
+                       FROM e GROUP BY 1, 2),
+                 hours AS (SELECT DISTINCT h FROM e),
+                 types AS (SELECT DISTINCT event_type FROM e),
+                 grid AS (SELECT t.event_type,
+                                 CAST(coalesce(c.y, 0) AS BIGINT) AS y
+                          FROM hours CROSS JOIN types t
+                          LEFT JOIN c ON c.event_type = t.event_type
+                                     AND c.h = hours.h),
+                 s AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n_hours,
+                              CAST(sum(y) AS BIGINT) AS n_events,
+                              CAST(sum(y * y) AS BIGINT) AS syy
+                       FROM grid GROUP BY 1)
+            SELECT event_type, n_hours, n_events,
+                   CASE WHEN n_events = 0 THEN NULL
+                        ELSE round(CAST(n_hours * syy
+                                        - n_events * n_events AS DOUBLE)
+                                   / CAST(n_hours * n_events AS DOUBLE),
+                                   6) END AS vmr
+            FROM s ORDER BY event_type
+        """,
+        "type_audience_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+                 sizes AS (SELECT event_type,
+                                  CAST(count(*) AS BIGINT) AS n_users
+                           FROM ut GROUP BY 1),
+                 p AS (SELECT a.event_type AS type_a,
+                              b.event_type AS type_b,
+                              CAST(count(*) AS BIGINT) AS n_both
+                       FROM ut a JOIN ut b
+                         ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+                       GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b,
+                   sa.n_users AS n_a, sb.n_users AS n_b, p.n_both,
+                   round(CAST(p.n_both AS DOUBLE)
+                         / CAST(sa.n_users + sb.n_users - p.n_both
+                                AS DOUBLE), 6) AS jaccard
+            FROM p
+            JOIN sizes sa ON sa.event_type = p.type_a
+            JOIN sizes sb ON sb.event_type = p.type_b
+            ORDER BY p.type_a, p.type_b
         """,
         "hourly_spearman_matrix": """
             WITH e AS (SELECT event_type,

@@ -334,6 +334,7 @@ _BNLJ_OK = {
     "streaming_ks_drift",  # same 1-row arm-totals broadcasts as the batch KS
     "event_type_correlation_matrix",  # type-enum grid broadcast
     "hourly_spearman_matrix",  # same type-enum grid broadcast
+    "hourly_dispersion_index",  # same type-enum grid broadcast
     "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
     "curriculum_shards",  # 1-row per-shard-size broadcast over the ranked frame
     "heavy_hitter_tokens",  # 1-row error-mass broadcast

@@ -259,3 +259,85 @@ def test_spearman_matrix_matches_bruteforce_midranks(spark):
             assert g_rho == expect, (types[i], types[j], g_rho, expect)
             if g_rho is not None:
                 assert -1.0 <= g_rho <= 1.0
+
+
+def test_dispersion_index_matches_bruteforce(spark):
+    """Each type's VMR must equal the Fraction recompute over the
+    zero-filled global hour spine."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    got = {
+        r.event_type: r
+        for r in q.hourly_dispersion_index(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .count()
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {}
+    hours: set[int] = set()
+    for r in rows:
+        counts.setdefault(r.event_type, {})[r.h] = r["count"]
+        hours.add(r.h)
+    for et, per in counts.items():
+        ys = [per.get(h, 0) for h in sorted(hours)]
+        n, s, syy = len(ys), sum(ys), sum(y * y for y in ys)
+        r = got[et]
+        assert (r.n_hours, r.n_events) == (n, s)
+        expect = (
+            None
+            if s == 0
+            else round(float(Fraction(n * syy - s * s, n * s)), 6)
+        )
+        assert r.vmr == expect
+        assert r.vmr is None or r.vmr >= 0.0
+
+
+def test_audience_overlap_matches_bruteforce_sets(spark):
+    """Every pair's co-audience and Jaccard must equal a Python set
+    recompute over the raw (user, type) pairs."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    got = {
+        (r.type_a, r.type_b): r
+        for r in q.type_audience_overlap(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    aud: dict[str, set[int]] = {}
+    for r in rows:
+        aud.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(aud)
+    seen = set()
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            both = aud[types[i]] & aud[types[j]]
+            if not both:
+                assert (types[i], types[j]) not in got
+                continue
+            r = got[(types[i], types[j])]
+            seen.add((types[i], types[j]))
+            assert (r.n_a, r.n_b, r.n_both) == (
+                len(aud[types[i]]),
+                len(aud[types[j]]),
+                len(both),
+            )
+            union = len(aud[types[i]] | aud[types[j]])
+            assert r.jaccard == round(len(both) / union, 6)
+    assert seen == set(got)
