@@ -65,6 +65,10 @@ SF1_QUERIES = {
     "event_hourly_theil_sen",
     "event_hourly_theil_sen_sampled",
     "purchase_mean_bootstrap_ci",
+    # round-9 second wave: the capped wedge join is the one new
+    # family whose 3rd-decade behavior matters (the cap argument
+    # says linear-in-vertices; the derived sf1 measures it)
+    "copurchase_link_prediction",
 }
 
 # one representative per operator family
@@ -114,6 +118,13 @@ QUERIES = [
     ("PSI drift", "source_length_psi"),
     ("Zipf fit", "token_zipf_fit"),
     ("Poisson bootstrap CI", "purchase_mean_bootstrap_ci"),
+    # round-9 second-wave families
+    ("Mann-Whitney U (global cumsum)", "mannwhitney_purchase_values"),
+    ("hourly ACF (calendar lag join)", "hourly_count_acf"),
+    ("Spearman matrix (midranks)", "hourly_spearman_matrix"),
+    ("link prediction (capped wedges)", "copurchase_link_prediction"),
+    ("BFS hop ball", "copurchase_hub_hop_histogram"),
+    ("audience overlap", "type_audience_overlap"),
 ]
 
 OUT = os.path.join(
