@@ -50,3 +50,20 @@ def test_every_rows_only_query_has_a_crossval_row():
     cv_names = set(cv) if isinstance(cv, dict) else {r["name"] for r in cv}
     missing = sorted((reg - ora) - cv_names)
     assert not missing, missing
+
+
+def test_readme_registry_counts_match_the_code():
+    """The README architecture blurb quotes three registry counts
+    (total queries, oracle-backed, approximate); quoting stale
+    numbers misstates the verified surface, so drift is a failure."""
+    reg, ora = q.queries(), q.oracle_sql()
+    readme = open(REPO / "README.md").read()
+    m = re.search(
+        r"registry: (\d+) \(spark, sf_dir\)", readme
+    )
+    m_ora = re.search(r"SQL-expressible one \((\d+)\)", readme)
+    m_approx = re.search(r"the (\d+) approximate ones", readme)
+    assert m and m_ora and m_approx, "README count lines not found"
+    assert int(m.group(1)) == len(reg)
+    assert int(m_ora.group(1)) == len(ora)
+    assert int(m_approx.group(1)) == len(reg) - len(ora)
