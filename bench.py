@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "hourly_spearman_matrix",
     "hourly_dispersion_index",
     "type_audience_overlap",
+    "observed_ingest_quality",
     "copurchase_link_prediction",
     "copurchase_hub_hop_histogram",
     "hourly_count_acf",

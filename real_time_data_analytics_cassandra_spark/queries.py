@@ -9633,6 +9633,70 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def observed_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-PASS in-flight quality metrics via ``Dataset.observe``:
+    the production ingest pattern where the quality counters (row
+    count, null keys, null payloads, time-range bounds) ride the SAME
+    pass as the real work — here the hourly type-count aggregation —
+    instead of paying a second full scan the way an after-the-fact
+    audit (`data_quality_report`) does.  The reference validates
+    inline at its API layer for the same reason
+    (realtime_api.py:137-138, 252-253); at 100 TB a separate
+    quality scan is a second 100 TB read, while observe() metrics
+    are accumulator-side and FREE.
+
+    Exactness: every metric is an exact integer aggregate (counts
+    and epoch-hour min/max), so the 1-row readout carries a FULL
+    DuckDB oracle; the observation is collected after one eager
+    noop-sink write of the riding aggregation (deterministic — the
+    metrics are a pure function of the scanned rows, independent of
+    partitioning/batching by the accumulator merge semantics of
+    count/sum/min/max).
+
+    Scale shape: ONE scan, map-side-combined metric accumulators,
+    the riding aggregation's own shuffle — nothing else."""
+    from pyspark.sql import Observation
+
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    obs = Observation("ingest_quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null_user"),
+        F.sum(F.col("value").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null_value"),
+        F.min("h").cast("long").alias("h_min"),
+        F.max("h").cast("long").alias("h_max"),
+    )
+    # the real work the metrics ride on: one hourly type-count pass
+    observed.groupBy("event_type", "h").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_user"],
+                m["n_null_value"],
+                m["h_min"],
+                m["h_max"],
+            )
+        ],
+        "n_rows long, n_null_user long, n_null_value long, "
+        "h_min long, h_max long",
+    )
+
+
 def snapshot_docs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC through the versioned-table sink (sinks/
     snapshots.py): the documents corpus is committed as snapshot v1
@@ -10305,6 +10369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_span_dedup": incremental_span_dedup,
         "snapshot_docs_changes": snapshot_docs_changes,
         "data_quality_report": data_quality_report,
+        "observed_ingest_quality": observed_ingest_quality,
         "doc_char_entropy": doc_char_entropy,
         "hourly_seasonal_trend": hourly_seasonal_trend,
         "bpe_learned_merges": bpe_learned_merges,
@@ -11828,6 +11893,18 @@ def oracle_sql() -> dict[str, str]:
               ON c.event_type = p.event_type AND c.hod = p.hod
             GROUP BY c.event_type, c.day
             ORDER BY c.event_type, c.day
+        """,
+        "observed_ingest_quality": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_user,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_value,
+                   CAST(min(CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                        AS BIGINT) AS h_min,
+                   CAST(max(CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                        AS BIGINT) AS h_max
+            FROM events
         """,
         "data_quality_report": """
             WITH rows AS (
