@@ -459,15 +459,19 @@ def bfs_hops(
 
     ``sources`` is a 1-column DataFrame of vertex ids.
 
-    Scale shape: the loop relaxes distances like
-    :func:`connected_components` relaxes labels — per round, ONE
-    equi-join of the current distance table against the
-    bidirectional edge list on the vertex key plus ONE min-aggregate,
-    both hash-partitioned and AQE-sized; ``localCheckpoint`` keeps
-    every round's plan O(1) (the components rationale).  Early-exits
-    when a round changes nothing, so the cost is
-    O(min(diameter, max_hops)) shuffles, with no driver state beyond
-    the loop counter."""
+    Scale shape: FRONTIER-ONLY expansion — unweighted BFS discovers
+    a vertex exactly at its minimum distance, so each round needs to
+    join only LAST round's newly-discovered frontier against the
+    edge list (one equi-join on the vertex key) and anti-join the
+    settled set (one more vertex-keyed join), never re-relax the
+    whole distance table the way label propagation must
+    (:func:`connected_components` labels can improve late; hop
+    counts cannot).  The frontier SHRINKS as the ball saturates, so
+    per-round work tracks the wave, not the reached set;
+    ``localCheckpoint`` keeps every round's plan O(1), and the
+    frontier count (the loop's natural control variable) is the only
+    driver-side state.  Cost: O(min(diameter, max_hops)) rounds of
+    two frontier-sized hash joins."""
     bidir = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -476,39 +480,25 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     src_col = sources.columns[0]
-    dist = (
+    frontier = (
         sources.select(F.col(src_col).alias("id"))
         .distinct()
-        .withColumn("hops", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_hops):
-        relaxed = (
-            bidir.join(dist, bidir.a == dist.id)
-            .select(
-                F.col("b").alias("id"),
-                (F.col("hops") + 1).alias("hops"),
-            )
-        )
-        new_dist = (
-            dist.unionByName(relaxed)
-            .groupBy("id")
-            .agg(F.min("hops").cast("long").alias("hops"))
+    dist = frontier.withColumn("hops", F.lit(0).cast("long"))
+    for k in range(1, max_hops + 1):
+        frontier = (
+            bidir.join(frontier, bidir.a == frontier.id)
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        # converged when no vertex improved AND none was added
-        changed = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), "id", "left")
-            .filter(
-                F.col("o.hops").isNull()
-                | (F.col("n.hops") != F.col("o.hops"))
-            )
-            .count()
-        )
-        dist = new_dist
-        if changed == 0:
+        if frontier.isEmpty():
             break
+        dist = dist.unionByName(
+            frontier.withColumn("hops", F.lit(k).cast("long"))
+        ).localCheckpoint(eager=True)
     return dist
 
 

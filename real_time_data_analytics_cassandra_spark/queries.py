@@ -8953,12 +8953,12 @@ def copurchase_hub_hop_histogram(
     recursive CTE (both engines see the identical ball; the `-1` row
     counts everything outside it).
 
-    Scale shape: operators/graph.py::bfs_hops — per round one
-    vertex-keyed equi-join + one min-aggregate, lineage
-    checkpointed (O(1) plan per round), early exit on convergence,
-    so O(min(diameter, 12)) shuffles; the hub pick is a
-    TakeOrdered(1) over the degree aggregate; the histogram is
-    enum-bounded (≤ 14 rows)."""
+    Scale shape: operators/graph.py::bfs_hops — FRONTIER-ONLY
+    expansion (two frontier-sized vertex-keyed joins per round,
+    lineage checkpointed, O(1) plan per round, stops when the
+    frontier empties), so per-round work tracks the advancing wave,
+    not the reached set; the hub pick is a TakeOrdered(1) over the
+    degree aggregate; the histogram is enum-bounded (≤ 14 rows)."""
     ensure_query_confs(spark)
     from real_time_data_analytics_cassandra_spark.operators.graph import (
         bfs_hops,
