@@ -1137,3 +1137,89 @@ def test_hdr_bucket_matches_bit_model(spark, vals, p):
         assert lb <= v
         if v > 0:
             assert (v - lb) / v <= 2**-p
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15),
+                  st.integers(min_value=0, max_value=15)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda es: [(min(a, b), max(a, b)) for a, b in es if a != b]
+          or [(0, 1)]),
+    cap=st.sampled_from([1, 2, 4, 100]),
+)
+@SET
+def test_common_neighbor_counts_match_model(spark, edges, cap):
+    """Hub-capped common-neighbor counts vs a pure-Python wedge
+    recount at caps that exclude much/some/none of the graph."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        common_neighbor_counts,
+    )
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        (r.u, r.v): r.cn
+        for r in common_neighbor_counts(df, hub_cap=cap).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[tuple[int, int], int] = {}
+    for c, nb in adj.items():
+        if len(nb) > cap:
+            continue
+        ns = sorted(nb)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                k = (ns[i], ns[j])
+                expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15),
+                  st.integers(min_value=0, max_value=15)),
+        min_size=1,
+        max_size=25,
+    ).map(lambda es: [(min(a, b), max(a, b)) for a, b in es if a != b]
+          or [(0, 1)]),
+    src=st.integers(min_value=0, max_value=15),
+    cap=st.sampled_from([0, 1, 3, 16]),
+)
+@SET
+def test_bfs_hops_matches_model(spark, edges, src, cap):
+    """Frontier BFS vs a pure-Python BFS from an arbitrary source
+    (which may be isolated or absent from the graph) at bounds that
+    truncate and bounds that don't."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    sources = spark.createDataFrame([(src,)], "id long")
+    got = {
+        r.id: r.hops
+        for r in bfs_hops(df, sources, max_hops=cap).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {src: 0}
+    frontier = {src}
+    for h in range(1, cap + 1):
+        nxt = {
+            m
+            for n in frontier
+            for m in adj.get(n, ())
+            if m not in dist
+        }
+        for m in nxt:
+            dist[m] = h
+        frontier = nxt
+        if not frontier:
+            break
+    assert got == dist
