@@ -103,6 +103,29 @@ BUDGETS = {
     # hourly counts + hour spine + grid left join + per-hour pair
     # join + pair sums + ordered output (types ride a broadcast)
     "event_type_correlation_matrix": 8,
+    # round 9: the Pearson tail + the per-type (y, count) aggregate,
+    # its partitioned cumulative window, and the rank-decoration join
+    "hourly_spearman_matrix": 17,
+    # hourly count + pair join reduced by keyed SUMs + tie aggregate
+    # + n aggregate + ordered output — no windows
+    "event_hourly_mann_kendall": 5,
+    # hourly count + spine + grid join + lag fan equi-join + per-lag
+    # sums + ordered output (lags/totals/denominator ride broadcasts)
+    "hourly_count_acf": 13,
+    # per-(value, arm) count + global_cumsum range exchange + its
+    # offsets + the 1-row totals broadcast's exchange
+    "mannwhitney_purchase_values": 4,
+    # capped adjacency build (checkpointed leaf) + wedge self-join +
+    # pair count + anti join + degree joins, TakeOrdered output
+    "copurchase_link_prediction": 3,
+    # distinct (user, type) projection (checkpointed leaf) + user
+    # self-join + pair count + two enum-size decoration joins
+    "type_audience_overlap": 4,
+    # observe() metrics ride the scan; the returned readout is a
+    # 1-row local relation — zero exchanges by construction
+    "observed_ingest_quality": 0,
+    # one keyed aggregate over the densified grid + ordered output
+    "hourly_dispersion_index": 5,
     # one expand + hash aggregate + ordered output: CUBE never
     # rescans per margin
     "order_priority_cube": 2,
