@@ -975,12 +975,15 @@ def event_hourly_mann_kendall(
         )
     )
     return (
-        s.join(n, "event_type")
-        .join(ties, "event_type")
+        n.join(ties, "event_type")
+        # LEFT: a type whose series has ONE populated hour generates
+        # zero h1<h2 pairs, so the inner pair-join has no row for it
+        # — it must still appear (S = 0, NULL tau), not vanish
+        .join(s, "event_type", "left")
         .select(
             "event_type",
             "n_hours",
-            "s_stat",
+            F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat"),
             (
                 F.col("n_hours")
                 * (F.col("n_hours") - 1)
@@ -989,14 +992,11 @@ def event_hourly_mann_kendall(
             )
             .cast("long")
             .alias("var_s_x18"),
-            F.round(
-                F.col("s_stat").cast("double")
-                / (
-                    F.col("n_hours").cast("double")
-                    * (F.col("n_hours") - 1).cast("double")
-                    / F.lit(2.0)
-                ),
-                6,
+            F.expr(
+                "CASE WHEN n_hours < 2 THEN NULL ELSE "
+                "round(CAST(coalesce(s_stat, 0) AS DOUBLE) "
+                "/ (CAST(n_hours AS DOUBLE) "
+                "* CAST(n_hours - 1 AS DOUBLE) / 2.0), 6) END"
             ).alias("tau_a"),
         )
         .orderBy("event_type")
@@ -5071,14 +5071,13 @@ def mannwhitney_purchase_values(
         "n_a",
         "n_b",
         "u2_a",
-        F.round(
-            F.col("u2_a").cast("double")
-            / (
-                F.lit(2.0)
-                * F.col("n_a").cast("double")
-                * F.col("n_b").cast("double")
-            ),
-            6,
+        # NULL on an empty arm in BOTH engines: Spark's double
+        # division by zero and DuckDB's IEEE NaN would otherwise
+        # disagree (the assortativity zero-denominator convention)
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE "
+            "round(CAST(u2_a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) "
+            "* CAST(n_b AS DOUBLE)), 6) END"
         ).alias("p_superiority"),
     )
 
@@ -11176,10 +11175,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM cum
             )
             SELECT n_a, n_b, u2_a,
-                   round(CAST(u2_a AS DOUBLE)
-                         / (2.0 * CAST(n_a AS DOUBLE)
-                            * CAST(n_b AS DOUBLE)),
-                         6) AS p_superiority
+                   CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                        ELSE round(CAST(u2_a AS DOUBLE)
+                             / (2.0 * CAST(n_a AS DOUBLE)
+                                * CAST(n_b AS DOUBLE)),
+                             6) END AS p_superiority
             FROM u, tot
         """,
         "value_skewness_by_type": """
@@ -13164,17 +13164,19 @@ def oracle_sql() -> dict[str, str]:
                       FROM hourly GROUP BY 1, 2)
                 GROUP BY 1
             )
-            SELECT s.event_type, n.n_hours, s.s_stat,
+            SELECT n.event_type, n.n_hours,
+                   CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
                    CAST(n.n_hours * (n.n_hours - 1) * (2 * n.n_hours + 5)
                         - ties.tie_term AS BIGINT) AS var_s_x18,
-                   round(CAST(s.s_stat AS DOUBLE)
-                         / (CAST(n.n_hours AS DOUBLE)
-                            * CAST(n.n_hours - 1 AS DOUBLE) / 2.0),
-                         6) AS tau_a
-            FROM s
-            JOIN n ON n.event_type = s.event_type
-            JOIN ties ON ties.event_type = s.event_type
-            ORDER BY s.event_type
+                   CASE WHEN n.n_hours < 2 THEN NULL
+                        ELSE round(CAST(coalesce(s.s_stat, 0) AS DOUBLE)
+                             / (CAST(n.n_hours AS DOUBLE)
+                                * CAST(n.n_hours - 1 AS DOUBLE) / 2.0),
+                             6) END AS tau_a
+            FROM n
+            JOIN ties ON ties.event_type = n.event_type
+            LEFT JOIN s ON s.event_type = n.event_type
+            ORDER BY n.event_type
         """,
         "hourly_count_acf": """
             WITH ev AS (
