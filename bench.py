@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "media_png_gray16_decode",
     "media_png_rgba_decode",
     "media_ppm_decode",
+    "image_ahash_clusters",
+    "image_phash_near_dup",
     "incremental_ann_search",
     "streaming_incremental_index",
     "json_decode_quarantine",
@@ -257,6 +259,8 @@ BENCH_QUERIES = [
     "observed_ingest_quality",
     "copurchase_link_prediction",
     "copurchase_hub_hop_histogram",
+    "copurchase_cheapest_paths",
+    "copurchase_harmonic_centrality",
     "hourly_count_acf",
     "source_length_ks_drift",
     "source_length_psi",

@@ -502,6 +502,157 @@ def bfs_hops(
     return dist
 
 
+def multi_source_bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 8,
+) -> DataFrame:
+    """PER-SEED minimum hop distances from a seed vertex set — the
+    multi-source generalization of :func:`bfs_hops` that keeps the
+    seed identity in the state, so s seeds cost ONE synchronized
+    frontier loop instead of s sequential traversals (the joins carry
+    (seed, id) composite keys; rounds stay O(min(diameter,
+    max_hops))).  Output: (seed, id, hops) for every (seed, vertex)
+    pair within ``max_hops`` (seeds at 0 from themselves); farther
+    pairs are ABSENT — the bound is part of the contract, mirrored in
+    oracles as a depth-limited recursive CTE over the seed set.
+
+    This is the sampled-centrality primitive: harmonic/closeness
+    centrality estimates need distances from a SAMPLE of sources
+    (Eppstein & Wang 2004), and the sample rides one loop here.
+
+    Scale shape: identical envelope to :func:`bfs_hops` — frontier-
+    only expansion, two (seed, id)-keyed hash joins per round,
+    ``localCheckpoint`` keeping every round's plan O(1); state is
+    bounded by s x |reached ball|, and the frontier shrinks as each
+    seed's ball saturates."""
+    bidir = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    frontier = (
+        seeds.select(F.col(seed_col).alias("seed"))
+        .distinct()
+        .withColumn("id", F.col("seed"))
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier.withColumn("hops", F.lit(0).cast("long"))
+    for k in range(1, max_hops + 1):
+        frontier = (
+            bidir.join(frontier, bidir.a == frontier.id)
+            .select("seed", F.col("b").alias("id"))
+            .distinct()
+            .join(dist.select("seed", "id"), ["seed", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(
+            frontier.withColumn("hops", F.lit(k).cast("long"))
+        ).localCheckpoint(eager=True)
+    return dist
+
+
+def bellman_ford_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    rounds: int = 6,
+) -> DataFrame:
+    """CHEAPEST WEIGHTED PATH within ``rounds`` edge relaxations from
+    a source vertex set — synchronous bounded Bellman-Ford over the
+    undirected graph, the weighted sibling of :func:`bfs_hops` (hop
+    counts answer "how far"; this answers "how cheap", e.g. with
+    inverse co-occurrence strength as the cost).  Output: (id, cost)
+    where cost = the exact minimum total weight over paths of at most
+    ``rounds`` edges (sources at 0); vertices unreachable within the
+    bound are ABSENT.  The bound is part of the CONTRACT (mirrored in
+    oracles as the same number of unrolled relaxation rounds), which
+    is what makes the result well-defined without global convergence
+    detection.  Weights must be non-negative integers (exact
+    arithmetic in any engine).
+
+    Scale shape: LABEL-CORRECTING frontier form — round t only
+    relaxes vertices whose distance improved in round t-1 (a vertex
+    whose label did not change cannot produce a better offer than it
+    already did), so per-round work is two frontier-sized hash
+    equi-joins (offers = frontier x incident edges, then a min-merge
+    against the settled table), exactly the
+    :func:`bfs_hops` envelope with a min-combining update instead of
+    an anti-join.  This is synchronous Bellman-Ford, so after round t
+    the table holds the true min over <= t-edge paths — frontier
+    pruning changes the work, never the labels.  ``localCheckpoint``
+    keeps every round's plan O(1); the only driver-side state is the
+    frontier-empty flag."""
+    bidir = (
+        edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("a"),
+                F.col(src).alias("b"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .filter(F.col("a") != F.col("b"))
+        # parallel edges keep only the cheapest — same relaxed result
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    src_col = sources.columns[0]
+    dist = (
+        sources.select(F.col(src_col).alias("id"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        offers = (
+            bidir.join(frontier, bidir.a == frontier.id)
+            .select(
+                F.col("b").alias("id"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            offers.join(
+                dist.select("id", F.col("cost").alias("old_cost")),
+                "id",
+                "left",
+            )
+            .filter(
+                F.col("old_cost").isNull()
+                | (F.col("cost") < F.col("old_cost"))
+            )
+            .select("id", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist.select("id", F.col("cost").cast("long").alias("cost"))
+
+
 def k_core(
     edges: DataFrame,
     k: int,

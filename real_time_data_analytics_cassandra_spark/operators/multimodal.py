@@ -1105,3 +1105,174 @@ def audio_window_features(df_with_payload: DataFrame) -> DataFrame:
             )
 
     return df_with_payload.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (average hash) — the multimodal arm of the
+# dedup family: a 64-bit signature computed from the REAL decoded
+# pixel plane, clustered exactly, then near-linked with the same
+# banded-Hamming pigeonhole recipe as dedup.simhash_near_pairs.
+# Everything is pure integer arithmetic over deterministic pixels, so
+# the whole family carries FULL DuckDB oracles (the oracle recomputes
+# the hash arithmetically from the document bytes the PNG container
+# wraps; the Spark side earns those pixels through the genuine
+# CRC-checked zlib decode).
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sig_hi", LongType()),
+        StructField("sig_lo", LongType()),
+    ]
+)
+
+
+def image_ahash_signatures(df_with_payload: DataFrame) -> DataFrame:
+    """64-bit AVERAGE HASH (aHash) per image, from the real decoded
+    single-channel pixel plane — the classic perceptual signature
+    (downsample to an 8x8 grid, threshold each cell against the
+    global mean) in exact integer form:
+
+    - cell of pixel (r, c) on a WxH plane: i = 8*((r*8)//H) + (c*8)//W
+      (integer grid mapping; cells may be empty when H < 8);
+    - bit_b = 1  iff  cell_sum_b * N > total_sum * cell_npix_b
+      (cell mean > plane mean, cross-multiplied so no division);
+    - signature packed MSB-first into two 32-bit halves (sig_hi =
+      bits 0..31, sig_lo = bits 32..63) so every value stays a
+      non-negative BIGINT in any engine.
+
+    Arrow-batched numpy over mapInPandas — one decode + one bincount
+    per image, no per-row Python in the aggregation; O(1) state per
+    image.  Requires a single-channel plane (the gray-8 PNG/PPM
+    containers); multi-channel payloads raise ValueError rather than
+    silently hashing interleaved samples.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                meta, px = decode_payload(bytes(payload))
+                if meta["n_channels"] != 1:
+                    raise ValueError(
+                        "image_ahash_signatures needs a single-channel "
+                        f"plane, got {meta['n_channels']} channels"
+                    )
+                w, h = meta["width"], meta["height"]
+                v = px.astype(np.int64)
+                idx = np.arange(v.size, dtype=np.int64)
+                cell = 8 * ((idx // w) * 8 // h) + (idx % w) * 8 // w
+                cell_sum = np.zeros(64, dtype=np.int64)
+                np.add.at(cell_sum, cell, v)
+                cell_npix = np.bincount(cell, minlength=64).astype(np.int64)
+                total = int(v.sum())
+                n = int(v.size)
+                bits = cell_sum * n > total * cell_npix
+                hi = 0
+                lo = 0
+                for b in range(32):
+                    hi = (hi << 1) | int(bits[b])
+                    lo = (lo << 1) | int(bits[32 + b])
+                ids.append(int(doc_id))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig_hi": pd.Series(his, dtype="int64"),
+                    "sig_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_ahash_clusters(sig: DataFrame) -> DataFrame:
+    """Exact perceptual-duplicate clusters: group on the full 64-bit
+    signature, canonical member = lowest doc_id — the image twin of
+    dedup.exact_duplicate_groups, and the COLLAPSE step that makes
+    near-linking sublinear on template-heavy corpora (the near join
+    runs over distinct signatures, never over documents).  One hash
+    aggregate + one equi-join back; no pair blowup possible."""
+    clusters = sig.groupBy("sig_hi", "sig_lo").agg(
+        F.min("doc_id").alias("canon_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return sig.join(clusters, ["sig_hi", "sig_lo"]).select(
+        "doc_id", "sig_hi", "sig_lo", "canon_id", "cluster_size"
+    )
+
+
+def image_ahash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate links between perceptual-duplicate CLUSTERS:
+    banded-Hamming candidate generation over the DISTINCT signatures
+    (4 bands of 16 bits; pigeonhole — Hamming <= 3 < 4 bands forces
+    at least one identical band, so candidates are LOSSLESS for the
+    threshold), then exact Hamming verification via xor + bit_count.
+    Output one row per linked cluster pair: (doc_a, doc_b) are the
+    clusters' canonical doc_ids, with the exact Hamming distance and
+    both cluster sizes — the dedup decision table.
+
+    Scale shape: the quadratic surface is |distinct signatures within
+    a shared band|, never |documents| — exact collapse first means a
+    corpus of near-identical template images (this fixture, and the
+    realistic worst case) contributes each template ONCE to the band
+    join.  All integer equi-joins; no UDF past the signature stage.
+    """
+    clusters = sig.groupBy("sig_hi", "sig_lo").agg(
+        F.min("doc_id").alias("canon_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    mask = F.lit(65535)
+    banded = clusters.select(
+        "canon_id",
+        F.posexplode(
+            F.array(
+                F.shiftrightunsigned("sig_hi", 16).bitwiseAND(mask),
+                F.col("sig_hi").bitwiseAND(mask),
+                F.shiftrightunsigned("sig_lo", 16).bitwiseAND(mask),
+                F.col("sig_lo").bitwiseAND(mask),
+            )
+        ).alias("band", "band_val"),
+    )
+    cand = (
+        banded.select(F.col("canon_id").alias("doc_a"), "band", "band_val")
+        .join(
+            banded.select(
+                F.col("canon_id").alias("doc_b"), "band", "band_val"
+            ),
+            ["band", "band_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = clusters.select(
+        F.col("canon_id").alias("doc_a"),
+        F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"),
+        F.col("n_docs").alias("n_docs_a"),
+    )
+    b = clusters.select(
+        F.col("canon_id").alias("doc_b"),
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("n_docs").alias("n_docs_b"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(
+                    F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+                )
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming", "n_docs_a", "n_docs_b")
+    )

@@ -106,6 +106,47 @@ def top_heavy_hitters(
     )
 
 
+def verified_heavy_hitters(
+    df: DataFrame, col: str, k: int = 64, top: int = 20
+) -> DataFrame:
+    """EXACT top-``top`` values by count, with the Misra-Gries summary
+    as the physical SHORTLIST — the standard two-pass heavy-hitters
+    query (candidate generation + exact recount) that turns the
+    approximate sketch into an oracle-checkable exact answer.
+
+    Pass 1 ships only the ≤ k-row MG summary per partition (never the
+    key space); pass 2 recounts ONLY the surviving candidates with a
+    broadcast inner join (≤ k·P rows on the build side) — the corpus
+    is scanned twice but never shuffled on the full vocabulary.
+
+    Exactness: the MG completeness guarantee says every value with
+    true count > err (err = summed subtracted mass ≤ n/(k+1)) is a
+    candidate, so as long as the ``top``-th exact count exceeds err —
+    asserted against exact counts in tests/test_crossval.py, and
+    trivially true when the vocabulary fits k (err = 0) — the result
+    IS the exact global top-``top``, independent of partitioning.
+    Output: (value, exact_count, rank), ranked (count desc, value).
+    """
+    cand = (
+        mg_partition_summaries(df, col, k)
+        .filter(F.col("value").isNotNull())
+        .select("value")
+        .distinct()
+    )
+    src = df.select(F.col(col).cast("string").alias("value"))
+    exact = (
+        src.join(F.broadcast(cand), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    w = Window.orderBy(F.desc("exact_count"), F.asc("value"))
+    return (
+        exact.orderBy(F.desc("exact_count"), F.asc("value"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (Cormode & Muthukrishnan 2005) — the OVERESTIMATE
 # counterpart to Misra-Gries (which underestimates): depth hash rows x

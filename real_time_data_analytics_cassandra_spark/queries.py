@@ -2342,6 +2342,68 @@ def media_png_gray16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def image_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCEPTUAL-duplicate clusters over the decoded images:
+    each document's bytes wrap in a genuine gray-8 PNG, the pixel
+    plane is earned through the real CRC-checked zlib decode, a
+    64-bit average hash (operators/multimodal.py::
+    image_ahash_signatures — integer 8x8 grid means thresholded
+    against the plane mean) condenses it, and documents sharing the
+    full signature cluster (canonical = lowest doc_id) — the
+    multimodal arm of the dedup family (dedup_exact's image twin).
+
+    Full oracle: the aHash is pure integer arithmetic over the
+    deterministic plane, so DuckDB recomputes the identical
+    signature from the document bytes (unnest the padded pixel
+    grid, the same cross-multiplied threshold) while Spark earns it
+    from the real decode.
+
+    Scale shape: one Arrow decode pass (O(1) state per image), one
+    hash aggregate on the 64-bit key, one equi-join back — identical
+    envelope to dedup_exact; no pair surface at all."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    docs = table(spark, sf_dir, "documents")
+    sig = mm_op.image_ahash_signatures(
+        mm_op.attach_png_payload(spread(docs), "doc_id", "text")
+    )
+    return mm_op.image_ahash_clusters(sig).orderBy("doc_id")
+
+
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash NEAR-duplicate links: the banded-Hamming
+    near-dup recipe (dedup.simhash_near_pairs' pigeonhole — 4 bands
+    of 16 bits cover Hamming <= 3 losslessly) applied to the 64-bit
+    average hashes of the REALLY-decoded PNG planes, after exact
+    signature collapse (operators/multimodal.py::
+    image_ahash_near_pairs).  One row per linked cluster pair:
+    canonical doc_ids, exact Hamming distance, both cluster sizes —
+    the dedup decision table a multimodal curation pipeline consumes.
+
+    Full oracle: signature, bands, xor + bit_count Hamming are all
+    integer arithmetic DuckDB reproduces bit-for-bit from the
+    document bytes; tests/test_multimodal_real.py re-derives the
+    whole pair set in pure Python as a second independent gate.
+
+    Scale shape: the quadratic surface is |distinct signatures
+    sharing a band|, never |documents| — a template-heavy corpus
+    (realistic worst case, and this fixture) contributes each
+    template ONCE to the band join because exact collapse runs
+    first; everything past the Arrow signature stage is integer
+    equi-joins inside codegen."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    docs = table(spark, sf_dir, "documents")
+    sig = mm_op.image_ahash_signatures(
+        mm_op.attach_png_payload(spread(docs), "doc_id", "text")
+    )
+    return mm_op.image_ahash_near_pairs(sig, max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -7860,14 +7922,18 @@ def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top corpus tokens via a mergeable Misra-Gries frequency sketch
-    (operators/sketches.py) — O(k) state per partition and k rows
-    shipped per partition instead of shuffling the vocabulary: the
-    frequency sibling of the HLL cardinality sketches.  No oracle
-    (per-partition lower bounds depend on the physical split);
-    tests/test_crossval.py asserts the MG guarantees (lower bound,
-    bounded undercount, completeness above the error mass) against
-    exact counts."""
+    """EXACT top-20 corpus tokens with a mergeable Misra-Gries
+    frequency sketch as the physical SHORTLIST (operators/sketches.py
+    ::verified_heavy_hitters) — the standard two-pass heavy-hitters
+    query: pass 1 ships only O(k) summary rows per partition (never
+    the vocabulary), pass 2 recounts the ≤ k·P surviving candidates
+    with a broadcast inner join.  The MG completeness guarantee
+    (every value with true count > err ≤ n/(k+1) survives pass 1,
+    asserted against exact counts in tests/test_crossval.py) makes
+    the final top-20 EXACT and partition-independent, so the query
+    carries a FULL oracle: the plain exact top-20 SQL.  At 100 TB the
+    two bounded passes replace a full-vocabulary shuffle; the sketch
+    is the scale path, the recount is what makes it checkable."""
     from real_time_data_analytics_cassandra_spark.catalog import spread
     from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
     from real_time_data_analytics_cassandra_spark.operators import (
@@ -7877,7 +7943,10 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
     tok = spread(docs).select(F.explode(tokens(F.col("text"))).alias("term"))
-    return sk_op.top_heavy_hitters(tok, "term", k=64, top=20)
+    out = sk_op.verified_heavy_hitters(tok, "term", k=64, top=20)
+    return out.select(
+        F.col("value").alias("term"), "exact_count", "rank"
+    )
 
 
 def cross_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8987,6 +9056,112 @@ def copurchase_hub_hop_histogram(
         )
     )
     return reached.unionByName(unreach).orderBy("hops")
+
+
+def copurchase_cheapest_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHEAPEST WEIGHTED PATHS from the hub of the repeat co-purchase
+    graph, bounded at 6 relaxation rounds (operators/graph.py::
+    bellman_ford_bounded): edge cost = 1000000 div n_orders (strong
+    ties are cheap), so the result ranks every part by how cheaply
+    the best-connected part reaches it through high-affinity links —
+    the weighted complement of copurchase_hub_hop_histogram (hops
+    answer "how far"; this answers "how strong a chain").
+
+    Exactness: integer weights, synchronous rounds — after round t
+    the table holds the exact minimum over <= t-edge paths, a
+    well-defined quantity independent of partitioning; the round
+    bound is part of the contract and the oracle unrolls the same 6
+    relaxations as plain SQL (each one join + min-regroup).
+
+    Scale shape: label-correcting FRONTIER form — each round joins
+    only the vertices improved last round against the edge list,
+    then min-merges into the settled table (two vertex-keyed hash
+    joins per round, lineage checkpointed, O(1) plan per round);
+    per-round work tracks the improving wave, never the reached set.
+    The hub pick is a TakeOrdered(1) over the degree aggregate."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        bellman_ford_bounded,
+    )
+
+    pairs = _copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_orders") >= 2
+    )
+    edges = pairs.select(
+        "u", "v", F.expr("1000000 div n_orders").alias("w")
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    hub = deg.orderBy(F.desc("deg"), F.asc("id")).limit(1).select("id")
+    dist = bellman_ford_bounded(edges, hub, "u", "v", "w", rounds=6)
+    return dist.orderBy("id")
+
+
+def copurchase_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED HARMONIC CENTRALITY over the repeat co-purchase graph
+    (Eppstein & Wang 2004 estimator): distance centrality — "which
+    parts sit closest to everything" — which PageRank (flow) and
+    coreness (density) don't measure.  Each part's harmonic sum
+    Σ 1/d(seed, part) is taken over a deterministic md5-ordered
+    sample of 8 seed vertices, with distances from ONE multi-source
+    frontier loop (operators/graph.py::multi_source_bfs_hops) bounded
+    at 8 hops; contributions are exact integers (27720 div d — 27720
+    = lcm(1..12), so every hop count divides it) to keep both engines
+    bit-identical.  Output per reached part: how many of the seeds
+    reach it and the integer harmonic units.
+
+    Exactness: the seed sample is a deterministic ORDER BY
+    (md5(id), id) LIMIT 8 — the same portable-digest economy every
+    sketch here uses — and hop minima are unique, so the full result
+    is partition-independent and carries a FULL oracle (recursive
+    depth-limited CTE from the same seed set).
+
+    Scale shape: s seeds ride ONE frontier loop with (seed, id)
+    composite keys — two vertex-keyed hash joins per round, O(1)
+    plans via localCheckpoint; state s x ball, never s passes over
+    the graph.  The estimator is the standard sub-quadratic path to
+    centrality at 100 TB: exact harmonic centrality is all-pairs
+    BFS (O(V·E)); the sample bounds work at s·E while the md5 order
+    keeps it reproducible."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        multi_source_bfs_hops,
+    )
+
+    edges = _copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_orders") >= 2
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    seeds = (
+        deg.orderBy(F.md5(F.col("id").cast("string")), F.asc("id"))
+        .limit(8)
+        .select("id")
+    )
+    dist = multi_source_bfs_hops(edges, seeds, "u", "v", max_hops=8)
+    return (
+        dist.filter(F.col("hops") >= 1)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seeds"),
+            F.sum(F.expr("27720 div hops")).cast("long").alias(
+                "harmonic_units"
+            ),
+        )
+        .orderBy("id")
+    )
 
 
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10398,6 +10573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_coreness": part_copurchase_coreness,
         "copurchase_link_prediction": copurchase_link_prediction,
         "copurchase_hub_hop_histogram": copurchase_hub_hop_histogram,
+        "copurchase_cheapest_paths": copurchase_cheapest_paths,
+        "copurchase_harmonic_centrality": copurchase_harmonic_centrality,
         "copurchase_degree_assortativity": copurchase_degree_assortativity,
         "copurchase_degree_histogram": copurchase_degree_histogram,
         "order_backlog_daily": order_backlog_daily,
@@ -10484,6 +10661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_palette_decode": media_png_palette_decode,
         "media_png_gray16_decode": media_png_gray16_decode,
         "media_png_rgba_decode": media_png_rgba_decode,
+        "image_ahash_clusters": image_ahash_clusters,
+        "image_phash_near_dup": image_phash_near_dup,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
@@ -10666,7 +10845,174 @@ def oracle_sql() -> dict[str, str]:
         f"THEN '{lang}'"
         for lang in langs
     )
+    # unrolled bounded Bellman-Ford: 6 synchronous relaxation rounds
+    # over the repeat co-purchase graph (each round = one join + one
+    # min-regroup), the plain-SQL mirror of operators/graph.py::
+    # bellman_ford_bounded's frontier form (same labels by the
+    # synchronous-rounds invariant; the frontier only prunes work).
+    bf_rounds = 6
+    bf_relax = "\n".join(
+        f"""            ,d{t} AS (
+                SELECT id, min(cost) AS cost FROM (
+                    SELECT id, cost FROM d{t - 1}
+                    UNION ALL
+                    SELECT e.b AS id, d.cost + e.w AS cost
+                    FROM d{t - 1} d JOIN edges e ON e.a = d.id
+                ) GROUP BY 1
+            )"""
+        for t in range(1, bf_rounds + 1)
+    )
+    # shared CTE chain: the exact-integer aHash signature per document
+    # (the arithmetic twin of operators/multimodal.py::
+    # image_ahash_signatures — same grid mapping, same cross-multiplied
+    # threshold, same MSB-first 32-bit halves) plus the
+    # exact-signature clusters, reused by both image-dedup oracles.
+    ahash_sig_ctes = """
+            geo AS (
+                SELECT doc_id, text, length(text) AS len_t,
+                       greatest(1, (length(text) + 63) // 64) AS h
+                FROM documents
+            ),
+            grid AS (
+                SELECT doc_id, text, len_t, h,
+                       unnest(range(0, 64 * h)) AS i
+                FROM geo
+            ),
+            px AS (
+                SELECT doc_id,
+                       8 * ((i // 64) * 8 // h) + (i % 64) * 8 // 64 AS b,
+                       CASE WHEN i < len_t
+                            THEN ord(substr(text, CAST(i + 1 AS INT), 1))
+                            ELSE 0 END AS v
+                FROM grid
+            ),
+            cells AS (
+                SELECT doc_id, b, sum(v) AS cs, count(*) AS cn
+                FROM px GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT doc_id, sum(cs) AS total, sum(cn) AS n
+                FROM cells GROUP BY 1
+            ),
+            sig AS (
+                SELECT c.doc_id,
+                       CAST(coalesce(sum(CASE WHEN c.b < 32
+                                AND c.cs * t.n > t.total * c.cn
+                            THEN CAST(1 AS BIGINT) << (31 - c.b)
+                            ELSE 0 END), 0) AS BIGINT) AS sig_hi,
+                       CAST(coalesce(sum(CASE WHEN c.b >= 32
+                                AND c.cs * t.n > t.total * c.cn
+                            THEN CAST(1 AS BIGINT) << (63 - c.b)
+                            ELSE 0 END), 0) AS BIGINT) AS sig_lo
+                FROM cells c JOIN tot t USING (doc_id)
+                GROUP BY 1
+            ),
+            clu AS (
+                SELECT sig_hi, sig_lo, min(doc_id) AS canon_id,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM sig GROUP BY 1, 2
+            )
+    """
     d = {
+        "copurchase_cheapest_paths": f"""
+            WITH
+            op AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.l_partkey AS u, b.l_partkey AS v,
+                       count(*) AS n_orders
+                FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            edges AS MATERIALIZED (
+                SELECT u AS a, v AS b,
+                       CAST(1000000 // n_orders AS BIGINT) AS w FROM pairs
+                UNION ALL
+                SELECT v, u, CAST(1000000 // n_orders AS BIGINT) FROM pairs
+            ),
+            deg AS (
+                SELECT a AS id, count(*) AS deg FROM edges GROUP BY 1
+            ),
+            hub AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 1),
+            d0 AS (SELECT id, CAST(0 AS BIGINT) AS cost FROM hub)
+{bf_relax}
+            SELECT id, CAST(cost AS BIGINT) AS cost
+            FROM d{bf_rounds} ORDER BY id
+        """,
+        "copurchase_harmonic_centrality": """
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a
+                JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            edges AS (SELECT u AS a, v AS b FROM pairs
+                      UNION SELECT v, u FROM pairs),
+            deg AS (
+                SELECT a AS id, count(*) AS deg FROM edges GROUP BY 1
+            ),
+            seeds AS (
+                SELECT id FROM deg
+                ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8
+            ),
+            walk(seed, id, d) AS (
+                SELECT id, id, CAST(0 AS BIGINT) FROM seeds
+                UNION
+                SELECT w.seed, e.b, w.d + 1
+                FROM walk w JOIN edges e ON e.a = w.id
+                WHERE w.d < 8
+            ),
+            dist AS (
+                SELECT seed, id, min(d) AS hops FROM walk GROUP BY 1, 2
+            )
+            SELECT id,
+                   CAST(count(*) AS BIGINT) AS n_seeds,
+                   CAST(sum(27720 // hops) AS BIGINT) AS harmonic_units
+            FROM dist WHERE hops >= 1
+            GROUP BY 1
+            ORDER BY id
+        """,
+        "image_ahash_clusters": f"""
+            WITH {ahash_sig_ctes}
+            SELECT s.doc_id, s.sig_hi, s.sig_lo, c.canon_id,
+                   c.n_docs AS cluster_size
+            FROM sig s JOIN clu c USING (sig_hi, sig_lo)
+            ORDER BY s.doc_id
+        """,
+        "image_phash_near_dup": f"""
+            WITH {ahash_sig_ctes},
+            banded AS (
+                SELECT canon_id, 0 AS band,
+                       (sig_hi >> 16) & 65535 AS band_val FROM clu
+                UNION ALL SELECT canon_id, 1, sig_hi & 65535 FROM clu
+                UNION ALL SELECT canon_id, 2, (sig_lo >> 16) & 65535 FROM clu
+                UNION ALL SELECT canon_id, 3, sig_lo & 65535 FROM clu
+            ),
+            cand AS (
+                SELECT DISTINCT a.canon_id AS doc_a, b.canon_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.canon_id < b.canon_id
+            )
+            SELECT cand.doc_a, cand.doc_b,
+                   CAST(bit_count(xor(x.sig_hi, y.sig_hi))
+                        + bit_count(xor(x.sig_lo, y.sig_lo))
+                        AS BIGINT) AS hamming,
+                   x.n_docs AS n_docs_a, y.n_docs AS n_docs_b
+            FROM cand
+            JOIN clu x ON x.canon_id = cand.doc_a
+            JOIN clu y ON y.canon_id = cand.doc_b
+            WHERE bit_count(xor(x.sig_hi, y.sig_hi))
+                  + bit_count(xor(x.sig_lo, y.sig_lo)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
         "boilerplate_scrub": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS toks
@@ -15378,9 +15724,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # intentionally no oracle (non-SQL-portable hashing / approximate
         # results): minhash_lsh, simhash_near_dup, ann_ivf,
-        # embedding_near_dup_cells, approx_distinct_users,
-        # heavy_hitter_tokens — driver records rows-only checks; tests
-        # cross-validate them against their exact counterparts.
+        # embedding_near_dup_cells, approx_distinct_users — driver
+        # records rows-only checks; tests cross-validate them against
+        # their exact counterparts.
+        # heavy_hitter_tokens is EXACT (MG shortlist + exact recount,
+        # completeness margin asserted in tests/test_crossval.py), so
+        # its oracle is the plain exact top-20.
+        "heavy_hitter_tokens": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            cnt AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+                FROM tok GROUP BY 1
+            )
+            SELECT term, exact_count,
+                   CAST(row_number() OVER (
+                        ORDER BY exact_count DESC, term) AS BIGINT) AS rank
+            FROM cnt
+            ORDER BY exact_count DESC, term
+            LIMIT 20
+        """,
     }
     # the eval rollup re-derives the classifier's own predictions and
     # reduces them to integer-exact per-class margins

@@ -138,6 +138,39 @@ def test_misra_gries_heavy_hitter_guarantees(spark):
     assert true_top5 <= set(est)
 
 
+def test_verified_heavy_hitters_exactness_margin(spark):
+    """heavy_hitter_tokens is EXACT because the MG candidate pass is
+    complete above the error mass: assert (1) the exactness margin —
+    the 20th exact count exceeds the worst-case subtracted mass at
+    the query's k=64 (so the two-pass result equals the true top-20
+    under ANY partitioning), and (2) the query output IS the exact
+    top-20 recomputed driver-side."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import spread, table
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    tok = spread(table(spark, SF_ORACLE, "documents")).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    exact = {r.term: r.n for r in
+             tok.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    top20 = sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:20]
+    # the actual summed error mass at the query's k — and the
+    # worst-case bound n/(k+1) — both sit below the 20th count
+    err = heavy_hitters(tok, "term", k=64).collect()[0].max_err
+    n_total = sum(exact.values())
+    assert top20[-1][1] > err, (top20[-1], err)
+    assert top20[-1][1] > n_total / 65, (top20[-1], n_total)
+    got = [(r.term, r.exact_count, r.rank)
+           for r in q.heavy_hitter_tokens(spark, SF_ORACLE).collect()]
+    want = [(t, n, i + 1) for i, (t, n) in enumerate(top20)]
+    assert got == want
+
+
 def test_sq8_reconstruction_quality_floor(spark):
     """Int8 scalar quantization must reconstruct every fixture
     embedding with cosine >= 0.995 — the quality bar that makes SQ8

@@ -669,3 +669,149 @@ def test_bfs_hops_matches_brute_force_random_graph(spark):
             for r in bfs_hops(edges, sources, max_hops=cap).collect()
         }
         assert got == _brute_bfs(pairs, srcs, cap), (srcs, cap)
+
+
+def _brute_bellman_ford(wpairs, sources, rounds):
+    """Pure-Python synchronous bounded Bellman-Ford: exact min cost
+    over paths of <= rounds edges (the textbook DP, full relaxation
+    every round — the frontier form must land on identical labels)."""
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for a, b, w in wpairs:
+        if a == b:
+            continue
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        new = dict(dist)
+        for n, c in dist.items():
+            for m, w in adj.get(n, ()):
+                if m not in new or c + w < new[m]:
+                    new[m] = c + w
+        dist = new
+    return dist
+
+
+def test_bellman_ford_bounded_matches_brute_force_random_graph(spark):
+    """bellman_ford_bounded vs the pure-Python DP on deterministic
+    pseudo-random weighted graphs (parallel edges with differing
+    weights included), at a round bound that truncates and one that
+    saturates, from one and two sources — and the bound semantics:
+    where a cheap long path beats an expensive short one, the
+    truncated bound must report the short one's cost."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        bellman_ford_bounded,
+    )
+
+    wpairs = []
+    x = 11
+    for _ in range(60):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 14
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 14
+        x = (x * 1103515245 + 12345) % (2**31)
+        w = 1 + x % 9
+        if a != b:
+            wpairs.append((a, b, w))
+    # a disjoint weighted path: forces deep relaxation + truncation
+    wpairs += [(100, 101, 5), (101, 102, 5), (102, 103, 5),
+               (103, 104, 5), (100, 104, 100)]
+    edges = spark.createDataFrame(wpairs, "u long, v long, w long")
+    for srcs, rounds in [([100], 8), ([100], 2), ([0, 100], 3)]:
+        sources = spark.createDataFrame([(s,) for s in srcs], "id long")
+        got = {
+            r.id: r.cost
+            for r in bellman_ford_bounded(
+                edges, sources, rounds=rounds
+            ).collect()
+        }
+        assert got == _brute_bellman_ford(wpairs, srcs, rounds), (
+            srcs, rounds,
+        )
+    # truncation semantics pinned: at 1 round the direct heavy edge
+    # wins; at 4+ the cheap chain replaces it
+    one = {r.id: r.cost for r in bellman_ford_bounded(
+        edges, spark.createDataFrame([(100,)], "id long"), rounds=1
+    ).collect()}
+    full = {r.id: r.cost for r in bellman_ford_bounded(
+        edges, spark.createDataFrame([(100,)], "id long"), rounds=4
+    ).collect()}
+    assert one[104] == 100 and full[104] == 20
+
+
+def test_multi_source_bfs_matches_per_seed_python_bfs(spark):
+    """multi_source_bfs_hops must equal s independent pure-Python
+    BFS runs on a deterministic pseudo-random graph (a multi-source
+    frontier bug — e.g. cross-seed dedup — would merge balls)."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        multi_source_bfs_hops,
+    )
+
+    pairs = []
+    x = 23
+    for _ in range(50):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 13
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 13
+        if a != b:
+            pairs.append((a, b))
+    pairs += [(200, 201), (201, 202), (202, 203)]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    seed_ids = [0, 5, 200]
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "id long")
+    got = {
+        (r.seed, r.id): r.hops
+        for r in multi_source_bfs_hops(edges, seeds, max_hops=4).collect()
+    }
+    want = {}
+    for s in seed_ids:
+        for node, h in _brute_bfs(pairs, [s], 4).items():
+            want[(s, node)] = h
+    assert got == want
+
+
+def test_harmonic_centrality_matches_pure_python(spark):
+    """copurchase_harmonic_centrality at the smoke SF vs a complete
+    pure-Python rederivation: pair counts from the parquet, the
+    md5-ordered seed sample, per-seed BFS, integer harmonic fold."""
+    import hashlib
+    import itertools
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    op = {(r.l_orderkey, r.l_partkey)
+          for r in li.select("l_orderkey", "l_partkey").collect()}
+    by_order: dict[int, list[int]] = {}
+    for o, p in sorted(op):
+        by_order.setdefault(o, []).append(p)
+    from collections import Counter
+    pair_orders: Counter = Counter()
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(set(parts)), 2):
+            pair_orders[(u, v)] += 1
+    edges = [(u, v) for (u, v), n in pair_orders.items() if n >= 2]
+    ids = sorted({x for e in edges for x in e})
+    seeds = sorted(
+        ids,
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:8]
+    agg: dict[int, list[int]] = {}
+    for s in seeds:
+        for node, h in _brute_bfs(edges, [s], 8).items():
+            if h >= 1:
+                agg.setdefault(node, []).append(h)
+    want = {
+        node: (len(hs), sum(27720 // h for h in hs))
+        for node, hs in agg.items()
+    }
+    got = {
+        r.id: (r.n_seeds, r.harmonic_units)
+        for r in q.copurchase_harmonic_centrality(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert got == want

@@ -586,3 +586,92 @@ def test_png_adam7_malformed_streams_raise_typed_errors():
         mm._decode_png(extra)
     # the well-formed twin still decodes (guard against over-strictness)
     assert mm._decode_png(whole)[1].tolist() == [10, 20, 30, 40, 50, 60, 70, 80]
+
+
+def _ahash_py(data: bytes) -> tuple[int, int]:
+    """Independent pure-Python aHash recompute (no numpy, no Spark):
+    the contract the Spark signature stage and the DuckDB oracle must
+    both match bit-for-bit."""
+    width = 64
+    height = max(1, -(-len(data) // width))
+    n = width * height
+    v = list(data) + [0] * (n - len(data))
+    cell_sum = [0] * 64
+    cell_npix = [0] * 64
+    for i, val in enumerate(v):
+        r, c = divmod(i, width)
+        b = 8 * ((r * 8) // height) + (c * 8) // width
+        cell_sum[b] += val
+        cell_npix[b] += 1
+    total = sum(v)
+    bits = [
+        1 if cell_sum[b] * n > total * cell_npix[b] else 0
+        for b in range(64)
+    ]
+    hi = sum(bits[i] << (31 - i) for i in range(32))
+    lo = sum(bits[32 + i] << (31 - i) for i in range(32))
+    return hi, lo
+
+
+def test_image_ahash_signature_matches_pure_python(spark):
+    """The Arrow signature stage (real PNG decode + numpy grid fold)
+    must reproduce the pure-Python recompute on hand-built docs
+    covering the edge geometry: empty text (one blank row), a single
+    row (H=1, empty grid cells), exact multiple of the width, and a
+    tall plane."""
+    rows = [
+        (1, ""),
+        (2, "short row"),
+        (3, "y" * 64),
+        (4, "the quick brown fox jumps over the lazy dog " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+        for r in mm.image_ahash_signatures(
+            mm.attach_png_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert sig[doc_id] == _ahash_py(text.encode()), doc_id
+
+
+def test_image_phash_near_dup_matches_pure_python(spark):
+    """The whole banded near-dup pair set at the smoke SF must equal
+    an independent pure-Python rederivation: signatures, exact
+    clusters, brute-force Hamming over distinct signatures (the
+    banded candidates are LOSSLESS for the threshold, so brute force
+    is the ground truth the pigeonhole must reach)."""
+    import itertools
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sigs = {d: _ahash_py(t.encode()) for d, t in texts.items()}
+    clusters: dict[tuple[int, int], list[int]] = {}
+    for d, s in sorted(sigs.items()):
+        clusters.setdefault(s, []).append(d)
+    want = set()
+    for (sa, members_a), (sb, members_b) in itertools.combinations(
+        sorted(clusters.items(), key=lambda kv: min(kv[1])), 2
+    ):
+        ham = bin(sa[0] ^ sb[0]).count("1") + bin(sa[1] ^ sb[1]).count("1")
+        if ham <= 3:
+            a, b = min(members_a), min(members_b)
+            a, b = (a, b) if a < b else (b, a)
+            want.add((a, b, ham, len(members_a), len(members_b)))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"], r["n_docs_a"], r["n_docs_b"])
+        for r in q.image_phash_near_dup(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    # and the cluster view agrees on sizes/canonicals
+    got_clu = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"], r["canon_id"],
+                      r["cluster_size"])
+        for r in q.image_ahash_clusters(spark, SF_ORACLE).collect()
+    }
+    for d, s in sigs.items():
+        assert got_clu[d] == (s[0], s[1], min(clusters[s]), len(clusters[s]))

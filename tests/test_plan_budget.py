@@ -75,6 +75,13 @@ BUDGETS = {
     "sampled_revenue_estimate": 2,
     "value_deciles": 2,
     "cms_token_counts": 5,
+    # two-pass exact heavy hitters: spread no-op exchange + MG summary
+    # merge + broadcast-recount agg + TakeOrdered
+    "heavy_hitter_tokens": 4,
+    # Arrow signature stage + signature groupBy + join-back
+    "image_ahash_clusters": 4,
+    # signature groupBy + band explode/join + distinct + 2 verify joins
+    "image_phash_near_dup": 10,
     # graph / linkage (post-loop leaves for the iterative ones;
     # triangle counting: adjacency build + 2 adjacency joins +
     # contribution regroup + output-degree regroup over the
@@ -118,6 +125,11 @@ BUDGETS = {
     # capped adjacency build (checkpointed leaf) + wedge self-join +
     # pair count + anti join + degree joins, TakeOrdered output
     "copurchase_link_prediction": 3,
+    # round 10: post-loop leaves — the settled-table output is a
+    # checkpointed leaf + ordered output
+    "copurchase_cheapest_paths": 1,
+    # post-loop (seed, id) table: harmonic regroup + ordered output
+    "copurchase_harmonic_centrality": 2,
     # distinct (user, type) projection (checkpointed leaf) + user
     # self-join + pair count + two enum-size decoration joins
     "type_audience_overlap": 4,

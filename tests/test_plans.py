@@ -268,6 +268,8 @@ _ARROW_QUERIES = {
     "media_png_gray16_decode",  # 16-bit twin, same Arrow stage
     "media_png_rgba_decode",  # 4-channel twin, same Arrow stage
     "media_ppm_decode",  # real P6 header token scan via mapInPandas
+    "image_ahash_clusters",  # real PNG decode + aHash via mapInPandas
+    "image_phash_near_dup",  # same Arrow signature stage, JVM past it
     "multimodal_features",
     "frame_samples",
     "audio_window_features",
