@@ -9871,6 +9871,93 @@ def observed_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of observed_ingest_quality: the same
+    in-flight quality counters (row count, null keys, time-range
+    bounds) ride the hourly type-count aggregation as per-micro-batch
+    ``observe`` metrics — the production monitoring pattern where a
+    StreamingQueryListener feeds a metrics table with zero extra
+    passes over the stream.  The replay arrives as 4 real micro-
+    batches (sharded staging, maxFilesPerTrigger=1), and the readout
+    FOLDS the per-batch observations with their accumulator semantics
+    (counts/sums add, min/max combine) — exactly the merge a metrics
+    sink performs.
+
+    Exactness: every metric is an exact integer aggregate and the
+    fold operators are associative-commutative, so the merged readout
+    equals the batch single-pass result bit-for-bit regardless of how
+    the replay batches — it SHARES observed_ingest_quality's oracle
+    (and tests/test_streaming.py asserts stream == batch directly).
+
+    Scale shape: observe() metrics are accumulator-side (free on the
+    stream's own pass); driver state is one 5-field row per
+    micro-batch, folded as it arrives."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        sharded_table_stream,
+    )
+
+    ensure_query_confs(spark)
+    stream = sharded_table_stream(
+        spark, sf_dir, "events", n_shards=4, time_cols=("ts",)
+    )
+    src = stream.select(
+        "event_type",
+        "user_id",
+        "value",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    observed = src.observe(
+        "ingest_quality",
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null_user"),
+        F.sum(F.col("value").isNull().cast("long"))
+        .cast("long")
+        .alias("n_null_value"),
+        F.min("h").cast("long").alias("h_min"),
+        F.max("h").cast("long").alias("h_max"),
+    )
+    # the real work the metrics ride on: the counter-table aggregation
+    agg = observed.groupBy("event_type", "h").count()
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_streaming_observed_")
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        sq = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        progresses = sq.recentProgress
+    finally:
+        spark.conf.set(conf_key, saved)
+    n_rows = n_null_user = n_null_value = 0
+    h_min = h_max = None
+    for p in progresses:
+        row = (p.observedMetrics or {}).get("ingest_quality")
+        if row is None:
+            continue
+        n_rows += row["n_rows"] or 0
+        n_null_user += row["n_null_user"] or 0
+        n_null_value += row["n_null_value"] or 0
+        if row["h_min"] is not None:
+            h_min = row["h_min"] if h_min is None else min(h_min, row["h_min"])
+        if row["h_max"] is not None:
+            h_max = row["h_max"] if h_max is None else max(h_max, row["h_max"])
+    return spark.createDataFrame(
+        [(n_rows, n_null_user, n_null_value, h_min, h_max)],
+        "n_rows long, n_null_user long, n_null_value long, "
+        "h_min long, h_max long",
+    )
+
+
 def snapshot_docs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC through the versioned-table sink (sinks/
     snapshots.py): the documents corpus is committed as snapshot v1
@@ -10544,6 +10631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_docs_changes": snapshot_docs_changes,
         "data_quality_report": data_quality_report,
         "observed_ingest_quality": observed_ingest_quality,
+        "streaming_observed_quality": streaming_observed_quality,
         "doc_char_entropy": doc_char_entropy,
         "hourly_seasonal_trend": hourly_seasonal_trend,
         "bpe_learned_merges": bpe_learned_merges,
@@ -15795,6 +15883,10 @@ def oracle_sql() -> dict[str, str]:
     # the streamed (source, bucket) counts merge exactly across
     # micro-batches (additive) -> the PSI readout shares the batch oracle
     d["streaming_psi_drift"] = d["source_length_psi"]
+    # per-micro-batch observe() metrics fold with accumulator
+    # semantics (counts/sums add, min/max combine) -> the merged
+    # readout shares the batch single-pass oracle
+    d["streaming_observed_quality"] = d["observed_ingest_quality"]
     # the interlaced PNG twin has identical deterministic geometry
     d["media_png_adam7_decode"] = d["media_png_decode"]
     # the confusion matrix composes the lang_id scorer verbatim

@@ -193,3 +193,30 @@ def test_evolved_read_refuses_narrowing(spark, tmp_path):
     narrow = StructType([StructField("id", IntegerType())])
     with pytest.raises(ValueError, match="does not losslessly widen"):
         evolved_read(spark, d, narrow)
+
+
+def test_sharded_stream_produces_batches(spark):
+    """The sharded replay staging must actually deliver MULTIPLE
+    micro-batches (n_shards files, maxFilesPerTrigger=1) — the
+    property every per-batch fold test (streaming observe metrics,
+    index appends, merge sinks) relies on to be non-vacuous."""
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        sharded_table_stream,
+    )
+
+    stream = sharded_table_stream(
+        spark, SF_SMOKE, "events", n_shards=4, time_cols=("ts",)
+    )
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_shard_gate_")
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) == 4, [p["numInputRows"] for p in q.recentProgress]
+    total = sum(p["numInputRows"] for p in fed)
+    n_events = table(spark, SF_SMOKE, "events").count()
+    assert total == n_events

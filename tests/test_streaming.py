@@ -475,3 +475,18 @@ def test_span_dedup_stream_matches_batch_keep_first(spark):
         for r in keep_first_segment_dedup(docs, "doc_id", "text", 8).collect()
     }
     assert got == expect
+
+
+def test_streaming_observed_quality_matches_batch_observe(spark):
+    """The per-micro-batch observe() metrics, folded with their
+    accumulator semantics across the replay, must equal the batch
+    single-pass observe readout bit-for-bit.  The replay arrives as
+    4 micro-batches by construction (sharded staging +
+    maxFilesPerTrigger=1 — test_sharded_stream_produces_batches in
+    test_sources.py gates that), so the fold is not vacuous."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    got = q.streaming_observed_quality(spark, SF_SMOKE).collect()
+    want = q.observed_ingest_quality(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0]["n_rows"] > 0
