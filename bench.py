@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "sampled_revenue_estimate",
     "part_affinity",
     "part_pagerank",
+    "part_pagerank_personalized",
     "part_pagerank_weighted",
     "part_triangle_clustering",
     "part_copurchase_components",

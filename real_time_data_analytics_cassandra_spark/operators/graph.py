@@ -261,6 +261,93 @@ def pagerank_weighted(
     return ranks.select("id", F.col("r").alias("rank_micro"))
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 4,
+    unit: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """PERSONALIZED fixed-iteration PageRank: the teleport mass
+    restarts at a SEED set instead of uniformly, so rank measures
+    proximity TO THE SEEDS through the link structure — the
+    related-items / recommendation form of the rank family (global
+    PageRank answers "important overall"; this answers "important
+    relative to here").
+
+    Same integer "micro-rank" model as :func:`pagerank` (BIGINT
+    everywhere, bit-exact in any engine, partitioning-invariant):
+
+    - initial rank: ``unit`` for seeds, 0 elsewhere;
+    - per edge u->v, u contributes ``rank_u div outdeg_u``;
+    - ``rank'_v = teleport_v + (damp_num * sum(contribs)) div
+      damp_den`` where ``teleport_v = (unit*(damp_den-damp_num)) div
+      damp_den`` for seeds and 0 for every other node.
+
+    Non-seed sinks leak mass exactly as in :func:`pagerank` (callers
+    symmetrize for undirected semantics, which removes sinks); seeds
+    must appear in the graph.  Overflow bound is the same
+    N·unit·damp_num < 2^63 as the uniform operator.
+
+    At 100 TB: identical shape to :func:`pagerank` — the seed flag
+    rides the checkpointed node frame (one extra tiny column), each
+    iteration is the same two hash-partitioned passes with lineage
+    truncated every second round, O(1) plan per round."""
+    from pyspark.sql import Window
+
+    base = (unit * (damp_den - damp_num)) // damp_den
+    w = Window.partitionBy("u")
+    ewd = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .withColumn("outdeg", F.count(F.lit(1)).over(w))
+        .localCheckpoint(eager=True)
+    )
+    seed_col = seeds.columns[0]
+    seed_ids = seeds.select(
+        F.col(seed_col).alias("id"), F.lit(1).alias("is_seed")
+    ).distinct()
+    nodes = (
+        ewd.select(F.col("u").alias("id"))
+        .distinct()
+        .join(seed_ids, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("is_seed"), F.lit(0)).alias("t")
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        "id", (F.col("t") * F.lit(unit)).cast("long").alias("r")
+    )
+    for i in range(iterations):
+        contribs = (
+            ewd.join(ranks, ewd.u == ranks.id)
+            .select(
+                F.col("v").alias("id"), F.expr("r div outdeg").alias("c")
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    (F.col("t") * F.lit(base)).cast("long")
+                    + F.expr(
+                        f"({damp_num} * coalesce(s, 0L)) div {damp_den}"
+                    )
+                ).alias("r"),
+            )
+        )
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", F.col("r").alias("rank_micro"))
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "u",

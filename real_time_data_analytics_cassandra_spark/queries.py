@@ -8638,6 +8638,52 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_pagerank_personalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSONALIZED PageRank from the HUB of the co-purchase graph
+    (highest-degree part, ties to the lowest key — the same anchor
+    the hop-histogram and cheapest-path queries use): teleport mass
+    restarts AT THE HUB, so the ranking measures proximity to it
+    through link structure — the "customers who bought this also
+    orbit these" recommendation readout that global PageRank
+    (part_pagerank) deliberately averages away.
+
+    Exactness: integer micro-rank model (operators/graph.py::
+    pagerank_personalized — seed-gated teleport, BIGINT throughout),
+    a pure function of the edge set; the unrolled-SQL oracle
+    reproduces it bit-for-bit, and tests/test_graph.py re-derives
+    the model in pure Python on a random graph.
+
+    Scale shape: identical to part_pagerank — the seed flag rides
+    the checkpointed node frame; 4 fixed iterations of two
+    hash-partitioned passes, lineage truncated every second round."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        pagerank_personalized,
+    )
+
+    half = _copurchase_pairs(spark, sf_dir).select("u", "v")
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hub = deg.orderBy(F.desc("deg"), F.asc("id")).limit(1).select("id")
+    ranks = pagerank_personalized(edges, hub, "u", "v", iterations=4)
+    return (
+        ranks.filter(F.col("rank_micro") > 0)
+        .select(
+            F.col("id").alias("p_partkey"),
+            F.col("rank_micro").cast("long").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
 def part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED PageRank of parts over the co-purchase graph with
     repeat-co-purchase strength (n_orders) as edge weights — rank
@@ -9352,6 +9398,61 @@ def _pagerank_oracle_sql(iterations: int = 4) -> str:
                r AS rank_micro,
                CAST(r AS DOUBLE) / 1e9 AS rank
         FROM r{iterations}
+        ORDER BY rank_micro DESC, p_partkey
+        LIMIT 50
+    """
+    )
+
+
+def _pagerank_personalized_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled ANSI-SQL mirror of operators/graph.py::
+    pagerank_personalized from the co-purchase hub: same CTE chain as
+    :func:`_pagerank_oracle_sql` with the teleport term gated on the
+    seed flag (t * base for the hub, 0 elsewhere) and rank seeded at
+    t * unit."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        )""",
+        "deg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY u)",
+        "hub AS (SELECT u AS id FROM deg ORDER BY outdeg DESC, u LIMIT 1)",
+        """nodes AS (
+            SELECT u AS id,
+                   CASE WHEN u = (SELECT id FROM hub) THEN 1 ELSE 0 END AS t
+            FROM deg
+        )""",
+        """r0 AS (
+            SELECT id, CAST(t * 1000000000 AS BIGINT) AS r FROM nodes
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+            SELECT e.v AS id, CAST(sum(r.r // d.outdeg) AS BIGINT) AS s
+            FROM edges e
+            JOIN r{i - 1} r ON r.id = e.u
+            JOIN deg d ON d.u = e.u
+            GROUP BY e.v
+        )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+            SELECT n.id,
+                   CAST(n.t * 150000000 + (85 * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c{i} c ON c.id = n.id
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS p_partkey, r AS rank_micro
+        FROM r{iterations}
+        WHERE r > 0
         ORDER BY rank_micro DESC, p_partkey
         LIMIT 50
     """
@@ -10654,6 +10755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_revenue_estimate": sampled_revenue_estimate,
         "part_affinity": part_affinity,
         "part_pagerank": part_pagerank,
+        "part_pagerank_personalized": part_pagerank_personalized,
         "part_pagerank_weighted": part_pagerank_weighted,
         "part_triangle_clustering": part_triangle_clustering,
         "part_copurchase_components": part_copurchase_components,
@@ -11222,6 +11324,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stage_idx
         """,
         "part_pagerank": _pagerank_oracle_sql(4),
+        "part_pagerank_personalized": _pagerank_personalized_oracle_sql(4),
         "part_pagerank_weighted": _pagerank_weighted_oracle_sql(4),
         "bpe_encode_docs": _bpe_encode_oracle_sql(),
         "bpe_learned_merges": _bpe_train_oracle_sql(),

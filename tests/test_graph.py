@@ -815,3 +815,57 @@ def test_harmonic_centrality_matches_pure_python(spark):
         ).collect()
     }
     assert got == want
+
+
+def _model_pagerank_personalized(pairs, seeds, iterations, unit=10**9):
+    """Pure-Python integer model of the seed-teleport semantics:
+    symmetrized unweighted edges, contribution r // outdeg, update
+    t*base + (85*s) // 100 with rank seeded at t*unit."""
+    adj = set()
+    for a, b in pairs:
+        adj.add((a, b))
+        adj.add((b, a))
+    outdeg = {}
+    for a, _b in adj:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    t = {v: (1 if v in seeds else 0) for v in outdeg}
+    r = {v: t[v] * unit for v in outdeg}
+    base = (unit * 15) // 100
+    for _ in range(iterations):
+        s = {v: 0 for v in outdeg}
+        for a, b in adj:
+            s[b] += r[a] // outdeg[a]
+        r = {v: t[v] * base + (85 * s[v]) // 100 for v in outdeg}
+    return r
+
+
+def test_pagerank_personalized_matches_python_model(spark):
+    """Property gate vs the pure-Python integer model: single seed
+    and multi-seed, on an irregular graph with a pendant chain (so
+    mass decays with distance from the seed — the property the
+    operator exists for)."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        pagerank_personalized,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (4, 5), (5, 6)]
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(rows, "u long, v long")
+    for seeds, iters in [([1], 1), ([1], 4), ([1, 6], 3)]:
+        seed_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+        got = {
+            r.id: r.rank_micro
+            for r in pagerank_personalized(
+                edges, seed_df, iterations=iters
+            ).collect()
+        }
+        assert got == _model_pagerank_personalized(
+            pairs, set(seeds), iters
+        ), (seeds, iters)
+    # proximity property: rank decays along the pendant chain
+    seed_df = spark.createDataFrame([(1,)], "id long")
+    r = {
+        x.id: x.rank_micro
+        for x in pagerank_personalized(edges, seed_df, iterations=4).collect()
+    }
+    assert r[1] > r[4] > r[5] > r[6]

@@ -88,6 +88,7 @@ BUDGETS = {
     # checkpointed oriented-edge leaf)
     "part_pagerank": 0,
     "part_pagerank_weighted": 0,
+    "part_pagerank_personalized": 0,
     "part_triangle_clustering": 6,
     "entity_match_parts": 9,
     "entity_sorted_neighborhood": 3,
