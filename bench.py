@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "media_ppm_decode",
     "image_ahash_clusters",
     "image_phash_near_dup",
+    "audio_fingerprint_near_dup",
     "incremental_ann_search",
     "streaming_incremental_index",
     "json_decode_quarantine",

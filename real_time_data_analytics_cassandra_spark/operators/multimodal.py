@@ -1203,39 +1203,49 @@ def image_ahash_clusters(sig: DataFrame) -> DataFrame:
     )
 
 
-def image_ahash_near_pairs(
-    sig: DataFrame, max_hamming: int = 3
+def signature_near_pairs(
+    sig: DataFrame, n_bands: int = 4, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-duplicate links between perceptual-duplicate CLUSTERS:
-    banded-Hamming candidate generation over the DISTINCT signatures
-    (4 bands of 16 bits; pigeonhole — Hamming <= 3 < 4 bands forces
-    at least one identical band, so candidates are LOSSLESS for the
-    threshold), then exact Hamming verification via xor + bit_count.
-    Output one row per linked cluster pair: (doc_a, doc_b) are the
-    clusters' canonical doc_ids, with the exact Hamming distance and
-    both cluster sizes — the dedup decision table.
+    """Near-duplicate links between signature-duplicate CLUSTERS:
+    banded-Hamming candidate generation over the DISTINCT 64-bit
+    signatures (``n_bands`` equal bands; pigeonhole — Hamming <=
+    n_bands - 1 forces at least one identical band, so candidates
+    are LOSSLESS for any ``max_hamming`` < n_bands, asserted), then
+    exact Hamming verification via xor + bit_count.  Output one row
+    per linked cluster pair: (doc_a, doc_b) are the clusters'
+    canonical doc_ids, with the exact Hamming distance and both
+    cluster sizes — the dedup decision table.  Shared by every
+    64-bit perceptual signature here (image aHash, audio energy
+    fingerprint).
 
     Scale shape: the quadratic surface is |distinct signatures within
     a shared band|, never |documents| — exact collapse first means a
-    corpus of near-identical template images (this fixture, and the
-    realistic worst case) contributes each template ONCE to the band
-    join.  All integer equi-joins; no UDF past the signature stage.
+    corpus of near-identical template media (a realistic worst case)
+    contributes each template ONCE to the band join.  All integer
+    equi-joins; no UDF past the signature stage.
     """
+    assert 64 % n_bands == 0 and 32 % (64 // n_bands) == 0, (
+        "bands must divide evenly and never straddle the hi/lo halves"
+    )
+    assert max_hamming < n_bands, (
+        "pigeonhole losslessness needs max_hamming < n_bands"
+    )
+    w = 64 // n_bands
+    mask = F.lit((1 << w) - 1)
     clusters = sig.groupBy("sig_hi", "sig_lo").agg(
         F.min("doc_id").alias("canon_id"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    mask = F.lit(65535)
+    band_exprs = []
+    for j in range(n_bands):
+        half = "sig_hi" if (j + 1) * w <= 32 else "sig_lo"
+        shift = (32 if half == "sig_hi" else 64) - (j + 1) * w
+        band_exprs.append(
+            F.shiftrightunsigned(half, shift).bitwiseAND(mask)
+        )
     banded = clusters.select(
         "canon_id",
-        F.posexplode(
-            F.array(
-                F.shiftrightunsigned("sig_hi", 16).bitwiseAND(mask),
-                F.col("sig_hi").bitwiseAND(mask),
-                F.shiftrightunsigned("sig_lo", 16).bitwiseAND(mask),
-                F.col("sig_lo").bitwiseAND(mask),
-            )
-        ).alias("band", "band_val"),
+        F.posexplode(F.array(*band_exprs)).alias("band", "band_val"),
     )
     cand = (
         banded.select(F.col("canon_id").alias("doc_a"), "band", "band_val")
@@ -1276,3 +1286,74 @@ def image_ahash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming", "n_docs_a", "n_docs_b")
     )
+
+
+def image_ahash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image form of :func:`signature_near_pairs`: 4 bands of 16 bits
+    over the aHash signatures (lossless for Hamming <= 3)."""
+    return signature_near_pairs(sig, n_bands=4, max_hamming=max_hamming)
+
+
+def audio_energy_fingerprints(df_with_payload: DataFrame) -> DataFrame:
+    """64-bit ENERGY-ENVELOPE fingerprint per audio payload, from the
+    really-decoded PCM plane (RIFF chunk walk — :func:`_decode_wav`):
+    the stream is cut into 64 equal spans (span of sample i on an
+    n-sample stream: (i*64)//n — the 1-D form of the aHash grid), and
+    bit_w = 1 iff the span's summed |amplitude| (deviation from the
+    8-bit PCM midpoint 128) exceeds the stream mean, cross-multiplied
+    so everything stays in exact integers:
+
+        bit_w = 1  iff  span_sum_w * n > total_sum * span_len_w
+
+    — the coarse loudness contour used for audio near-dup (a
+    re-encoded or padded copy keeps its envelope; unrelated audio
+    does not).  MSB-first packing into (sig_hi, sig_lo), identical
+    conventions to :func:`image_ahash_signatures`, so the banded
+    near-pair and cluster operators are SHARED across modalities.
+    Empty streams get signature (0, 0) — a documented fixed point.
+
+    Arrow-batched numpy over mapInPandas; O(1) state per payload.
+    Requires 8-bit mono PCM (the WAV container this repo builds);
+    other sample layouts raise ValueError."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                meta, samples = decode_payload(bytes(payload))
+                if meta["n_channels"] != 1 or meta["bits_per_sample"] != 8:
+                    raise ValueError(
+                        "audio_energy_fingerprints needs 8-bit mono PCM, "
+                        f"got {meta['n_channels']}ch/"
+                        f"{meta['bits_per_sample']}-bit"
+                    )
+                v = np.abs(samples.astype(np.int64) - 128)
+                n = int(v.size)
+                hi = lo = 0
+                if n:
+                    idx = np.arange(n, dtype=np.int64)
+                    span = (idx * 64) // n
+                    span_sum = np.zeros(64, dtype=np.int64)
+                    np.add.at(span_sum, span, v)
+                    span_len = np.bincount(span, minlength=64).astype(
+                        np.int64
+                    )
+                    total = int(v.sum())
+                    bits = span_sum * n > total * span_len
+                    for b in range(32):
+                        hi = (hi << 1) | int(bits[b])
+                        lo = (lo << 1) | int(bits[32 + b])
+                ids.append(int(doc_id))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig_hi": pd.Series(his, dtype="int64"),
+                    "sig_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(run, schema=AHASH_SCHEMA)

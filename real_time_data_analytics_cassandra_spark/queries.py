@@ -2404,6 +2404,40 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_fingerprint_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO near-duplicate links — the third modality of the
+    perceptual-dedup family (text shingles, image aHash, now audio):
+    each document's bytes are wrapped in a genuine RIFF/WAVE 8-bit
+    PCM container, the sample plane is earned through the real chunk
+    walk, a 64-bit energy-envelope fingerprint condenses it
+    (operators/multimodal.py::audio_energy_fingerprints — 64 equal
+    spans, |amplitude| sum vs stream mean in exact integers), and
+    the SHARED banded-Hamming operator (::signature_near_pairs, 8
+    bands of 8 bits — lossless for Hamming <= 7) links fingerprint
+    clusters.
+
+    Full oracle: the envelope is integer arithmetic over the
+    deterministic PCM plane, so DuckDB recomputes the identical
+    fingerprint from the document bytes; Spark earns it through the
+    real RIFF decode.
+
+    Scale shape: same envelope as image_phash_near_dup — one Arrow
+    decode pass, exact signature collapse first, integer band
+    equi-joins over DISTINCT fingerprints only."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    docs = table(spark, sf_dir, "documents")
+    sig = mm_op.audio_energy_fingerprints(
+        mm_op.attach_wav_payload(spread(docs), "doc_id", "text")
+    )
+    return mm_op.signature_near_pairs(
+        sig, n_bands=8, max_hamming=7
+    ).orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -10853,6 +10887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_rgba_decode": media_png_rgba_decode,
         "image_ahash_clusters": image_ahash_clusters,
         "image_phash_near_dup": image_phash_near_dup,
+        "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
@@ -11103,7 +11138,87 @@ def oracle_sql() -> dict[str, str]:
                 FROM sig GROUP BY 1, 2
             )
     """
+    # the audio twin: 1-D energy-envelope fingerprint over the PCM
+    # plane (spans of (i*64)//n, |byte - 128| amplitudes), same
+    # MSB-first packing and cluster collapse as the image chain;
+    # empty streams pin to the documented (0, 0) fixed point
+    audio_fp_ctes = """
+            geo AS (
+                SELECT doc_id, text, length(text) AS n_t FROM documents
+            ),
+            grid AS (
+                SELECT doc_id, text, n_t, unnest(range(0, n_t)) AS i
+                FROM geo
+            ),
+            px AS (
+                SELECT doc_id, (i * 64) // n_t AS w,
+                       abs(ord(substr(text, CAST(i + 1 AS INT), 1)) - 128)
+                           AS v
+                FROM grid
+            ),
+            spans AS (
+                SELECT doc_id, w, sum(v) AS ss, count(*) AS sl
+                FROM px GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT doc_id, sum(ss) AS total, sum(sl) AS n
+                FROM spans GROUP BY 1
+            ),
+            sig0 AS (
+                SELECT s.doc_id,
+                       CAST(coalesce(sum(CASE WHEN s.w < 32
+                                AND s.ss * t.n > t.total * s.sl
+                            THEN CAST(1 AS BIGINT) << (31 - s.w)
+                            ELSE 0 END), 0) AS BIGINT) AS sig_hi,
+                       CAST(coalesce(sum(CASE WHEN s.w >= 32
+                                AND s.ss * t.n > t.total * s.sl
+                            THEN CAST(1 AS BIGINT) << (63 - s.w)
+                            ELSE 0 END), 0) AS BIGINT) AS sig_lo
+                FROM spans s JOIN tot t USING (doc_id)
+                GROUP BY 1
+            ),
+            sig AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(g.sig_hi, 0) AS BIGINT) AS sig_hi,
+                       CAST(coalesce(g.sig_lo, 0) AS BIGINT) AS sig_lo
+                FROM documents d LEFT JOIN sig0 g USING (doc_id)
+            ),
+            clu AS (
+                SELECT sig_hi, sig_lo, min(doc_id) AS canon_id,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM sig GROUP BY 1, 2
+            )
+    """
+    audio_bands = "\n                UNION ALL ".join(
+        f"SELECT canon_id, {j} AS band, "
+        f"({'sig_hi' if j < 4 else 'sig_lo'} >> {24 - 8 * (j % 4)}) & 255 "
+        f"AS band_val FROM clu"
+        for j in range(8)
+    )
     d = {
+        "audio_fingerprint_near_dup": f"""
+            WITH {audio_fp_ctes},
+            banded AS (
+                {audio_bands}
+            ),
+            cand AS (
+                SELECT DISTINCT a.canon_id AS doc_a, b.canon_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.canon_id < b.canon_id
+            )
+            SELECT cand.doc_a, cand.doc_b,
+                   CAST(bit_count(xor(x.sig_hi, y.sig_hi))
+                        + bit_count(xor(x.sig_lo, y.sig_lo))
+                        AS BIGINT) AS hamming,
+                   x.n_docs AS n_docs_a, y.n_docs AS n_docs_b
+            FROM cand
+            JOIN clu x ON x.canon_id = cand.doc_a
+            JOIN clu y ON y.canon_id = cand.doc_b
+            WHERE bit_count(xor(x.sig_hi, y.sig_hi))
+                  + bit_count(xor(x.sig_lo, y.sig_lo)) <= 7
+            ORDER BY doc_a, doc_b
+        """,
         "copurchase_cheapest_paths": f"""
             WITH
             op AS MATERIALIZED (

@@ -675,3 +675,91 @@ def test_image_phash_near_dup_matches_pure_python(spark):
     }
     for d, s in sigs.items():
         assert got_clu[d] == (s[0], s[1], min(clusters[s]), len(clusters[s]))
+
+
+def _audio_fp_py(data: bytes) -> tuple[int, int]:
+    """Independent pure-Python energy-envelope fingerprint recompute
+    (the audio twin of _ahash_py)."""
+    n = len(data)
+    if n == 0:
+        return 0, 0
+    ss = [0] * 64
+    sl = [0] * 64
+    for i, byte in enumerate(data):
+        w = (i * 64) // n
+        ss[w] += abs(byte - 128)
+        sl[w] += 1
+    total = sum(ss)
+    bits = [1 if ss[w] * n > total * sl[w] else 0 for w in range(64)]
+    hi = sum(bits[i] << (31 - i) for i in range(32))
+    lo = sum(bits[32 + i] << (31 - i) for i in range(32))
+    return hi, lo
+
+
+def test_audio_fingerprint_matches_pure_python(spark):
+    """The Arrow fingerprint stage (real RIFF decode + numpy span
+    fold) must reproduce the pure-Python recompute, including the
+    empty-stream (0, 0) fixed point and streams shorter than 64
+    samples (empty spans)."""
+    rows = [
+        (1, ""),
+        (2, "abc"),
+        (3, "loud LOUD loud " * 20),
+        (4, "x" * 64),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+        for r in mm.audio_energy_fingerprints(
+            mm.attach_wav_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert sig[doc_id] == _audio_fp_py(text.encode()), doc_id
+
+
+def test_audio_fingerprint_near_dup_matches_pure_python(spark):
+    """The whole audio near-dup pair set at the smoke SF must equal
+    the brute-force pure-Python rederivation (Hamming <= 7 over
+    distinct fingerprints, cluster-weighted) — same protocol as the
+    image gate; an empty pair set must be empty in BOTH."""
+    import itertools
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sigs = {d: _audio_fp_py(t.encode()) for d, t in texts.items()}
+    clusters: dict[tuple[int, int], list[int]] = {}
+    for d, s in sorted(sigs.items()):
+        clusters.setdefault(s, []).append(d)
+    want = set()
+    for (sa, ma), (sb, mb) in itertools.combinations(
+        sorted(clusters.items(), key=lambda kv: min(kv[1])), 2
+    ):
+        ham = bin(sa[0] ^ sb[0]).count("1") + bin(sa[1] ^ sb[1]).count("1")
+        if ham <= 7:
+            a, b = min(ma), min(mb)
+            a, b = (a, b) if a < b else (b, a)
+            want.add((a, b, ham, len(ma), len(mb)))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"], r["n_docs_a"], r["n_docs_b"])
+        for r in q.audio_fingerprint_near_dup(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
+def test_signature_near_pairs_rejects_straddling_or_lossy_bands(spark):
+    """The shared band operator must refuse configurations that break
+    the pigeonhole contract (max_hamming >= n_bands) or straddle the
+    hi/lo halves."""
+    import pytest as _pytest
+
+    sig = spark.createDataFrame(
+        [(1, 3, 5)], "doc_id long, sig_hi long, sig_lo long"
+    )
+    with _pytest.raises(AssertionError, match="pigeonhole"):
+        mm.signature_near_pairs(sig, n_bands=4, max_hamming=4)
+    with _pytest.raises(AssertionError, match="straddle|divide"):
+        mm.signature_near_pairs(sig, n_bands=3, max_hamming=2)
