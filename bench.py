@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "copurchase_hub_hop_histogram",
     "copurchase_cheapest_paths",
     "copurchase_harmonic_centrality",
+    "copurchase_seed_eccentricity",
     "hourly_count_acf",
     "source_length_ks_drift",
     "source_length_psi",

@@ -9244,6 +9244,58 @@ def copurchase_harmonic_centrality(
     )
 
 
+def copurchase_seed_eccentricity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled ECCENTRICITY / DIAMETER lower bound over the repeat
+    co-purchase graph: for each of the 8 md5-sampled seed vertices
+    (the exact sample copurchase_harmonic_centrality uses), the
+    farthest hop distance it realizes within the 8-hop cap and the
+    size of its reachable ball — max(ecc_lb) over the seeds is the
+    standard BFS lower bound on the graph diameter (exact diameter is
+    all-pairs BFS; seeded eccentricities are the sub-quadratic
+    estimate, and any single BFS already bounds the diameter from
+    below).  The per-SEED aggregate view of the same multi-source
+    traversal whose per-TARGET view is the harmonic centrality.
+
+    Exactness: hop minima are unique and the seed sample is a
+    deterministic md5 order, so the 8-row readout is a pure function
+    of the edge set; FULL oracle via the same depth-limited recursive
+    CTE grouped by seed.
+
+    Scale shape: ONE multi-source frontier loop (operators/graph.py::
+    multi_source_bfs_hops — two (seed, id)-keyed joins per round,
+    O(1) plans), then an 8-row aggregate."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        multi_source_bfs_hops,
+    )
+
+    edges = _copurchase_pairs(spark, sf_dir).filter(
+        F.col("n_orders") >= 2
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    seeds = (
+        deg.orderBy(F.md5(F.col("id").cast("string")), F.asc("id"))
+        .limit(8)
+        .select("id")
+    )
+    dist = multi_source_bfs_hops(edges, seeds, "u", "v", max_hops=8)
+    return (
+        dist.groupBy("seed")
+        .agg(
+            F.max("hops").cast("long").alias("ecc_lb"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        )
+        .orderBy("seed")
+    )
+
+
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order BACKLOG over time by SWEEP-LINE: each order is an
     interval [order day, last ship day]; the backlog on any day is
@@ -10799,6 +10851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_hub_hop_histogram": copurchase_hub_hop_histogram,
         "copurchase_cheapest_paths": copurchase_cheapest_paths,
         "copurchase_harmonic_centrality": copurchase_harmonic_centrality,
+        "copurchase_seed_eccentricity": copurchase_seed_eccentricity,
         "copurchase_degree_assortativity": copurchase_degree_assortativity,
         "copurchase_degree_histogram": copurchase_degree_histogram,
         "order_backlog_daily": order_backlog_daily,
@@ -11246,6 +11299,43 @@ def oracle_sql() -> dict[str, str]:
 {bf_relax}
             SELECT id, CAST(cost AS BIGINT) AS cost
             FROM d{bf_rounds} ORDER BY id
+        """,
+        "copurchase_seed_eccentricity": """
+            WITH RECURSIVE
+            op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a
+                JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            edges AS (SELECT u AS a, v AS b FROM pairs
+                      UNION SELECT v, u FROM pairs),
+            deg AS (
+                SELECT a AS id, count(*) AS deg FROM edges GROUP BY 1
+            ),
+            seeds AS (
+                SELECT id FROM deg
+                ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8
+            ),
+            walk(seed, id, d) AS (
+                SELECT id, id, CAST(0 AS BIGINT) FROM seeds
+                UNION
+                SELECT w.seed, e.b, w.d + 1
+                FROM walk w JOIN edges e ON e.a = w.id
+                WHERE w.d < 8
+            ),
+            dist AS (
+                SELECT seed, id, min(d) AS hops FROM walk GROUP BY 1, 2
+            )
+            SELECT seed,
+                   CAST(max(hops) AS BIGINT) AS ecc_lb,
+                   CAST(count(*) - 1 AS BIGINT) AS n_reached
+            FROM dist
+            GROUP BY 1
+            ORDER BY seed
         """,
         "copurchase_harmonic_centrality": """
             WITH RECURSIVE

@@ -869,3 +869,43 @@ def test_pagerank_personalized_matches_python_model(spark):
         for x in pagerank_personalized(edges, seed_df, iterations=4).collect()
     }
     assert r[1] > r[4] > r[5] > r[6]
+
+
+def test_seed_eccentricity_matches_pure_python(spark):
+    """copurchase_seed_eccentricity at the smoke SF vs the complete
+    pure-Python rederivation (same seed sample and BFS as the
+    harmonic gate, aggregated per seed) — and max(ecc_lb) really is
+    a diameter lower bound on the seed-reachable subgraph."""
+    import hashlib
+    import itertools
+
+    from collections import Counter
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    op = {(r.l_orderkey, r.l_partkey)
+          for r in li.select("l_orderkey", "l_partkey").collect()}
+    by_order: dict[int, list[int]] = {}
+    for o, p in sorted(op):
+        by_order.setdefault(o, []).append(p)
+    pair_orders: Counter = Counter()
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(set(parts)), 2):
+            pair_orders[(u, v)] += 1
+    edges = [(u, v) for (u, v), n in pair_orders.items() if n >= 2]
+    ids = sorted({x for e in edges for x in e})
+    seeds = sorted(
+        ids,
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:8]
+    want = {}
+    for s in seeds:
+        d = _brute_bfs(edges, [s], 8)
+        want[s] = (max(d.values()), len(d) - 1)
+    got = {
+        r.seed: (r.ecc_lb, r.n_reached)
+        for r in q.copurchase_seed_eccentricity(spark, SF_ORACLE).collect()
+    }
+    assert got == want

@@ -132,6 +132,8 @@ BUDGETS = {
     "copurchase_cheapest_paths": 1,
     # post-loop (seed, id) table: harmonic regroup + ordered output
     "copurchase_harmonic_centrality": 2,
+    # same post-loop table, 8-row per-seed aggregate
+    "copurchase_seed_eccentricity": 2,
     # distinct (user, type) projection (checkpointed leaf) + user
     # self-join + pair count + two enum-size decoration joins
     "type_audience_overlap": 4,
