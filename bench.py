@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "geo_hourly_counts_autosalted",
     "streaming_hourly_type_counts",
     "streaming_observed_quality",
+    "streaming_image_signature_clusters",
     "streaming_session_windows",
     "streaming_latest_upsert",
     "type_hour_cube",

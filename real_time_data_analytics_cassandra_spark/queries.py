@@ -10145,6 +10145,95 @@ def streaming_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_image_signature_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The image perceptual-cluster table MAINTAINED BY THE STREAM —
+    the multimodal arm of the incremental-index family: each
+    micro-batch of the documents replay is decoded (real PNG decode →
+    aHash signatures, the image_ahash_clusters stage) and folded into
+    two persisted merge tables keyed by the 64-bit signature: the
+    canonical member via MIN-merge (idempotent — replays free) and
+    the cluster size via the batch-id-guarded additive counter MERGE
+    (sinks/merge.py — the reference's counter-column semantics
+    without its double-count bug).  Min and sum are associative and
+    commutative, so ANY micro-batch split lands on the same finished
+    table and the readout shares image_ahash_clusters' signature/
+    cluster math — full oracle (the cluster CTE of the aHash chain).
+
+    Scale shape: per batch the decode is one Arrow pass over the NEW
+    documents only (localCheckpoint so the two merges don't decode
+    twice), and each merge rewrites only the hive partitions the
+    batch's signatures land in (sig_hi & 15) — O(batch) ingest
+    against an O(corpus) table, the same envelope as the
+    incremental BM25/span indexes."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        merge_add,
+        merge_min,
+    )
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        sharded_table_stream,
+    )
+
+    ensure_query_confs(spark)
+    tmp = tempfile.mkdtemp(prefix="rtdac_streaming_imgsig_")
+    min_path, cnt_path = f"{tmp}/canon", f"{tmp}/sizes"
+    ckpt = f"{tmp}/ckpt"
+    stream = sharded_table_stream(spark, sf_dir, "documents", n_shards=4)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        sig = (
+            mm_op.image_ahash_signatures(
+                mm_op.attach_png_payload(batch, "doc_id", "text")
+            )
+            .withColumn(
+                "sig_part", F.col("sig_hi").bitwiseAND(F.lit(15))
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_min(
+            sess, sig, min_path, ["sig_hi", "sig_lo"], "doc_id", "sig_part"
+        )
+        merge_add(
+            sess,
+            sig.withColumn("one", F.lit(1).cast("long")),
+            cnt_path,
+            ["sig_hi", "sig_lo"],
+            "one",
+            "sig_part",
+            batch_id=batch_id,
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    canon = spark.read.parquet(min_path).select(
+        "sig_hi", "sig_lo", F.col("doc_id").alias("canon_id")
+    )
+    sizes = spark.read.parquet(cnt_path).select(
+        "sig_hi", "sig_lo", F.col("one").alias("cluster_size")
+    )
+    return (
+        canon.join(sizes, ["sig_hi", "sig_lo"])
+        .select(
+            "sig_hi",
+            "sig_lo",
+            F.col("canon_id").cast("long").alias("canon_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .orderBy("sig_hi", "sig_lo")
+    )
+
+
 def snapshot_docs_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot CDC through the versioned-table sink (sinks/
     snapshots.py): the documents corpus is committed as snapshot v1
@@ -10819,6 +10908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_report": data_quality_report,
         "observed_ingest_quality": observed_ingest_quality,
         "streaming_observed_quality": streaming_observed_quality,
+        "streaming_image_signature_clusters": streaming_image_signature_clusters,
         "doc_char_entropy": doc_char_entropy,
         "hourly_seasonal_trend": hourly_seasonal_trend,
         "bpe_learned_merges": bpe_learned_merges,
@@ -11380,6 +11470,13 @@ def oracle_sql() -> dict[str, str]:
                    c.n_docs AS cluster_size
             FROM sig s JOIN clu c USING (sig_hi, sig_lo)
             ORDER BY s.doc_id
+        """,
+        "streaming_image_signature_clusters": f"""
+            WITH {ahash_sig_ctes}
+            SELECT sig_hi, sig_lo, canon_id,
+                   n_docs AS cluster_size
+            FROM clu
+            ORDER BY sig_hi, sig_lo
         """,
         "image_phash_near_dup": f"""
             WITH {ahash_sig_ctes},

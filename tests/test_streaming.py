@@ -490,3 +490,36 @@ def test_streaming_observed_quality_matches_batch_observe(spark):
     want = q.observed_ingest_quality(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got[0]["n_rows"] > 0
+
+
+def test_streaming_image_clusters_match_batch_collapse(spark):
+    """The stream-maintained image-signature cluster table (min-merge
+    canon + counter-merge sizes over 4 micro-batches) must equal the
+    batch signature collapse bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from real_time_data_analytics_cassandra_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    sig = mm.image_ahash_signatures(
+        mm.attach_png_payload(docs, "doc_id", "text")
+    )
+    want = {
+        (r["sig_hi"], r["sig_lo"]): (r["canon_id"], r["cluster_size"])
+        for r in sig.groupBy("sig_hi", "sig_lo")
+        .agg(
+            F.min("doc_id").alias("canon_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .collect()
+    }
+    got = {
+        (r["sig_hi"], r["sig_lo"]): (r["canon_id"], r["cluster_size"])
+        for r in q.streaming_image_signature_clusters(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
