@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "ab_test_purchase_values",
     "ks_test_purchase_values",
     "mannwhitney_purchase_values",
+    "kruskal_wallis_value_by_type",
     "event_hourly_mann_kendall",
     "hourly_spearman_matrix",
     "hourly_dispersion_index",

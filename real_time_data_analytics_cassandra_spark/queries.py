@@ -1194,6 +1194,129 @@ def event_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_KW_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _kw_h_exprs() -> tuple[str, str]:
+    """The Kruskal-Wallis H and tie-correction expressions as SQL
+    text shared VERBATIM by the Spark query and the DuckDB oracle:
+    the integer core (rank sums 2R_g, group sizes, tie sum) is exact
+    BIGINT in both engines, and the double tail folds the five
+    per-group terms in this fixed literal order — identical IEEE
+    operations on identical inputs, so round(…, 6) matches
+    bit-for-bit (the PSI/entropy sorted-fold convention, flattened
+    into one expression because the group enum is literal)."""
+    s_terms = " + ".join(
+        f"(CASE WHEN n_{t} = 0 THEN 0.0 ELSE "
+        f"CAST(r2_{t} AS DOUBLE) * CAST(r2_{t} AS DOUBLE) "
+        f"/ CAST(n_{t} AS DOUBLE) END)"
+        for t in _KW_TYPES
+    )
+    h = (
+        f"3.0 * ({s_terms}) / (CAST(n AS DOUBLE) * "
+        "(CAST(n AS DOUBLE) + 1.0)) - 3.0 * (CAST(n AS DOUBLE) + 1.0)"
+    )
+    c = (
+        "1.0 - CAST(tie_sum AS DOUBLE) / "
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+        "- CAST(n AS DOUBLE))"
+    )
+    return h, c
+
+
+def kruskal_wallis_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact KRUSKAL-WALLIS H test of the event-value distributions
+    across ALL FIVE event types — the k-sample generalization that
+    completes the rank-test family (Mann-Whitney is its 2-sample
+    case): "do any of the types draw values from a shifted
+    distribution", robust to the heavy tails that defeat ANOVA.
+    Ties use the midrank convention; both the raw H and the
+    tie-corrected H/C are reported with the exact integer evidence
+    (per-type sizes, doubled rank sums, the Σ(t³−t) tie mass) so the
+    oracle hash covers the integer core, not just the rounded
+    statistic.
+
+    Exactness: per-distinct-value counts carry midranks as the exact
+    INTEGER 2r(v) = 2·cum_below(v) + t(v) + 1 (the Spearman/MWU
+    convention); doubled rank sums 2R_g = Σ_v c_g(v)·2r(v) stay
+    BIGINT (exact while N² < 2^63; decimal beyond — the documented
+    KS/Spearman bound).  The H tail squares 2R_g in DOUBLE, but the
+    five terms fold in a FIXED literal order shared verbatim with
+    the oracle, so the IEEE result is engine-identical.  df = number
+    of non-empty groups − 1; H is NULL when fewer than 2 groups or
+    when every value ties (C = 0).
+
+    Scale shape: identical to the exact-KS/MWU queries — one
+    map-side-combined per-value count, cumulative counts via
+    operators/ranks.py::global_cumsum (range-exchange prefix sum, no
+    unpartitioned window over the unbounded distinct-value
+    relation), one 1-row aggregate."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.operators.ranks import (
+        global_cumsum,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", money(F.col("value")).alias("v"))
+    )
+    per_v = (
+        ev.groupBy("v")
+        .agg(
+            *[
+                F.sum((F.col("event_type") == t).cast("long")).alias(
+                    f"c_{t}"
+                )
+                for t in _KW_TYPES
+            ]
+        )
+        .withColumn("t", F.expr(" + ".join(f"c_{t}" for t in _KW_TYPES)))
+        .localCheckpoint(eager=True)
+    )
+    cum = global_cumsum(per_v, ["v"], ["t"])
+    r2 = cum.withColumn(
+        "r2", 2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+    )
+    agg = r2.agg(
+        F.sum("t").cast("long").alias("n"),
+        *[
+            F.sum(f"c_{t}").cast("long").alias(f"n_{t}")
+            for t in _KW_TYPES
+        ],
+        *[
+            F.sum(F.col(f"c_{t}") * F.col("r2"))
+            .cast("long")
+            .alias(f"r2_{t}")
+            for t in _KW_TYPES
+        ],
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    h, c = _kw_h_exprs()
+    k_expr = " + ".join(
+        f"(CASE WHEN n_{t} > 0 THEN 1 ELSE 0 END)" for t in _KW_TYPES
+    )
+    return agg.select(
+        "n",
+        F.expr(f"CAST(({k_expr}) - 1 AS BIGINT)").alias("df"),
+        *[F.col(f"n_{t}") for t in _KW_TYPES],
+        *[F.col(f"r2_{t}") for t in _KW_TYPES],
+        "tie_sum",
+        F.expr(
+            f"CASE WHEN ({k_expr}) < 2 THEN NULL "
+            f"ELSE round({h}, 6) END"
+        ).alias("h"),
+        F.expr(
+            f"CASE WHEN ({k_expr}) < 2 OR ({c}) = 0.0 THEN NULL "
+            f"ELSE round(({h}) / ({c}), 6) END"
+        ).alias("h_corrected"),
+    )
+
+
 def hourly_dispersion_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10962,6 +11085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_purchase_values": ab_test_purchase_values,
         "ks_test_purchase_values": ks_test_purchase_values,
         "mannwhitney_purchase_values": mannwhitney_purchase_values,
+        "kruskal_wallis_value_by_type": kruskal_wallis_value_by_type,
         "source_length_ks_drift": source_length_ks_drift,
         "value_benford_audit": value_benford_audit,
         "streaming_benford_drift": streaming_benford_drift,
@@ -11986,6 +12110,47 @@ def oracle_sql() -> dict[str, str]:
                          6) AS ks_stat
             FROM d, tot
         """,
+        "kruskal_wallis_value_by_type": (lambda h_c=_kw_h_exprs(): f"""
+            WITH ev AS (
+                SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            per_v AS (
+                SELECT v,
+                       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS c_{t}" for t in _KW_TYPES)}
+                FROM ev GROUP BY v
+            ),
+            wt AS (
+                SELECT *, {" + ".join(f"c_{t}" for t in _KW_TYPES)} AS t
+                FROM per_v
+            ),
+            cum AS (
+                SELECT *, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum_t
+                FROM wt
+            ),
+            r2v AS (
+                SELECT *, 2 * (cum_t - t) + t + 1 AS r2 FROM cum
+            ),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n,
+                       {", ".join(f"CAST(sum(c_{t}) AS BIGINT) AS n_{t}" for t in _KW_TYPES)},
+                       {", ".join(f"CAST(sum(c_{t} * r2) AS BIGINT) AS r2_{t}" for t in _KW_TYPES)},
+                       CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+                FROM r2v
+            )
+            SELECT n,
+                   CAST(({" + ".join(f"(CASE WHEN n_{t} > 0 THEN 1 ELSE 0 END)" for t in _KW_TYPES)}) - 1 AS BIGINT) AS df,
+                   {", ".join(f"n_{t}" for t in _KW_TYPES)},
+                   {", ".join(f"r2_{t}" for t in _KW_TYPES)},
+                   tie_sum,
+                   CASE WHEN ({" + ".join(f"(CASE WHEN n_{t} > 0 THEN 1 ELSE 0 END)" for t in _KW_TYPES)}) < 2
+                        THEN NULL ELSE round({h_c[0]}, 6) END AS h,
+                   CASE WHEN ({" + ".join(f"(CASE WHEN n_{t} > 0 THEN 1 ELSE 0 END)" for t in _KW_TYPES)}) < 2
+                             OR ({h_c[1]}) = 0.0
+                        THEN NULL
+                        ELSE round(({h_c[0]}) / ({h_c[1]}), 6) END AS h_corrected
+            FROM agg
+        """)(),
         "mannwhitney_purchase_values": f"""
             WITH ev AS (
                 SELECT {sampling_op.hash_bucket_sql("user_id", 2)} AS arm,

@@ -124,6 +124,9 @@ BUDGETS = {
     # per-(value, arm) count + global_cumsum range exchange + its
     # offsets + the 1-row totals broadcast's exchange
     "mannwhitney_purchase_values": 4,
+    # same construction, 5-way counts: per-value count + global_cumsum
+    # range exchange + its offsets
+    "kruskal_wallis_value_by_type": 3,
     # capped adjacency build (checkpointed leaf) + wedge self-join +
     # pair count + anti join + degree joins, TakeOrdered output
     "copurchase_link_prediction": 3,

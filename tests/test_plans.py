@@ -462,6 +462,7 @@ _GLOBAL_WINDOW_OK = {
     "heavy_hitter_tokens": (1, "rank over the <= k Misra-Gries summary"),
     "ks_test_purchase_values": (2, "global_cumsum offsets: <= num_partitions rows"),
     "mannwhitney_purchase_values": (1, "global_cumsum offsets: <= num_partitions rows"),
+    "kruskal_wallis_value_by_type": (1, "global_cumsum offsets: <= num_partitions rows"),
     "order_backlog_daily": (1, "running sum over the per-DAY relation (calendar-bounded)"),
     "part_affinity": (1, "rank over the TakeOrdered(20) survivors"),
     "purchase_mean_bootstrap_ci": (2, "CI rank over the B=100 resample means"),

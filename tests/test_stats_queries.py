@@ -347,3 +347,64 @@ def test_audience_overlap_matches_bruteforce_sets(spark):
             union = len(aud[types[i]] | aud[types[j]])
             assert r.jaccard == round(len(both) / union, 6)
     assert seen == set(got)
+
+
+def test_kruskal_wallis_matches_bruteforce_midranks(spark):
+    """The whole Kruskal-Wallis readout (per-type sizes, doubled rank
+    sums, tie mass, H and tie-corrected H) must equal a pure-Python
+    midrank recompute over the collected values — an
+    engine-independent rederivation, and the scipy-textbook formula
+    check (H computed from mean ranks) must agree to the rounding."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from real_time_data_analytics_cassandra_spark.functions.numeric import (
+        money,
+    )
+
+    row = q.kruskal_wallis_value_by_type(spark, SF_SMOKE).collect()[0]
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", money(F.col("value")).alias("v"))
+        .collect()
+    )
+    vals = sorted({r.v for r in ev})
+    per_v = {v: Counter() for v in vals}
+    for r in ev:
+        per_v[r.v][r.event_type] += 1
+    n = len(ev)
+    assert row.n == n
+    cum = 0
+    r2 = dict.fromkeys(types, 0)
+    tie_sum = 0
+    for v in vals:
+        t = sum(per_v[v].values())
+        mid2 = 2 * cum + t + 1
+        for ty in types:
+            r2[ty] += per_v[v][ty] * mid2
+        tie_sum += t * t * t - t
+        cum += t
+    for ty in types:
+        assert getattr(row, f"n_{ty}") == sum(
+            1 for r in ev if r.event_type == ty
+        ), ty
+        assert getattr(row, f"r2_{ty}") == r2[ty], ty
+    assert row.tie_sum == tie_sum
+    # midranks partition the total rank mass: sum of 2R_g = n(n+1)
+    assert sum(r2.values()) == n * (n + 1)
+    # textbook H from the same integers
+    s = sum(
+        (r2[ty] ** 2) / (4 * getattr(row, f"n_{ty}"))
+        for ty in types
+        if getattr(row, f"n_{ty}")
+    )
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    c = 1.0 - tie_sum / (n**3 - n)
+    assert abs(row.h - h) < 1e-5
+    assert abs(row.h_corrected - h / c) < 1e-5
+    k = sum(1 for ty in types if getattr(row, f"n_{ty}") > 0)
+    assert row.df == k - 1
