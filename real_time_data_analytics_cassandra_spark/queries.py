@@ -10275,26 +10275,26 @@ def streaming_image_signature_clusters(
     the multimodal arm of the incremental-index family: each
     micro-batch of the documents replay is decoded (real PNG decode →
     aHash signatures, the image_ahash_clusters stage) and folded into
-    two persisted merge tables keyed by the 64-bit signature: the
-    canonical member via MIN-merge (idempotent — replays free) and
-    the cluster size via the batch-id-guarded additive counter MERGE
-    (sinks/merge.py — the reference's counter-column semantics
-    without its double-count bug).  Min and sum are associative and
-    commutative, so ANY micro-batch split lands on the same finished
-    table and the readout shares image_ahash_clusters' signature/
-    cluster math — full oracle (the cluster CTE of the aHash chain).
+    ONE persisted merge table keyed by the 64-bit signature: the
+    canonical member rides MIN and the cluster size rides the
+    batch-id-guarded additive SUM, together in one read-modify-write
+    cycle (sinks/merge.py::merge_min_add — the reference's
+    counter-column semantics without its double-count bug, plus
+    transactional consistency: canon and size live in the same
+    files).  Min and sum are associative and commutative, so ANY
+    micro-batch split lands on the same finished table and the
+    readout shares image_ahash_clusters' signature/cluster math —
+    full oracle (the cluster CTE of the aHash chain).
 
     Scale shape: per batch the decode is one Arrow pass over the NEW
-    documents only (localCheckpoint so the two merges don't decode
-    twice), and each merge rewrites only the hive partitions the
-    batch's signatures land in (sig_hi & 15) — O(batch) ingest
-    against an O(corpus) table, the same envelope as the
-    incremental BM25/span indexes."""
+    documents only, and the single merge rewrites only the hive
+    partitions the batch's signatures land in (sig_hi & 3) —
+    O(batch) ingest against an O(corpus) table, the same envelope as
+    the incremental BM25/span indexes."""
     import tempfile
 
     from real_time_data_analytics_cassandra_spark.sinks.merge import (
-        merge_add,
-        merge_min,
+        merge_min_add,
     )
     from real_time_data_analytics_cassandra_spark.sources.streams import (
         sharded_table_stream,
@@ -10302,31 +10302,28 @@ def streaming_image_signature_clusters(
 
     ensure_query_confs(spark)
     tmp = tempfile.mkdtemp(prefix="rtdac_streaming_imgsig_")
-    min_path, cnt_path = f"{tmp}/canon", f"{tmp}/sizes"
-    ckpt = f"{tmp}/ckpt"
+    path, ckpt = f"{tmp}/clusters", f"{tmp}/ckpt"
     stream = sharded_table_stream(spark, sf_dir, "documents", n_shards=4)
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        sess = batch.sparkSession
+        # checkpoint: the merge's isEmpty probe and final write must
+        # not each re-run the Arrow decode
         sig = (
             mm_op.image_ahash_signatures(
                 mm_op.attach_png_payload(batch, "doc_id", "text")
             )
-            .withColumn(
-                "sig_part", F.col("sig_hi").bitwiseAND(F.lit(15))
-            )
+            .withColumn("sig_part", F.col("sig_hi").bitwiseAND(F.lit(3)))
+            .withColumn("one", F.lit(1).cast("long"))
             .localCheckpoint(eager=True)
         )
-        merge_min(
-            sess, sig, min_path, ["sig_hi", "sig_lo"], "doc_id", "sig_part"
-        )
-        merge_add(
-            sess,
-            sig.withColumn("one", F.lit(1).cast("long")),
-            cnt_path,
+        merge_min_add(
+            batch.sparkSession,
+            sig,
+            path,
             ["sig_hi", "sig_lo"],
+            "doc_id",
             "one",
             "sig_part",
             batch_id=batch_id,
@@ -10339,19 +10336,13 @@ def streaming_image_signature_clusters(
         .start()
     )
     q_.awaitTermination()
-    canon = spark.read.parquet(min_path).select(
-        "sig_hi", "sig_lo", F.col("doc_id").alias("canon_id")
-    )
-    sizes = spark.read.parquet(cnt_path).select(
-        "sig_hi", "sig_lo", F.col("one").alias("cluster_size")
-    )
     return (
-        canon.join(sizes, ["sig_hi", "sig_lo"])
+        spark.read.parquet(path)
         .select(
             "sig_hi",
             "sig_lo",
-            F.col("canon_id").cast("long").alias("canon_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("doc_id").cast("long").alias("canon_id"),
+            F.col("one").cast("long").alias("cluster_size"),
         )
         .orderBy("sig_hi", "sig_lo")
     )

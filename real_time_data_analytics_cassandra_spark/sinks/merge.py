@@ -645,3 +645,61 @@ def min_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_min_add(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    min_col: str,
+    add_col: str,
+    partition_col: str,
+    batch_id: int,
+) -> None:
+    """Combined MIN + ADD merge in ONE read-modify-write cycle: fold a
+    batch's per-key minimum (e.g. the canonical/first-seen member)
+    and per-key count delta into the same materialized table — the
+    cluster-table maintenance primitive (canonical id rides min,
+    cluster size rides sum).  Folding both in one pass halves the
+    partition rewrites vs running :func:`merge_min` and
+    :func:`merge_add` side by side, and keeps the two columns
+    transactionally consistent (they live in the same files, so a
+    crash can never leave sizes from one batch with canons from
+    another).
+
+    SUM is not idempotent, so the batch-id replay guard is REQUIRED
+    here (same semantics as :func:`merge_add`: a partition already
+    carrying this batch id skips the whole fold — the min column is
+    idempotent anyway, so skipping it too is harmless)."""
+    grouped = batch.groupBy(partition_col, *key_cols).agg(
+        F.min(min_col).alias(min_col),
+        F.sum(add_col).alias(add_col),
+    ).withColumn(BATCH_ID_COL, F.lit(batch_id))
+    if not _target_exists(spark, path):
+        grouped.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    existing = _pruned_target(spark, path, grouped, partition_col)
+    replayed = (
+        existing.groupBy(partition_col)
+        .agg(F.max(BATCH_ID_COL).alias("_mx"))
+        .filter(F.col("_mx") >= batch_id)
+        .select(partition_col)
+    )
+    grouped = grouped.join(F.broadcast(replayed), partition_col, "left_anti")
+    existing = existing.join(F.broadcast(replayed), partition_col, "left_anti")
+    if grouped.isEmpty():
+        return
+    merged = (
+        existing.select(*grouped.columns)
+        .unionByName(grouped)
+        .groupBy(partition_col, *key_cols)
+        .agg(
+            F.min(min_col).alias(min_col),
+            F.sum(add_col).alias(add_col),
+        )
+        .withColumn(BATCH_ID_COL, F.lit(batch_id))
+        .localCheckpoint(eager=True)
+    )
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)

@@ -676,3 +676,77 @@ def test_merge_min_idempotent_and_split_invariant(spark, tmp_path):
     assert got == want
     merge_min(spark, parts[0], path, ["user"], "day", "bucket")  # replay
     assert snap() == got
+
+
+def test_merge_min_add_matches_recompute_and_replay_is_noop(spark):
+    """The combined MIN+ADD merge must (a) land on the batch
+    recompute for BOTH columns regardless of the batch split, (b)
+    make a replayed batch a per-partition no-op, and (c) keep
+    folding genuinely new batches."""
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        merge_min_add,
+    )
+
+    events = _signups(spark, SF_SMOKE).cache()
+    first = (
+        events.filter(F.col("user_id") % 2 == 0)
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    second = (
+        events.filter(F.col("user_id") % 2 == 1)
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "clusters")
+        merge_min_add(
+            spark, first, path, ["user_id"], "ts", "one", PART, batch_id=0
+        )
+        merge_min_add(
+            spark, second, path, ["user_id"], "ts", "one", PART, batch_id=1
+        )
+        want = sorted(
+            map(
+                tuple,
+                events.groupBy("user_id")
+                .agg(
+                    F.min("ts").alias("ts"),
+                    F.count(F.lit(1)).alias("one"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(path)
+                .select("user_id", "ts", "one")
+                .collect(),
+            )
+        )
+        assert got == want
+        # replay of batch 1: per-partition no-op
+        merge_min_add(
+            spark, second, path, ["user_id"], "ts", "one", PART, batch_id=1
+        )
+        again = sorted(
+            map(
+                tuple,
+                spark.read.parquet(path)
+                .select("user_id", "ts", "one")
+                .collect(),
+            )
+        )
+        assert again == want
+        # a genuinely new batch still folds (counts double, mins hold)
+        merge_min_add(
+            spark, second, path, ["user_id"], "ts", "one", PART, batch_id=2
+        )
+        tripled = {
+            r["user_id"]: (r["ts"], r["one"])
+            for r in spark.read.parquet(path).collect()
+        }
+        for r in second.groupBy("user_id").agg(
+            F.min("ts").alias("ts"), F.count(F.lit(1)).alias("one")
+        ).collect():
+            assert tripled[r["user_id"]] == (r["ts"], 2 * r["one"])
+    events.unpersist()
