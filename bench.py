@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "ks_test_purchase_values",
     "mannwhitney_purchase_values",
     "kruskal_wallis_value_by_type",
+    "friedman_hourly_type_ranks",
     "event_hourly_mann_kendall",
     "hourly_spearman_matrix",
     "hourly_dispersion_index",

@@ -1317,6 +1317,93 @@ def kruskal_wallis_value_by_type(
     )
 
 
+def friedman_hourly_type_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact FRIEDMAN test across the five event types with HOURS as
+    blocks: within every hour, the five types' event counts are
+    midranked against each other, and the test asks whether some type
+    systematically out-ranks the others across hours — the
+    repeated-measures counterpart that completes the rank-test family
+    (Kruskal-Wallis assumes independent samples; hourly counts of the
+    same clock hour are paired observations, exactly Friedman's
+    design).  Blocks are the observed hour spine zero-filled across
+    the type enum, so a type silent in some hour ranks lowest there
+    instead of vanishing.
+
+    Exactness: within a block, doubled midranks are the exact INTEGER
+    2r = 2·(rank−1) + t + 1 (rank() assigns 1 + #smaller under ties;
+    t = tie-group size), and the TIE-CORRECTED statistic
+
+        Q = (k−1) · Σ_j (2R_j − n(k+1))² / (Σ_ij (2r)² − n·k·(k+1)²)
+
+    is integer arithmetic END TO END with ONE final double division
+    (round 6) — stronger than the KW query, whose squares outgrow
+    BIGINT; here blocks are calendar-bounded so every term fits.
+    NULL when the denominator is 0 (every block fully tied).  The
+    doubled rank sums per type ride along as exact BIGINT evidence.
+
+    Scale shape: one (hour, type) count aggregate, a grid join
+    against the enum-bounded spine, per-BLOCK windows only (5-row
+    partitions — never a global window), one 1-row aggregate."""
+    ensure_query_confs(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+    )
+    counts = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hours = ev.select("h").distinct()
+    types = spark.createDataFrame(
+        [(t,) for t in _KW_TYPES], "event_type string"
+    )
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(counts, ["h", "event_type"], "left")
+        .select(
+            "h", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    w_rank = Window.partitionBy("h").orderBy("c")
+    w_tie = Window.partitionBy("h", "c")
+    ranked = grid.select(
+        "h",
+        "event_type",
+        (
+            2 * (F.rank().over(w_rank) - 1)
+            + F.count(F.lit(1)).over(w_tie)
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    k = len(_KW_TYPES)
+    agg = ranked.agg(
+        (F.count(F.lit(1)) / k).cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("r2")))
+            .cast("long")
+            .alias(f"r2_{t}")
+            for t in _KW_TYPES
+        ],
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("ssq"),
+    )
+    num = " + ".join(
+        f"(r2_{t} - n * {k + 1}) * (r2_{t} - n * {k + 1})"
+        for t in _KW_TYPES
+    )
+    den = f"ssq - n * {k} * {(k + 1) * (k + 1)}"
+    return agg.select(
+        "n",
+        *[F.col(f"r2_{t}") for t in _KW_TYPES],
+        F.col("ssq"),
+        F.expr(
+            f"CASE WHEN ({den}) = 0 OR n = 0 THEN NULL ELSE "
+            f"round({k - 1} * CAST(({num}) AS DOUBLE) "
+            f"/ CAST(({den}) AS DOUBLE), 6) END"
+        ).alias("q_stat"),
+    )
+
+
 def hourly_dispersion_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11077,6 +11164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_purchase_values": ks_test_purchase_values,
         "mannwhitney_purchase_values": mannwhitney_purchase_values,
         "kruskal_wallis_value_by_type": kruskal_wallis_value_by_type,
+        "friedman_hourly_type_ranks": friedman_hourly_type_ranks,
         "source_length_ks_drift": source_length_ks_drift,
         "value_benford_audit": value_benford_audit,
         "streaming_benford_drift": streaming_benford_drift,
@@ -12142,6 +12230,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(({h_c[0]}) / ({h_c[1]}), 6) END AS h_corrected
             FROM agg
         """)(),
+        "friedman_hourly_type_ranks": """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+                FROM events
+            ),
+            counts AS (
+                SELECT h, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM ev GROUP BY 1, 2
+            ),
+            hours AS (SELECT DISTINCT h FROM ev),
+            types AS (
+                SELECT unnest(['click', 'error', 'purchase', 'signup',
+                               'view']) AS event_type
+            ),
+            grid AS (
+                SELECT hours.h, types.event_type,
+                       coalesce(c.c, 0) AS c
+                FROM hours CROSS JOIN types
+                LEFT JOIN counts c ON c.h = hours.h
+                                  AND c.event_type = types.event_type
+            ),
+            ranked AS (
+                SELECT h, event_type,
+                       CAST(2 * (rank() OVER (PARTITION BY h ORDER BY c)
+                                 - 1)
+                            + count(*) OVER (PARTITION BY h, c)
+                            + 1 AS BIGINT) AS r2
+                FROM grid
+            ),
+            agg AS (
+                SELECT CAST(count(*) // 5 AS BIGINT) AS n,
+                       CAST(sum(r2) FILTER (WHERE event_type = 'click') AS BIGINT) AS r2_click, CAST(sum(r2) FILTER (WHERE event_type = 'error') AS BIGINT) AS r2_error, CAST(sum(r2) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS r2_purchase, CAST(sum(r2) FILTER (WHERE event_type = 'signup') AS BIGINT) AS r2_signup, CAST(sum(r2) FILTER (WHERE event_type = 'view') AS BIGINT) AS r2_view,
+                       CAST(sum(r2 * r2) AS BIGINT) AS ssq
+                FROM ranked
+            )
+            SELECT n, r2_click, r2_error, r2_purchase, r2_signup, r2_view, ssq,
+                   CASE WHEN (ssq - n * 5 * 36) = 0 OR n = 0 THEN NULL
+                        ELSE round(4 * CAST(((r2_click - n * 6) * (r2_click - n * 6) + (r2_error - n * 6) * (r2_error - n * 6) + (r2_purchase - n * 6) * (r2_purchase - n * 6) + (r2_signup - n * 6) * (r2_signup - n * 6) + (r2_view - n * 6) * (r2_view - n * 6)) AS DOUBLE)
+                             / CAST((ssq - n * 5 * 36) AS DOUBLE), 6) END AS q_stat
+            FROM agg
+        """,
         "mannwhitney_purchase_values": f"""
             WITH ev AS (
                 SELECT {sampling_op.hash_bucket_sql("user_id", 2)} AS arm,

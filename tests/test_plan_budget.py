@@ -127,6 +127,9 @@ BUDGETS = {
     # same construction, 5-way counts: per-value count + global_cumsum
     # range exchange + its offsets
     "kruskal_wallis_value_by_type": 3,
+    # (hour, type) count + spine + grid join + per-block windows +
+    # the 1-row final aggregate
+    "friedman_hourly_type_ranks": 3,
     # capped adjacency build (checkpointed leaf) + wedge self-join +
     # pair count + anti join + degree joins, TakeOrdered output
     "copurchase_link_prediction": 3,

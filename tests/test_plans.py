@@ -338,6 +338,7 @@ _BNLJ_OK = {
     "event_type_correlation_matrix",  # type-enum grid broadcast
     "hourly_spearman_matrix",  # same type-enum grid broadcast
     "hourly_dispersion_index",  # same type-enum grid broadcast
+    "friedman_hourly_type_ranks",  # same type-enum grid broadcast
     "token_budget_mixture",  # 1-row budget + level broadcasts over the lang frame
     "curriculum_shards",  # 1-row per-shard-size broadcast over the ranked frame
     "heavy_hitter_tokens",  # 1-row error-mass broadcast

@@ -408,3 +408,52 @@ def test_kruskal_wallis_matches_bruteforce_midranks(spark):
     assert abs(row.h_corrected - h / c) < 1e-5
     k = sum(1 for ty in types if getattr(row, f"n_{ty}") > 0)
     assert row.df == k - 1
+
+
+def test_friedman_matches_bruteforce_block_ranks(spark):
+    """The Friedman readout (per-type doubled rank sums, Σ(2r)², and
+    the tie-corrected Q) must equal a pure-Python per-hour midrank
+    recompute — plus the invariant Σ_j 2R_j = n·k(k+1) (every block's
+    doubled ranks sum to k(k+1))."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import table
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    row = q.friedman_hourly_type_ranks(spark, SF_SMOKE).collect()[0]
+    ev = (
+        table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000 div 3600").alias("h"),
+        )
+        .collect()
+    )
+    per_h: dict[int, Counter] = {}
+    for r in ev:
+        per_h.setdefault(r.h, Counter())[r.event_type] += 1
+    n = len(per_h)
+    assert row.n == n
+    k = len(types)
+    r2_sum = dict.fromkeys(types, 0)
+    ssq = 0
+    for h, cnts in per_h.items():
+        vals = {t: cnts.get(t, 0) for t in types}
+        for t in types:
+            below = sum(1 for o in types if vals[o] < vals[t])
+            tied = sum(1 for o in types if vals[o] == vals[t])
+            r2 = 2 * below + tied + 1
+            r2_sum[t] += r2
+            ssq += r2 * r2
+    for t in types:
+        assert getattr(row, f"r2_{t}") == r2_sum[t], t
+    assert row.ssq == ssq
+    assert sum(r2_sum.values()) == n * k * (k + 1)
+    num = sum((r2_sum[t] - n * (k + 1)) ** 2 for t in types)
+    den = ssq - n * k * (k + 1) ** 2
+    if den:
+        assert abs(row.q_stat - (k - 1) * num / den) < 1e-5
+    else:
+        assert row.q_stat is None
