@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "robust_value_outliers",
     "sampled_revenue_estimate",
     "part_affinity",
+    "part_affinity_triples",
     "part_pagerank",
     "part_pagerank_personalized",
     "part_pagerank_weighted",

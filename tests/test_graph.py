@@ -909,3 +909,32 @@ def test_seed_eccentricity_matches_pure_python(spark):
         for r in q.copurchase_seed_eccentricity(spark, SF_ORACLE).collect()
     }
     assert got == want
+
+
+def test_affinity_triples_match_naive_enumeration(spark):
+    """The A-priori pruned frequent-triple mine must equal the naive
+    per-order triple enumeration at the smoke SF (downward closure is
+    lossless: every frequent triple's sub-pairs are frequent) — a
+    pure-Python recount from the raw (order, part) pairs."""
+    import itertools
+    from collections import Counter
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    op = {(r.l_orderkey, r.l_partkey)
+          for r in li.select("l_orderkey", "l_partkey").collect()}
+    by_order: dict[int, set[int]] = {}
+    for o, p in op:
+        by_order.setdefault(o, set()).add(p)
+    sup: Counter = Counter()
+    for parts in by_order.values():
+        for tri in itertools.combinations(sorted(parts), 3):
+            sup[tri] += 1
+    want = {tri: n for tri, n in sup.items() if n >= 2}
+    got = {
+        (r.p_a, r.p_b, r.p_c): r.n_orders
+        for r in q.part_affinity_triples(spark, SF_ORACLE).collect()
+    }
+    assert got == want

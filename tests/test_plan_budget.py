@@ -133,6 +133,9 @@ BUDGETS = {
     # capped adjacency build (checkpointed leaf) + wedge self-join +
     # pair count + anti join + degree joins, TakeOrdered output
     "copurchase_link_prediction": 3,
+    # A-priori: pair-lattice wedge join + 3 constrained support joins
+    # + support regroup + ordered output
+    "part_affinity_triples": 5,
     # round 10: post-loop leaves — the settled-table output is a
     # checkpointed leaf + ordered output
     "copurchase_cheapest_paths": 1,
