@@ -1143,8 +1143,9 @@ def image_ahash_signatures(df_with_payload: DataFrame) -> DataFrame:
 
     Arrow-batched numpy over mapInPandas — one decode + one bincount
     per image, no per-row Python in the aggregation; O(1) state per
-    image.  Requires a single-channel plane (the gray-8 PNG/PPM
-    containers); multi-channel payloads raise ValueError rather than
+    image.  Requires a single-channel plane (the gray-8 PNG
+    container; PPM decodes to 3 interleaved channels and is
+    rejected); multi-channel payloads raise ValueError rather than
     silently hashing interleaved samples.
     """
 
