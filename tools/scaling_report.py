@@ -125,6 +125,17 @@ QUERIES = [
     ("link prediction (capped wedges)", "copurchase_link_prediction"),
     ("BFS hop ball", "copurchase_hub_hop_histogram"),
     ("audience overlap", "type_audience_overlap"),
+    # round-10 families
+    ("exact heavy hitters (MG 2-pass)", "heavy_hitter_tokens"),
+    ("image aHash near-dup", "image_phash_near_dup"),
+    ("audio fingerprint near-dup", "audio_fingerprint_near_dup"),
+    ("bounded Bellman-Ford", "copurchase_cheapest_paths"),
+    ("harmonic centrality (multi-BFS)", "copurchase_harmonic_centrality"),
+    ("personalized PageRank", "part_pagerank_personalized"),
+    ("Kruskal-Wallis (global cumsum)", "kruskal_wallis_value_by_type"),
+    ("Friedman blocked ranks", "friedman_hourly_type_ranks"),
+    ("A-priori 3-itemsets", "part_affinity_triples"),
+    ("stream image clusters (merge)", "streaming_image_signature_clusters"),
 ]
 
 OUT = os.path.join(
