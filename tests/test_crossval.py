@@ -934,3 +934,35 @@ def test_ann_index_append_equals_one_pass_encode(spark):
     # replaying the same batch is a no-op
     meta2 = ann_index_append(new, path)
     assert meta2["n_new"] == 0 and meta2["batch"] is None
+
+
+def test_verified_heavy_hitters_exact_through_decrement_path(spark):
+    """verified_heavy_hitters must return the exact top-N even when k
+    is SMALLER than the vocabulary (the MG decrement path fires and
+    the summary genuinely undercounts) — provided the lossless margin
+    holds (Nth count > subtracted mass), which the fixture satisfies
+    at k=16/top=3 (err 908 < 976) and the test asserts as a
+    precondition."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.catalog import spread, table
+    from real_time_data_analytics_cassandra_spark.functions.textfns import tokens
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        heavy_hitters,
+        verified_heavy_hitters,
+    )
+
+    tok = spread(table(spark, SF_ORACLE, "documents")).select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    exact = {r.term: r.n for r in
+             tok.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    err = heavy_hitters(tok, "term", k=16).collect()[0].max_err
+    assert err > 0, "k=16 must exercise the decrement path"
+    top3 = sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:3]
+    assert top3[-1][1] > err, "fixture must satisfy the lossless margin"
+    got = [
+        (r.value, r.exact_count, r.rank)
+        for r in verified_heavy_hitters(tok, "term", k=16, top=3).collect()
+    ]
+    assert got == [(t, n, i + 1) for i, (t, n) in enumerate(top3)]

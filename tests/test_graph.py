@@ -938,3 +938,85 @@ def test_affinity_triples_match_naive_enumeration(spark):
         for r in q.part_affinity_triples(spark, SF_ORACLE).collect()
     }
     assert got == want
+
+
+def test_bellman_ford_unit_weights_reduce_to_bfs_hops(spark):
+    """With w=1 everywhere, bounded Bellman-Ford must reproduce
+    bfs_hops exactly (cost == hop count, same reached set at the same
+    bound) — the cross-operator consistency gate tying the weighted
+    and unweighted traversals together."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        bellman_ford_bounded,
+        bfs_hops,
+    )
+
+    pairs = []
+    x = 77
+    for _ in range(45):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 15
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 15
+        if a != b:
+            pairs.append((a, b))
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    weighted = edges.withColumn("w", F.lit(1).cast("long"))
+    sources = spark.createDataFrame([(0,)], "id long")
+    for bound in (2, 6):
+        hops = {
+            r.id: r.hops
+            for r in bfs_hops(edges, sources, max_hops=bound).collect()
+        }
+        cost = {
+            r.id: r.cost
+            for r in bellman_ford_bounded(
+                weighted, sources, rounds=bound
+            ).collect()
+        }
+        assert cost == hops, bound
+
+
+def test_multi_source_bfs_single_seed_reduces_to_bfs_hops(spark):
+    """A one-seed multi-source traversal must equal bfs_hops from
+    that seed bit-for-bit."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        bfs_hops,
+        multi_source_bfs_hops,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (7, 8)]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    single = {
+        r.id: r.hops for r in bfs_hops(edges, seeds, max_hops=5).collect()
+    }
+    multi = {
+        r.id: r.hops
+        for r in multi_source_bfs_hops(edges, seeds, max_hops=5).collect()
+    }
+    assert multi == single
+
+
+def test_pagerank_personalized_all_seeds_reduces_to_uniform(spark):
+    """Seeding EVERY vertex must reproduce the uniform operator
+    bit-for-bit (t=1 everywhere makes the init and teleport terms
+    identical to pagerank's) — the boundary-condition gate that pins
+    the teleport algebra."""
+    from real_time_data_analytics_cassandra_spark.operators.graph import (
+        pagerank,
+        pagerank_personalized,
+    )
+
+    pairs = _sym([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1)])
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "id long"
+    )
+    base = {r.id: r.rank_micro for r in pagerank(edges, iterations=3).collect()}
+    got = {
+        r.id: r.rank_micro
+        for r in pagerank_personalized(
+            edges, all_nodes, iterations=3
+        ).collect()
+    }
+    assert got == base
