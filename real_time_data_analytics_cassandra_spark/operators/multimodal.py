@@ -51,15 +51,26 @@ DECODED_META_SCHEMA = StructType(
 )
 
 
-def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def attach_binary_payload(
+    df: DataFrame, id_col: str, text_col: str, parallelize: bool = True
+) -> DataFrame:
     """Simulate a media blob column: utf-8 bytes of the text.
 
     Real pipelines read the blob from object storage / a parquet binary
     column; the deterministic derivation keeps tests reproducible.
+
+    ``parallelize=False`` skips the spread() repartition for consumers
+    whose downstream stage is O(1) per blob (header-peek metadata): the
+    round-robin exchange moves EVERY payload byte, so for those stages
+    the shuffle costs more than the work at any corpus size — on a
+    production corpus the scan arrives in many splits and parallelism
+    is already there without an exchange.  CPU-bound decoders (pixel
+    defilter, feature folds) keep the default spread.
     """
     from real_time_data_analytics_cassandra_spark.catalog import spread
 
-    return spread(df).select(
+    src = spread(df) if parallelize else df
+    return src.select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )

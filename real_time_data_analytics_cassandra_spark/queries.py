@@ -2395,10 +2395,18 @@ def embedding_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary multimodal plumbing: attach payload bytes, decode
     metadata via Arrow-batched mapInPandas (deterministic stub decoder
-    — see operators/multimodal.py)."""
+    — see operators/multimodal.py).
+
+    parallelize=False: metadata extraction is a header peek — O(1)
+    per blob — so the spread() repartition shuffled every payload
+    byte to parallelize near-zero compute (measured 3-4x the no-
+    exchange form at sf0.1; the round-9/10 drift on this query).  A
+    real corpus scan has many splits and needs no exchange either."""
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
-    return mm_op.decode_media_meta(mm_op.attach_binary_payload(docs, "doc_id", "text"))
+    return mm_op.decode_media_meta(
+        mm_op.attach_binary_payload(docs, "doc_id", "text", parallelize=False)
+    )
 
 
 def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4494,24 +4502,46 @@ def recent_events_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations by year —
     supplier nation on one side of the fact, customer nation on the
-    other.  Both nation lookups ride broadcast joins (supplier ⋈
-    nation prunes the fact scan before the orderkey shuffle); only the
-    orders and customer joins shuffle, and the customer side is
-    pre-filtered to the two nations of interest."""
+    other.
+
+    The dim subtrees are PURE base-table filters: nation is
+    constant-size by the TPC-H spec (25 rows), so the two nation
+    names ride a literal map built from a bounded driver collect
+    (the same discipline as the registry's 1-row scalar broadcasts)
+    and supplier/customer are filtered by nation KEY directly.  This
+    keeps each dim's planner size estimate at its file footprint —
+    with a nation JOIN inside the dim subtree the estimate blew past
+    the fact's and the planner broadcast LINEITEM itself (BuildLeft
+    over the 600k-row fact: the round-8..10 bench drift on this
+    query).  At production scale both join sides exceed the broadcast
+    threshold and AQE plans a shuffle join on the keys, which is the
+    correct 100 TB behavior."""
     ensure_query_confs(spark)
     one = F.lit(1).cast(ONE)
     nation = table(spark, sf_dir, "nation")
+    nat = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+        .collect()
+    }
+    keys = sorted(nat)
+    name_for = F.create_map(
+        *[x for k in keys for x in (F.lit(k), F.lit(nat[k]))]
+    )
     sup = (
         table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("s_nationkey").isin(keys))
+        .select(
+            "s_suppkey", name_for[F.col("s_nationkey")].alias("supp_nation")
+        )
     )
     cust = (
         table(spark, sf_dir, "customer")
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("c_nationkey").isin(keys))
+        .select(
+            "c_custkey", name_for[F.col("c_nationkey")].alias("cust_nation")
+        )
     )
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
@@ -4535,8 +4565,14 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of PROMO-part revenue within
     one customer region, per order year.  Conditional decimal sum over
-    total decimal sum (promo_revenue_share's division discipline); the
-    part filter broadcasts and prunes the fact before any shuffle."""
+    total decimal sum (promo_revenue_share's division discipline).
+
+    Same dim-subtree discipline as nation_trade_volume: nation and
+    region are constant-size by the TPC-H spec (25 / 5 rows), so the
+    supplier-nation names ride a literal map and the ASIA customer
+    filter is a key isin — every dim stays a pure base-table filter
+    whose planner estimate is its file footprint, so the planner
+    never flips to broadcasting the fact."""
     ensure_query_confs(spark)
     one = F.lit(1).cast(ONE)
     nation = table(spark, sf_dir, "nation")
@@ -4547,22 +4583,29 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_type") == "PROMO")
         .select("p_partkey")
     )
-    sup = (
-        table(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    nat = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation.select("n_nationkey", "n_name").collect()
+    }
+    name_for = F.create_map(
+        *[x for k in sorted(nat) for x in (F.lit(k), F.lit(nat[k]))]
+    )
+    asia_keys = sorted(
+        int(r["n_nationkey"])
+        for r in nation.join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+        .collect()
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", name_for[F.col("s_nationkey")].alias("supp_nation")
     )
     cust = (
         table(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(
-                nation.join(
-                    F.broadcast(table(spark, sf_dir, "region")),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                ).filter(F.col("r_name") == "ASIA")
-            ),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
+        .filter(F.col("c_nationkey").isin(asia_keys))
         .select("c_custkey")
     )
     li = table(spark, sf_dir, "lineitem")
