@@ -1308,6 +1308,82 @@ def image_ahash_near_pairs(
     return signature_near_pairs(sig, n_bands=4, max_hamming=max_hamming)
 
 
+def image_dhash_signatures(df_with_payload: DataFrame) -> DataFrame:
+    """64-bit DIFFERENCE HASH (dHash) per image, from the real decoded
+    single-channel pixel plane — the gradient sibling of
+    :func:`image_ahash_signatures`: the plane maps onto a 9-wide x
+    8-tall integer cell grid and each bit compares HORIZONTALLY
+    ADJACENT cell means instead of thresholding against the global
+    mean:
+
+    - cell of pixel (r, c) on a WxH plane:
+      g = 9*((r*8)//H) + (c*9)//W   (72 cells; rows may be empty
+      when H < 8 — an empty cell contributes mean 0 exactly as the
+      aHash grid does);
+    - bit (r, c), c in 0..7:  1  iff  cs[l]*cn[g] > cs[g]*cn[l]
+      with l = 9r+c, g = l+1 (left-cell mean > right-cell mean,
+      cross-multiplied so everything stays in exact integers);
+    - MSB-first packing into (sig_hi, sig_lo), identical conventions
+      to the aHash, so :func:`image_ahash_clusters` and
+      :func:`signature_near_pairs` are shared unchanged.
+
+    Why a second signature: aHash thresholds every cell against the
+    GLOBAL plane mean, so a smooth exposure change (a per-row-band
+    brightness ramp — vignettes, scanner gradients) moves cells
+    across that one global threshold and flips bits; dHash compares
+    each cell only to its row neighbor, and a shift that is constant
+    within a cell row cancels EXACTLY in the cross-multiplied
+    comparison — those near-dups link under dHash and are missed by
+    aHash (gated in tests/test_multimodal_real.py).
+
+    Arrow-batched numpy over mapInPandas; O(1) state per image; same
+    single-channel contract as the aHash stage."""
+    left_cells = (
+        9 * np.repeat(np.arange(8, dtype=np.int64), 8)
+        + np.tile(np.arange(8, dtype=np.int64), 8)
+    )
+    right_cells = left_cells + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                meta, px = decode_payload(bytes(payload))
+                if meta["n_channels"] != 1:
+                    raise ValueError(
+                        "image_dhash_signatures needs a single-channel "
+                        f"plane, got {meta['n_channels']} channels"
+                    )
+                w, h = meta["width"], meta["height"]
+                v = px.astype(np.int64)
+                idx = np.arange(v.size, dtype=np.int64)
+                cell = 9 * ((idx // w) * 8 // h) + (idx % w) * 9 // w
+                cs = np.zeros(72, dtype=np.int64)
+                np.add.at(cs, cell, v)
+                cn = np.bincount(cell, minlength=72).astype(np.int64)
+                bits = (
+                    cs[left_cells] * cn[right_cells]
+                    > cs[right_cells] * cn[left_cells]
+                )
+                hi = 0
+                lo = 0
+                for b in range(32):
+                    hi = (hi << 1) | int(bits[b])
+                    lo = (lo << 1) | int(bits[32 + b])
+                ids.append(int(doc_id))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig_hi": pd.Series(his, dtype="int64"),
+                    "sig_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
 def audio_energy_fingerprints(df_with_payload: DataFrame) -> DataFrame:
     """64-bit ENERGY-ENVELOPE fingerprint per audio payload, from the
     really-decoded PCM plane (RIFF chunk walk — :func:`_decode_wav`):

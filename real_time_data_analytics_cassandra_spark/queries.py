@@ -2622,6 +2622,42 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image GRADIENT-hash near-duplicate links — the dHash sibling of
+    image_phash_near_dup: 64-bit difference hashes (operators/
+    multimodal.py::image_dhash_signatures — 9x8 integer cell grid,
+    bit = left-cell mean > right-cell mean, cross-multiplied) over
+    the really-decoded PNG planes, exact signature collapse first,
+    then the SHARED banded-Hamming operator (4 bands of 16 bits —
+    lossless for Hamming <= 3).
+
+    Why it exists beside aHash: aHash thresholds against the GLOBAL
+    plane mean, so smooth exposure changes (per-row brightness
+    ramps) flip bits and those near-dups are missed; dHash's
+    row-local comparisons cancel any per-cell-row-constant shift
+    exactly, linking brightness-ramped copies aHash cannot (gated in
+    tests/test_multimodal_real.py with an explicit ramped pair).
+
+    Full oracle: the dHash is pure integer arithmetic over the
+    deterministic plane, so DuckDB recomputes the identical signature
+    from the document bytes; Spark earns it through the real
+    CRC-checked zlib decode.
+
+    Scale shape: identical to image_phash_near_dup — one Arrow decode
+    pass, exact collapse before the band join, integer equi-joins
+    over DISTINCT signatures only."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    docs = table(spark, sf_dir, "documents")
+    sig = mm_op.image_dhash_signatures(
+        mm_op.attach_png_payload(spread(docs), "doc_id", "text")
+    )
+    return mm_op.signature_near_pairs(
+        sig, n_bands=4, max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
 def audio_fingerprint_near_dup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11332,6 +11368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_rgba_decode": media_png_rgba_decode,
         "image_ahash_clusters": image_ahash_clusters,
         "image_phash_near_dup": image_phash_near_dup,
+        "image_dhash_near_dup": image_dhash_near_dup,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
@@ -11583,6 +11620,61 @@ def oracle_sql() -> dict[str, str]:
                 FROM sig GROUP BY 1, 2
             )
     """
+    # the dHash twin: 9x8 cell grid over the same padded plane, bit =
+    # left-cell mean > right-cell mean (cross-multiplied — the
+    # arithmetic mirror of operators/multimodal.py::
+    # image_dhash_signatures); docs whose plane sets no bits still
+    # need a signature row, hence the LEFT JOIN back to geo.  An
+    # empty/missing cell simply has no `cells` row, so its comparison
+    # row drops out of the inner join and the bit is 0 — exactly the
+    # numpy 0*0 > 0*0 outcome.
+    dhash_sig_ctes = """
+            geo AS (
+                SELECT doc_id, text, length(text) AS len_t,
+                       greatest(1, (length(text) + 63) // 64) AS h
+                FROM documents
+            ),
+            grid AS (
+                SELECT doc_id, text, len_t, h,
+                       unnest(range(0, 64 * h)) AS i
+                FROM geo
+            ),
+            px AS (
+                SELECT doc_id,
+                       9 * ((i // 64) * 8 // h) + (i % 64) * 9 // 64 AS g,
+                       CASE WHEN i < len_t
+                            THEN ord(substr(text, CAST(i + 1 AS INT), 1))
+                            ELSE 0 END AS v
+                FROM grid
+            ),
+            cells AS (
+                SELECT doc_id, g, sum(v) AS cs, count(*) AS cn
+                FROM px GROUP BY 1, 2
+            ),
+            bits AS (
+                SELECT l.doc_id,
+                       (l.g // 9) * 8 + (l.g % 9) AS bit
+                FROM cells l
+                JOIN cells r ON r.doc_id = l.doc_id AND r.g = l.g + 1
+                WHERE l.g % 9 < 8 AND l.cs * r.cn > r.cs * l.cn
+            ),
+            sig AS (
+                SELECT g.doc_id,
+                       CAST(coalesce(sum(CASE WHEN b.bit < 32
+                            THEN CAST(1 AS BIGINT) << (31 - b.bit)
+                            ELSE 0 END), 0) AS BIGINT) AS sig_hi,
+                       CAST(coalesce(sum(CASE WHEN b.bit >= 32
+                            THEN CAST(1 AS BIGINT) << (63 - b.bit)
+                            ELSE 0 END), 0) AS BIGINT) AS sig_lo
+                FROM geo g LEFT JOIN bits b USING (doc_id)
+                GROUP BY 1
+            ),
+            clu AS (
+                SELECT sig_hi, sig_lo, min(doc_id) AS canon_id,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM sig GROUP BY 1, 2
+            )
+    """
     # the audio twin: 1-D energy-envelope fingerprint over the PCM
     # plane (spans of (i*64)//n, |byte - 128| amplitudes), same
     # MSB-first packing and cluster collapse as the image chain;
@@ -11814,6 +11906,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_phash_near_dup": f"""
             WITH {ahash_sig_ctes},
+            banded AS (
+                SELECT canon_id, 0 AS band,
+                       (sig_hi >> 16) & 65535 AS band_val FROM clu
+                UNION ALL SELECT canon_id, 1, sig_hi & 65535 FROM clu
+                UNION ALL SELECT canon_id, 2, (sig_lo >> 16) & 65535 FROM clu
+                UNION ALL SELECT canon_id, 3, sig_lo & 65535 FROM clu
+            ),
+            cand AS (
+                SELECT DISTINCT a.canon_id AS doc_a, b.canon_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.canon_id < b.canon_id
+            )
+            SELECT cand.doc_a, cand.doc_b,
+                   CAST(bit_count(xor(x.sig_hi, y.sig_hi))
+                        + bit_count(xor(x.sig_lo, y.sig_lo))
+                        AS BIGINT) AS hamming,
+                   x.n_docs AS n_docs_a, y.n_docs AS n_docs_b
+            FROM cand
+            JOIN clu x ON x.canon_id = cand.doc_a
+            JOIN clu y ON y.canon_id = cand.doc_b
+            WHERE bit_count(xor(x.sig_hi, y.sig_hi))
+                  + bit_count(xor(x.sig_lo, y.sig_lo)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "image_dhash_near_dup": f"""
+            WITH {dhash_sig_ctes},
             banded AS (
                 SELECT canon_id, 0 AS band,
                        (sig_hi >> 16) & 65535 AS band_val FROM clu

@@ -763,3 +763,129 @@ def test_signature_near_pairs_rejects_straddling_or_lossy_bands(spark):
         mm.signature_near_pairs(sig, n_bands=4, max_hamming=4)
     with _pytest.raises(AssertionError, match="straddle|divide"):
         mm.signature_near_pairs(sig, n_bands=3, max_hamming=2)
+
+
+def _dhash_py(data: bytes) -> tuple[int, int]:
+    """Independent pure-Python dHash recompute (no numpy, no Spark):
+    9x8 integer cell grid, bit = left-cell mean > right-cell mean,
+    cross-multiplied — the contract the Spark signature stage and the
+    DuckDB oracle must both match bit-for-bit."""
+    width = 64
+    height = max(1, -(-len(data) // width))
+    n = width * height
+    v = list(data) + [0] * (n - len(data))
+    cs = [0] * 72
+    cn = [0] * 72
+    for i, val in enumerate(v):
+        r, c = divmod(i, width)
+        g = 9 * ((r * 8) // height) + (c * 9) // width
+        cs[g] += val
+        cn[g] += 1
+    bits = []
+    for r in range(8):
+        for c in range(8):
+            left, right = 9 * r + c, 9 * r + c + 1
+            bits.append(
+                1 if cs[left] * cn[right] > cs[right] * cn[left] else 0
+            )
+    hi = sum(bits[i] << (31 - i) for i in range(32))
+    lo = sum(bits[32 + i] << (31 - i) for i in range(32))
+    return hi, lo
+
+
+def test_image_dhash_signature_matches_pure_python(spark):
+    """The Arrow dHash stage (real PNG decode + numpy 9x8 grid fold)
+    must reproduce the pure-Python recompute on the same edge
+    geometry as the aHash gate: empty text, one short row (empty
+    grid rows), exact width multiple, and a tall plane."""
+    rows = [
+        (1, ""),
+        (2, "short row"),
+        (3, "y" * 64),
+        (4, "the quick brown fox jumps over the lazy dog " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+        for r in mm.image_dhash_signatures(
+            mm.attach_png_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert sig[doc_id] == _dhash_py(text.encode()), doc_id
+
+
+def test_image_dhash_near_dup_matches_pure_python(spark):
+    """The whole dHash near-dup pair set at the smoke SF must equal
+    the brute-force pure-Python rederivation (Hamming <= 3 over
+    distinct signatures, cluster-weighted) — the same protocol as the
+    aHash gate."""
+    import itertools
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sigs = {d: _dhash_py(t.encode()) for d, t in texts.items()}
+    clusters: dict[tuple[int, int], list[int]] = {}
+    for d, s in sorted(sigs.items()):
+        clusters.setdefault(s, []).append(d)
+    want = set()
+    for (sa, ma), (sb, mb) in itertools.combinations(
+        sorted(clusters.items(), key=lambda kv: min(kv[1])), 2
+    ):
+        ham = bin(sa[0] ^ sb[0]).count("1") + bin(sa[1] ^ sb[1]).count("1")
+        if ham <= 3:
+            a, b = min(ma), min(mb)
+            a, b = (a, b) if a < b else (b, a)
+            want.add((a, b, ham, len(ma), len(mb)))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"], r["n_docs_a"], r["n_docs_b"])
+        for r in q.image_dhash_near_dup(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
+def test_dhash_links_brightness_ramp_that_ahash_misses(spark):
+    """The reason dHash exists beside aHash, demonstrated end to end:
+    a smooth exposure change (per-pixel-row brightness ramp — the
+    H=8 plane makes pixel rows coincide with cell rows) leaves every
+    dHash row-local comparison unchanged (the shift cancels exactly
+    in the cross-multiplied means) but moves whole rows across
+    aHash's single global-mean threshold.  The ramped copy must
+    collapse into the SAME dHash cluster while aHash separates it by
+    more than the banded near-dup threshold."""
+    width, height = 64, 8
+    base = bytes(
+        100 + ((c * 9) // width) * 4 for r in range(height)
+        for c in range(width)
+    )
+    ramped = bytes(
+        100 + ((c * 9) // width) * 4 + 6 * r for r in range(height)
+        for c in range(width)
+    )
+    # sanity: pure-Python contracts first
+    d_a, d_b = _dhash_py(base), _dhash_py(ramped)
+    a_a, a_b = _ahash_py(base), _ahash_py(ramped)
+    assert d_a == d_b, "row-constant shift must cancel in dHash"
+    a_ham = bin(a_a[0] ^ a_b[0]).count("1") + bin(a_a[1] ^ a_b[1]).count("1")
+    assert a_ham > 3, f"ramp must push aHash past the band threshold, got {a_ham}"
+    # end to end through the real PNG decode + both signature stages
+    payloads = spark.createDataFrame(
+        [(1, mm._png_container(base)), (2, mm._png_container(ramped))],
+        "doc_id long, payload binary",
+    )
+    dsig = mm.image_dhash_signatures(payloads)
+    dclu = {
+        r["doc_id"]: (r["canon_id"], r["cluster_size"])
+        for r in mm.image_ahash_clusters(dsig).collect()
+    }
+    assert dclu[1] == (1, 2) and dclu[2] == (1, 2), dclu
+    asig = mm.image_ahash_signatures(payloads)
+    assert mm.image_ahash_near_pairs(asig, max_hamming=3).count() == 0
+    aclu = {
+        r["doc_id"]: r["cluster_size"]
+        for r in mm.image_ahash_clusters(asig).collect()
+    }
+    assert aclu == {1: 1, 2: 1}, aclu

@@ -82,6 +82,7 @@ BUDGETS = {
     "image_ahash_clusters": 4,
     # signature groupBy + band explode/join + distinct + 2 verify joins
     "image_phash_near_dup": 10,
+    "image_dhash_near_dup": 10,
     "audio_fingerprint_near_dup": 10,
     # graph / linkage (post-loop leaves for the iterative ones;
     # triangle counting: adjacency build + 2 adjacency joins +

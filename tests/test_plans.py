@@ -270,6 +270,7 @@ _ARROW_QUERIES = {
     "media_ppm_decode",  # real P6 header token scan via mapInPandas
     "image_ahash_clusters",  # real PNG decode + aHash via mapInPandas
     "image_phash_near_dup",  # same Arrow signature stage, JVM past it
+    "image_dhash_near_dup",  # gradient-hash twin, same Arrow stage
     "audio_fingerprint_near_dup",  # real RIFF decode + envelope via mapInPandas
     "multimodal_features",
     "frame_samples",
