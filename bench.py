@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "image_ahash_clusters",
     "image_phash_near_dup",
     "image_dhash_near_dup",
+    "incremental_image_near_dup",
     "audio_fingerprint_near_dup",
     "incremental_ann_search",
     "streaming_incremental_index",

@@ -1236,25 +1236,14 @@ def signature_near_pairs(
     contributes each template ONCE to the band join.  All integer
     equi-joins; no UDF past the signature stage.
     """
-    assert 64 % n_bands == 0 and 32 % (64 // n_bands) == 0, (
-        "bands must divide evenly and never straddle the hi/lo halves"
-    )
     assert max_hamming < n_bands, (
         "pigeonhole losslessness needs max_hamming < n_bands"
     )
-    w = 64 // n_bands
-    mask = F.lit((1 << w) - 1)
     clusters = sig.groupBy("sig_hi", "sig_lo").agg(
         F.min("doc_id").alias("canon_id"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    band_exprs = []
-    for j in range(n_bands):
-        half = "sig_hi" if (j + 1) * w <= 32 else "sig_lo"
-        shift = (32 if half == "sig_hi" else 64) - (j + 1) * w
-        band_exprs.append(
-            F.shiftrightunsigned(half, shift).bitwiseAND(mask)
-        )
+    band_exprs = _band_val_exprs(n_bands)
     banded = clusters.select(
         "canon_id",
         F.posexplode(F.array(*band_exprs)).alias("band", "band_val"),
@@ -1306,6 +1295,241 @@ def image_ahash_near_pairs(
     """Image form of :func:`signature_near_pairs`: 4 bands of 16 bits
     over the aHash signatures (lossless for Hamming <= 3)."""
     return signature_near_pairs(sig, n_bands=4, max_hamming=max_hamming)
+
+
+def _band_val_exprs(n_bands: int) -> list:
+    """The ``n_bands`` equal band-value expressions over (sig_hi,
+    sig_lo) — shared by the batch pair operator and the incremental
+    band index so both cut signatures identically."""
+    assert 64 % n_bands == 0 and 32 % (64 // n_bands) == 0, (
+        "bands must divide evenly and never straddle the hi/lo halves"
+    )
+    w = 64 // n_bands
+    mask = F.lit((1 << w) - 1)
+    exprs = []
+    for j in range(n_bands):
+        half = "sig_hi" if (j + 1) * w <= 32 else "sig_lo"
+        shift = (32 if half == "sig_hi" else 64) - (j + 1) * w
+        exprs.append(F.shiftrightunsigned(half, shift).bitwiseAND(mask))
+    return exprs
+
+
+N_BAND_BUCKETS = 16
+
+
+def incremental_signature_pairs_fold(
+    sig_batch: DataFrame,
+    cluster_path: str,
+    band_path: str,
+    pair_path: str,
+    batch_id: int,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> None:
+    """Fold one micro-batch of 64-bit signatures into the
+    STREAM-MAINTAINED near-pair state — the perceptual twin of
+    index.append_text_index's O(batch) append discipline.  Three
+    persisted tables:
+
+    - ``cluster_path``: the min/add cluster table (canonical doc_id +
+      cluster size per distinct signature — sinks/merge.merge_min_add,
+      batch-id replay guard, sig_hi & 3 partition pruning);
+    - ``band_path``: the BAND INDEX — one row per (band, band_val)
+      per distinct signature, hive-partitioned by (band,
+      band_val & 15) so a batch's probe reads only the buckets its
+      own band values land in;
+    - ``pair_path``: discovered near pairs keyed by the SIGNATURE
+      pair (canonical ids and cluster sizes are resolved at READ
+      time against the live cluster table, so late growth of a
+      cluster or a new lower canonical doc_id never stales a stored
+      pair).
+
+    Per batch, only signatures NEVER SEEN BEFORE (anti-join against
+    the cluster table, checked before this batch's merge) generate
+    work: they probe their <= n_bands band buckets against the
+    persisted index (new x old) and band-join among themselves
+    (new x new), so every qualifying signature pair is discovered
+    exactly once — when its second member first arrives — and the
+    pigeonhole losslessness of the batch operator carries over
+    band-for-band.  O(batch * index-slice) per micro-batch, never
+    O(corpus^2).
+
+    Replay safety: a COMPLETED batch re-arriving finds its
+    signatures already in the cluster table, so new_sigs is empty
+    and nothing re-appends; a crash between the pair append and the
+    cluster merge can duplicate pair/band rows on retry, which the
+    reader heals with an exact distinct over the (small) pair table
+    — same crash-window discipline as the index appends."""
+    from real_time_data_analytics_cassandra_spark.sinks.merge import (
+        merge_min_add,
+    )
+
+    spark = sig_batch.sparkSession
+    sig_batch = sig_batch.localCheckpoint(eager=True)
+    distinct_sigs = sig_batch.select("sig_hi", "sig_lo").distinct()
+    jvm_fs = spark._jvm.org.apache.hadoop.fs  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+
+    def _exists(p: str) -> bool:
+        hp = jvm_fs.Path(p)
+        return hp.getFileSystem(conf).exists(hp)
+
+    if _exists(cluster_path):
+        known = spark.read.parquet(cluster_path).select("sig_hi", "sig_lo")
+        new_sigs = distinct_sigs.join(
+            known, ["sig_hi", "sig_lo"], "left_anti"
+        )
+    else:
+        new_sigs = distinct_sigs
+    new_sigs = new_sigs.localCheckpoint(eager=True)
+
+    new_bands = new_sigs.select(
+        "sig_hi",
+        "sig_lo",
+        F.posexplode(F.array(*_band_val_exprs(n_bands))).alias(
+            "band", "band_val"
+        ),
+    ).withColumn(
+        "bucket", F.col("band_val").bitwiseAND(F.lit(N_BAND_BUCKETS - 1))
+    ).localCheckpoint(eager=True)
+
+    def _oriented(cand: DataFrame) -> DataFrame:
+        x = F.struct(F.col("hi_x"), F.col("lo_x"))
+        y = F.struct(F.col("hi_y"), F.col("lo_y"))
+        return cand.select(
+            F.when(x < y, F.col("hi_x")).otherwise(F.col("hi_y")).alias("hi_a"),
+            F.when(x < y, F.col("lo_x")).otherwise(F.col("lo_y")).alias("lo_a"),
+            F.when(x < y, F.col("hi_y")).otherwise(F.col("hi_x")).alias("hi_b"),
+            F.when(x < y, F.col("lo_y")).otherwise(F.col("lo_x")).alias("lo_b"),
+        )
+
+    lhs = new_bands.select(
+        F.col("sig_hi").alias("hi_x"),
+        F.col("sig_lo").alias("lo_x"),
+        "band",
+        "band_val",
+        "bucket",
+    )
+    cands = []
+    if _exists(band_path):
+        # partition-pruned probe: only the buckets this batch's band
+        # values land in are read (<= n_bands * N_BAND_BUCKETS dirs —
+        # a BOUNDED driver list, so the collect is sanctioned)
+        touched = [
+            (int(r["band"]), int(r["bucket"]))
+            for r in new_bands.select("band", "bucket").distinct().collect()
+        ]
+        if touched:
+            idx = spark.read.parquet(band_path)
+            pred = F.lit(False)
+            for band, bucket in touched:
+                pred = pred | (
+                    (F.col("band") == band) & (F.col("bucket") == bucket)
+                )
+            old = idx.filter(pred).select(
+                F.col("sig_hi").alias("hi_y"),
+                F.col("sig_lo").alias("lo_y"),
+                "band",
+                "band_val",
+            )
+            cands.append(
+                _oriented(lhs.join(old, ["band", "band_val"]))
+            )
+    rhs = new_bands.select(
+        F.col("sig_hi").alias("hi_y"),
+        F.col("sig_lo").alias("lo_y"),
+        "band",
+        "band_val",
+    )
+    cands.append(
+        _oriented(
+            lhs.join(rhs, ["band", "band_val"]).filter(
+                F.struct(F.col("hi_x"), F.col("lo_x"))
+                < F.struct(F.col("hi_y"), F.col("lo_y"))
+            )
+        )
+    )
+    cand = cands[0]
+    for extra in cands[1:]:
+        cand = cand.unionByName(extra)
+    pairs = (
+        cand.distinct()
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("p", F.col("hi_a").bitwiseAND(F.lit(3)))
+    )
+    pairs.write.mode("append").partitionBy("p").parquet(pair_path)
+    new_bands.write.mode("append").partitionBy("band", "bucket").parquet(
+        band_path
+    )
+    merge_min_add(
+        spark,
+        sig_batch.withColumn(
+            "sig_part", F.col("sig_hi").bitwiseAND(F.lit(3))
+        ).withColumn("one", F.lit(1).cast("long")),
+        cluster_path,
+        ["sig_hi", "sig_lo"],
+        "doc_id",
+        "one",
+        "sig_part",
+        batch_id=batch_id,
+    )
+
+
+def incremental_signature_pairs_read(
+    spark, cluster_path: str, pair_path: str
+) -> DataFrame:
+    """Read the stream-maintained near-pair table back in the batch
+    operator's shape: stored signature pairs resolve their canonical
+    doc_ids and cluster sizes against the LIVE cluster table (so the
+    readout always reflects every batch folded so far), oriented by
+    canonical id exactly like :func:`signature_near_pairs`."""
+    clu = spark.read.parquet(cluster_path).select(
+        "sig_hi",
+        "sig_lo",
+        F.col("doc_id").cast("long").alias("canon"),
+        F.col("one").cast("long").alias("n_docs"),
+    )
+    # schema pinned: a corpus with ZERO qualifying pairs leaves the
+    # pair directory holding only partition markers, and schema
+    # inference over no files would fail — the pinned read returns
+    # the well-typed empty relation instead
+    pairs = (
+        spark.read.schema(
+            "hi_a long, lo_a long, hi_b long, lo_b long, "
+            "hamming long, p int"
+        )
+        .parquet(pair_path)
+        .select("hi_a", "lo_a", "hi_b", "lo_b", "hamming")
+        .distinct()
+    )
+    a = clu.select(
+        F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"),
+        F.col("canon").alias("canon_a"),
+        F.col("n_docs").alias("n_a"),
+    )
+    b = clu.select(
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("canon").alias("canon_b"),
+        F.col("n_docs").alias("n_b"),
+    )
+    joined = pairs.join(a, ["hi_a", "lo_a"]).join(b, ["hi_b", "lo_b"])
+    first = F.col("canon_a") < F.col("canon_b")
+    return joined.select(
+        F.when(first, F.col("canon_a")).otherwise(F.col("canon_b")).alias("doc_a"),
+        F.when(first, F.col("canon_b")).otherwise(F.col("canon_a")).alias("doc_b"),
+        "hamming",
+        F.when(first, F.col("n_a")).otherwise(F.col("n_b")).alias("n_docs_a"),
+        F.when(first, F.col("n_b")).otherwise(F.col("n_a")).alias("n_docs_b"),
+    )
 
 
 def image_dhash_signatures(df_with_payload: DataFrame) -> DataFrame:

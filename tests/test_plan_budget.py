@@ -83,6 +83,7 @@ BUDGETS = {
     # signature groupBy + band explode/join + distinct + 2 verify joins
     "image_phash_near_dup": 10,
     "image_dhash_near_dup": 10,
+    "incremental_image_near_dup": 3,
     "audio_fingerprint_near_dup": 10,
     # graph / linkage (post-loop leaves for the iterative ones;
     # triangle counting: adjacency build + 2 adjacency joins +

@@ -523,3 +523,52 @@ def test_streaming_image_clusters_match_batch_collapse(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_image_near_dup_matches_batch(spark):
+    """The stream-maintained near-PAIR table (band-index probes over 4
+    micro-batches, canon/size resolved at read time) must equal the
+    batch banded-Hamming operator row-for-row — pairs are discovered
+    exactly once, when their second signature first arrives, so the
+    batch split must be invisible in the readout."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    got = {
+        tuple(r)
+        for r in q.incremental_image_near_dup(spark, SF_SMOKE).collect()
+    }
+    want = {
+        tuple(r) for r in q.image_phash_near_dup(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(want) > 0, "fixture must actually exercise the pair path"
+
+
+def test_incremental_pairs_zero_pair_corpus_reads_empty(spark):
+    """A corpus whose signatures generate NO qualifying pairs must
+    still read back cleanly (the pair directory holds only partition
+    markers; the pinned-schema read returns the typed empty relation)
+    and the cluster table must still be complete."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators import (
+        multimodal as mm,
+    )
+
+    # two signatures farther than the threshold apart (Hamming 64)
+    sig = spark.createDataFrame(
+        [(1, 0, 0), (2, (1 << 32) - 1, (1 << 32) - 1)],
+        "doc_id long, sig_hi long, sig_lo long",
+    )
+    tmp = tempfile.mkdtemp(prefix="rtdac_test_zero_pairs_")
+    mm.incremental_signature_pairs_fold(
+        sig, f"{tmp}/clu", f"{tmp}/bands", f"{tmp}/pairs", batch_id=0
+    )
+    out = mm.incremental_signature_pairs_read(
+        spark, f"{tmp}/clu", f"{tmp}/pairs"
+    )
+    assert out.count() == 0
+    clu = spark.read.parquet(f"{tmp}/clu")
+    assert clu.select(F.sum("one")).collect()[0][0] == 2
