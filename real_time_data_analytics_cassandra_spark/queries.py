@@ -64,6 +64,9 @@ from real_time_data_analytics_cassandra_spark.operators import (
     sampling as sampling_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
+    urls as url_op,
+)
+from real_time_data_analytics_cassandra_spark.operators import (
     sessions as sessions_op,
 )
 from real_time_data_analytics_cassandra_spark.operators import (
@@ -2721,6 +2724,69 @@ def incremental_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_op.incremental_signature_pairs_read(
         spark, cluster_path, pair_path
     ).orderBy("doc_a", "doc_b")
+
+
+def domain_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-registrable-domain crawl statistics
+    — the standard crawl-pipeline stage (operators/urls.py): each
+    document's deterministic messy crawl URL is canonicalized with
+    pure JVM string expressions (lowercase host, www stripped,
+    default ports dropped, utm_*/fbclid/gclid params filtered) and
+    grouped by registrable domain under a public-suffix-lite literal
+    (co.uk/github.io hosts keep three labels).  Per domain: doc
+    count, distinct canonical pages, exact-duplicate doc count
+    (md5-text groups of >= 2 within the domain — the
+    cross_source_dup_matrix composition), the dup rate, and the
+    lexicographically first canonical URL (which pins the full
+    canonical string byte-for-byte against the oracle's
+    ground-truth construction).
+
+    Full oracle: the oracle does NOT re-parse — it rebuilds the
+    canonical URL and domain directly from the components the
+    synthetic URL was constructed from, so the Spark side must parse
+    its way back to ground truth exactly.
+
+    Scale shape: string expressions inside codegen, two hash
+    aggregates and one exact distinct — no UDFs, no windows; at
+    corpus scale the domain key is the natural shuffle key and the
+    suffix literal becomes a broadcast PSL table with the same
+    lookup shape."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    base = url_op.canonicalize_urls(
+        url_op.synthetic_crawl_urls(docs)
+    ).select(
+        "doc_id", "domain", "canon_url", F.md5(F.col("text")).alias("h")
+    )
+    per_hash = base.groupBy("domain", "h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dom = per_hash.groupBy("domain").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+    pages = base.groupBy("domain").agg(
+        F.countDistinct("canon_url").cast("long").alias("n_pages"),
+        F.min("canon_url").alias("first_url"),
+    )
+    return (
+        dom.join(pages, "domain")
+        .select(
+            "domain",
+            "n_docs",
+            "n_pages",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+            "first_url",
+        )
+        .orderBy("domain")
+    )
 
 
 def audio_fingerprint_near_dup(
@@ -11435,6 +11501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_near_dup": image_phash_near_dup,
         "image_dhash_near_dup": image_dhash_near_dup,
         "incremental_image_near_dup": incremental_image_near_dup,
+        "domain_crawl_stats": domain_crawl_stats,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
@@ -11996,6 +12063,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(x.sig_hi, y.sig_hi))
                   + bit_count(xor(x.sig_lo, y.sig_lo)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        "domain_crawl_stats": """
+            WITH b AS (
+                SELECT doc_id, md5(text) AS h,
+                       source || '.' ||
+                       CASE doc_id % 5 WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                            WHEN 3 THEN 'github.io' ELSE 'net' END
+                           AS domain,
+                       CASE WHEN doc_id % 3 = 0 THEN 'http'
+                            ELSE 'https' END || '://'
+                       || CASE WHEN doc_id % 3 = 1 THEN 'cdn.'
+                               ELSE '' END
+                       || source || '.'
+                       || CASE doc_id % 5 WHEN 0 THEN 'com'
+                               WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                               WHEN 3 THEN 'github.io' ELSE 'net' END
+                       || CASE WHEN doc_id % 4 = 1 THEN ':8080'
+                               ELSE '' END
+                       || '/' || lang || '/doc/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '?id=' || CAST(doc_id AS VARCHAR)
+                           AS canon_url
+                FROM documents
+            ),
+            ph AS (
+                SELECT domain, h, count(*) AS c FROM b GROUP BY 1, 2
+            ),
+            dom AS (
+                SELECT domain, CAST(sum(c) AS BIGINT) AS n_docs,
+                       CAST(coalesce(
+                           sum(CASE WHEN c >= 2 THEN c END), 0)
+                           AS BIGINT) AS n_dup_docs
+                FROM ph GROUP BY 1
+            ),
+            pg AS (
+                SELECT domain,
+                       CAST(count(DISTINCT canon_url) AS BIGINT)
+                           AS n_pages,
+                       min(canon_url) AS first_url
+                FROM b GROUP BY 1
+            )
+            SELECT dom.domain, n_docs, n_pages, n_dup_docs,
+                   round(n_dup_docs / n_docs, 6) AS dup_rate,
+                   first_url
+            FROM dom JOIN pg USING (domain)
+            ORDER BY dom.domain
         """,
         "image_dhash_near_dup": f"""
             WITH {dhash_sig_ctes},
