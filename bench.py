@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "hourly_seasonal_trend",
     "bpe_learned_merges",
     "bpe_encode_docs",
+    "source_token_fertility",
     "ngram_jaccard_prefix",
     "containment_near_dup",
     "split_leakage_report",

@@ -8667,6 +8667,71 @@ def _bpe_train_oracle_sql(k: int = _BPE_K, vocab_cap: int = 1_000_000) -> str:
     )
 
 
+def source_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKENIZER FERTILITY audit — the "which source
+    inflates my token budget" readout every multilingual mixture
+    decision needs (r10 verdict task 6): the corpus is encoded with
+    the frozen BPE merge table (the bpe_encode_docs path,
+    operators/bpe.py::apply_bpe_merges) and each source reports its
+    exact token/byte/char/word sums plus the three fertility ratios
+    (tokens-per-byte, tokens-per-char, tokens-per-word).  On this
+    ASCII corpus bytes == chars, but the two columns go through
+    different length expressions (octet_length vs length /
+    DuckDB strlen vs length) so the byte accounting is genuinely
+    exercised.
+
+    Exactness: every ratio divides two exactly-computed BIGINTs, so
+    both engines produce the identical IEEE double; empty-text docs
+    are excluded on both sides (the encode-oracle convention).
+
+    Scale shape: the merge folds run over the distinct-word table
+    only (broadcast word -> subword map), one per-doc reassembly
+    shuffle, one per-source aggregate — composing the BPE family
+    with the mixture ops adds a single extra hash aggregate."""
+    from real_time_data_analytics_cassandra_spark.operators import bpe as bpe_op
+
+    ensure_query_confs(spark)
+    merges = [(a, b, 0) for a, b in _BPE_FIXED_MERGES]
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    enc = bpe_op.apply_bpe_merges(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "n_words", "n_subwords"
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("d_chars"),
+        F.octet_length("text").alias("d_bytes"),
+    )
+    agg = (
+        base.join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("d_bytes").cast("long").alias("n_bytes"),
+            F.sum("d_chars").cast("long").alias("n_chars"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        "n_chars",
+        "n_words",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_bytes"), 6).alias(
+            "tokens_per_byte"
+        ),
+        F.round(F.col("n_tokens") / F.col("n_chars"), 6).alias(
+            "tokens_per_char"
+        ),
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
+    ).orderBy("source")
+
+
 def _bpe_encode_oracle_sql() -> str:
     """FULL DuckDB mirror of :func:`bpe_encode_docs`: the frozen
     `_BPE_FIXED_MERGES` replayed as k nested greedy folds over the
@@ -8714,6 +8779,66 @@ def _bpe_encode_oracle_sql() -> str:
                    AS n_subwords,
                md5(string_agg(sub, ' ' ORDER BY pos)) AS subwords_md5
         FROM joined GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _source_fertility_oracle_sql() -> str:
+    """FULL DuckDB mirror of :func:`source_token_fertility`: the same
+    frozen-merge greedy folds as :func:`_bpe_encode_oracle_sql`, then
+    per-source integer sums and the three IEEE-exact fertility
+    ratios (DuckDB widens BIGINT sums to HUGEINT, so every sum is
+    cast back before the division — the recipes discipline)."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "string_split(word, '')"
+    for left, right in _BPE_FIXED_MERGES:
+        expr = (
+            "list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"list_transform({expr}, s -> [s])), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 "
+            f"AND acc[len(acc)] = '{esc(left)}' AND x[1] = '{esc(right)}' "
+            f"THEN list_concat(list_slice(acc, 1, len(acc) - 1), "
+            f"['{esc(left + right)}']) "
+            "ELSE list_concat(acc, x) END)"
+        )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source, length(text) AS d_chars,
+                   strlen(text) AS d_bytes,
+                   string_split(text, ' ') AS words
+            FROM documents WHERE length(text) > 0
+        ),
+        posw AS (
+            SELECT doc_id, unnest(words) AS word FROM base
+        ),
+        vocab AS (SELECT DISTINCT word FROM posw),
+        enc AS (
+            SELECT word, len({expr}) AS n_sub FROM vocab
+        ),
+        doc_tok AS (
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(e.n_sub) AS BIGINT) AS n_tokens
+            FROM posw p JOIN enc e USING (word)
+            GROUP BY 1
+        ),
+        agg AS (
+            SELECT b.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(b.d_bytes) AS BIGINT) AS n_bytes,
+                   CAST(sum(b.d_chars) AS BIGINT) AS n_chars,
+                   CAST(sum(t.n_words) AS BIGINT) AS n_words,
+                   CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens
+            FROM base b JOIN doc_tok t USING (doc_id)
+            GROUP BY 1
+        )
+        SELECT source, n_docs, n_bytes, n_chars, n_words, n_tokens,
+               round(n_tokens / n_bytes, 6) AS tokens_per_byte,
+               round(n_tokens / n_chars, 6) AS tokens_per_char,
+               round(n_tokens / n_words, 6) AS tokens_per_word
+        FROM agg ORDER BY source
     """
 
 
@@ -11379,6 +11504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_seasonal_trend": hourly_seasonal_trend,
         "bpe_learned_merges": bpe_learned_merges,
         "bpe_encode_docs": bpe_encode_docs,
+        "source_token_fertility": source_token_fertility,
         "ngram_jaccard_prefix": ngram_jaccard_prefix,
         "split_leakage_report": split_leakage_report,
         "dup_cluster_size_histogram": dup_cluster_size_histogram,
@@ -12262,6 +12388,7 @@ def oracle_sql() -> dict[str, str]:
         "part_pagerank_personalized": _pagerank_personalized_oracle_sql(4),
         "part_pagerank_weighted": _pagerank_weighted_oracle_sql(4),
         "bpe_encode_docs": _bpe_encode_oracle_sql(),
+        "source_token_fertility": _source_fertility_oracle_sql(),
         "bpe_learned_merges": _bpe_train_oracle_sql(),
         "part_copurchase_kcore": _kcore_oracle_sql(k=2, rounds=10),
         "part_copurchase_coreness": _coreness_oracle_sql(rounds=24),

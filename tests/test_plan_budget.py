@@ -85,6 +85,7 @@ BUDGETS = {
     "image_dhash_near_dup": 10,
     "incremental_image_near_dup": 3,
     "domain_crawl_stats": 5,
+    "source_token_fertility": 4,
     "audio_fingerprint_near_dup": 10,
     # graph / linkage (post-loop leaves for the iterative ones;
     # triangle counting: adjacency build + 2 adjacency joins +
