@@ -122,14 +122,28 @@ def verified_heavy_hitters(
     Exactness: the MG completeness guarantee says every value with
     true count > err (err = summed subtracted mass ≤ n/(k+1)) is a
     candidate, so as long as the ``top``-th exact count exceeds err —
-    asserted against exact counts in tests/test_crossval.py, and
     trivially true when the vocabulary fits k (err = 0) — the result
     IS the exact global top-``top``, independent of partitioning.
-    Output: (value, exact_count, rank), ranked (count desc, value).
+    That margin is ENFORCED AT RUNTIME, not just asserted at fixture
+    scale (tests/test_crossval.py): the error mass is already
+    available from the summaries' NULL bookkeeping rows, so the
+    operator compares it against the ``top``-th exact count and
+    raises ValueError when the lossless margin fails rather than
+    returning a silently-approximate "exact" answer (raise k in that
+    case).  Both intermediates are bounded (≤ (k+1)·P summary rows,
+    ≤ top result rows), so the checkpoint + 1-row scalar collects
+    the guard costs stay O(k·P) — the corpus is still scanned exactly
+    twice.  Output: (value, exact_count, rank), ranked (count desc,
+    value).
     """
+    summaries = mg_partition_summaries(df, col, k).localCheckpoint(
+        eager=True
+    )
+    err = summaries.filter(F.col("value").isNull()).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0))
+    ).collect()[0][0]
     cand = (
-        mg_partition_summaries(df, col, k)
-        .filter(F.col("value").isNotNull())
+        summaries.filter(F.col("value").isNotNull())
         .select("value")
         .distinct()
     )
@@ -140,11 +154,35 @@ def verified_heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
     )
     w = Window.orderBy(F.desc("exact_count"), F.asc("value"))
-    return (
+    result = (
         exact.orderBy(F.desc("exact_count"), F.asc("value"))
         .limit(top)
         .withColumn("rank", F.row_number().over(w).cast("long"))
+        .localCheckpoint(eager=True)
     )
+    guard = result.agg(
+        F.min("exact_count").alias("floor"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]
+    # err == 0 means the vocabulary fit the summaries (no decrement
+    # ever fired) and the shortlist is trivially complete; otherwise
+    # the result is provably exact only when it is FULL and its
+    # lowest exact count clears the error mass — a short or empty
+    # result under positive error mass could be missing values whose
+    # true count hides below err.
+    if int(err) > 0 and (
+        int(guard["n_rows"]) < top
+        or guard["floor"] is None
+        or int(guard["floor"]) <= int(err)
+    ):
+        raise ValueError(
+            f"verified_heavy_hitters lossless margin failed: "
+            f"{guard['n_rows']} rows with exact-count floor "
+            f"{guard['floor']} against summed Misra-Gries error mass "
+            f"{err} at k={k}; the shortlist may be incomplete — "
+            f"raise k"
+        )
+    return result
 
 
 # ---------------------------------------------------------------------------

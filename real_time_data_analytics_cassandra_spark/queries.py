@@ -10678,7 +10678,18 @@ def streaming_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: observe() metrics are accumulator-side (free on the
     stream's own pass); driver state is one 5-field row per
-    micro-batch, folded as it arrives."""
+    micro-batch, folded as it arrives.
+
+    Robustness (r10 ADVICE): ``recentProgress`` is a RING BUFFER
+    (spark.sql.streaming.numRecentProgressUpdates, default 100) — a
+    replay with more micro-batches than the buffer holds would
+    silently drop early batches and undercount.  The query pins the
+    buffer well above any replay it runs AND asserts afterwards that
+    the retained progress entries cover every executed batch id, so
+    a silent undercount is structurally impossible (the production
+    form is a StreamingQueryListener feeding a metrics table as each
+    batch completes; the post-hoc fold here keeps the readout
+    synchronous and deterministic)."""
     import tempfile
 
     from real_time_data_analytics_cassandra_spark.sources.streams import (
@@ -10686,6 +10697,7 @@ def streaming_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_query_confs(spark)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     stream = sharded_table_stream(
         spark, sf_dir, "events", n_shards=4, time_cols=("ts",)
     )
@@ -10725,6 +10737,19 @@ def streaming_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         progresses = sq.recentProgress
     finally:
         spark.conf.set(conf_key, saved)
+    # coverage guard: the retained entries must span every executed
+    # batch id — if the ring buffer ever dropped one, fail loudly
+    # instead of silently undercounting
+    batch_ids = {p.batchId for p in progresses}
+    if batch_ids:
+        expected = set(range(max(batch_ids) + 1))
+        missing = expected - batch_ids
+        if missing:
+            raise RuntimeError(
+                "streaming_observed_quality: progress ring buffer "
+                f"dropped micro-batches {sorted(missing)}; raise "
+                "spark.sql.streaming.numRecentProgressUpdates"
+            )
     n_rows = n_null_user = n_null_value = 0
     h_min = h_max = None
     for p in progresses:

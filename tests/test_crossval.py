@@ -966,3 +966,22 @@ def test_verified_heavy_hitters_exact_through_decrement_path(spark):
         for r in verified_heavy_hitters(tok, "term", k=16, top=3).collect()
     ]
     assert got == [(t, n, i + 1) for i, (t, n) in enumerate(top3)]
+
+
+def test_verified_heavy_hitters_raises_when_margin_fails(spark):
+    """The runtime losslessness guard (r10 ADVICE): a uniform corpus
+    at a tiny k has error mass >= every exact count, so the 'exact'
+    shortlist CANNOT be proven complete — the operator must raise
+    rather than return a silently-approximate top-N."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        verified_heavy_hitters,
+    )
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("value_in")
+    )
+    with _pytest.raises(ValueError, match="lossless margin"):
+        verified_heavy_hitters(df, "value_in", k=2, top=5)
