@@ -1,6 +1,7 @@
 """Plan inspection helpers (used by tests to keep plans honest)."""
 
 from real_time_data_analytics_cassandra_spark.plans.checks import (
+    broadcast_scanned_tables,
     explain_str,
     has_broadcast_join,
     operator_count,
@@ -12,6 +13,7 @@ from real_time_data_analytics_cassandra_spark.plans.checks import (
 )
 
 __all__ = [
+    "broadcast_scanned_tables",
     "explain_str",
     "has_broadcast_join",
     "operator_count",

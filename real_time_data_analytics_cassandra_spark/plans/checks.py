@@ -138,3 +138,41 @@ def unpartitioned_window_count(df: DataFrame) -> int:
         ):
             count += 1
     return count
+
+
+def broadcast_scanned_tables(df: DataFrame) -> set[str]:
+    """Tables whose parquet scan sits INSIDE a BroadcastExchange
+    subtree of the (static) physical plan — the guard input for the
+    fact-never-broadcast invariant: a dim subtree whose size estimate
+    blows past the fact's can flip the planner into broadcasting the
+    FACT (BuildLeft over lineitem was the round-8..10
+    nation_trade_volume drift), which is catastrophic at production
+    scale."""
+    txt = explain_str(df)
+    scan_tbl: dict[int, str] = {}
+    for m in re.finditer(
+        r"\((\d+)\) Scan parquet[\s\S]{0,500}?"
+        r"Location: \S*?/(\w+)\.parquet",
+        txt,
+    ):
+        scan_tbl[int(m.group(1))] = m.group(2)
+
+    def depth(s: str) -> int:
+        j = 0
+        while j < len(s) and s[j] in " :+-":
+            j += 1
+        return j
+
+    out: set[str] = set()
+    lines = txt.split("\n\n")[0].splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange (" not in ln:
+            continue
+        d0 = depth(ln)
+        for nxt in lines[i + 1 :]:
+            if depth(nxt) <= d0:
+                break
+            sm = re.search(r"Scan parquet\s*\((\d+)\)", nxt)
+            if sm and int(sm.group(1)) in scan_tbl:
+                out.add(scan_tbl[int(sm.group(1))])
+    return out

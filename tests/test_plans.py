@@ -519,3 +519,34 @@ def test_registry_wide_plan_hygiene(spark):
                 f"{name}: {n_glob} unpartitioned window(s), allowed {cap}"
             )
     assert not failures, failures
+
+
+def test_lineitem_never_under_broadcast_exchange(spark):
+    """Fact-never-broadcast invariant across the TPC-H join family:
+    a dim subtree whose size estimate blows past the fact's can flip
+    the planner into broadcasting LINEITEM itself (BuildLeft over the
+    600k-row fact was the round-8..10 nation_trade_volume drift — at
+    production scale that plan is catastrophic).  The fix keeps dim
+    subtrees as pure base-table filters; this gate keeps it fixed."""
+    from real_time_data_analytics_cassandra_spark.plans import (
+        broadcast_scanned_tables,
+    )
+
+    family = [
+        "nation_trade_volume",
+        "market_share_by_year",
+        "profit_by_nation_year",
+        "sole_return_suppliers",
+        "dominant_part_suppliers",
+        "cheapest_supplier_per_part",
+        "returned_items_top_customers",
+        "part_supplier_variety",
+        "disjunctive_parts_revenue",
+        "bloom_prefiltered_part_revenue",
+        "top_supplier_revenue",
+        "revenue_by_nation",
+        "pricing_summary",
+    ]
+    for name in family:
+        tables = broadcast_scanned_tables(q.queries()[name](spark, SF_SMOKE))
+        assert "lineitem" not in tables, (name, tables)
