@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "image_phash_near_dup",
     "image_dhash_near_dup",
     "incremental_image_near_dup",
+    "image_dup_components",
     "domain_crawl_stats",
     "audio_fingerprint_near_dup",
     "incremental_ann_search",

@@ -2789,6 +2789,59 @@ def domain_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE image near-dup clusters — the image twin of
+    dedup_clusters, completing the perceptual family to text-family
+    depth: connected components (operators/graph.py::
+    connected_components — min-label propagation, localCheckpoint per
+    round) over the banded-Hamming near-pair graph of the aHash
+    signature clusters, mapped back to every document through its
+    signature's canonical id.  A chain A~B~C whose endpoints are
+    farther than the pairwise threshold still lands in ONE cluster —
+    the transitive-closure semantics exact dedup cannot express.
+
+    Output matches dedup_clusters: (doc_id, cluster_id,
+    is_canonical), cluster_id = min doc_id reachable through the
+    near-pair graph (docs with unlinked signatures keep their
+    signature canon).
+
+    Full oracle: signature + band + Hamming arithmetic as in
+    image_phash_near_dup, then a recursive reach CTE computes the
+    same min-label components (bounded: the pair graph is over
+    distinct signatures).
+
+    Scale shape: the component loop runs over the near-pair graph of
+    DISTINCT signatures (collapse first — template corpora cannot
+    inflate it); each round is one join + one min-regroup against a
+    checkpointed leaf."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+    from real_time_data_analytics_cassandra_spark.operators import (
+        graph as graph_op,
+    )
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    sig = mm_op.image_ahash_signatures(
+        mm_op.attach_png_payload(spread(docs), "doc_id", "text")
+    ).localCheckpoint(eager=True)
+    pairs = mm_op.image_ahash_near_pairs(sig, max_hamming=3).select(
+        "doc_a", "doc_b"
+    )
+    comp = graph_op.connected_components(pairs, "doc_a", "doc_b")
+    canon = mm_op.image_ahash_clusters(sig).select("doc_id", "canon_id")
+    return (
+        canon.join(comp, canon.canon_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("canon_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 def audio_fingerprint_near_dup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11652,6 +11705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_near_dup": image_phash_near_dup,
         "image_dhash_near_dup": image_dhash_near_dup,
         "incremental_image_near_dup": incremental_image_near_dup,
+        "image_dup_components": image_dup_components,
         "domain_crawl_stats": domain_crawl_stats,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "media_ppm_decode": media_ppm_decode,
@@ -12288,6 +12342,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(x.sig_hi, y.sig_hi))
                   + bit_count(xor(x.sig_lo, y.sig_lo)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        "image_dup_components": f"""
+            WITH RECURSIVE {ahash_sig_ctes},
+            banded AS (
+                SELECT canon_id, 0 AS band,
+                       (sig_hi >> 16) & 65535 AS band_val FROM clu
+                UNION ALL SELECT canon_id, 1, sig_hi & 65535 FROM clu
+                UNION ALL SELECT canon_id, 2, (sig_lo >> 16) & 65535 FROM clu
+                UNION ALL SELECT canon_id, 3, sig_lo & 65535 FROM clu
+            ),
+            cand AS (
+                SELECT DISTINCT a.canon_id AS doc_a, b.canon_id AS doc_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_val = b.band_val
+                 AND a.canon_id < b.canon_id
+            ),
+            pairs AS (
+                SELECT cand.doc_a, cand.doc_b
+                FROM cand
+                JOIN clu x ON x.canon_id = cand.doc_a
+                JOIN clu y ON y.canon_id = cand.doc_b
+                WHERE bit_count(xor(x.sig_hi, y.sig_hi))
+                      + bit_count(xor(x.sig_lo, y.sig_lo)) <= 3
+            ),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+            ),
+            comp AS (SELECT a AS id, min(b) AS component FROM reach
+                     GROUP BY 1)
+            SELECT s.doc_id,
+                   coalesce(c.component, l.canon_id) AS cluster_id,
+                   s.doc_id = coalesce(c.component, l.canon_id)
+                       AS is_canonical
+            FROM sig s
+            JOIN clu l USING (sig_hi, sig_lo)
+            LEFT JOIN comp c ON c.id = l.canon_id
+            ORDER BY s.doc_id
         """,
         "boilerplate_scrub": """
             WITH toks AS (

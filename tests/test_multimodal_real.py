@@ -889,3 +889,66 @@ def test_dhash_links_brightness_ramp_that_ahash_misses(spark):
         for r in mm.image_ahash_clusters(asig).collect()
     }
     assert aclu == {1: 1, 2: 1}, aclu
+
+
+def test_image_dup_components_match_pure_python(spark):
+    """Transitive image near-dup clusters at the oracle SF must equal
+    an independent pure-Python rederivation: signatures, exact
+    collapse, brute-force Hamming pairs over distinct signatures,
+    then BFS union of the pair graph — the transitive-closure ground
+    truth the min-label propagation must reach."""
+    from collections import defaultdict
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sigs = {d: _ahash_py(t.encode()) for d, t in texts.items()}
+    clusters: dict[tuple[int, int], list[int]] = {}
+    for d, s in sorted(sigs.items()):
+        clusters.setdefault(s, []).append(d)
+    canons = {s: min(m) for s, m in clusters.items()}
+    adj = defaultdict(set)
+    sig_items = sorted(clusters.items(), key=lambda kv: min(kv[1]))
+    import itertools
+
+    for (sa, ma), (sb, mb) in itertools.combinations(sig_items, 2):
+        ham = bin(sa[0] ^ sb[0]).count("1") + bin(sa[1] ^ sb[1]).count("1")
+        if ham <= 3:
+            a, b = canons[sa], canons[sb]
+            adj[a].add(b)
+            adj[b].add(a)
+    # BFS closure: component = min reachable canon
+    comp: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in comp:
+            continue
+        seen, frontier = {start}, [start]
+        while frontier:
+            nxt = []
+            for n in frontier:
+                for m in adj[n]:
+                    if m not in seen:
+                        seen.add(m)
+                        nxt.append(m)
+            frontier = nxt
+        label = min(seen)
+        for n in seen:
+            comp[n] = label
+    want = {}
+    for d, s in sigs.items():
+        canon = canons[s]
+        cluster = comp.get(canon, canon)
+        want[d] = (cluster, d == cluster)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in q.image_dup_components(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    # cross-operator equivalence: every near PAIR's endpoints must
+    # share a component, and components never exceed pairwise links'
+    # transitive reach (already implied by got == want; assert the
+    # pair-consistency half directly against the pair query too)
+    for r in q.image_phash_near_dup(spark, SF_ORACLE).collect():
+        assert got[r["doc_a"]][0] == got[r["doc_b"]][0], r

@@ -84,6 +84,7 @@ BUDGETS = {
     "image_phash_near_dup": 10,
     "image_dhash_near_dup": 10,
     "incremental_image_near_dup": 3,
+    "image_dup_components": 4,
     "domain_crawl_stats": 5,
     "source_token_fertility": 4,
     "audio_fingerprint_near_dup": 10,

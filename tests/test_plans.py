@@ -271,6 +271,7 @@ _ARROW_QUERIES = {
     "image_ahash_clusters",  # real PNG decode + aHash via mapInPandas
     "image_phash_near_dup",  # same Arrow signature stage, JVM past it
     "image_dhash_near_dup",  # gradient-hash twin, same Arrow stage
+    "image_dup_components",  # same Arrow signature stage, JVM past it
     "audio_fingerprint_near_dup",  # real RIFF decode + envelope via mapInPandas
     "multimodal_features",
     "frame_samples",
