@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_fingerprint",
     "minhash_lsh",
     "cross_source_dup_matrix",
+    "cross_domain_dup_matrix",
     "simhash_near_dup",
     "text_quality",
     "token_count",

@@ -1694,6 +1694,50 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_domain_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which registrable DOMAINS duplicate each other — the
+    cross_source_dup_matrix composition the r10 verdict asked the URL
+    family to support: the same LSH-verified near-dup pairs, rolled
+    up by unordered canonical-domain pair (operators/urls.py parse
+    chain over the synthetic crawl URLs).  Off-diagonal rows are
+    mirror/syndication candidates between crawl feeds; the diagonal
+    is within-domain template noise.
+
+    Full oracle: the minhash pair CTEs joined to the GROUND-TRUTH
+    domain reconstruction (the domain_crawl_stats oracle recipe), so
+    the Spark parse chain must land on exactly the oracle's domains.
+
+    Scale shape: the pair set is LSH-bounded; two joins against the
+    doc→domain projection and a |domains|² rollup."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_op.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    doms = url_op.canonicalize_urls(
+        url_op.synthetic_crawl_urls(docs)
+    ).select("doc_id", "domain")
+    return (
+        pairs.join(
+            doms.select(
+                F.col("doc_id").alias("id_a"), F.col("domain").alias("d_a")
+            ),
+            "id_a",
+        )
+        .join(
+            doms.select(
+                F.col("doc_id").alias("id_b"), F.col("domain").alias("d_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("d_a", "d_b").alias("domain_a"),
+            F.greatest("d_a", "d_b").alias("domain_b"),
+        )
+        .groupBy("domain_a", "domain_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy("domain_a", "domain_b")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from pairwise matches: connected components
     of the exact-Jaccard pair graph via iterative DataFrame label
@@ -11829,6 +11873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape, r01-green)
         "minhash_lsh": minhash_lsh,
         "cross_source_dup_matrix": cross_source_dup_matrix,
+        "cross_domain_dup_matrix": cross_domain_dup_matrix,
         "simhash_near_dup": simhash_near_dup,
         "ann_ivf": ann_ivf,
         "approx_distinct_users": approx_distinct_users,
@@ -14589,6 +14634,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = p.id_b
             GROUP BY 1, 2
             ORDER BY source_a, source_b
+        """,
+        "cross_domain_dup_matrix": f"""
+            {_MINHASH_LSH_CTES},
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE round(CAST(n_inter AS DOUBLE)
+                            / (sa.n + sb.n - n_inter), 6) >= 0.5
+            ),
+            doms AS (
+                SELECT doc_id,
+                       source || '.' ||
+                       CASE doc_id % 5 WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                            WHEN 3 THEN 'github.io' ELSE 'net' END
+                           AS domain
+                FROM documents
+            )
+            SELECT least(da.domain, db.domain) AS domain_a,
+                   greatest(da.domain, db.domain) AS domain_b,
+                   CAST(count(*) AS BIGINT) AS n_dup_pairs
+            FROM pairs p
+            JOIN doms da ON da.doc_id = p.id_a
+            JOIN doms db ON db.doc_id = p.id_b
+            GROUP BY 1, 2
+            ORDER BY domain_a, domain_b
         """,
         "minhash_lsh": f"""
             {_MINHASH_LSH_CTES}

@@ -86,6 +86,7 @@ BUDGETS = {
     "incremental_image_near_dup": 3,
     "image_dup_components": 4,
     "domain_crawl_stats": 5,
+    "cross_domain_dup_matrix": 8,
     "source_token_fertility": 4,
     "audio_fingerprint_near_dup": 10,
     # graph / linkage (post-loop leaves for the iterative ones;

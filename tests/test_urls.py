@@ -152,3 +152,31 @@ def test_domain_dup_docs_equal_dedup_exact_clusters(spark):
     within = sum(c for c in by_dom_hash.values() if c >= 2)
     assert got == within
     assert within <= corpus_dups
+
+
+def test_domain_matrix_totals_equal_source_matrix(spark):
+    """Cross-operator equivalence: the domain- and source-level dup
+    matrices roll up the SAME LSH-verified pair set, so their pair
+    totals must be identical, and every domain cell must map into its
+    source cell (domain = source + tld, so the source pair of a
+    domain pair is derived by stripping the suffix)."""
+    from collections import defaultdict
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    dom = q.cross_domain_dup_matrix(spark, SF_ORACLE).collect()
+    src = q.cross_source_dup_matrix(spark, SF_ORACLE).collect()
+    assert sum(r["n_dup_pairs"] for r in dom) == sum(
+        r["n_dup_pairs"] for r in src
+    )
+    def src_of(domain: str) -> str:
+        return domain.split(".", 1)[0]
+    derived: dict = defaultdict(int)
+    for r in dom:
+        a, b = sorted((src_of(r["domain_a"]), src_of(r["domain_b"])))
+        derived[(a, b)] += r["n_dup_pairs"]
+    want = {
+        (r["source_a"], r["source_b"]): r["n_dup_pairs"] for r in src
+    }
+    assert dict(derived) == want
