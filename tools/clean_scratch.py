@@ -35,6 +35,7 @@ SCRATCH_PREFIXES = (
     "rtdac_ckpt_",  # every checkpoint family (dedup/ssjoin/cms/hdr/...)
     "rtdac_corrtest_",
     "rtdac_firstseen_",
+    "rtdac_inc_imgpairs_",
     "rtdac_mor_",
     "rtdac_rangeq_",
     "rtdac_sketch_stream_",
@@ -58,6 +59,7 @@ FIXTURE_PREFIXES = (
     "rtdac_copurchase_",
     "rtdac_sf1_",
     "rtdac_evo_docs_",
+    "rtdac_imgpair_idx_",
     "rtdac_pb_shim",
     "rtdac_snap_docs_",
     "rtdac_span_idx_v2_",
