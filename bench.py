@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "image_phash_near_dup",
     "image_dhash_near_dup",
     "incremental_image_near_dup",
+    "incremental_audio_near_dup",
     "image_dup_components",
     "domain_crawl_stats",
     "audio_fingerprint_near_dup",
@@ -350,6 +351,7 @@ def main() -> None:
     # tests/test_streaming.py); the timed section measures the
     # maintained table's read.
     q.build_image_pair_index_fixture(spark, sf_dir)
+    q.build_audio_pair_index_fixture(spark, sf_dir)
     # Warm the Python DataSource worker pool on the TINY sf0.001 dump
     # (one-time interpreter/Arrow startup, same class of session cost
     # as the JVM warmup above) — the benched sf_dir read stays cold.

@@ -2917,6 +2917,78 @@ def image_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of incremental_image_near_dup — the SAME
+    incremental_signature_pairs_fold/_read operators at the audio
+    family's band geometry (8 bands of 8 bits, Hamming <= 7,
+    operators/multimodal.py::audio_energy_fingerprints), proving the
+    stream-maintained near-pair state is modality-generic: only the
+    signature stage and the band parameters change.
+
+    Full oracle: SHARES audio_fingerprint_near_dup's oracle verbatim
+    (the maintained table must land on exactly the batch answer);
+    stream==batch gated in tests/test_streaming.py."""
+    ensure_query_confs(spark)
+    idx = build_audio_pair_index_fixture(spark, sf_dir)
+    return mm_op.incremental_signature_pairs_read(
+        spark, f"{idx}/clusters", f"{idx}/pairs"
+    ).orderBy("doc_a", "doc_b")
+
+
+def build_audio_pair_index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """build_image_pair_index_fixture's audio twin: 4 replay batches,
+    RIFF decode -> energy fingerprints, folded through the shared
+    band-index/pair/cluster maintenance at 8x8-bit bands."""
+    import os
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        sharded_table_stream,
+    )
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_audpair_idx_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    marker = os.path.join(idx, "_built")
+    if os.path.exists(marker):
+        return idx
+    stream = sharded_table_stream(spark, sf_dir, "documents", n_shards=4)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sig = mm_op.audio_energy_fingerprints(
+            mm_op.attach_wav_payload(batch, "doc_id", "text")
+        )
+        mm_op.incremental_signature_pairs_fold(
+            sig,
+            f"{idx}/clusters",
+            f"{idx}/bands",
+            f"{idx}/pairs",
+            batch_id,
+            n_bands=8,
+            max_hamming=7,
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", f"{idx}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    os.makedirs(idx, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return idx
+
+
 def audio_fingerprint_near_dup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -11780,6 +11852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_near_dup": image_phash_near_dup,
         "image_dhash_near_dup": image_dhash_near_dup,
         "incremental_image_near_dup": incremental_image_near_dup,
+        "incremental_audio_near_dup": incremental_audio_near_dup,
         "image_dup_components": image_dup_components,
         "domain_crawl_stats": domain_crawl_stats,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
@@ -17415,4 +17488,5 @@ def oracle_sql() -> dict[str, str]:
     # batch banded-Hamming answer (pairs discovered once each, canon/
     # size resolved against the live cluster table) -> shared oracle
     d["incremental_image_near_dup"] = d["image_phash_near_dup"]
+    d["incremental_audio_near_dup"] = d["audio_fingerprint_near_dup"]
     return d

@@ -84,6 +84,7 @@ BUDGETS = {
     "image_phash_near_dup": 10,
     "image_dhash_near_dup": 10,
     "incremental_image_near_dup": 3,
+    "incremental_audio_near_dup": 3,
     "image_dup_components": 4,
     "domain_crawl_stats": 5,
     "cross_domain_dup_matrix": 8,

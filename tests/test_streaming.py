@@ -572,3 +572,20 @@ def test_incremental_pairs_zero_pair_corpus_reads_empty(spark):
     assert out.count() == 0
     clu = spark.read.parquet(f"{tmp}/clu")
     assert clu.select(F.sum("one")).collect()[0][0] == 2
+
+
+def test_incremental_audio_near_dup_matches_batch(spark):
+    """The audio twin of the stream-maintained near-pair gate: same
+    fold operators at 8x8-bit bands must equal the batch audio
+    banded-Hamming operator row-for-row."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    got = {
+        tuple(r)
+        for r in q.incremental_audio_near_dup(spark, SF_SMOKE).collect()
+    }
+    want = {
+        tuple(r)
+        for r in q.audio_fingerprint_near_dup(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -60,6 +60,7 @@ FIXTURE_PREFIXES = (
     "rtdac_sf1_",
     "rtdac_evo_docs_",
     "rtdac_imgpair_idx_",
+    "rtdac_audpair_idx_",
     "rtdac_pb_shim",
     "rtdac_snap_docs_",
     "rtdac_span_idx_v2_",
