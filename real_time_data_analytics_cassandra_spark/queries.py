@@ -11003,8 +11003,28 @@ def streaming_image_signature_clusters(
     )
 
     ensure_query_confs(spark)
-    tmp = tempfile.mkdtemp(prefix="rtdac_streaming_imgsig_")
-    path, ckpt = f"{tmp}/clusters", f"{tmp}/ckpt"
+    import os
+
+    # checkpoint + table persist keyed on the corpus identity (the
+    # streaming_incremental_index convention): re-invocations resume
+    # the stream, find no new files — a landing directory's steady
+    # state — and read the maintained table; the fold itself is
+    # proven by the first build and the stream==batch gate
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_imgsig_stream_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    path, ckpt = f"{base}/clusters", f"{base}/ckpt"
+    # orphaned-checkpoint guard: a surviving checkpoint without its
+    # table would resume to nothing and read a missing table
+    if os.path.exists(ckpt) and not os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(ckpt)
     stream = sharded_table_stream(spark, sf_dir, "documents", n_shards=4)
 
     def _fold(batch: DataFrame, batch_id: int) -> None:

@@ -42,6 +42,7 @@ SCRATCH_PREFIXES = (
     "rtdac_sketch_tbl_",
     "rtdac_span_stream_",
     "rtdac_streaming_benford_",
+    "rtdac_streaming_imgsig_",
     "rtdac_streaming_cusum_",
     "rtdac_streaming_kmv_",
 )
@@ -60,6 +61,7 @@ FIXTURE_PREFIXES = (
     "rtdac_sf1_",
     "rtdac_evo_docs_",
     "rtdac_imgpair_idx_",
+    "rtdac_imgsig_stream_",
     "rtdac_audpair_idx_",
     "rtdac_pb_shim",
     "rtdac_snap_docs_",
