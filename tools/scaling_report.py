@@ -136,6 +136,13 @@ QUERIES = [
     ("Friedman blocked ranks", "friedman_hourly_type_ranks"),
     ("A-priori 3-itemsets", "part_affinity_triples"),
     ("stream image clusters (merge)", "streaming_image_signature_clusters"),
+    # round-11 families
+    ("image dHash near-dup", "image_dhash_near_dup"),
+    ("transitive image components", "image_dup_components"),
+    ("incremental image near-pairs", "incremental_image_near_dup"),
+    ("URL domain crawl stats", "domain_crawl_stats"),
+    ("cross-domain dup matrix", "cross_domain_dup_matrix"),
+    ("tokenizer fertility", "source_token_fertility"),
 ]
 
 OUT = os.path.join(
