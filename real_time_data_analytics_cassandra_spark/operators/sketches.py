@@ -131,58 +131,65 @@ def verified_heavy_hitters(
     raises ValueError when the lossless margin fails rather than
     returning a silently-approximate "exact" answer (raise k in that
     case).  Both intermediates are bounded (≤ (k+1)·P summary rows,
-    ≤ top result rows), so the checkpoint + 1-row scalar collects
-    the guard costs stay O(k·P) — the corpus is still scanned exactly
-    twice.  Output: (value, exact_count, rank), ranked (count desc,
-    value).
+    ≤ top result rows), so they come to the driver whole — the
+    ≤k-model-table collect discipline — and the guard is free: the
+    derived input is materialized once (MEMORY_AND_DISK) and both
+    passes read it, in exactly two jobs.  Output: (value,
+    exact_count, rank), ranked (count desc, value).
     """
-    summaries = mg_partition_summaries(df, col, k).localCheckpoint(
-        eager=True
-    )
-    err = summaries.filter(F.col("value").isNull()).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0))
-    ).collect()[0][0]
-    cand = (
-        summaries.filter(F.col("value").isNotNull())
-        .select("value")
-        .distinct()
-    )
-    src = df.select(F.col(col).cast("string").alias("value"))
-    exact = (
-        src.join(F.broadcast(cand), "value")
-        .groupBy("value")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
-    )
-    w = Window.orderBy(F.desc("exact_count"), F.asc("value"))
-    result = (
-        exact.orderBy(F.desc("exact_count"), F.asc("value"))
-        .limit(top)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    guard = result.agg(
-        F.min("exact_count").alias("floor"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).collect()[0]
+    spark = df.sparkSession
+    # the two passes share one materialization of the (possibly
+    # derived — tokenized/exploded) input: pass 1 populates the
+    # cache, pass 2 recounts from it instead of re-deriving.
+    # MEMORY_AND_DISK, so an input too big for executor memory
+    # degrades to spill instead of failure; unpersisted before
+    # returning (the result is a bounded local relation).
+    src = df.select(F.col(col).cast("string").alias("value")).persist()
+    # pass 1: ONE job — the bounded summaries (≤ (k+1)·P rows) come
+    # to the driver whole, yielding the candidate shortlist AND the
+    # error mass from a single collect (the ≤k-model-table collect
+    # discipline; no checkpoint, no second summary pass)
+    summ = mg_partition_summaries(src, "value", k).collect()
+    err = sum(int(r["cnt"]) for r in summ if r["value"] is None)
+    cand_vals = sorted({r["value"] for r in summ if r["value"] is not None})
+    schema = "value string, exact_count long, rank long"
+    if not cand_vals:
+        rows: list = []
+    else:
+        cand = spark.createDataFrame(
+            [(v,) for v in cand_vals], "value string"
+        )
+        # pass 2: ONE job — broadcast recount of the candidates from
+        # the cached values, top-``top`` rows collected (bounded by
+        # construction)
+        rows = (
+            src.join(F.broadcast(cand), "value")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+            .orderBy(F.desc("exact_count"), F.asc("value"))
+            .limit(top)
+            .collect()
+        )
+    src.unpersist()
     # err == 0 means the vocabulary fit the summaries (no decrement
     # ever fired) and the shortlist is trivially complete; otherwise
     # the result is provably exact only when it is FULL and its
     # lowest exact count clears the error mass — a short or empty
     # result under positive error mass could be missing values whose
     # true count hides below err.
-    if int(err) > 0 and (
-        int(guard["n_rows"]) < top
-        or guard["floor"] is None
-        or int(guard["floor"]) <= int(err)
-    ):
+    floor = min((int(r["exact_count"]) for r in rows), default=None)
+    if err > 0 and (len(rows) < top or floor is None or floor <= err):
         raise ValueError(
             f"verified_heavy_hitters lossless margin failed: "
-            f"{guard['n_rows']} rows with exact-count floor "
-            f"{guard['floor']} against summed Misra-Gries error mass "
-            f"{err} at k={k}; the shortlist may be incomplete — "
-            f"raise k"
+            f"{len(rows)} rows with exact-count floor {floor} against "
+            f"summed Misra-Gries error mass {err} at k={k}; the "
+            f"shortlist may be incomplete — raise k"
         )
-    return result
+    ranked = [
+        (r["value"], int(r["exact_count"]), i + 1)
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(ranked, schema)
 
 
 # ---------------------------------------------------------------------------
