@@ -312,6 +312,21 @@ BENCH_QUERIES = [
     # verifier (the LSH path is the benched scale path)
 ]
 
+# Queries whose vs-ANCHOR ratio is expected to exceed the 2x scan
+# threshold for a documented structural reason (not a plan
+# regression).  Emitted into BENCH_full.json so the per-round drift
+# scan sees the explanation next to the number; each entry points at
+# the PERFNOTES.md section with the measurements.
+EXPECTED_DRIFT = {
+    "heavy_hitter_tokens": (
+        "r11 runtime exactness guard: the Misra-Gries lossless margin "
+        "is now ENFORCED (two eager jobs over one cached pass instead "
+        "of one lazily fused pass); the ~1 s job-boundary overhead is "
+        "additive and data-size-independent — see PERFNOTES.md "
+        "'Round 11: heavy_hitter_tokens'"
+    ),
+}
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -410,6 +425,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "per_run_totals": per_run_totals,
+        "expected_drift": EXPECTED_DRIFT,
     }
     # The driver archives only a 2000-char tail of stdout, which keeps
     # the last ~64 timings and made rounds pairwise incomparable from

@@ -1356,10 +1356,16 @@ def incremental_signature_pairs_fold(
 
     Replay safety: a COMPLETED batch re-arriving finds its
     signatures already in the cluster table, so new_sigs is empty
-    and nothing re-appends; a crash between the pair append and the
-    cluster merge can duplicate pair/band rows on retry, which the
-    reader heals with an exact distinct over the (small) pair table
-    — same crash-window discipline as the index appends."""
+    and nothing re-appends.  The three writes land band-index ->
+    pairs -> cluster merge (the merge carries the replay guard so it
+    must be last); a crash after any partial prefix leaves only
+    duplicate band/pair rows for the retry to re-append — the
+    new-x-old probe filters identical signatures, so the retry's
+    signatures meeting their own failed-attempt band rows can never
+    fabricate a self-pair — and the reader heals duplicates with an
+    exact distinct over the (small) pair table plus a belt-and-braces
+    self-pair drop; same crash-window discipline as the index
+    appends."""
     from real_time_data_analytics_cassandra_spark.sinks.merge import (
         merge_min_add,
     )
@@ -1432,8 +1438,19 @@ def incremental_signature_pairs_fold(
                 "band",
                 "band_val",
             )
+            # signature-inequality filter (r11 ADVICE): after a crash
+            # between the band append and the cluster merge, a
+            # retry's new_sigs probe their OWN band rows from the
+            # failed attempt — without this filter those (S, S)
+            # candidates pass the hamming filter at distance 0 and
+            # append self-pairs the batch operator never emits
             cands.append(
-                _oriented(lhs.join(old, ["band", "band_val"]))
+                _oriented(
+                    lhs.join(old, ["band", "band_val"]).filter(
+                        (F.col("hi_x") != F.col("hi_y"))
+                        | (F.col("lo_x") != F.col("lo_y"))
+                    )
+                )
             )
     rhs = new_bands.select(
         F.col("sig_hi").alias("hi_y"),
@@ -1464,10 +1481,17 @@ def incremental_signature_pairs_fold(
         .filter(F.col("hamming") <= max_hamming)
         .withColumn("p", F.col("hi_a").bitwiseAND(F.lit(3)))
     )
-    pairs.write.mode("append").partitionBy("p").parquet(pair_path)
+    # write order band-index -> pairs -> cluster merge (r11 ADVICE):
+    # the cluster merge MUST land last (it carries the replay guard),
+    # and putting the band append before the pair append minimizes
+    # the inconsistent-state window — with the new-x-old inequality
+    # filter above, a retry after ANY partial prefix of these writes
+    # can only produce duplicate pair/band rows (healed by the
+    # reader's distinct), never self-pairs
     new_bands.write.mode("append").partitionBy("band", "bucket").parquet(
         band_path
     )
+    pairs.write.mode("append").partitionBy("p").parquet(pair_path)
     merge_min_add(
         spark,
         sig_batch.withColumn(
@@ -1507,6 +1531,12 @@ def incremental_signature_pairs_read(
         )
         .parquet(pair_path)
         .select("hi_a", "lo_a", "hi_b", "lo_b", "hamming")
+        # belt-and-braces heal (r11 ADVICE): drop any identical-
+        # signature row a pre-fix fold may have persisted — the fold
+        # itself can no longer emit them
+        .filter(
+            (F.col("hi_a") != F.col("hi_b")) | (F.col("lo_a") != F.col("lo_b"))
+        )
         .distinct()
     )
     a = clu.select(
@@ -1542,8 +1572,11 @@ def image_dhash_signatures(df_with_payload: DataFrame) -> DataFrame:
 
     - cell of pixel (r, c) on a WxH plane:
       g = 9*((r*8)//H) + (c*9)//W   (72 cells; rows may be empty
-      when H < 8 — an empty cell contributes mean 0 exactly as the
-      aHash grid does);
+      when H < 8 — any comparison touching an empty cell (cn = 0)
+      yields bit 0, because the cross-multiplied test degenerates to
+      0 > 0 regardless of the populated side's mean; implementation,
+      DuckDB oracle, and the pure-Python recompute all share this
+      convention);
     - bit (r, c), c in 0..7:  1  iff  cs[l]*cn[g] > cs[g]*cn[l]
       with l = 9r+c, g = l+1 (left-cell mean > right-cell mean,
       cross-multiplied so everything stays in exact integers);

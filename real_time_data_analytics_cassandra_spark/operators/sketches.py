@@ -145,32 +145,40 @@ def verified_heavy_hitters(
     # degrades to spill instead of failure; unpersisted before
     # returning (the result is a bounded local relation).
     src = df.select(F.col(col).cast("string").alias("value")).persist()
-    # pass 1: ONE job — the bounded summaries (≤ (k+1)·P rows) come
-    # to the driver whole, yielding the candidate shortlist AND the
-    # error mass from a single collect (the ≤k-model-table collect
-    # discipline; no checkpoint, no second summary pass)
-    summ = mg_partition_summaries(src, "value", k).collect()
-    err = sum(int(r["cnt"]) for r in summ if r["value"] is None)
-    cand_vals = sorted({r["value"] for r in summ if r["value"] is not None})
-    schema = "value string, exact_count long, rank long"
-    if not cand_vals:
-        rows: list = []
-    else:
-        cand = spark.createDataFrame(
-            [(v,) for v in cand_vals], "value string"
+    try:
+        # pass 1: ONE job — the bounded summaries (≤ (k+1)·P rows)
+        # come to the driver whole, yielding the candidate shortlist
+        # AND the error mass from a single collect (the
+        # ≤k-model-table collect discipline; no checkpoint, no second
+        # summary pass)
+        summ = mg_partition_summaries(src, "value", k).collect()
+        err = sum(int(r["cnt"]) for r in summ if r["value"] is None)
+        cand_vals = sorted(
+            {r["value"] for r in summ if r["value"] is not None}
         )
-        # pass 2: ONE job — broadcast recount of the candidates from
-        # the cached values, top-``top`` rows collected (bounded by
-        # construction)
-        rows = (
-            src.join(F.broadcast(cand), "value")
-            .groupBy("value")
-            .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
-            .orderBy(F.desc("exact_count"), F.asc("value"))
-            .limit(top)
-            .collect()
-        )
-    src.unpersist()
+        schema = "value string, exact_count long, rank long"
+        if not cand_vals:
+            rows: list = []
+        else:
+            cand = spark.createDataFrame(
+                [(v,) for v in cand_vals], "value string"
+            )
+            # pass 2: ONE job — broadcast recount of the candidates
+            # from the cached values, top-``top`` rows collected
+            # (bounded by construction)
+            rows = (
+                src.join(F.broadcast(cand), "value")
+                .groupBy("value")
+                .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+                .orderBy(F.desc("exact_count"), F.asc("value"))
+                .limit(top)
+                .collect()
+            )
+    finally:
+        # unpersist even when a pass raises (executor failure, the
+        # lossless-margin ValueError below fires after this block) —
+        # a leaked cache would pin storage memory for the session
+        src.unpersist()
     # err == 0 means the vocabulary fit the summaries (no decrement
     # ever fired) and the shortlist is trivially complete; otherwise
     # the result is provably exact only when it is FULL and its

@@ -3309,10 +3309,20 @@ def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: 1:N Arrow-batched expansion of
-    video-like payloads into per-frame rows (stub decoder)."""
+    video-like payloads into per-frame rows (stub decoder).
+
+    ``parallelize=False``: the stub frame indexer reads only
+    ``len(payload)`` — O(1) per blob — so spread()'s round-robin
+    exchange would move every payload byte to buy nothing (the same
+    pure-overhead exchange round 11 removed from
+    multimodal_decode_meta; see PERFNOTES.md).  A real container
+    decoder that walks frame tables would be CPU-bound and keep the
+    default spread."""
     ensure_query_confs(spark)
     docs = table(spark, sf_dir, "documents")
-    return mm_op.frame_sample(mm_op.attach_binary_payload(docs, "doc_id", "text"))
+    return mm_op.frame_sample(
+        mm_op.attach_binary_payload(docs, "doc_id", "text", parallelize=False)
+    )
 
 
 def purchase_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10897,7 +10907,9 @@ def streaming_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_query_confs(spark)
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    ring_key = "spark.sql.streaming.numRecentProgressUpdates"
+    saved_ring = spark.conf.get(ring_key, None)
+    spark.conf.set(ring_key, "10000")
     stream = sharded_table_stream(
         spark, sf_dir, "events", n_shards=4, time_cols=("ts",)
     )
@@ -10937,6 +10949,13 @@ def streaming_observed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         progresses = sq.recentProgress
     finally:
         spark.conf.set(conf_key, saved)
+        # restore the progress ring size too (r11 ADVICE): leaving it
+        # at 10000 session-wide would make every later streaming
+        # query retain 10k progress entries on the driver
+        if saved_ring is None:
+            spark.conf.unset(ring_key)
+        else:
+            spark.conf.set(ring_key, saved_ring)
     # coverage guard: the retained entries must span every executed
     # batch id — if the ring buffer ever dropped one, fail loudly
     # instead of silently undercounting

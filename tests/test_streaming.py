@@ -574,6 +574,88 @@ def test_incremental_pairs_zero_pair_corpus_reads_empty(spark):
     assert clu.select(F.sum("one")).collect()[0][0] == 2
 
 
+def test_incremental_pairs_crash_retry_no_self_pairs(spark, monkeypatch):
+    """r11 ADVICE gate: a fold that dies AFTER the band/pair appends
+    but BEFORE the cluster merge leaves the retry's signatures
+    probing their own failed-attempt band rows.  The retry must not
+    fabricate (S, S) self-pairs (the new-x-old inequality filter),
+    and after the retry completes the readout must be byte-identical
+    to a never-crashed fold of the same batches."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.operators import (
+        multimodal as mm,
+    )
+    from real_time_data_analytics_cassandra_spark.sinks import merge as mg
+
+    sigs = [
+        spark.createDataFrame(
+            [(1, 5, 0)], "doc_id long, sig_hi long, sig_lo long"
+        ),
+        spark.createDataFrame(
+            [(2, 5, 1)], "doc_id long, sig_hi long, sig_lo long"
+        ),  # hamming 1 from batch 0's signature -> one true pair
+    ]
+    crash = tempfile.mkdtemp(prefix="rtdac_test_crash_retry_")
+    clean = tempfile.mkdtemp(prefix="rtdac_test_crash_clean_")
+
+    for root in (crash, clean):
+        mm.incremental_signature_pairs_fold(
+            sigs[0], f"{root}/clu", f"{root}/bands", f"{root}/pairs", batch_id=0
+        )
+
+    # simulated crash: batch 1's band + pair appends land, the
+    # cluster merge (the LAST write, carrying the replay guard) dies
+    real_merge = mg.merge_min_add
+
+    def dying_merge(*a, **kw):
+        raise RuntimeError("injected crash before cluster merge")
+
+    monkeypatch.setattr(mg, "merge_min_add", dying_merge)
+    try:
+        mm.incremental_signature_pairs_fold(
+            sigs[1], f"{crash}/clu", f"{crash}/bands", f"{crash}/pairs", batch_id=1
+        )
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(mg, "merge_min_add", real_merge)
+
+    # retry (signature 2 is still absent from the cluster table, so
+    # it re-folds against an index already holding its own bands)
+    mm.incremental_signature_pairs_fold(
+        sigs[1], f"{crash}/clu", f"{crash}/bands", f"{crash}/pairs", batch_id=1
+    )
+    mm.incremental_signature_pairs_fold(
+        sigs[1], f"{clean}/clu", f"{clean}/bands", f"{clean}/pairs", batch_id=1
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in mm.incremental_signature_pairs_read(
+            spark, f"{crash}/clu", f"{crash}/pairs"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in mm.incremental_signature_pairs_read(
+            spark, f"{clean}/clu", f"{clean}/pairs"
+        ).collect()
+    )
+    assert got == want
+    assert len(want) == 1, "fixture must exercise the one true pair"
+    assert all(r[0] != r[1] for r in got), "self-pair leaked through retry"
+    # the FOLD itself must not have persisted a self-pair — check the
+    # raw table so the reader's belt-and-braces heal can't mask a
+    # fold regression
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{crash}/pairs")
+    n_self = raw.filter(
+        (F.col("hi_a") == F.col("hi_b")) & (F.col("lo_a") == F.col("lo_b"))
+    ).count()
+    assert n_self == 0, "fold persisted an (S, S) self-pair on retry"
+
+
 def test_incremental_audio_near_dup_matches_batch(spark):
     """The audio twin of the stream-maintained near-pair gate: same
     fold operators at 8x8-bit bands must equal the batch audio
