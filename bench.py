@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "incremental_audio_near_dup",
     "image_dup_components",
     "domain_crawl_stats",
+    "percent_encoded_url_dups",
     "audio_fingerprint_near_dup",
     "incremental_ann_search",
     "streaming_incremental_index",
@@ -283,6 +284,7 @@ BENCH_QUERIES = [
     "value_benford_audit",
     "streaming_benford_drift",
     "streaming_psi_drift",
+    "streaming_domain_crawl_stats",
     "value_skewness_by_type",
     "purchase_mean_bootstrap_ci",
     "chi2_type_daypart",

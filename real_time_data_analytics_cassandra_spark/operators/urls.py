@@ -1,6 +1,6 @@
 """URL canonicalization and registrable-domain extraction — the one
 standard crawl-pipeline stage the text family lacked (r10 verdict
-task 5).
+task 5; upgraded to the production shapes by r11 verdict tasks 3-4).
 
 The testdata carries no URL column, so ``synthetic_crawl_urls``
 derives a deterministic, deliberately MESSY crawl URL per document
@@ -8,9 +8,11 @@ from (doc_id, source, lang) — the same discipline as the multimodal
 payloads (operators/multimodal.py::attach_binary_payload): mixed-case
 hosts, www/cdn subdomains, explicit default and non-default ports,
 multi-label public suffixes (co.uk / github.io), and tracking params
-interleaved with real ones.  ``canonicalize_urls`` then does the real
-work with pure JVM string expressions (no UDFs, stays inside
-whole-stage codegen):
+interleaved with real ones.  ``synthetic_percent_urls`` adds the
+percent-encoding variants (unreserved escapes, mixed-case hex) that
+exercise the RFC 3986 normalization path.  ``canonicalize_urls``
+then does the real work with pure JVM expressions (no UDFs, the
+string math stays inside whole-stage codegen):
 
 - scheme/authority/path/query split (substring_index arithmetic);
 - host lowercased, leading ``www.`` stripped;
@@ -19,15 +21,32 @@ whole-stage codegen):
 - tracking params (``utm_*``, ``fbclid``, ``gclid``) filtered out of
   the query string with a higher-order array filter, surviving params
   kept in original order;
-- registrable domain via a PUBLIC-SUFFIX-LITE literal set: hosts
-  whose last two labels form a listed multi-label suffix take three
-  labels, everything else two.  (Production swaps the literal for the
-  full broadcast PSL table — the lookup shape is identical.)
+- RFC 3986 percent-encoding normalization over path and query:
+  unreserved escapes (%41-%5A, %61-%7A, %30-%39, %2D %2E %5F %7E)
+  DECODE to their characters, every other valid escape keeps the
+  percent form with UPPERCASED hex, and a bare ``%`` not followed by
+  two hex digits passes through untouched — so ``%7Euser`` and
+  ``~user`` collapse, and ``a%2fb`` / ``a%2Fb`` collapse without
+  decoding the reserved ``/``;
+- registrable domain via LONGEST-SUFFIX-WINS evaluation against a
+  broadcast PUBLIC-SUFFIX rule table (``suffix_rules``): the host's
+  label-aligned suffixes at each rule width join the table
+  (broadcast hash joins — the fact side never shuffles) and the
+  prevailing rule is picked PSL-style: a matching EXCEPTION rule
+  (``!www.ck``) beats everything, else the matching rule with the
+  most labels (wildcard rules like ``*.ck`` count their ``*``);
+  registrable domain = public suffix + one label, NULL when the host
+  IS a public suffix.  The bundled rule set is a deliberately small
+  PSL subset (the full list is ~9k rows — same table shape, same
+  joins); unlisted TLDs fall back to the implicit ``*`` rule
+  (public suffix = last label).
 
 Everything is deterministic string arithmetic, so the whole chain
-carries a FULL DuckDB oracle.  Reference parity anchor: the reference
-has no URL stage at all (cassandra_subscriber.py:1-120 consumes
-pre-keyed events); this is part of the training-data superset.
+carries a FULL DuckDB oracle (oracles rebuild ground truth from the
+synthetic URL's construction components).  Reference parity anchor:
+the reference has no URL stage at all (cassandra_subscriber.py:1-120
+consumes pre-keyed events); this is part of the training-data
+superset.
 """
 
 from __future__ import annotations
@@ -35,9 +54,87 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# multi-label public suffixes recognised by the lite table; a host
-# ending in one of these keeps THREE labels as its registrable domain
-PUBLIC_SUFFIX_LITE = ("co.uk", "com.au", "github.io")
+# PSL-syntax rule subset: plain suffixes, one wildcard rule and its
+# exception, and a 4-label suffix — enough to exercise every branch
+# of the longest-suffix-wins evaluation (the production swap-in is
+# the full publicsuffix.org list in the same three syntaxes).
+PUBLIC_SUFFIX_RULES = (
+    "com",
+    "org",
+    "net",
+    "io",
+    "uk",
+    "au",
+    "us",
+    "ck",
+    "co.uk",
+    "com.au",
+    "github.io",
+    "ma.us",
+    "k12.ma.us",
+    "pvt.k12.ma.us",
+    "*.ck",
+    "!www.ck",
+)
+
+
+def _parse_rule(rule: str) -> tuple[str, int, int, int, bool, int]:
+    """PSL rule -> (match_text, match_k, rule_labels, ps_labels,
+    is_exception, min_host_labels).
+
+    - plain ``co.uk``: host's last 2 labels must equal the text;
+      the public suffix is those 2 labels;
+    - wildcard ``*.ck``: the ``*`` matches any single label, so the
+      join key is the BASE (``ck``, 1 label) and the public suffix
+      takes one extra (real) label; only hosts with >= 2 labels
+      qualify;
+    - exception ``!www.ck``: matches like a plain rule but the
+      public suffix DROPS the leftmost label (www.ck itself is
+      registrable)."""
+    exc = rule.startswith("!")
+    body = rule[1:] if exc else rule
+    if body.startswith("*."):
+        base = body[2:]
+        match_k = base.count(".") + 1
+        return (base, match_k, match_k + 1, match_k + 1, False, match_k + 1)
+    match_k = body.count(".") + 1
+    ps = match_k - 1 if exc else match_k
+    return (body, match_k, match_k, ps, exc, match_k)
+
+
+def suffix_rules(spark) -> DataFrame:
+    """The parsed rule table, one row per rule — tiny and broadcast
+    at every use site (the production PSL is ~9k rows: still a
+    broadcast dim)."""
+    rows = [_parse_rule(r) for r in PUBLIC_SUFFIX_RULES]
+    return spark.createDataFrame(
+        rows,
+        "match_text string, match_k int, rule_labels int, "
+        "ps_labels int, is_exception boolean, min_host_labels int",
+    )
+
+
+def _grouped_rule_rows() -> dict[int, list[tuple[str, list]]]:
+    """Rules pre-grouped per (match_k, match_text) in PYTHON — the
+    join-side tables are literal, so grouping here instead of a
+    Spark groupBy keeps a shuffle exchange out of every URL query
+    plan.  A text can carry several rules (the wildcard base ``ck``
+    and the plain rule ``ck`` share k=1), so each key's rules ride
+    as an array and host-size validity is checked per element after
+    the join."""
+    by: dict[tuple[int, str], list] = {}
+    for r in PUBLIC_SUFFIX_RULES:
+        text, k, rl, ps, exc, minl = _parse_rule(r)
+        by.setdefault((k, text), []).append((minl, int(exc), rl, ps))
+    out: dict[int, list[tuple[str, list]]] = {}
+    for (k, text), cands in sorted(by.items()):
+        out.setdefault(k, []).append((text, cands))
+    return out
+
+
+# widest join key the rule table needs (labels of the longest
+# match_text — wildcards join on their base)
+_MAX_MATCH_K = max(_parse_rule(r)[1] for r in PUBLIC_SUFFIX_RULES)
 
 
 def synthetic_crawl_urls(df: DataFrame) -> DataFrame:
@@ -86,26 +183,143 @@ def synthetic_crawl_urls(df: DataFrame) -> DataFrame:
     )
 
 
-def _registrable_domain(host: Column) -> Column:
-    """Registrable domain of a canonical (lowercase) host under the
-    lite suffix table: 3 labels when the last two form a listed
-    multi-label suffix, else 2."""
-    labels = F.split(host, "\\.")
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+def synthetic_percent_urls(df: DataFrame) -> DataFrame:
+    """Attach a deterministic ``url`` column exercising the RFC 3986
+    percent-normalization rules: documents of the SAME source whose
+    ids share a ``div 80`` page group point at one canonical page
+    but write it with different raw escapes (``%7Esec`` / ``%7esec``
+    / literal ``~sec`` in the path; ``a%2fb`` / ``a%2Fb`` in the
+    query — the reserved ``/`` must keep its percent form, hex
+    uppercased).  The variant index rides ``doc_id div 20`` because
+    the testdata assigns sources round-robin mod 20 — same-source
+    ids differ by multiples of 20, so consecutive same-page ids get
+    DIFFERENT spellings and the collapse is actually exercised.
+    Expects doc_id / source columns."""
+    v = F.expr("doc_id div 20")
+    tilde = (
+        F.when(v % 4 == 0, F.lit("%7Esec"))
+        .when(v % 4 == 1, F.lit("%7esec"))
+        .otherwise(F.lit("~sec"))
     )
-    last3 = F.concat_ws(
-        ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
-        F.element_at(labels, -1),
+    slashq = F.when(v % 2 == 0, F.lit("a%2fb")).otherwise(F.lit("a%2Fb"))
+    return df.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".com/"),
+            tilde,
+            F.lit("/p/"),
+            F.expr("doc_id div 80").cast("string"),
+            F.lit("?q="),
+            slashq,
+        ),
     )
-    return F.when(last2.isin(*PUBLIC_SUFFIX_LITE), last3).otherwise(last2)
+
+
+def pct_normalize(s: Column) -> Column:
+    """RFC 3986 percent-encoding normalization as pure JVM array
+    expressions: split on ``%``, then every following fragment's
+    leading two characters are its escape — unreserved escapes decode
+    (ALPHA / DIGIT / ``-._~``), other valid escapes keep ``%`` with
+    uppercased hex, and a fragment that does not start with two hex
+    digits gets its ``%`` back verbatim (malformed escapes pass
+    through rather than throw, the lenient-crawler convention)."""
+    parts = F.split(s, "%", -1)
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def fix(p: Column) -> Column:
+        is_hex = p.rlike("^[0-9A-Fa-f]{2}")
+        hex2 = F.upper(F.substring(p, 1, 2))
+        n = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((n >= 48) & (n <= 57))
+            | ((n >= 65) & (n <= 90))
+            | ((n >= 97) & (n <= 122))
+            | n.isin(45, 46, 95, 126)
+        )
+        rest = p.substr(F.lit(3), F.length(p))
+        return (
+            F.when(is_hex & unreserved, F.concat(F.char(n), rest))
+            .when(is_hex, F.concat(F.lit("%"), hex2, rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.concat(head, F.array_join(F.transform(tail, fix), ""))
+
+
+def registrable_domain(
+    df: DataFrame, host_col: str = "host", out_col: str = "domain"
+) -> DataFrame:
+    """Add ``out_col`` = the PSL registrable domain of the canonical
+    (lowercase) host column, longest-suffix-wins against the
+    broadcast rule table (module docstring).
+
+    Plan shape: one label split, ``_MAX_MATCH_K`` broadcast-hash left
+    joins (the fact side streams, never shuffles), and an array-max
+    pick of the prevailing rule — a NULL join key (host shorter than
+    the rule width) never matches, and wildcard rows additionally
+    require ``min_host_labels``.  Exceptions sort above everything
+    via the leading struct field, then rule label count (the PSL
+    prevailing-rule order)."""
+    spark = df.sparkSession
+    grouped = _grouped_rule_rows()
+    labels = F.split(F.col(host_col), "\\.")
+    n = F.size(labels)
+    work = df.withColumn("__labels", labels).withColumn("__n", n)
+    cand_t = "array<struct<exc:int,rl:int,ps:int>>"
+    picked = []
+    for k in sorted(grouped):
+        rk = spark.createDataFrame(
+            grouped[k],
+            f"__t{k} string, "
+            f"__c{k} array<struct<minl:int,exc:int,rl:int,ps:int>>",
+        )
+        lastk = F.when(
+            F.col("__n") >= k,
+            F.concat_ws(
+                ".", F.slice(F.col("__labels"), F.col("__n") - (k - 1), k)
+            ),
+        )
+        work = work.withColumn(f"__last{k}", lastk).join(
+            F.broadcast(rk),
+            F.col(f"__last{k}") == F.col(f"__t{k}"),
+            "left",
+        )
+        picked.append(
+            F.when(
+                F.col(f"__c{k}").isNotNull(),
+                F.transform(
+                    F.filter(
+                        F.col(f"__c{k}"),
+                        lambda c: F.col("__n") >= c["minl"],
+                    ),
+                    lambda c: F.struct(
+                        c["exc"].alias("exc"),
+                        c["rl"].alias("rl"),
+                        c["ps"].alias("ps"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(cand_t))
+        )
+    best = F.array_max(F.flatten(F.array(*picked)))
+    ps = F.coalesce(best["ps"], F.lit(1))
+    dom = F.when(
+        F.col("__n") > ps,
+        F.concat_ws(".", F.slice(F.col("__labels"), F.col("__n") - ps, ps + 1)),
+    )
+    out = work.withColumn(out_col, dom)
+    drop = ["__labels", "__n"] + [
+        c for c in out.columns if c.startswith(("__last", "__t", "__c"))
+    ]
+    return out.drop(*drop)
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add ``canon_url`` and ``domain`` columns (see module
-    docstring).  Pure JVM string expressions end to end."""
+    docstring).  Pure JVM expressions end to end; the only joins are
+    the broadcast suffix-rule lookups."""
     url = F.col(url_col)
     scheme = F.lower(F.substring_index(url, "://", 1))
     rest = url.substr(F.length(scheme) + F.lit(4), F.length(url))
@@ -146,11 +360,13 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.lit("://"),
         host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        path,
+        pct_normalize(path),
         F.when(
-            kept_params != "", F.concat(F.lit("?"), kept_params)
+            kept_params != "",
+            F.concat(F.lit("?"), pct_normalize(kept_params)),
         ).otherwise(F.lit("")),
     )
-    return df.withColumn("canon_url", canon).withColumn(
-        "domain", _registrable_domain(host)
-    )
+    return registrable_domain(
+        df.withColumn("canon_url", canon).withColumn("__host", host),
+        host_col="__host",
+    ).drop("__host")

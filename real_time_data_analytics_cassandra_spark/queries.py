@@ -2831,11 +2831,21 @@ def domain_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = url_op.canonicalize_urls(
         url_op.synthetic_crawl_urls(docs)
     ).select(
-        "doc_id", "domain", "canon_url", F.md5(F.col("text")).alias("h")
+        "domain",
+        F.md5(F.col("text")).alias("h"),
+        "canon_url",
+        F.lit(1).cast("long").alias("c"),
     )
-    per_hash = base.groupBy("domain", "h").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    return _domain_stats_from_counts(base)
+
+
+def _domain_stats_from_counts(per: DataFrame) -> DataFrame:
+    """The per-domain crawl-stats READOUT over rows at (domain, h,
+    canon_url) grain with an additive count ``c`` — shared verbatim
+    by the batch query (c = 1 per document) and the stream-maintained
+    form (c = the state table's accumulated counts), so both produce
+    bit-identical tables from the same accumulated counts."""
+    per_hash = per.groupBy("domain", "h").agg(F.sum("c").alias("c"))
     dom = per_hash.groupBy("domain").agg(
         F.sum("c").cast("long").alias("n_docs"),
         F.coalesce(
@@ -2844,7 +2854,7 @@ def domain_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_docs"),
     )
-    pages = base.groupBy("domain").agg(
+    pages = per.groupBy("domain").agg(
         F.countDistinct("canon_url").cast("long").alias("n_pages"),
         F.min("canon_url").alias("first_url"),
     )
@@ -2861,6 +2871,95 @@ def domain_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_url",
         )
         .orderBy("domain")
+    )
+
+
+def streaming_domain_crawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain_crawl_stats MAINTAINED BY THE STREAM (r11 verdict task
+    5): the crawl replay folds into a streaming count aggregation at
+    (domain, md5-text, canonical-URL) grain — the page-level state
+    table a production crawl monitor keeps — and the per-domain
+    readout (doc counts, distinct canonical pages, exact-dup counts,
+    dup rate, first URL) runs over the finished state through
+    literally the same helper the batch query uses
+    (:func:`_domain_stats_from_counts`), so this query shares the
+    batch query's FULL DuckDB oracle bit-for-bit (the
+    streaming_psi_drift recipe applied to the URL family).  The URL
+    canonicalization + broadcast suffix-table lookups run INSIDE the
+    stream as stream-static joins — every micro-batch canonicalizes
+    its own slice once.
+
+    Exactness: the state grain's counts are additive and every
+    readout aggregate (sums, conditional sums, countDistinct, min)
+    is a pure function of the accumulated counts, so ANY micro-batch
+    split reaches the identical table.
+
+    Scale shape: state is one row per distinct (domain, text-hash,
+    page) — the crawl frontier's own cardinality; the readout is two
+    hash aggregates and a join, same as batch."""
+    import tempfile
+
+    from real_time_data_analytics_cassandra_spark.sources.streams import (
+        bounded_table_stream,
+    )
+    from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    ensure_query_confs(spark)
+    docs = bounded_table_stream(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    base = url_op.canonicalize_urls(
+        url_op.synthetic_crawl_urls(docs)
+    ).select("domain", F.md5(F.col("text")).alias("h"), "canon_url")
+    per_q = base.groupBy("domain", "h", "canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ckpt = tempfile.mkdtemp(prefix="rtdac_ckpt_streaming_domstats_")
+    per = run_available_now(
+        per_q, "streaming_domain_crawl_stats_q", ckpt, output_mode="complete"
+    )
+    # the readout consumes the memory-sink table TWICE (hash rollup +
+    # page rollup); cutting the lineage avoids the memory relation's
+    # conflicting-references resolution failure on the self-join and
+    # is bounded — the state table is the page-grain summary
+    return _domain_stats_from_counts(per.localCheckpoint(eager=True))
+
+
+def percent_encoded_url_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 percent-encoding normalization as a DUP-COLLAPSE
+    query (r11 verdict task 4): groups of raw crawl URLs that differ
+    only in escape spelling (``%7Esec`` / ``%7esec`` / literal
+    ``~sec`` in the path; ``a%2fb`` vs ``a%2Fb`` in the query) must
+    collapse to ONE canonical URL — unreserved escapes decode,
+    reserved escapes keep ``%`` with uppercased hex
+    (operators/urls.py::pct_normalize, pure JVM array expressions).
+    Output: each canonical page reached by >= 2 distinct raw
+    spellings, with its raw-doc and distinct-spelling counts — the
+    exact-dup undercount a pipeline WITHOUT the normalization would
+    suffer.
+
+    Full oracle: the oracle never parses — it rebuilds the canonical
+    URL from the synthetic generator's construction components
+    (doc_id div 4 page groups), so the Spark normalization must land
+    on ground truth byte-for-byte.
+
+    Scale shape: string expressions inside codegen plus the broadcast
+    suffix-rule lookups; one hash aggregate on canon_url."""
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    base = url_op.canonicalize_urls(
+        url_op.synthetic_percent_urls(docs.select("doc_id", "source"))
+    )
+    return (
+        base.groupBy("canon_url", "domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.countDistinct("url").cast("long").alias("n_variants"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("canon_url")
     )
 
 
@@ -11826,6 +11925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_benford_drift": streaming_benford_drift,
         "source_length_psi": source_length_psi,
         "streaming_psi_drift": streaming_psi_drift,
+        "streaming_domain_crawl_stats": streaming_domain_crawl_stats,
         "token_zipf_fit": token_zipf_fit,
         "value_skewness_by_type": value_skewness_by_type,
         "purchase_mean_bootstrap_ci": purchase_mean_bootstrap_ci,
@@ -11894,6 +11994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_audio_near_dup": incremental_audio_near_dup,
         "image_dup_components": image_dup_components,
         "domain_crawl_stats": domain_crawl_stats,
+        "percent_encoded_url_dups": percent_encoded_url_dups,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
@@ -12503,6 +12604,33 @@ def oracle_sql() -> dict[str, str]:
                    first_url
             FROM dom JOIN pg USING (domain)
             ORDER BY dom.domain
+        """,
+        "percent_encoded_url_dups": """
+            -- ground truth: the canonical URL rebuilt from the
+            -- synthetic generator's components (never by parsing),
+            -- the raw spelling reconstructed exactly as Spark's
+            -- synthetic_percent_urls writes it
+            WITH b AS (
+                SELECT doc_id,
+                       'https://' || source || '.com/~sec/p/'
+                       || CAST(doc_id // 80 AS VARCHAR)
+                       || '?q=a%2Fb' AS canon_url,
+                       source || '.com' AS domain,
+                       'https://' || source || '.com/'
+                       || CASE (doc_id // 20) % 4 WHEN 0 THEN '%7Esec'
+                               WHEN 1 THEN '%7esec' ELSE '~sec' END
+                       || '/p/' || CAST(doc_id // 80 AS VARCHAR)
+                       || '?q=' || CASE WHEN (doc_id // 20) % 2 = 0
+                               THEN 'a%2fb' ELSE 'a%2Fb' END AS url
+                FROM documents
+            )
+            SELECT canon_url, domain,
+                   CAST(count(*) AS BIGINT) AS n_raw,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+            FROM b
+            GROUP BY canon_url, domain
+            HAVING count(DISTINCT url) >= 2
+            ORDER BY canon_url
         """,
         "image_dhash_near_dup": f"""
             WITH {dhash_sig_ctes},
@@ -17467,6 +17595,10 @@ def oracle_sql() -> dict[str, str]:
     # the streamed (source, bucket) counts merge exactly across
     # micro-batches (additive) -> the PSI readout shares the batch oracle
     d["streaming_psi_drift"] = d["source_length_psi"]
+    # the streamed (domain, text-hash, page) counts merge exactly
+    # across micro-batches (additive) and the readout is a pure
+    # function of the accumulated counts -> shares the batch oracle
+    d["streaming_domain_crawl_stats"] = d["domain_crawl_stats"]
     # per-micro-batch observe() metrics fold with accumulator
     # semantics (counts/sums add, min/max combine) -> the merged
     # readout shares the batch single-pass oracle

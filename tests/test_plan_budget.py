@@ -87,7 +87,15 @@ BUDGETS = {
     "incremental_audio_near_dup": 3,
     "image_dup_components": 4,
     "domain_crawl_stats": 5,
-    "cross_domain_dup_matrix": 8,
+    # groupBy+countDistinct two-phase agg + ordered output
+    "percent_encoded_url_dups": 3,
+    # r12: the registrable domain is now a broadcast suffix-TABLE
+    # lookup, so the doc->domain subtree carries joins and no longer
+    # qualifies for a static broadcast — the two pairs><doms joins
+    # plan as shuffle joins, the CORRECT 100 TB shape (the doc->domain
+    # map is corpus-sized; AQE converts to broadcast at runtime when
+    # the built side is actually small)
+    "cross_domain_dup_matrix": 11,
     "source_token_fertility": 4,
     "audio_fingerprint_near_dup": 10,
     # graph / linkage (post-loop leaves for the iterative ones;

@@ -671,3 +671,22 @@ def test_incremental_audio_near_dup_matches_batch(spark):
         for r in q.audio_fingerprint_near_dup(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_domain_crawl_stats_matches_batch(spark):
+    """streaming_domain_crawl_stats must equal the batch
+    domain_crawl_stats table row-for-row: the (domain, text-hash,
+    page) state counts are additive and the shared readout helper is
+    a pure function of them, so the micro-batch split must be
+    invisible."""
+    from real_time_data_analytics_cassandra_spark import queries as q
+
+    got = [
+        tuple(r)
+        for r in q.streaming_domain_crawl_stats(spark, SF_SMOKE).collect()
+    ]
+    want = [
+        tuple(r) for r in q.domain_crawl_stats(spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    assert len(want) > 0

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from real_time_data_analytics_cassandra_spark.operators import urls as u
 
 
@@ -180,3 +182,169 @@ def test_domain_matrix_totals_equal_source_matrix(spark):
         (r["source_a"], r["source_b"]): r["n_dup_pairs"] for r in src
     }
     assert dict(derived) == want
+
+
+def test_psl_longest_suffix_match_edge_cases(spark):
+    """r11 verdict task 3 gate: the broadcast suffix TABLE with
+    longest-suffix-wins semantics must resolve wildcard (*.ck),
+    exception (!www.ck), and 4-label (pvt.k12.ma.us) rules the lite
+    2-vs-3-label isin could not express — validated against the PSL
+    algorithm by hand."""
+    cases = {
+        # wildcard: any direct child of ck is a public suffix
+        "foo.bar.ck": "foo.bar.ck",
+        "foo.ck": None,  # foo.ck IS a public suffix under *.ck
+        # exception: !www.ck makes www.ck itself registrable
+        "www.ck": "www.ck",
+        "x.www.ck": "www.ck",
+        "ck": None,  # a bare public suffix has no registrable domain
+        # 4-label suffix beats its 3- and 2-label prefixes
+        "school.pvt.k12.ma.us": "school.pvt.k12.ma.us",
+        "a.school.pvt.k12.ma.us": "school.pvt.k12.ma.us",
+        "b.k12.ma.us": "b.k12.ma.us",
+        # plain rules and the implicit * fallback for unlisted TLDs
+        "example.com": "example.com",
+        "cdn.src.co.uk": "src.co.uk",
+        "foo.example.zzz": "example.zzz",
+        "zzz": None,
+    }
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "doc_id long, host string"
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in u.registrable_domain(df).collect()
+    }
+    assert got == cases
+
+
+def test_psl_lookup_is_broadcast_only(spark):
+    """The suffix-table lookup must plan as broadcast hash joins with
+    the fact side streaming — no shuffle exchange may enter the plan
+    from the rule lookups (the rule tables are pre-grouped in Python
+    precisely so no groupBy exchange rides along)."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+    )
+    plan = (
+        u.registrable_domain(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_pct_normalize_rfc3986(spark):
+    """r11 verdict task 4 gate: unreserved escapes decode, reserved
+    escapes keep '%' with UPPERCASED hex, malformed escapes pass
+    through verbatim."""
+    cases = {
+        "/a%7Eb%2fc%2Fd%zz%4": "/a~b%2Fc%2Fd%zz%4",  # mixed in one string
+        "%7euser": "~user",  # lowercase hex unreserved
+        "%41%5a%61%7a%30%39%2d%2e%5f%7e": "AZaz09-._~",  # all classes
+        "%2f%3a%3f%23": "%2F%3A%3F%23",  # reserved stay encoded, hex upper
+        "no-escapes": "no-escapes",
+        "trailing%": "trailing%",
+        "": "",
+    }
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases.items())],
+        "id long, s string",
+    )
+    got = {
+        r["s"]: r["n"]
+        for r in df.select(
+            "s", u.pct_normalize(F.col("s")).alias("n")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_pct_normalize_matches_python_urllib(spark):
+    """Independent recompute: on hex-valid inputs the JVM expression
+    must agree with a pure-Python RFC 3986 normalizer built on the
+    stdlib (decode unreserved, uppercase the rest)."""
+    import re
+
+    def py_norm(s: str) -> str:
+        unreserved = set(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+            "0123456789-._~"
+        )
+
+        def fix(m: "re.Match[str]") -> str:
+            ch = chr(int(m.group(1), 16))
+            return ch if ch in unreserved else "%" + m.group(1).upper()
+
+        return re.sub(r"%([0-9A-Fa-f]{2})", fix, s)
+
+    samples = [
+        f"/p%{h:02x}q%{h:02X}r" for h in range(0, 256, 7)
+    ] + ["/%7e%7E~", "a%2fb%2Fc", "%00%1f%20%25"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, s string"
+    )
+    got = {
+        r["s"]: r["n"]
+        for r in df.select(
+            "s", u.pct_normalize(F.col("s")).alias("n")
+        ).collect()
+    }
+    assert got == {s: py_norm(s) for s in samples}
+
+
+def test_percent_encoded_url_dups_python_recompute(spark):
+    """Query-level recompute, independent of both engines: rebuild
+    the raw URLs in Python from (doc_id, source), normalize them with
+    the stdlib-regex RFC 3986 normalizer, group, and compare to the
+    Spark query row-for-row."""
+    import re
+    from collections import defaultdict
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+
+    unreserved = set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    )
+
+    def norm(s: str) -> str:
+        def fix(m: "re.Match[str]") -> str:
+            ch = chr(int(m.group(1), 16))
+            return ch if ch in unreserved else "%" + m.group(1).upper()
+
+        return re.sub(r"%([0-9A-Fa-f]{2})", fix, s)
+
+    groups: dict = defaultdict(lambda: [0, set()])
+    for r in rows:
+        d, src = r["doc_id"], r["source"]
+        v = d // 20
+        tilde = {0: "%7Esec", 1: "%7esec"}.get(v % 4, "~sec")
+        slashq = "a%2fb" if v % 2 == 0 else "a%2Fb"
+        raw = f"https://{src}.com/{tilde}/p/{d // 80}?q={slashq}"
+        g = groups[(norm(raw), f"{src}.com")]
+        g[0] += 1
+        g[1].add(raw)
+    want = {
+        (canon, dom): (n, len(variants))
+        for (canon, dom), (n, variants) in groups.items()
+        if len(variants) >= 2
+    }
+    got = {
+        (r["canon_url"], r["domain"]): (r["n_raw"], r["n_variants"])
+        for r in q.percent_encoded_url_dups(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(want) > 0, "fixture must actually exercise the collapse"
