@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "streaming_hourly_cusum",
     "training_shard_shuffle",
     "span_dedup_keep_first",
+    "exact_substr_dedup",
     "temperature_resample_langs",
     "blocklist_filter_stats",
     "join_key_skew_report",
@@ -228,6 +229,7 @@ BENCH_QUERIES = [
     "domain_crawl_stats",
     "percent_encoded_url_dups",
     "audio_fingerprint_near_dup",
+    "audio_spectral_near_dup",
     "incremental_ann_search",
     "streaming_incremental_index",
     "json_decode_quarantine",

@@ -375,6 +375,100 @@ def segment_scrub(
     )
 
 
+def exact_substr_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 16,
+) -> DataFrame:
+    """TRUE ExactSubstr dedup (Lee et al. "Deduplicating Training
+    Data Makes Language Models Better" §4.1, the suffix-array
+    recipe): remove every token that lies inside ANY substring of
+    >= ``min_len`` tokens occurring more than once corpus-wide —
+    at any alignment, across or within documents.
+
+    Closes the gap :func:`segment_scrub` (ExactSubstr-LITE) leaves
+    open: the lite form buckets text into FIXED non-overlapping
+    ``seg_len``-token segments, so a long repeat whose two
+    occurrences sit at different offsets mod seg_len shares no
+    segment and slides through uncaught (the r11 verdict's
+    boundary-straddling case).  This form anchors EVERY token
+    position:
+
+    - each position p emits the md5 of its ``min_len``-token window
+      (the suffix-array observation: a duplicated substring of
+      length >= L exists iff two positions share an L-token prefix —
+      sorting suffixes groups them; hashing the L-token anchor
+      groups them with one hash aggregate instead of a global sort,
+      and the bounded window IS the bounded extend-while-equal:
+      longer repeats are covered as unions of overlapping L-anchors);
+    - an anchor occurring >= 2 times marks positions [p, p+L) in
+      every occurrence as duplicated;
+    - a token survives iff no duplicated anchor covers it; the doc
+      rebuilds from surviving tokens in order.
+
+    Exactly Lee et al.'s removal semantics (their tool drops every
+    occurrence of duplicated spans; a keep-first variant would pin
+    ties the way :func:`keep_first_segment_dedup` does).
+
+    Output: (id, n_tokens, n_removed, clean_text) — one row per
+    document with >= 1 token.
+
+    Scale shape: the window explode is map-side (one row per token
+    position — the same O(corpus tokens) row count every shingle
+    operator here carries); ONE count aggregate on 16-byte md5 keys
+    (partial aggregation applies), one equi-join back on the same
+    compact key, one per-doc reconstruction aggregate, one join of
+    the bounded dup-position table back to the docs.  The coverage
+    filter is per-row array math bounded by document length
+    (positions x dup-anchors worst case; production swaps in a
+    merged-interval sweep when documents are huge).  No UDFs, no
+    driver collects; the shuffle count is fixed regardless of
+    corpus size (pinned in tests/test_plan_budget.py).
+    """
+    base = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    wins = base.filter(n >= min_len).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - min_len),
+                lambda p: F.md5(
+                    F.concat_ws(
+                        " ", F.slice("toks", p + F.lit(1), min_len)
+                    )
+                ),
+            )
+        ).alias("p", "wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("wh")
+    )
+    dup_pos = (
+        wins.join(dup, "wh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("p")).alias("dups"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("dups"), lambda p: (p <= i) & (i < p + min_len)
+    )
+    kept = F.when(
+        F.col("dups").isNotNull(),
+        F.filter("toks", lambda t, i: ~covered(i)),
+    ).otherwise(F.col("toks"))
+    return base.join(dup_pos, "id", "left").select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def incremental_near_dups(
     new_docs: DataFrame,
     history: DataFrame,

@@ -1702,3 +1702,106 @@ def audio_energy_fingerprints(df_with_payload: DataFrame) -> DataFrame:
             )
 
     return df_with_payload.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+N_SPECTRAL_FRAMES = 3
+N_SPECTRAL_BANDS = 33
+
+
+def spectral_signature_py(samples: "np.ndarray") -> tuple[int, int]:
+    """The Haitsma-Kalker band-energy hash of one 8-bit PCM sample
+    stream, as a plain numpy function (shared verbatim by the Arrow
+    stage below and the test-side recompute, so the gate compares the
+    Spark PLUMBING against an independent driver-side evaluation of
+    the same math):
+
+    - the DC-centered stream splits into 3 equal frames (trailing
+      remainder dropped; streams shorter than 2 samples per frame
+      get the (0, 0) fixed point, same convention as the envelope);
+    - per frame, the rfft power spectrum folds into 33
+      LOG-SPACED bands: rfft bin k (k = 0..nb-1) lands in band
+      floor(33 * ln(k+1) / ln(nb+1)) — a closed-form integer mapping
+      that stays well-defined at ANY stream length (degenerate short
+      streams simply leave high bands empty at energy 0);
+    - bit(n, m) = 1  iff
+      (E(n,m) - E(n,m+1)) - (E(n-1,m) - E(n-1,m+1)) > 0
+      — the classic time- AND frequency-differenced energy sign
+      (Haitsma & Kalker 2002, "A Highly Robust Audio Fingerprinting
+      System"), which cancels any gain that is constant within a
+      frame and any per-band gain that is constant across frames:
+      exactly the re-EQ'd / level-normalized copies that defeat the
+      amplitude-only envelope (the audio analog of the brightness
+      ramp that motivated dHash);
+    - frame pair (0,1) packs MSB-first into sig_hi, pair (1,2) into
+      sig_lo — the shared 32+32 signature convention, so the banded
+      near-pair / cluster / incremental operators ride unchanged.
+
+    Float determinism: numpy's rfft and log are deterministic for a
+    fixed input on a fixed build, and the >-threshold collapses the
+    floats to bits; the cross-engine DuckDB oracle is forfeited
+    (SQL cannot reproduce libm/FFT rounding), which is why this
+    query ships recompute-gated instead of oracle-backed."""
+    v = samples.astype(np.float64) - 128.0
+    flen = v.size // N_SPECTRAL_FRAMES
+    if flen < 2:
+        return 0, 0
+    frames = v[: flen * N_SPECTRAL_FRAMES].reshape(N_SPECTRAL_FRAMES, flen)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nb = spec.shape[1]
+    k = np.arange(nb, dtype=np.float64)
+    band = np.floor(
+        N_SPECTRAL_BANDS * np.log(k + 1.0) / np.log(nb + 1.0)
+    ).astype(np.int64)
+    e = np.zeros((N_SPECTRAL_FRAMES, N_SPECTRAL_BANDS), dtype=np.float64)
+    for f in range(N_SPECTRAL_FRAMES):
+        np.add.at(e[f], band, spec[f])
+    d = e[:, :-1] - e[:, 1:]  # frequency difference, 32 per frame
+    bits = (d[1:] - d[:-1]) > 0  # time difference, 2 x 32
+    hi = lo = 0
+    for b in range(32):
+        hi = (hi << 1) | int(bits[0, b])
+        lo = (lo << 1) | int(bits[1, b])
+    return hi, lo
+
+
+def audio_spectral_fingerprints(df_with_payload: DataFrame) -> DataFrame:
+    """64-bit SPECTRAL fingerprint per audio payload
+    (:func:`spectral_signature_py` over the really-decoded PCM plane
+    — RIFF chunk walk, same decode the envelope uses).  Arrow-batched
+    numpy over mapInPandas; O(1) state per payload; signature
+    conventions identical to every other 64-bit perceptual hash in
+    this module, so :func:`signature_near_pairs` and the incremental
+    fold are SHARED unchanged.
+
+    Why a second audio signature: the energy envelope
+    (:func:`audio_energy_fingerprints`) is amplitude-only — a fade /
+    time-varying re-gain moves spans across the one global mean and
+    flips its bits, while the double-differenced band-energy signs
+    here cancel frame-constant gain exactly (the dHash playbook
+    applied to audio; tests/test_multimodal_real.py proves a faded
+    pair the envelope misses and this hash links)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for batch in batches:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                meta, samples = decode_payload(bytes(payload))
+                if meta["n_channels"] != 1 or meta["bits_per_sample"] != 8:
+                    raise ValueError(
+                        "audio_spectral_fingerprints needs 8-bit mono "
+                        f"PCM, got {meta['n_channels']}ch/"
+                        f"{meta['bits_per_sample']}-bit"
+                    )
+                hi, lo = spectral_signature_py(samples)
+                ids.append(int(doc_id))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig_hi": pd.Series(his, dtype="int64"),
+                    "sig_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -3122,6 +3122,41 @@ def audio_fingerprint_near_dup(
     ).orderBy("doc_a", "doc_b")
 
 
+def audio_spectral_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL audio near-duplicate links — the Haitsma-Kalker
+    band-energy hash over the really-decoded PCM plane
+    (operators/multimodal.py::audio_spectral_fingerprints: 3 frames,
+    rfft power spectrum into 33 log-spaced bands, bit = sign of the
+    time- AND frequency-differenced band energy), linked through the
+    SHARED banded-Hamming operator.  The gradient sibling of the
+    amplitude-only envelope (::audio_energy_fingerprints): a faded /
+    re-gained copy defeats the envelope (spans move across the one
+    global mean) but keeps the double-differenced spectral signs —
+    the dHash playbook applied to audio.
+
+    Approximate (FFT floats cannot be reproduced in SQL) -> no
+    DuckDB oracle; exactness rides the shared-function recompute
+    gate (the Arrow stage and the test evaluate LITERALLY the same
+    numpy function, tests/test_multimodal_real.py) and the
+    fade-pair re-gain gate; CROSSVAL.json records the bit-equality
+    sweep.
+
+    Scale shape: identical to audio_fingerprint_near_dup — one Arrow
+    decode pass (CPU-bound, keeps spread()), exact signature
+    collapse first, integer band equi-joins over DISTINCT
+    fingerprints only."""
+    ensure_query_confs(spark)
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    docs = table(spark, sf_dir, "documents")
+    sig = mm_op.audio_spectral_fingerprints(
+        mm_op.attach_wav_payload(spread(docs), "doc_id", "text")
+    )
+    return mm_op.signature_near_pairs(
+        sig, n_bands=8, max_hamming=7
+    ).orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # windowed / relational superset: as-of join, sessionization, rollup,
 # distinct counts, set ops, ISO serialization
@@ -8818,6 +8853,41 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE ExactSubstr dedup (operators/dedup.py::exact_substr_scrub
+    — Lee et al.'s suffix-array recipe as one hash aggregate over
+    per-position 16-token anchors): every token inside ANY >= 16-token
+    substring that occurs more than once corpus-wide is removed, at
+    any alignment — the form that catches the boundary-straddling
+    repeats the fixed-segment lite operators (span_dedup_keep_first /
+    boilerplate_scrub) slide past.  Scrubbed text proven to the
+    oracle by md5.
+
+    Full oracle: the anchor construction is pure list arithmetic, so
+    DuckDB rebuilds the identical window hashes, duplicate set, and
+    coverage filter (nested list lambdas).
+
+    Scale shape: map-side window transform + posexplode (one row per
+    token position), one count aggregate on 16-byte md5 keys, one
+    equi-join back, one per-doc reconstruction aggregate — three
+    shuffles, no UDFs, no global sort (the hash aggregate replaces
+    the suffix-array sort)."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = dedup_op.exact_substr_scrub(
+        spread(docs), "doc_id", "text", min_len=16
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
 _BPE_MEMO: dict[str, list] = {}
 _BPE_K = 12
 
@@ -11852,6 +11922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_repetition": cross_doc_repetition,
         "boilerplate_scrub": boilerplate_scrub,
         "span_dedup_keep_first": span_dedup_keep_first,
+        "exact_substr_dedup": exact_substr_dedup,
         "temperature_resample_langs": temperature_resample_langs,
         "blocklist_filter_stats": blocklist_filter_stats,
         "join_key_skew_report": join_key_skew_report,
@@ -11996,6 +12067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_crawl_stats": domain_crawl_stats,
         "percent_encoded_url_dups": percent_encoded_url_dups,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
+        "audio_spectral_near_dup": audio_spectral_near_dup,
         "media_ppm_decode": media_ppm_decode,
         "incremental_ann_search": incremental_ann_search,
         "json_decode_quarantine": json_decode_quarantine,
@@ -14184,6 +14256,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN NOT blocked THEN n_chars ELSE 0 END)
                         AS BIGINT) AS retained_chars
             FROM flagged GROUP BY source ORDER BY source
+        """,
+        "exact_substr_dedup": """
+            WITH base AS (
+                SELECT doc_id AS id, string_split(text, ' ') AS toks
+                FROM documents WHERE length(text) > 0
+            ),
+            pos AS (
+                SELECT id, toks,
+                       CAST(unnest(range(0, len(toks) - 15)) AS BIGINT) AS p
+                FROM base WHERE len(toks) >= 16
+            ),
+            wins AS (
+                SELECT id, p,
+                       md5(array_to_string(
+                           list_slice(toks, p + 1, p + 16), ' ')) AS wh
+                FROM pos
+            ),
+            dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+            dp AS (
+                SELECT id, list_sort(list(p)) AS dups
+                FROM wins JOIN dup USING (wh) GROUP BY id
+            ),
+            scrubbed AS (
+                SELECT b.id,
+                       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                       CASE WHEN dp.dups IS NULL THEN b.toks
+                            ELSE list_transform(
+                                list_filter(range(0, len(b.toks)),
+                                    t -> len(list_filter(dp.dups,
+                                        p -> p <= t AND t < p + 16)) = 0),
+                                t -> b.toks[t + 1])
+                       END AS kept
+                FROM base b LEFT JOIN dp ON b.id = dp.id
+            )
+            SELECT id AS doc_id, n_tokens,
+                   CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+                   -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                   md5(coalesce(array_to_string(kept, ' '), ''))
+                       AS clean_md5,
+                   CAST(length(coalesce(array_to_string(kept, ' '), ''))
+                       AS BIGINT) AS clean_len
+            FROM scrubbed
+            ORDER BY doc_id
         """,
         "span_dedup_keep_first": """
             WITH toks AS (

@@ -952,3 +952,117 @@ def test_image_dup_components_match_pure_python(spark):
     # pair-consistency half directly against the pair query too)
     for r in q.image_phash_near_dup(spark, SF_ORACLE).collect():
         assert got[r["doc_a"]][0] == got[r["doc_b"]][0], r
+
+
+def test_audio_spectral_matches_shared_recompute(spark):
+    """The Arrow spectral stage (real RIFF decode + Haitsma-Kalker
+    hash) must reproduce a driver-side evaluation of LITERALLY the
+    same numpy function over the raw bytes — the Spark plumbing
+    (container build, chunk walk, Arrow batching) is what's under
+    test; includes the short-stream (0, 0) fixed point."""
+    import numpy as np
+
+    rows = [
+        (1, ""),
+        (2, "abc"),
+        (3, "loud LOUD loud quiet " * 25),
+        (4, "x" * 64),
+        (5, "the quick brown fox jumps over the lazy dog " * 12),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+        for r in mm.audio_spectral_fingerprints(
+            mm.attach_wav_payload(df, "doc_id", "text")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        samples = np.frombuffer(text.encode(), dtype=np.uint8)
+        assert sig[doc_id] == mm.spectral_signature_py(samples), doc_id
+
+
+def test_audio_spectral_near_dup_matches_recompute(spark):
+    """The whole spectral near-dup pair set at the smoke SF must
+    equal the brute-force rederivation (Hamming <= 7 over distinct
+    fingerprints, cluster-weighted) — same protocol as the envelope
+    and image gates."""
+    import itertools
+
+    import numpy as np
+
+    from real_time_data_analytics_cassandra_spark import queries as q
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sigs = {
+        d: mm.spectral_signature_py(
+            np.frombuffer(t.encode(), dtype=np.uint8)
+        )
+        for d, t in texts.items()
+    }
+    clusters: dict[tuple[int, int], list[int]] = {}
+    for d, s in sorted(sigs.items()):
+        clusters.setdefault(s, []).append(d)
+    want = set()
+    for (sa, ma), (sb, mb) in itertools.combinations(
+        sorted(clusters.items(), key=lambda kv: min(kv[1])), 2
+    ):
+        ham = bin(sa[0] ^ sb[0]).count("1") + bin(sa[1] ^ sb[1]).count("1")
+        if ham <= 7:
+            a, b = min(ma), min(mb)
+            a, b = (a, b) if a < b else (b, a)
+            want.add((a, b, ham, len(ma), len(mb)))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"], r["n_docs_a"], r["n_docs_b"])
+        for r in q.audio_spectral_near_dup(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
+def test_spectral_links_fade_that_envelope_misses(spark):
+    """The reason the spectral hash exists beside the envelope,
+    demonstrated end to end (the audio analog of the dHash
+    brightness-ramp gate): a linear re-gain ramp (fade 0.6 -> 1.0)
+    moves time spans across the envelope's one global-mean threshold
+    (Hamming > 7, unlinked) while the time- AND frequency-differenced
+    band-energy signs survive it (Hamming <= 7, linked)."""
+    import numpy as np
+
+    n = 960
+    t = np.arange(n)
+    base = (
+        128
+        + 40 * np.sin(2 * np.pi * t * 8 / n)
+        + 20 * np.sin(2 * np.pi * t * 23 / n)
+        + 10 * np.sin(2 * np.pi * t * 57 / n)
+    )
+    orig = np.clip(np.round(base), 0, 255).astype(np.uint8)
+    gain = 0.6 + 0.4 * t / (n - 1)
+    faded = np.clip(np.round(128 + (base - 128) * gain), 0, 255).astype(
+        np.uint8
+    )
+    # driver-side contracts first
+    s_o = mm.spectral_signature_py(orig)
+    s_f = mm.spectral_signature_py(faded)
+    s_ham = bin(s_o[0] ^ s_f[0]).count("1") + bin(s_o[1] ^ s_f[1]).count("1")
+    e_o, e_f = _audio_fp_py(orig.tobytes()), _audio_fp_py(faded.tobytes())
+    e_ham = bin(e_o[0] ^ e_f[0]).count("1") + bin(e_o[1] ^ e_f[1]).count("1")
+    assert s_ham <= 7, f"spectral hash must survive the fade, got {s_ham}"
+    assert e_ham > 7, f"fade must defeat the envelope, got {e_ham}"
+    # end to end through the real WAV containers + both stages
+    payloads = spark.createDataFrame(
+        [
+            (1, mm._wav_container(orig.tobytes())),
+            (2, mm._wav_container(faded.tobytes())),
+        ],
+        "doc_id long, payload binary",
+    )
+    spectral_pairs = mm.signature_near_pairs(
+        mm.audio_spectral_fingerprints(payloads), n_bands=8, max_hamming=7
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in spectral_pairs] == [(1, 2)]
+    envelope_pairs = mm.signature_near_pairs(
+        mm.audio_energy_fingerprints(payloads), n_bands=8, max_hamming=7
+    ).count()
+    assert envelope_pairs == 0

@@ -62,6 +62,9 @@ BUDGETS = {
     "text_quality": 0,
     "token_count": 1,
     "span_dedup_keep_first": 5,
+    # spread no-op + window-hash count agg + join-back on wh +
+    # per-doc rebuild agg + join on id + ordered output
+    "exact_substr_dedup": 6,
     "decontaminate_overlap": 3,
     "tfidf_top_terms": 7,
     "doc_keywords": 8,
@@ -98,6 +101,7 @@ BUDGETS = {
     "cross_domain_dup_matrix": 11,
     "source_token_fertility": 4,
     "audio_fingerprint_near_dup": 10,
+    "audio_spectral_near_dup": 10,
     # graph / linkage (post-loop leaves for the iterative ones;
     # triangle counting: adjacency build + 2 adjacency joins +
     # contribution regroup + output-degree regroup over the

@@ -273,6 +273,7 @@ _ARROW_QUERIES = {
     "image_dhash_near_dup",  # gradient-hash twin, same Arrow stage
     "image_dup_components",  # same Arrow signature stage, JVM past it
     "audio_fingerprint_near_dup",  # real RIFF decode + envelope via mapInPandas
+    "audio_spectral_near_dup",  # real RIFF decode + HK spectral hash, same Arrow stage
     "multimodal_features",
     "frame_samples",
     "audio_window_features",

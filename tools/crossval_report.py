@@ -305,6 +305,47 @@ def main() -> None:
         "gate": "tests/test_crossval.py::test_mmr_matches_numpy_model_and_diversifies",
     }
 
+    # spectral audio hash: FFT floats forfeit the SQL oracle, so the
+    # sweep proves every emitted pair (and the full signature table)
+    # bit-equal to a driver-side evaluation of the SAME numpy
+    # function over the raw bytes (the Spark plumbing — container
+    # build, RIFF walk, Arrow batching — is what's under test)
+    import numpy as _np
+
+    from real_time_data_analytics_cassandra_spark.operators import (
+        multimodal as _mm,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    py_sigs = {
+        d: _mm.spectral_signature_py(
+            _np.frombuffer(t.encode(), dtype=_np.uint8)
+        )
+        for d, t in texts.items()
+    }
+    spark_sigs = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+        for r in _mm.audio_spectral_fingerprints(
+            _mm.attach_wav_payload(docs, "doc_id", "text")
+        ).collect()
+    }
+    pair_rows = q.audio_spectral_near_dup(spark, SF).collect()
+    report["audio_spectral_near_dup"] = {
+        "metric": "full signature table bit-equal to a driver-side "
+                  "recompute of the shared numpy Haitsma-Kalker "
+                  "function; pair set re-derived brute-force in the "
+                  "pytest gate",
+        "floor": "bit-exact signatures",
+        "value": {
+            "signatures_bit_equal": spark_sigs == py_sigs,
+            "rows": len(spark_sigs),
+            "n_pairs": len(pair_rows),
+        },
+        "gate": "tests/test_multimodal_real.py::"
+                "test_audio_spectral_near_dup_matches_recompute",
+    }
+
     with open(OUT, "w") as fh:
         json.dump(report, fh, indent=2, sort_keys=True)
         fh.write("\n")
