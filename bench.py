@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "training_shard_shuffle",
     "span_dedup_keep_first",
     "exact_substr_dedup",
+    "exact_substr_keep_first_dedup",
+    "incremental_exact_substr",
     "temperature_resample_langs",
     "blocklist_filter_stats",
     "join_key_skew_report",

@@ -426,11 +426,38 @@ def exact_substr_scrub(
     driver collects; the shuffle count is fixed regardless of
     corpus size (pinned in tests/test_plan_budget.py).
     """
-    base = df.filter(F.length(text_col) > 0).select(
+    base = _token_rows(df, id_col, text_col)
+    wins = _anchor_rows(base, min_len)
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("wh")
+    )
+    dup_pos = (
+        wins.join(dup, "wh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("p")).alias("dups"))
+    )
+    return _scrub_covered(base, dup_pos, min_len)
+
+
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks) for every document with >= 1 token."""
+    return df.filter(F.length(text_col) > 0).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     )
+
+
+def _anchor_rows(base: DataFrame, min_len: int) -> DataFrame:
+    """One row per token position: (id, p, wh) where wh is the md5 of
+    the ``min_len``-token window starting at p — the shared anchor
+    construction of the ExactSubstr family (batch, keep-first, and
+    incremental forms must cut identical anchors).  The window
+    transform runs map-side over the positions sequence; posexplode
+    yields the position index for free."""
     n = F.size("toks")
-    wins = base.filter(n >= min_len).select(
+    return base.filter(n >= min_len).select(
         "id",
         F.posexplode(
             F.transform(
@@ -443,17 +470,16 @@ def exact_substr_scrub(
             )
         ).alias("p", "wh"),
     )
-    dup = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("wh")
-    )
-    dup_pos = (
-        wins.join(dup, "wh")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("p")).alias("dups"))
-    )
+
+
+def _scrub_covered(
+    base: DataFrame, dup_pos: DataFrame, min_len: int
+) -> DataFrame:
+    """Rebuild each document keeping only tokens not covered by any
+    duplicated anchor: ``dup_pos`` is (id, dups = sorted positions);
+    token i survives iff no p in dups has p <= i < p + min_len.
+    Shared by every ExactSubstr form."""
+    n = F.size("toks")
     covered = lambda i: F.exists(  # noqa: E731
         F.col("dups"), lambda p: (p <= i) & (i < p + min_len)
     )
@@ -467,6 +493,161 @@ def exact_substr_scrub(
         (n - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def exact_substr_keep_first(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 16,
+) -> DataFrame:
+    """Keep-FIRST ExactSubstr: like :func:`exact_substr_scrub` but the
+    corpus-wide first occurrence of every duplicated anchor — lowest
+    (id, position) — keeps its tokens; only LATER occurrences are
+    scrubbed (the C4/keep_first_segment_dedup pinning rule applied to
+    the anchored form).  This is the retraction-free semantics an
+    incremental ingest can actually implement (an already-emitted
+    document cannot be re-scrubbed when a later batch duplicates it),
+    so it is the batch twin :func:`exact_substr_index_batch` is gated
+    against.
+
+    Output and scale shape identical to :func:`exact_substr_scrub`;
+    the count aggregate becomes a min-struct aggregate (still
+    partial-aggregatable on the 16-byte key)."""
+    base = _token_rows(df, id_col, text_col)
+    wins = _anchor_rows(base, min_len)
+    firsts = wins.groupBy("wh").agg(
+        F.min(F.struct("id", "p")).alias("first")
+    )
+    dup_pos = (
+        wins.join(firsts, "wh")
+        .filter(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("p") != F.col("first.p"))
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("p")).alias("dups"))
+    )
+    return _scrub_covered(base, dup_pos, min_len)
+
+
+def exact_substr_index_batch(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    min_len: int = 16,
+    batch_id: int = 0,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """ONE incremental step of keep-first ExactSubstr against a
+    PERSISTED anchor-ownership index — the continuously-ingesting
+    form of :func:`exact_substr_keep_first`, run with the same
+    machinery as :func:`span_index_dedup_batch`: a batch's token
+    positions are scrubbed if their anchor is owned by ANY earlier
+    batch (or an earlier (id, p) within this batch), and the index
+    extends with the anchors this batch saw first.  When batches
+    arrive in id order the concatenated outputs equal the one-shot
+    keep-first operator exactly (anchors never straddle documents,
+    and min-(id, p) ownership over id-ordered batches is the global
+    min) — tested; under arbitrary arrival the rule is
+    first-ARRIVAL-wins, the only causally implementable rule.
+
+    Index layout and replay discipline are span_index_dedup_batch's
+    verbatim: parquet partitioned by md5-derived bucket, rows
+    (wh, first_id, first_p, _applied_batch_id); a batch reads ONLY
+    the buckets its own anchors hash into; rows stamped with THIS
+    batch id are ignored when deciding ownership and rewritten
+    identically, so a foreachBatch redelivery is bit-stable.
+
+    Scale shape: per batch — map-side anchor transform, one
+    min-struct aggregate over the BATCH's hashes, a bucket-pruned
+    index read + one equi-join on the 16-byte hash, a dynamic
+    overwrite of touched buckets, and the shared coverage rebuild.
+    O(batch + touched index slice), never O(corpus)."""
+    import os
+
+    base = _token_rows(batch_docs, id_col, text_col)
+    wins = _anchor_rows(base, min_len)
+    batch_first = (
+        wins.groupBy("wh")
+        .agg(F.min(F.struct(F.col("id"), F.col("p"))).alias("first"))
+        .select(
+            "wh",
+            F.col("first.id").alias("first_id"),
+            F.col("first.p").alias("first_p"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring("wh", 1, 4), 16, 10).cast("int"),
+                F.lit(n_buckets),
+            ),
+        )
+        .withColumn(SPAN_INDEX_BATCH_COL, F.lit(batch_id).cast("long"))
+    )
+
+    exists = os.path.exists(os.path.join(index_path, "_SUCCESS"))
+    if exists:
+        target = spark.read.parquet(index_path)
+        touched = batch_first.select("bucket").distinct()
+        probe = [r[0] for r in touched.limit(n_buckets + 1).collect()]
+        if len(probe) <= n_buckets:
+            pruned = target.filter(F.col("bucket").isin(probe))
+        else:  # pragma: no cover - bounded by construction
+            pruned = target.join(F.broadcast(touched), "bucket", "left_semi")
+        pruned = pruned.withColumn("bucket", F.col("bucket").cast("int"))
+        earlier = pruned.filter(F.col(SPAN_INDEX_BATCH_COL) < batch_id)
+    else:
+        earlier = None
+
+    if earlier is not None:
+        winners_new = batch_first.join(
+            earlier.select("wh"), "wh", "left_anti"
+        )
+    else:
+        winners_new = batch_first
+    winners_new = winners_new.localCheckpoint(eager=True)
+    new_index_rows = (
+        earlier.unionByName(winners_new) if earlier is not None else winners_new
+    )
+
+    # a position survives iff its anchor is NEWLY owned by this batch
+    # AND it is the batch-first occurrence; every other occurrence is
+    # a duplicated anchor and covers its window
+    flagged = wins.join(
+        winners_new.select("wh", "first_id", "first_p"), "wh", "left"
+    )
+    is_first = (
+        F.col("first_id").isNotNull()
+        & (F.col("id") == F.col("first_id"))
+        & (F.col("p") == F.col("first_p"))
+    )
+    dup_pos = (
+        flagged.filter(~is_first)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("p")).alias("dups"))
+    )
+    out = _scrub_covered(base, dup_pos, min_len).localCheckpoint(eager=True)
+
+    new_index_rows = new_index_rows.repartition("bucket").localCheckpoint(
+        eager=True
+    )
+    if earlier is None:
+        new_index_rows.write.mode("overwrite").partitionBy("bucket").parquet(
+            index_path
+        )
+    else:
+        from real_time_data_analytics_cassandra_spark.sinks.merge import _conf
+
+        with _conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            new_index_rows.write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(index_path)
+    return out
 
 
 def incremental_near_dups(

@@ -8888,6 +8888,86 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def exact_substr_keep_first_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-FIRST ExactSubstr (operators/dedup.py::
+    exact_substr_keep_first): anchored like exact_substr_dedup, but
+    the corpus-wide first occurrence — lowest (doc_id, position) — of
+    every duplicated >= 16-token substring keeps its tokens and only
+    later occurrences are scrubbed (the C4 pinning rule; also the
+    retraction-free semantics the incremental form implements, which
+    is gated against this query).  Scrubbed text proven by md5.
+
+    Full oracle: first-occurrence tagging is a row_number window over
+    (id, p) per window hash; coverage filter as in exact_substr_dedup.
+
+    Scale shape: identical to exact_substr_dedup with the count
+    aggregate swapped for a min-struct aggregate."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    ensure_query_confs(spark)
+    docs = table(spark, sf_dir, "documents")
+    out = dedup_op.exact_substr_keep_first(
+        spread(docs), "doc_id", "text", min_len=16
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+def incremental_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr (operators/dedup.py::
+    exact_substr_index_batch): the corpus arrives as two id-ordered
+    ingestion batches, each scrubbed against — and extending — a
+    persisted anchor-ownership index (bucket-pruned reads,
+    replay-stamped dynamic overwrites; the span_index_dedup_batch
+    machinery on per-position 16-token anchors).  Because arrival is
+    id-ordered, the accumulated output equals the one-shot keep-first
+    operator bit-for-bit, so this query SHARES the
+    exact_substr_keep_first_dedup oracle; the incremental machinery
+    is what's being gated.  The index lives in a tmp dir keyed on the
+    corpus file's identity; re-invocations replay idempotently."""
+    import os
+    import tempfile
+
+    ensure_query_confs(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "rtdac_xsub_idx_v1_"
+        + sf_dir.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}",
+    )
+    docs = table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long")
+    ).collect()[0][0]
+    parts = [
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+    ]
+    outs = [
+        dedup_op.exact_substr_index_batch(
+            spark, p, idx_dir, "doc_id", "text", 16, batch_id=i
+        )
+        for i, p in enumerate(parts)
+    ]
+    merged = outs[0].unionByName(outs[1])
+    return merged.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
 _BPE_MEMO: dict[str, list] = {}
 _BPE_K = 12
 
@@ -11923,6 +12003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": boilerplate_scrub,
         "span_dedup_keep_first": span_dedup_keep_first,
         "exact_substr_dedup": exact_substr_dedup,
+        "exact_substr_keep_first_dedup": exact_substr_keep_first_dedup,
+        "incremental_exact_substr": incremental_exact_substr,
         "temperature_resample_langs": temperature_resample_langs,
         "blocklist_filter_stats": blocklist_filter_stats,
         "join_key_skew_report": join_key_skew_report,
@@ -14256,6 +14338,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN NOT blocked THEN n_chars ELSE 0 END)
                         AS BIGINT) AS retained_chars
             FROM flagged GROUP BY source ORDER BY source
+        """,
+        "exact_substr_keep_first_dedup": """
+            WITH base AS (
+                SELECT doc_id AS id, string_split(text, ' ') AS toks
+                FROM documents WHERE length(text) > 0
+            ),
+            pos AS (
+                SELECT id, toks,
+                       CAST(unnest(range(0, len(toks) - 15)) AS BIGINT) AS p
+                FROM base WHERE len(toks) >= 16
+            ),
+            wins AS (
+                SELECT id, p,
+                       md5(array_to_string(
+                           list_slice(toks, p + 1, p + 16), ' ')) AS wh
+                FROM pos
+            ),
+            laters AS (
+                SELECT id, p FROM (
+                    SELECT id, p,
+                           row_number() OVER (
+                               PARTITION BY wh ORDER BY id, p) AS rn
+                    FROM wins
+                ) WHERE rn > 1
+            ),
+            dp AS (
+                SELECT id, list_sort(list(p)) AS dups
+                FROM laters GROUP BY id
+            ),
+            scrubbed AS (
+                SELECT b.id,
+                       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                       CASE WHEN dp.dups IS NULL THEN b.toks
+                            ELSE list_transform(
+                                list_filter(range(0, len(b.toks)),
+                                    t -> len(list_filter(dp.dups,
+                                        p -> p <= t AND t < p + 16)) = 0),
+                                t -> b.toks[t + 1])
+                       END AS kept
+                FROM base b LEFT JOIN dp ON b.id = dp.id
+            )
+            SELECT id AS doc_id, n_tokens,
+                   CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+                   md5(coalesce(array_to_string(kept, ' '), ''))
+                       AS clean_md5,
+                   CAST(length(coalesce(array_to_string(kept, ' '), ''))
+                       AS BIGINT) AS clean_len
+            FROM scrubbed
+            ORDER BY doc_id
         """,
         "exact_substr_dedup": """
             WITH base AS (
@@ -17767,6 +17898,9 @@ def oracle_sql() -> dict[str, str]:
     # id-ordered incremental ingestion reproduces the one-shot
     # keep-first result exactly -> shares its oracle
     d["incremental_span_dedup"] = d["span_dedup_keep_first"]
+    # id-ordered incremental ExactSubstr accumulates to the one-shot
+    # keep-first scrub exactly (anchors never straddle documents)
+    d["incremental_exact_substr"] = d["exact_substr_keep_first_dedup"]
     # prefix filtering is a lossless candidate rule: the PPJoin form
     # must emit exactly the naive shared-shingle join's pairs
     d["ngram_jaccard_prefix"] = d["ngram_jaccard"]

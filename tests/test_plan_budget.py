@@ -65,6 +65,7 @@ BUDGETS = {
     # spread no-op + window-hash count agg + join-back on wh +
     # per-doc rebuild agg + join on id + ordered output
     "exact_substr_dedup": 6,
+    "exact_substr_keep_first_dedup": 6,
     "decontaminate_overlap": 3,
     "tfidf_top_terms": 7,
     "doc_keywords": 8,

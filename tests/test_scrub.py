@@ -332,3 +332,107 @@ def test_exact_substr_matches_pure_python_at_smoke_sf(spark):
     assert any(v[1] > 0 for v in want.values()), (
         "fixture must exercise the removal path"
     )
+
+
+def test_exact_substr_keep_first_pins_first_occurrence(spark):
+    """Keep-first semantics by hand: the lowest-(id, position)
+    occurrence of the repeated span keeps its tokens; the later doc
+    (and a later within-doc repeat) is scrubbed."""
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        exact_substr_keep_first,
+    )
+
+    rep = _words("rep", 20)
+    a_tail = _words("atail", 5)
+    b_head = _words("bhead", 3)
+    df = _docs(spark, [(1, f"{rep} {a_tail}"), (2, f"{b_head} {rep}")])
+    got = {
+        r["id"]: (r["n_removed"], r["clean_text"])
+        for r in exact_substr_keep_first(
+            df, "doc_id", "text", min_len=16
+        ).collect()
+    }
+    assert got[1] == (0, f"{rep} {a_tail}")  # first occurrence pinned
+    assert got[2] == (20, b_head)
+
+
+def test_exact_substr_index_incremental_equals_batch(spark, tmp_path):
+    """Id-ordered incremental arrival through the persisted anchor
+    index must equal the one-shot keep-first operator doc for doc —
+    including a repeat whose occurrences land in DIFFERENT batches at
+    different alignments (the straddling case the whole family
+    exists for)."""
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        exact_substr_index_batch,
+        exact_substr_keep_first,
+    )
+
+    rep = _words("rep", 25)
+    rows = [
+        (1, f"{rep} {_words('a', 6)}"),
+        (2, _words("b", 20)),
+        (3, f"{_words('c', 3)} {rep}"),  # same repeat, offset 3
+        (4, _words("b", 20)),  # exact dup of doc 2 across batches
+        (5, _words("e", 10)),
+    ]
+    df = _docs(spark, rows)
+    expect = {
+        r["id"]: tuple(r)
+        for r in exact_substr_keep_first(
+            df, "doc_id", "text", min_len=16
+        ).collect()
+    }
+    idx = str(tmp_path / "xsub_idx")
+    got = {}
+    for b, lo, hi in ((0, 1, 2), (1, 3, 4), (2, 5, 5)):
+        part = df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        )
+        out = exact_substr_index_batch(
+            spark, part, idx, "doc_id", "text", 16, batch_id=b
+        )
+        for r in out.collect():
+            got[r["id"]] = tuple(r)
+    assert got == expect
+    by_id = {t[0]: t for t in got.values()}
+    assert by_id[3][2] == 25, "cross-batch repeat must be scrubbed"
+    assert by_id[4][2] == 20, "cross-batch exact dup must be scrubbed"
+
+
+def test_exact_substr_index_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch redelivery of a completed batch must produce
+    the same verdicts and leave the index bit-identical."""
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        exact_substr_index_batch,
+    )
+
+    rep = _words("rep", 20)
+    idx = str(tmp_path / "xsub_idx_replay")
+    b0 = _docs(spark, [(1, f"{rep} {_words('a', 4)}")])
+    b1 = _docs(spark, [(2, f"{_words('b', 2)} {rep}")])
+    exact_substr_index_batch(spark, b0, idx, "doc_id", "text", 16, batch_id=0)
+    first = sorted(
+        map(
+            tuple,
+            exact_substr_index_batch(
+                spark, b1, idx, "doc_id", "text", 16, batch_id=1
+            ).collect(),
+        )
+    )
+    index_after = sorted(
+        map(tuple, spark.read.parquet(idx).drop("bucket").collect())
+    )
+    replay = sorted(
+        map(
+            tuple,
+            exact_substr_index_batch(
+                spark, b1, idx, "doc_id", "text", 16, batch_id=1
+            ).collect(),
+        )
+    )
+    index_replay = sorted(
+        map(tuple, spark.read.parquet(idx).drop("bucket").collect())
+    )
+    assert replay == first
+    assert index_replay == index_after
+    assert first[0][2] == 20, "doc 2 must lose the batch-0-owned repeat"

@@ -66,6 +66,7 @@ FIXTURE_PREFIXES = (
     "rtdac_pb_shim",
     "rtdac_snap_docs_",
     "rtdac_span_idx_v2_",
+    "rtdac_xsub_idx_v1_",
 )
 
 # fixtures addressed by EXACT directory name (digest subdirs inside) —
