@@ -324,6 +324,15 @@ BENCH_QUERIES = [
 # scan sees the explanation next to the number; each entry points at
 # the PERFNOTES.md section with the measurements.
 EXPECTED_DRIFT = {
+    "domain_crawl_stats": (
+        "r12 semantics upgrade: the registrable domain is now a "
+        "longest-suffix-wins lookup against a broadcast PSL rule "
+        "table and the canonical URL passes RFC 3986 percent "
+        "normalization — genuinely more work than the r11 anchor's "
+        "lite literal form (the gratuitous part, one broadcast round "
+        "per rule width, was already optimized to a single TLD-keyed "
+        "join) — see PERFNOTES.md 'Round 12: URL family'"
+    ),
     "heavy_hitter_tokens": (
         "r11 runtime exactness guard: the Misra-Gries lossless margin "
         "is now ENFORCED (two eager jobs over one cached pass instead "

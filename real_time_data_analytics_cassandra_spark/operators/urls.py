@@ -29,12 +29,13 @@ string math stays inside whole-stage codegen):
   ``~user`` collapse, and ``a%2fb`` / ``a%2Fb`` collapse without
   decoding the reserved ``/``;
 - registrable domain via LONGEST-SUFFIX-WINS evaluation against a
-  broadcast PUBLIC-SUFFIX rule table (``suffix_rules``): the host's
-  label-aligned suffixes at each rule width join the table
-  (broadcast hash joins — the fact side never shuffles) and the
-  prevailing rule is picked PSL-style: a matching EXCEPTION rule
-  (``!www.ck``) beats everything, else the matching rule with the
-  most labels (wildcard rules like ``*.ck`` count their ``*``);
+  broadcast PUBLIC-SUFFIX rule table (``suffix_rules``): ONE
+  broadcast hash join on the host's TLD brings every rule sharing
+  that TLD as an array (the fact side never shuffles) and the
+  prevailing rule is picked PSL-style by expressions: a matching
+  EXCEPTION rule (``!www.ck``) beats everything, else the matching
+  rule with the most labels (wildcard rules like ``*.ck`` count
+  their ``*``);
   registrable domain = public suffix + one label, NULL when the host
   IS a public suffix.  The bundled rule set is a deliberately small
   PSL subset (the full list is ~9k rows — same table shape, same
@@ -114,22 +115,25 @@ def suffix_rules(spark) -> DataFrame:
     )
 
 
-def _grouped_rule_rows() -> dict[int, list[tuple[str, list]]]:
-    """Rules pre-grouped per (match_k, match_text) in PYTHON — the
-    join-side tables are literal, so grouping here instead of a
+def _rules_by_tld() -> list[tuple[str, list]]:
+    """Rules pre-grouped per TLD (last label of the join text) in
+    PYTHON — the join side is literal, so grouping here instead of a
     Spark groupBy keeps a shuffle exchange out of every URL query
-    plan.  A text can carry several rules (the wildcard base ``ck``
-    and the plain rule ``ck`` share k=1), so each key's rules ride
-    as an array and host-size validity is checked per element after
-    the join."""
-    by: dict[tuple[int, str], list] = {}
+    plan, and keying by the ONE last label means the whole lookup is
+    a SINGLE broadcast hash join (an earlier per-rule-width join
+    chain paid one broadcast round per width — pure fixed overhead;
+    see PERFNOTES.md Round 12).  Every rule sharing a TLD rides in
+    the key's array — (match_text, match_k, min_host_labels,
+    is_exception, rule_labels, ps_labels) — and match/validity are
+    evaluated per element by expressions after the join.  The
+    production PSL groups its ~9k rules under ~1.5k TLD keys the
+    same way."""
+    by: dict[str, list] = {}
     for r in PUBLIC_SUFFIX_RULES:
         text, k, rl, ps, exc, minl = _parse_rule(r)
-        by.setdefault((k, text), []).append((minl, int(exc), rl, ps))
-    out: dict[int, list[tuple[str, list]]] = {}
-    for (k, text), cands in sorted(by.items()):
-        out.setdefault(k, []).append((text, cands))
-    return out
+        tld = text.rsplit(".", 1)[-1]
+        by.setdefault(tld, []).append((text, k, minl, int(exc), rl, ps))
+    return sorted((t, sorted(c)) for t, c in by.items())
 
 
 # widest join key the rule table needs (labels of the longest
@@ -256,64 +260,67 @@ def registrable_domain(
     (lowercase) host column, longest-suffix-wins against the
     broadcast rule table (module docstring).
 
-    Plan shape: one label split, ``_MAX_MATCH_K`` broadcast-hash left
-    joins (the fact side streams, never shuffles), and an array-max
-    pick of the prevailing rule — a NULL join key (host shorter than
-    the rule width) never matches, and wildcard rows additionally
-    require ``min_host_labels``.  Exceptions sort above everything
-    via the leading struct field, then rule label count (the PSL
-    prevailing-rule order)."""
+    Plan shape: one label split, ONE broadcast-hash left join on the
+    host's TLD (the fact side streams, never shuffles; every rule
+    sharing the TLD rides the joined array), then expression-only
+    evaluation: a rule matches when the host's last ``match_k``
+    labels equal its text and the host clears ``min_host_labels``
+    (how wildcards demand their extra real label; a host shorter
+    than the rule width has a NULL last-k and never matches).
+    Exceptions sort above everything via the leading struct field,
+    then rule label count (the PSL prevailing-rule order)."""
     spark = df.sparkSession
-    grouped = _grouped_rule_rows()
+    rk = spark.createDataFrame(
+        _rules_by_tld(),
+        "__tld string, __rules array<struct<"
+        "mt:string,mk:int,minl:int,exc:int,rl:int,ps:int>>",
+    )
     labels = F.split(F.col(host_col), "\\.")
     n = F.size(labels)
     work = df.withColumn("__labels", labels).withColumn("__n", n)
-    cand_t = "array<struct<exc:int,rl:int,ps:int>>"
-    picked = []
-    for k in sorted(grouped):
-        rk = spark.createDataFrame(
-            grouped[k],
-            f"__t{k} string, "
-            f"__c{k} array<struct<minl:int,exc:int,rl:int,ps:int>>",
-        )
-        lastk = F.when(
+    lastk = {}
+    for k in range(1, _MAX_MATCH_K + 1):
+        lastk[k] = F.when(
             F.col("__n") >= k,
             F.concat_ws(
                 ".", F.slice(F.col("__labels"), F.col("__n") - (k - 1), k)
             ),
         )
-        work = work.withColumn(f"__last{k}", lastk).join(
-            F.broadcast(rk),
-            F.col(f"__last{k}") == F.col(f"__t{k}"),
-            "left",
-        )
-        picked.append(
-            F.when(
-                F.col(f"__c{k}").isNotNull(),
-                F.transform(
-                    F.filter(
-                        F.col(f"__c{k}"),
-                        lambda c: F.col("__n") >= c["minl"],
-                    ),
-                    lambda c: F.struct(
-                        c["exc"].alias("exc"),
-                        c["rl"].alias("rl"),
-                        c["ps"].alias("ps"),
-                    ),
+    work = work.join(
+        F.broadcast(rk), lastk[1] == F.col("__tld"), "left"
+    )
+
+    def _matches(c):
+        # the host's last match_k labels must equal the rule text
+        # (NULL last-k when the host is shorter -> no match), and the
+        # host must clear the rule's minimum label count
+        text_eq = F.lit(False)
+        for k in range(1, _MAX_MATCH_K + 1):
+            text_eq = F.when(c["mk"] == k, lastk[k] == c["mt"]).otherwise(
+                text_eq
+            )
+        return text_eq & (F.col("__n") >= c["minl"])
+
+    best = F.array_max(
+        F.when(
+            F.col("__rules").isNotNull(),
+            F.transform(
+                F.filter(F.col("__rules"), _matches),
+                lambda c: F.struct(
+                    c["exc"].alias("exc"),
+                    c["rl"].alias("rl"),
+                    c["ps"].alias("ps"),
                 ),
-            ).otherwise(F.array().cast(cand_t))
+            ),
         )
-    best = F.array_max(F.flatten(F.array(*picked)))
+    )
     ps = F.coalesce(best["ps"], F.lit(1))
     dom = F.when(
         F.col("__n") > ps,
         F.concat_ws(".", F.slice(F.col("__labels"), F.col("__n") - ps, ps + 1)),
     )
     out = work.withColumn(out_col, dom)
-    drop = ["__labels", "__n"] + [
-        c for c in out.columns if c.startswith(("__last", "__t", "__c"))
-    ]
-    return out.drop(*drop)
+    return out.drop("__labels", "__n", "__tld", "__rules")
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -355,16 +362,25 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         ),
         "&",
     )
+    # ONE pct_normalize over the joined path?query tail instead of
+    # one per part: equivalent (a %-escape never spans the inserted
+    # '?' — a fragment starting with '?' fails the two-hex-digit test
+    # and passes through, exactly as a trailing bare '%' does at a
+    # part boundary) and halves the normalization expression tree the
+    # codegen stage has to compile (PERFNOTES.md Round 12)
     canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        pct_normalize(path),
-        F.when(
-            kept_params != "",
-            F.concat(F.lit("?"), pct_normalize(kept_params)),
-        ).otherwise(F.lit("")),
+        pct_normalize(
+            F.concat(
+                path,
+                F.when(
+                    kept_params != "", F.concat(F.lit("?"), kept_params)
+                ).otherwise(F.lit("")),
+            )
+        ),
     )
     return registrable_domain(
         df.withColumn("canon_url", canon).withColumn("__host", host),
