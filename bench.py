@@ -333,6 +333,15 @@ EXPECTED_DRIFT = {
         "per rule width, was already optimized to a single TLD-keyed "
         "join) — see PERFNOTES.md 'Round 12: URL family'"
     ),
+    "cross_domain_dup_matrix": (
+        "r12 semantics upgrade shared with domain_crawl_stats (PSL "
+        "rule-table domains + RFC 3986 normalization in the parse "
+        "chain), plus the doc->domain subtree now carries joins so "
+        "the pairs-doms joins correctly plan as shuffle joins at "
+        "static estimate (the 100 TB-right shape; AQE re-plans "
+        "broadcast at runtime) — see PERFNOTES.md 'Round 12: URL "
+        "family' and the budget note in tests/test_plan_budget.py"
+    ),
     "heavy_hitter_tokens": (
         "r11 runtime exactness guard: the Misra-Gries lossless margin "
         "is now ENFORCED (two eager jobs over one cached pass instead "
