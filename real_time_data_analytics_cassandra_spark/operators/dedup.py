@@ -161,9 +161,31 @@ def minhash_lsh_pairs(
     no false positives — identical contract to ``ngram_jaccard_pairs``
     restricted to LSH-reachable pairs.
     """
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    # ONE tokenize+shingle pass feeds BOTH the signature aggregate and
+    # the exact-Jaccard verification (guide §1.2 "don't compute things
+    # you throw away": the previous shape ran shingle_sets twice — a
+    # second full corpus scan + regex split + explode — purely to
+    # re-derive the identical (id, shingle) relation for the verify
+    # joins).  The cached relation materializes during the signature
+    # aggregate and the verify side reads it back; at 100 TB the cache
+    # spills to local disk (MEMORY_AND_DISK) which is still strictly
+    # cheaper than re-reading and re-shingling the corpus.
+    sh = shingle_sets(spread(df), id_col, text_col, n).cache()
+    hashed = sh.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    aggs = [
+        F.min(_permute(F.col("h"), i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy("id").agg(*aggs)
     # all band keys in ONE pass over the signatures (posexplode of an
     # array of per-band digests) — a per-band union would rescan and
     # re-aggregate the shingles `bands` times
@@ -186,9 +208,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify candidates with exact Jaccard over shingle sets (cached:
-    # used for both the intersection join and the per-doc sizes)
-    sh = shingle_sets(df, id_col, text_col, n).cache()
+    # verify candidates with exact Jaccard over the SAME cached
+    # shingle relation (intersection join + per-doc sizes)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         sh.select(F.col("id").alias("id_a"), "shingle")

@@ -17,13 +17,36 @@ bounded by ``max_iterations``).
 
 At 100 TB: each iteration is a standard shuffle join on node id —
 partition-parallel, AQE-sized.  Crucially the per-iteration label
-frame is ``localCheckpoint(eager=True)``-ed, which TRUNCATES the
+frame is ``localCheckpoint``-ed, which TRUNCATES the
 logical lineage: without it the plan doubles every iteration
 (20 iterations → an unrolled ~200-exchange plan whose analysis cost
 is quadratic in depth and which risks driver StackOverflow on deep
 components).  With the checkpoint every iteration's plan is O(1) —
 one join + one aggregate over two materialized inputs — so the loop
-is genuinely O(iterations) at any scale.  On a real cluster with
+is genuinely O(iterations) at any scale.
+
+Checkpoint EAGERNESS is per-loop, settled empirically in r12:
+
+- Loops whose every round ends in a DRIVER PROBE (the convergence
+  count/isEmpty in connected_components, star contraction, k_core,
+  core_decomposition, bfs_hops) use LAZY checkpoints
+  (``eager=False``): the probe action materializes the round's frame
+  anyway, so the eager form's dedicated materialization job per
+  round was a pure extra barrier — r12 measured 20-45% wall-clock
+  cuts from folding it into the probe.
+- FIXED-ITERATION loops with no mid-loop action (the pagerank
+  family) and frames referenced from MULTIPLE branches of one final
+  job (triangle orientation, CN adjacency, Bellman-Ford's improved
+  set) keep EAGER checkpoints: with a lazy leaf, sibling stages of
+  the one big job each recompute the un-materialized subtree before
+  the persist catches (r12 measured pagerank_weighted 3.7x SLOWER
+  lazy), so the dedicated job is the cheaper trade there.
+- The read-modify-write index operators (``cluster_index_append``)
+  keep EAGER checkpoints for correctness, not speed: materialization
+  must complete BEFORE the subsequent snapshot upsert rewrites what
+  the plan reads.
+
+On a real cluster with
 long-running executors, swap ``localCheckpoint`` for
 ``df.checkpoint()`` against a reliable ``spark.sparkContext
 .setCheckpointDir`` location to also survive executor loss.
@@ -54,13 +77,13 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         bidir.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         # neighbor labels: for each node u, the labels of its neighbors
@@ -68,14 +91,14 @@ def connected_components(
             bidir.join(labels, bidir.v == labels.id)
             .select(F.col("u").alias("id"), "component")
         )
-        # Eager checkpoint: materializes this iteration's labels AND
-        # truncates lineage, so the next iteration plans against a leaf
-        # (ExistingRDD) instead of the whole unrolled history.
+        # Lazy checkpoint: truncates lineage (the next iteration plans
+        # against a leaf instead of the whole unrolled history) while
+        # the convergence count below does the materializing.
         new_labels = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -564,13 +587,13 @@ def bfs_hops(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     src_col = sources.columns[0]
     frontier = (
         sources.select(F.col(src_col).alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = frontier.withColumn("hops", F.lit(0).cast("long"))
     for k in range(1, max_hops + 1):
@@ -579,13 +602,13 @@ def bfs_hops(
             .select(F.col("b").alias("id"))
             .distinct()
             .join(dist.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if frontier.isEmpty():
             break
         dist = dist.unionByName(
             frontier.withColumn("hops", F.lit(k).cast("long"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return dist
 
 
@@ -777,7 +800,7 @@ def k_core(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     peels = 0
     while True:
@@ -786,7 +809,7 @@ def k_core(
             .unionAll(e.select(F.col("b").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         bad = deg.filter(F.col("deg") < k)
         if bad.isEmpty():
@@ -802,7 +825,7 @@ def k_core(
             e.join(bad.select(F.col("id").alias("a")), "a", "left_anti")
             .join(bad.select(F.col("id").alias("b")), "b", "left_anti")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
 
@@ -855,12 +878,12 @@ def core_decomposition(
     dir_e = (
         e.select(F.col("a").alias("id"), F.col("b").alias("nb"))
         .unionAll(e.select(F.col("b").alias("id"), F.col("a").alias("nb")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         dir_e.groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql.window import Window
 
@@ -873,7 +896,7 @@ def core_decomposition(
             nb.withColumn("rn", F.row_number().over(w).cast("long"))
             .groupBy("id")
             .agg(F.max(F.least(F.col("c"), F.col("rn"))).alias("c"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -955,7 +978,7 @@ def connected_components_star(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_rounds):
@@ -971,7 +994,7 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # -- small-star: orient toward the larger endpoint (v <= u),
         #    m = min(N(u)); emit (x, m) for x in N(u) ∪ {u} \ {m}
@@ -987,7 +1010,7 @@ def connected_components_star(
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # fixpoint: the canonically-oriented edge set did not change
         same_size = ss.count() == e.select(

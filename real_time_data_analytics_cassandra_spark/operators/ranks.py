@@ -49,13 +49,14 @@ def global_rank(
     broadcast join of the ≤num_partitions-row offset table.
 
     ``materialize=True`` (default) localCheckpoints the ranged+ranked
-    pass EAGERLY — the offsets branch and the final join both read
-    that pass, and downstream consumers typically read the result
-    more than once (Gini needs three aggregates over the same ranks);
-    without truncation Catalyst replicates the range sort per
-    consumer.  This makes the call eager, like auto_salted_join's
-    probe — pass ``materialize=False`` for a pure lazy plan when the
-    result is consumed exactly once.
+    pass — the offsets branch and the final join both read that pass,
+    and downstream consumers typically read the result more than once
+    (Gini needs three aggregates over the same ranks); without
+    truncation Catalyst replicates the range sort per consumer.  The
+    checkpoint is LAZY (r12): the plan is cut to a leaf immediately,
+    but materialization folds into the first consuming job instead of
+    paying a dedicated job barrier — pass ``materialize=False`` for a
+    pure lazy plan when the result is consumed exactly once.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_partitions or df.sparkSession.conf.get(
@@ -69,7 +70,7 @@ def global_rank(
     w = Window.partitionBy("__pid").orderBy(*cols)
     local = ranged.withColumn("__lrank", F.row_number().over(w))
     if materialize:
-        local = local.localCheckpoint(eager=True)
+        local = local.localCheckpoint(eager=False)
     # cumulative start offset per partition (exclusive prefix sum of
     # partition sizes, ordered by pid = ordered by key range)
     sizes = (
@@ -143,7 +144,7 @@ def global_cumsum(
     for c in sum_cols:
         local = local.withColumn(f"__l_{c}", F.sum(c).over(w))
     if materialize:
-        local = local.localCheckpoint(eager=True)
+        local = local.localCheckpoint(eager=False)
     # per-partition totals -> exclusive prefix over pid order: the
     # offsets relation is <= num_partitions rows, so the global
     # window below sorts a handful of rows on one task — bounded by

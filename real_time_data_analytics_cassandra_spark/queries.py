@@ -778,8 +778,17 @@ def event_hourly_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("slope_micro", "h1", "h2")
     ranked = pairs.withColumn("rn", F.row_number().over(w).cast("long"))
-    n_pairs = pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    # n_pairs = C(n_hours, 2) exactly (the h1 < h2 fan produces every
+    # unordered hour pair once), so derive it from the HOURLY relation
+    # instead of re-counting the materialized pair fan — the previous
+    # shape recomputed the |hours|² join a second time purely to count
+    # it (guide §1.2: one pass, don't recompute what a closed form
+    # gives; same derivation event_hourly_theil_sen_sampled already
+    # uses for its keep rate)
+    n_pairs = hourly.groupBy("event_type").agg(
+        F.expr(
+            "CAST((count(1) * (count(1) - 1)) div 2 AS BIGINT)"
+        ).alias("n_pairs")
     )
     return (
         ranked.join(n_pairs, "event_type")
@@ -941,7 +950,7 @@ def event_hourly_mann_kendall(
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = hourly.select(
         "event_type", F.col("h").alias("h1"), F.col("y").alias("y1")
     )
@@ -1277,7 +1286,7 @@ def kruskal_wallis_value_by_type(
             ]
         )
         .withColumn("t", F.expr(" + ".join(f"c_{t}" for t in _KW_TYPES)))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cum = global_cumsum(per_v, ["v"], ["t"])
     r2 = cum.withColumn(
@@ -1487,7 +1496,7 @@ def type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
@@ -5913,7 +5922,7 @@ def mannwhitney_purchase_values(
     per_v = ev.groupBy("v").agg(
         F.sum((F.col("arm") == 0).cast("long")).alias("ca"),
         F.sum((F.col("arm") == 1).cast("long")).alias("cb"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cum = global_cumsum(per_v, ["v"], ["cb"])
     tot = per_v.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -10124,7 +10133,7 @@ def copurchase_hub_hop_histogram(
         .unionAll(edges.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     hub = deg.orderBy(F.desc("deg"), F.asc("id")).limit(1).select("id")
     dist = bfs_hops(edges, hub, "u", "v", max_hops=12)
     reached = dist.groupBy("hops").agg(
@@ -11306,7 +11315,7 @@ def streaming_image_signature_clusters(
             )
             .withColumn("sig_part", F.col("sig_hi").bitwiseAND(F.lit(3)))
             .withColumn("one", F.lit(1).cast("long"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         merge_min_add(
             batch.sparkSession,

@@ -99,7 +99,15 @@ BUDGETS = {
     # plan as shuffle joins, the CORRECT 100 TB shape (the doc->domain
     # map is corpus-sized; AQE converts to broadcast at runtime when
     # the built side is actually small)
-    "cross_domain_dup_matrix": 11,
+    # r12 optimization: minhash_lsh_pairs now CACHES one shared
+    # shingle pass (signature + verify arms read the same relation —
+    # one corpus tokenize instead of two).  The textual exchange
+    # count RISES because each InMemoryRelation reference repeats the
+    # cached subtree's plan (incl. its spread() exchange) in explain
+    # output, while the EXECUTED shuffle count falls: the cached pass
+    # materializes once and all three consumers read it back
+    # (measured 4.6 s -> 3.1 s at sf0.1, see OPTIMIZATION_r12.md)
+    "cross_domain_dup_matrix": 15,
     "source_token_fertility": 4,
     "audio_fingerprint_near_dup": 10,
     "audio_spectral_near_dup": 10,
