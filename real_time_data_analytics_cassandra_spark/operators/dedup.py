@@ -650,7 +650,9 @@ def exact_substr_index_batch(
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("p")).alias("dups"))
     )
-    out = _scrub_covered(base, dup_pos, min_len).localCheckpoint(eager=True)
+    # lazy: out reads only the batch parquet + the materialized
+    # winner set, never index_path (see span_index_dedup_batch)
+    out = _scrub_covered(base, dup_pos, min_len).localCheckpoint(eager=False)
 
     new_index_rows = new_index_rows.repartition("bucket").localCheckpoint(
         eager=True
@@ -962,9 +964,13 @@ def span_index_dedup_batch(
         )
         .select("id", "n_segments", "n_removed", "clean_text")
     )
-    # materialize the output BEFORE the index overwrite invalidates
-    # the plan's source (same localCheckpoint discipline as merge.py)
-    out = out.localCheckpoint(eager=True)
+    # LAZY checkpoint: out's lineage reads only the batch parquet and
+    # the eagerly-materialized winner set — never index_path — so the
+    # index overwrite below cannot invalidate it; cutting the plan
+    # (callers union several folds) without a dedicated job barrier
+    # per fold (r12; the overwrite-safety checkpoint is
+    # new_index_rows below, which DOES read the index and stays eager)
+    out = out.localCheckpoint(eager=False)
 
     # one file per touched bucket: without this repartition every
     # shuffle task writes a sliver into every touched bucket dir —
