@@ -423,6 +423,12 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     per_run_totals: list[float] = []
     for r in range(n_runs):
+        # Cold plans per round (r12 verdict): Spark's CacheManager
+        # matches canonicalized plans, so an intra-query .cache()
+        # populated in round 1 would serve rounds 2-3 warm and the
+        # median would reflect cache-hit time, not the query.  One
+        # clear per round keeps every sample a from-parquet compute.
+        spark.catalog.clearCache()
         run_total = 0.0
         for name in BENCH_QUERIES:
             t0 = time.monotonic()

@@ -591,6 +591,10 @@ def exact_substr_index_batch(
 
     base = _token_rows(batch_docs, id_col, text_col)
     wins = _anchor_rows(base, min_len)
+    # EAGER checkpoint: the fold's expensive pass (anchor window hash
+    # + min-struct aggregate) materializes exactly once — the bucket
+    # probe and the winner anti-join both read this leaf (r12 ran the
+    # pass twice per fold; see span_index_dedup_batch)
     batch_first = (
         wins.groupBy("wh")
         .agg(F.min(F.struct(F.col("id"), F.col("p"))).alias("first"))
@@ -607,6 +611,7 @@ def exact_substr_index_batch(
             ),
         )
         .withColumn(SPAN_INDEX_BATCH_COL, F.lit(batch_id).cast("long"))
+        .localCheckpoint(eager=True)
     )
 
     exists = os.path.exists(os.path.join(index_path, "_SUCCESS"))
@@ -624,12 +629,15 @@ def exact_substr_index_batch(
         earlier = None
 
     if earlier is not None:
+        # LAZY: materialized by the new_index_rows eager checkpoint's
+        # union below, before the index overwrite — `out` still never
+        # reads index_path, with no dedicated job barrier per fold
+        # (see span_index_dedup_batch)
         winners_new = batch_first.join(
             earlier.select("wh"), "wh", "left_anti"
-        )
+        ).localCheckpoint(eager=False)
     else:
         winners_new = batch_first
-    winners_new = winners_new.localCheckpoint(eager=True)
     new_index_rows = (
         earlier.unionByName(winners_new) if earlier is not None else winners_new
     )
@@ -888,6 +896,11 @@ def span_index_dedup_batch(
     import os
 
     segs = _segment_rows(batch_docs, id_col, text_col, seg_len)
+    # EAGER checkpoint: the fold's one expensive pass (segment explode
+    # + hash + min-struct aggregate) materializes exactly once — the
+    # bucket probe below and the winner anti-join both read this leaf.
+    # r12 ran the pass twice per fold (once under the probe collect,
+    # again under the winner set's own eager checkpoint).
     batch_first = segs.groupBy("seg_hash").agg(
         F.min(F.struct(F.col("id"), F.col("seg_idx"))).alias("first")
     ).select(
@@ -900,7 +913,9 @@ def span_index_dedup_batch(
             F.conv(F.substring("seg_hash", 1, 4), 16, 10).cast("int"),
             F.lit(n_buckets),
         ),
-    ).withColumn(SPAN_INDEX_BATCH_COL, F.lit(batch_id).cast("long"))
+    ).withColumn(
+        SPAN_INDEX_BATCH_COL, F.lit(batch_id).cast("long")
+    ).localCheckpoint(eager=True)
 
     exists = os.path.exists(os.path.join(index_path, "_SUCCESS"))
     if exists:
@@ -917,21 +932,18 @@ def span_index_dedup_batch(
         earlier = None
 
     if earlier is not None:
-        owned = earlier.select(
-            "seg_hash",
-            F.col("first_id").alias("owner_id"),
-            F.col("first_seg_idx").alias("owner_seg_idx"),
-        )
+        # LAZY: the new_index_rows eager checkpoint below computes the
+        # union, which materializes this anti-join as a persisted leaf
+        # BEFORE the index overwrite — so `out`'s lineage still never
+        # reads index_path, without a dedicated job barrier per fold
+        # (r12 paid an eager winners checkpoint here; its expensive
+        # input, batch_first, is now the checkpointed leaf above and
+        # the anti-join itself is one bucket-pruned index read).
         winners_new = batch_first.join(
-            owned.select("seg_hash"), "seg_hash", "left_anti"
-        )
+            earlier.select("seg_hash"), "seg_hash", "left_anti"
+        ).localCheckpoint(eager=False)
     else:
         winners_new = batch_first
-
-    # materialize the winner set ONCE: both the verdict join and the
-    # index rewrite consume it, and without this the batch-first
-    # aggregate (the expensive segment pass) would run twice
-    winners_new = winners_new.localCheckpoint(eager=True)
     new_index_rows = (
         earlier.unionByName(winners_new) if earlier is not None else winners_new
     )

@@ -368,6 +368,31 @@ def kmeans_centroids(
     corpus row — (id, embedding) with synthetic ids — so it drops
     into the same assignment/probe code as stride centroids.
     """
+    centers, _, _ = _kmeans_train(
+        corpus, id_col, vec_col, n_cells, seed, max_iter, train_cap
+    )
+    sc_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        [id_col, "c"],
+    )
+    return sc_df.select(id_col, F.col("c").cast("array<float>").alias(vec_col))
+
+
+def _kmeans_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int | None,
+    seed: int,
+    max_iter: int,
+    train_cap: int,
+):
+    """The trainer behind :func:`kmeans_centroids`, also returning the
+    density probe count and the training sample so a caller that needs
+    BOTH the coarse centroids and a training matrix (_ivfpq_train)
+    reuses one probe job + one sample fetch instead of paying each
+    twice (r13, guide §1.2/§5 — two fewer driver-side jobs per IVF-PQ
+    query).  Returns (centers ndarray, probe_n, pts)."""
     import numpy as np
 
     probe_n = corpus.limit(max(256 * 50, train_cap * 8)).count()
@@ -377,11 +402,7 @@ def kmeans_centroids(
 
     rs = np.random.RandomState(seed)
     centers = _lloyd(pts, n_cells, rs, max_iter)
-    sc_df = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        [id_col, "c"],
-    )
-    return sc_df.select(id_col, F.col("c").cast("array<float>").alias(vec_col))
+    return centers, probe_n, pts
 
 
 def _train_sample(
@@ -729,16 +750,25 @@ def _ivfpq_train(
     (cent_unit (C, d), cell_ids (C,), books (m, n_codes, d/m))."""
     import numpy as np
 
-    cents_df = kmeans_centroids(
-        corpus, id_col, vec_col, n_cells=n_cells, seed=seed, train_cap=train_cap
+    centers, _probe_n, _pts = _kmeans_train(
+        corpus, id_col, vec_col, n_cells, seed, 10, train_cap
     )
-    cent_rows = cents_df.collect()
-    cell_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
-    cent = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    cell_ids = np.arange(len(centers), dtype=np.int64)
+    # float32 round-trip kept: kmeans_centroids publishes centroids as
+    # array<float>, and r12's collect re-widened those f32 values —
+    # the PQ model must train against bit-identical cell centers
+    cent = centers.astype(np.float32).astype(np.float64)
     cent_unit = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
-    probe_n = corpus.limit(train_cap * 8).count()
-    pts = _train_sample(corpus, id_col, vec_col, train_cap, probe_n)
+    if train_cap * 8 >= 256 * 50:
+        # the residual-codebook sample is the SAME plan _kmeans_train
+        # already fetched (identical probe window -> identical stride
+        # and limit) — reuse it instead of re-running the probe count
+        # + sample collect (r13: two fewer driver jobs per query)
+        pts = _pts
+    else:  # pragma: no cover - callers use train_cap >= 1600
+        probe_n = corpus.limit(train_cap * 8).count()
+        pts = _train_sample(corpus, id_col, vec_col, train_cap, probe_n)
     pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
     d = pts.shape[1]
     if d % m:

@@ -285,6 +285,59 @@ def cms_sketch(df: DataFrame, col: str, width: int = 2048, depth: int = 4) -> Da
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def cms_sketch_tagged(
+    df: DataFrame, cols: list[str], width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Build one CMS per column of ``df`` in a SINGLE scan (guide
+    §1.2 — don't read the relation once per sketch): per column the
+    digest/bucket math is :func:`cms_sketch`'s verbatim, so each
+    tagged slice is row-for-row identical to the sketch a dedicated
+    scan would build (asserted in tests/test_cms.py).  Callers
+    sketching several keys of the same big relation (the join-size
+    estimator sketches lineitem on l_partkey AND l_orderkey) pay one
+    scan + digest pass instead of one per key.  Output:
+    (tag, row, bucket, cnt) with tag = the column name; slice with
+    ``.filter(col("tag") == name).drop("tag")``."""
+    from real_time_data_analytics_cassandra_spark.catalog import spread
+
+    src = spread(df).select(
+        *[F.col(c).alias(f"__v{i}") for i, c in enumerate(cols)],
+        *[
+            F.md5(F.col(c).cast("string")).alias(f"__d{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+
+    def bucket(i: int, r: int):
+        if r < 4:
+            sliced = F.substring(f"__d{i}", 8 * r + 1, 8)
+            return F.pmod(
+                F.conv(sliced, 16, 10).cast("long"), F.lit(width)
+            )
+        return cms_bucket(F.col(f"__v{i}"), r, width)
+
+    trios = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("tag"),
+                        F.lit(r).cast("int").alias("row"),
+                        bucket(i, r).alias("bucket"),
+                    )
+                    for i, c in enumerate(cols)
+                    for r in range(depth)
+                ]
+            )
+        ).alias("trb")
+    )
+    return trios.groupBy(
+        F.col("trb.tag").alias("tag"),
+        F.col("trb.row").alias("row"),
+        F.col("trb.bucket").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Element-wise sum of two sketches built with the same
     (width, depth) — counters are sums, so merge is exact."""

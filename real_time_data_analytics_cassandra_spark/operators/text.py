@@ -693,10 +693,17 @@ def bm25_per_query_topk(
         F.col(id_col).alias("q_doc_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
     )
+    # ONE corpus tokenize per relation (guide §1.2, the minhash shared-
+    # pass pattern): without the caches this query's plan re-derived
+    # the corpus tokenize ~5x — dl for the stats broadcast and again
+    # for the contrib join, the postings explode for dfreq and again
+    # for contrib.  dl is narrow (id, bigint) and m is pruned to the
+    # query terms before it ever aggregates, so both cached relations
+    # are small fractions of the corpus bytes.
     dl = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
-    )
+    ).cache()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -708,6 +715,7 @@ def bm25_per_query_topk(
         tok.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     contrib = (

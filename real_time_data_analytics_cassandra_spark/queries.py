@@ -8146,12 +8146,22 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs).select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
     )
-    doc_tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # ONE corpus tokenize (r13, guide §1.2): the four model ingredients
+    # (doc tf, class counts, class totals, vocab size) all derive from
+    # the per-(doc, lang, term) aggregate — lang is functionally
+    # dependent on doc_id, so carrying it adds no rows — and the cached
+    # relation is the compact post-aggregate, not the raw token stream.
+    # r12's plan re-ran the tokenize+explode per ingredient (4x, two of
+    # them inside broadcast subtrees).
+    doc_tf_l = (
+        toks.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
-    cls = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
-    ctot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
-    vocab = toks.select("term").distinct().agg(
+    doc_tf = doc_tf_l.select("doc_id", "term", "tf")
+    cls = doc_tf_l.groupBy("lang", "term").agg(F.sum("tf").alias("c"))
+    ctot = doc_tf_l.groupBy("lang").agg(F.sum("tf").alias("n_tok"))
+    vocab = doc_tf_l.select("term").distinct().agg(
         F.count(F.lit(1)).alias("v")
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -10885,20 +10895,34 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_analytics_cassandra_spark.operators.sketches import (
         cms_inner_product,
         cms_sketch,
+        cms_sketch_tagged,
     )
 
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
 
-    s_pk = cms_sketch(
-        li.select("l_partkey"), "l_partkey", width=8192
-    ).localCheckpoint(
-        eager=True
+    # Both lineitem sketches in ONE scan + digest pass (r13, guide
+    # §1.2 — cms_sketch_tagged; was two full lineitem passes), then
+    # checkpointed once: three consumers (F2 reads the partkey slice
+    # twice, the join estimate reads the orderkey slice) read the
+    # materialized ≤ 2·depth·width-row leaf.  Eager, not lazy,
+    # measured r13: the sibling broadcast/join branches of the one
+    # final job would each recompute the un-materialized sketch
+    # aggregate (the pagerank lazy-worse mechanism, graph.py note).
+    s_li = cms_sketch_tagged(
+        li.select("l_partkey", "l_orderkey"),
+        ["l_partkey", "l_orderkey"],
+        width=8192,
+    ).localCheckpoint(eager=True)
+    s_pk = s_li.filter(F.col("tag") == "l_partkey").select(
+        "row", "bucket", "cnt"
+    )
+    s_lk = s_li.filter(F.col("tag") == "l_orderkey").select(
+        "row", "bucket", "cnt"
     )
     est_f2 = cms_inner_product(s_pk, s_pk)
 
     s_ok = cms_sketch(orders.select("o_orderkey"), "o_orderkey", width=8192)
-    s_lk = cms_sketch(li.select("l_orderkey"), "l_orderkey", width=8192)
     est_join = cms_inner_product(s_ok, s_lk)
 
     def labeled(label: str, est: DataFrame) -> DataFrame:

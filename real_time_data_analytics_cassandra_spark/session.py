@@ -16,6 +16,28 @@ from pyspark.sql import SparkSession
 
 _MB = 1024 * 1024
 
+# One BLAS/OMP thread per Python worker (guide §4): every executor
+# core already runs its own worker process, so a numpy matmul/FFT
+# inside a UDF that lets OpenBLAS spawn nproc threads oversubscribes
+# the host nproc-fold (32 workers x 32 spin-wait threads here — the
+# r12 driver measured the Arrow decode family INVERSELY scaling,
+# media_wav_decode 8-core beating 32-core ~12x).  Per-worker
+# parallelism belongs to Spark's task scheduling, not to the BLAS
+# pool.  setdefault so an operator that genuinely wants a fatter
+# per-task pool can still override via the environment.
+_WORKER_THREAD_PIN = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+# Module import runs in the driver process before any JVM starts, so
+# local-mode Python workers (forked from the JVM's daemon, which
+# inherits the driver env) see the pins even without executorEnv.
+for _k, _v in _WORKER_THREAD_PIN.items():
+    os.environ.setdefault(_k, _v)
+
 
 def get_spark(
     app_name: str = "real-time-data-analytics-spark",
@@ -51,6 +73,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # cluster-mode path for the same pin: executorEnv reaches the
+    # Python workers on real executors (local mode is covered by the
+    # module-level os.environ defaults above)
+    for k in _WORKER_THREAD_PIN:
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
@@ -79,4 +106,10 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # BLAS/OMP pin for a FOREIGN session whose JVM predates our module
+    # import: sc.environment feeds the envVars of every Python function
+    # created afterwards (a distinct env set spawns a fresh worker
+    # daemon), so numpy-in-UDF stages stop oversubscribing the host.
+    for k, v in _WORKER_THREAD_PIN.items():
+        spark.sparkContext.environment.setdefault(k, v)
     return spark

@@ -83,6 +83,37 @@ def test_cms_partition_invariant(spark):
     assert a == b
 
 
+def test_cms_sketch_tagged_matches_per_column_sketches(spark):
+    """r13: the single-scan multi-column sketch builder must produce,
+    per tagged slice, exactly the sketch cms_sketch builds from its
+    own dedicated scan (join_size_estimate_cms relies on this to cut
+    its two lineitem passes to one)."""
+    from real_time_data_analytics_cassandra_spark.operators.sketches import (
+        cms_sketch_tagged,
+    )
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    tagged = cms_sketch_tagged(
+        li.select("l_partkey", "l_orderkey"),
+        ["l_partkey", "l_orderkey"],
+        WIDTH,
+        DEPTH,
+    )
+    got = {
+        col: {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in tagged.filter(F.col("tag") == col).collect()
+        }
+        for col in ("l_partkey", "l_orderkey")
+    }
+    for col in ("l_partkey", "l_orderkey"):
+        solo = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(li.select(col), col, WIDTH, DEPTH).collect()
+        }
+        assert got[col] == solo, col
+
+
 def test_cms_unseen_value_estimates_via_left_join(spark):
     tok = _tok(spark)
     sketch = cms_sketch(tok, "term", WIDTH, DEPTH)

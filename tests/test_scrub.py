@@ -177,6 +177,49 @@ def test_span_index_dedup_incremental_equals_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_span_index_dedup_outputs_survive_later_fold_overwrites(
+    spark, tmp_path
+):
+    """r13 checkpoint-eagerness guard: fold outputs are forced only
+    AFTER every later fold has overwritten the index (the shape the
+    incremental_* registry queries run — all folds built, then one
+    union job).  The lazy winner-set checkpoint must have been
+    materialized by its fold's own index-rewrite job, so the deferred
+    collect never reads the since-rewritten index files."""
+    from real_time_data_analytics_cassandra_spark.operators.dedup import (
+        keep_first_segment_dedup,
+        span_index_dedup_batch,
+    )
+
+    rows = [
+        (1, f"{BP} {U1}"),
+        (2, f"{BP} {U2}"),
+        (3, f"{U3} {BP}"),
+        (4, U2),
+        (5, f"{U1} {U3}"),
+        (6, f"{BP} {BP}"),
+    ]
+    df = _docs(spark, rows)
+    expect = {
+        r["id"]: tuple(r)
+        for r in keep_first_segment_dedup(df, "doc_id", "text", 8).collect()
+    }
+    idx = str(tmp_path / "span_idx_deferred")
+    outs = []
+    for b, lo, hi in ((0, 1, 2), (1, 3, 4), (2, 5, 6)):
+        part = df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+        )
+        outs.append(
+            span_index_dedup_batch(
+                spark, part, idx, "doc_id", "text", 8, batch_id=b
+            )
+        )
+    merged = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    got = {r["id"]: tuple(r) for r in merged.collect()}
+    assert got == expect
+
+
 def test_span_index_dedup_replay_is_idempotent(spark, tmp_path):
     from real_time_data_analytics_cassandra_spark.operators.dedup import (
         span_index_dedup_batch,

@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Round-12 per-query micro-bench: time NAMED registry queries with
-the noop sink in one warmed session (same warmups as bench.py),
-print per-query samples + median, and optionally dump the formatted
-plan to plans/r12/<name>_<tag>.txt.
+"""Per-query micro-bench: time NAMED registry queries with the noop
+sink in one warmed session (same warmups as bench.py), print
+per-query samples + median, and optionally dump the formatted plan
+to plans/<dir>/<name>_<tag>.txt.
+
+Every sample starts from a cleared cache (r13): bench.py clears
+between rounds for the same reason — an intra-query .cache()
+populated by sample 1 would serve samples 2..n warm and the median
+would flatter exactly the shared-pass optimizations this tool is
+meant to judge.
 
 Usage:
     python tools/qbench.py [--n 5] [--sf /root/testdata/sf0.1] \
-        [--plans before|after] name [name ...]
+        [--plans before|after] [--plans-dir r13] name [name ...]
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ def main() -> None:
     n = 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     plans_tag = None
+    plans_sub = "r13"
     names = []
     i = 0
     while i < len(args):
@@ -41,6 +48,8 @@ def main() -> None:
             sf_dir = args[i + 1]; i += 2
         elif args[i] == "--plans":
             plans_tag = args[i + 1]; i += 2
+        elif args[i] == "--plans-dir":
+            plans_sub = args[i + 1]; i += 2
         else:
             names.append(args[i]); i += 1
 
@@ -65,7 +74,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        plans_sub,
     )
     out = {}
     for name in names:
@@ -82,6 +91,7 @@ def main() -> None:
                 f.write(plan)
         times = []
         for _ in range(n):
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             force(registry[name](spark, sf_dir))
             times.append(round(time.monotonic() - t0, 3))
