@@ -710,8 +710,12 @@ def incremental_near_dups(
     """
     from pyspark.sql import Window
 
-    sh_new = shingle_sets(new_docs, id_col, text_col, n)
-    sh_hist = shingle_sets(history, id_col, text_col, n)
+    # one shingle pass per side (r13, guide §1.2 — the
+    # ngram_jaccard_pairs pattern): each side feeds BOTH its size
+    # aggregate and the intersection join; uncached, the explode ran
+    # twice per side (the history side is corpus-scale)
+    sh_new = shingle_sets(new_docs, id_col, text_col, n).cache()
+    sh_hist = shingle_sets(history, id_col, text_col, n).cache()
     size_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_new"))
     size_hist = sh_hist.groupBy("id").agg(F.count(F.lit(1)).alias("n_hist"))
     inter = (

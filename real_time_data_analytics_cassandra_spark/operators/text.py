@@ -144,7 +144,13 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # one tokenize+aggregate pass (r13, guide §1.2): tf feeds both the
+    # document-frequency regroup and the scoring join
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -198,10 +204,13 @@ def bm25_topk(
     """
     from real_time_data_analytics_cassandra_spark.catalog import spread
 
+    # one corpus tokenize per ingredient (r13, guide §1.2 — the same
+    # shared-pass shape as bm25_per_query_topk below): dl feeds the
+    # stats broadcast AND the contrib join; m feeds dfreq AND contrib
     dl = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
-    )
+    ).cache()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -213,6 +222,7 @@ def bm25_topk(
         tok.filter(F.col("term").isin(*query_terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
     dfreq = m.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     return bm25_rank(m, dl, dfreq, stats, k1=k1, b=b, top_k=top_k)

@@ -10905,15 +10905,19 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §1.2 — cms_sketch_tagged; was two full lineitem passes), then
     # checkpointed once: three consumers (F2 reads the partkey slice
     # twice, the join estimate reads the orderkey slice) read the
-    # materialized ≤ 2·depth·width-row leaf.  Eager, not lazy,
-    # measured r13: the sibling broadcast/join branches of the one
-    # final job would each recompute the un-materialized sketch
-    # aggregate (the pagerank lazy-worse mechanism, graph.py note).
+    # materialized ≤ 2·depth·width-row leaf.  LAZY, measured r13
+    # (interleaved A/B, 5 rounds, lazy won every pairwise round: med
+    # 4.45 s vs eager 5.35 s): the first consuming job — a broadcast
+    # build over a narrow filter of this frame — computes every
+    # partition, so the checkpoint materializes there and later jobs
+    # read it back; eager only added a dedicated barrier pass.  This
+    # differs from the pagerank-family shape (graph.py), where lazy
+    # loses because SIBLING stages of one job race the persist.
     s_li = cms_sketch_tagged(
         li.select("l_partkey", "l_orderkey"),
         ["l_partkey", "l_orderkey"],
         width=8192,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     s_pk = s_li.filter(F.col("tag") == "l_partkey").select(
         "row", "bucket", "cnt"
     )
