@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from real_time_data_analytics_cassandra_spark.catalog import table
 from real_time_data_analytics_cassandra_spark.operators import bpe
 from tests.conftest import SF_SMOKE
+import pytest
 
 K = 12
 
@@ -91,6 +92,7 @@ def test_encoding_matches_python_reference(spark):
         assert row["subwords_md5"] == md5
 
 
+@pytest.mark.slow
 def test_merges_reduce_token_count_monotonically(spark):
     docs = table(spark, SF_SMOKE, "documents").limit(100)
     merges = bpe.train_bpe_merges(docs, "text", k=6)

@@ -229,6 +229,7 @@ def _index_rows(spark, path):
     return {(r.id, r.component) for r in read_snapshot(spark, path).collect()}
 
 
+@pytest.mark.slow
 def test_cluster_index_append_equals_full_rebuild(spark, tmp_path):
     """build(batch1) + append(batch2) must land on exactly the labels
     of one star contraction over batch1 ∪ batch2 — including a merge
@@ -264,6 +265,7 @@ def test_cluster_index_append_equals_full_rebuild(spark, tmp_path):
     assert (11, 1) in got and (12, 1) in got  # the cascade itself
 
 
+@pytest.mark.slow
 def test_cluster_index_append_replay_is_content_idempotent(spark, tmp_path):
     """Re-appending a completed batch commits a new version whose
     rows are identical — replays never move any label."""
@@ -287,6 +289,7 @@ def test_cluster_index_append_replay_is_content_idempotent(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_cluster_index_random_splits_match_union_find(spark, tmp_path):
     """Any split of a random pair set into build + append must end at
     the union-find ground truth."""
@@ -331,6 +334,7 @@ def test_cluster_index_random_splits_match_union_find(spark, tmp_path):
         assert _index_rows(spark, path) == expected, (trial, pairs, cut)
 
 
+@pytest.mark.slow
 def test_cluster_index_append_empty_batch_is_noop_on_values(spark, tmp_path):
     """An empty pair batch must leave every label unchanged (the
     degenerate replay/quiet-crawl-slice case)."""
@@ -352,6 +356,7 @@ def test_cluster_index_append_empty_batch_is_noop_on_values(spark, tmp_path):
     assert _index_rows(spark, path) == before == {(1, 1), (2, 1)}
 
 
+@pytest.mark.slow
 def test_star_components_raises_on_round_exhaustion(spark):
     """Exhausting max_rounds without reaching the small-star fixpoint
     must raise, not silently return unconverged (= wrong) labels that
@@ -407,6 +412,7 @@ def test_k_core_hand_computed_and_invariance(spark):
     assert k_core(edges, 5, "u", "v").count() == 0
 
 
+@pytest.mark.slow
 def test_k_core_raises_on_round_exhaustion(spark):
     """A long pendant chain needs one round per link — an undersized
     round budget must raise, not return an unconverged subgraph."""
@@ -464,6 +470,7 @@ def test_copurchase_fixture_matches_direct_self_join(spark):
     assert fixture == direct
 
 
+@pytest.mark.slow
 def test_k_core_matches_brute_force_random_graphs(spark):
     """Deterministic pseudo-random graphs vs a pure-Python peel for
     several k — the distributed fixpoint must equal the sequential
@@ -502,6 +509,7 @@ def test_k_core_matches_brute_force_random_graphs(spark):
         assert got == brute_kcore(pairs, k), k
 
 
+@pytest.mark.slow
 def test_core_decomposition_matches_brute_force_random_graphs(spark):
     """The h-index fixpoint must equal the SEQUENTIAL min-degree peel
     coreness (the textbook definition) on deterministic pseudo-random
@@ -559,6 +567,7 @@ def test_core_decomposition_matches_brute_force_random_graphs(spark):
         assert in_core == {v for v, c in want if c >= k}, (seed, k)
 
 
+@pytest.mark.slow
 def test_core_decomposition_raises_on_round_exhaustion(spark):
     from real_time_data_analytics_cassandra_spark.operators.graph import (
         core_decomposition,
@@ -640,6 +649,7 @@ def _brute_bfs(pairs, sources, max_hops):
     return dist
 
 
+@pytest.mark.slow
 def test_bfs_hops_matches_brute_force_random_graph(spark):
     """bfs_hops vs a Python BFS on a deterministic pseudo-random
     graph with TWO components, from one and from two sources, at a
@@ -692,6 +702,7 @@ def _brute_bellman_ford(wpairs, sources, rounds):
     return dist
 
 
+@pytest.mark.slow
 def test_bellman_ford_bounded_matches_brute_force_random_graph(spark):
     """bellman_ford_bounded vs the pure-Python DP on deterministic
     pseudo-random weighted graphs (parallel edges with differing
@@ -940,6 +951,7 @@ def test_affinity_triples_match_naive_enumeration(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bellman_ford_unit_weights_reduce_to_bfs_hops(spark):
     """With w=1 everywhere, bounded Bellman-Ford must reproduce
     bfs_hops exactly (cost == hop count, same reached set at the same

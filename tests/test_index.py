@@ -83,6 +83,7 @@ def test_incremental_terms_not_in_corpus_are_harmless(spark, text_index):
     assert [tuple(r) for r in out] == [tuple(r) for r in fresh]
 
 
+@pytest.mark.slow
 def test_append_equals_fresh_full_build_and_replay_is_noop(
     spark, tmp_path_factory
 ):
@@ -130,6 +131,7 @@ def test_append_equals_fresh_full_build_and_replay_is_noop(
     assert [tuple(r) for r in again] == [tuple(r) for r in full]
 
 
+@pytest.mark.slow
 def test_crashed_append_is_rolled_back_and_retried(
     spark, tmp_path_factory
 ):
@@ -239,6 +241,7 @@ def test_phrase_hof_plan_is_shuffle_free_before_ordering(spark):
     assert "Exchange" not in plan, plan
 
 
+@pytest.mark.slow
 def test_repair_clears_stale_termstats_of_emptied_bucket(
     spark, tmp_path_factory
 ):

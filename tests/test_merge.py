@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_data_analytics_cassandra_spark.catalog import table
@@ -207,6 +209,7 @@ def test_merge_join_pruning_path_matches_literal_path(spark):
     events.unpersist()
 
 
+@pytest.mark.slow
 def test_merge_add_thousand_plus_touched_partitions(spark):
     """A hot batch touching >1k partitions (over the literal cap at
     its production value) must still fold correctly — the driver

@@ -68,6 +68,7 @@ def test_absent_codecs_still_raise():
         mm.decode_payload(body)
 
 
+@pytest.mark.slow
 def test_real_decode_through_arrow_path(spark):
     """End-to-end through mapInPandas: genuine WAV containers built
     from rows, decoded by the real parser, metadata checked against
@@ -227,6 +228,7 @@ def test_png_crc_verification_and_boundaries():
         mm._decode_png(mk(4, 1, 8, 3, 0, bytes([0, 1, 2, 3, 4])))
 
 
+@pytest.mark.slow
 def test_png_decode_through_arrow_path(spark):
     rows = [(1, "hello world"), (2, "x" * 101), (3, "")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -891,6 +893,7 @@ def test_dhash_links_brightness_ramp_that_ahash_misses(spark):
     assert aclu == {1: 1, 2: 1}, aclu
 
 
+@pytest.mark.slow
 def test_image_dup_components_match_pure_python(spark):
     """Transitive image near-dup clusters at the oracle SF must equal
     an independent pure-Python rederivation: signatures, exact

@@ -68,6 +68,7 @@ def test_query_matches_oracle(spark, name):
         assert not mism, f"{name}.{col}: first mismatches {mism[:5]}"
 
 
+@pytest.mark.slow
 def test_every_query_runs_and_returns_rows(spark):
     """Rows-only sanity for queries without an oracle."""
     for name, fn in QUERIES.items():

@@ -19,6 +19,7 @@ from real_time_data_analytics_cassandra_spark.plans import (
     wholestage_codegen_count,
 )
 from tests.conftest import SF_SMOKE
+import pytest
 
 
 def test_point_lookup_filter_pushed_to_scan(spark):
@@ -479,6 +480,7 @@ _GLOBAL_WINDOW_OK = {
 }
 
 
+@pytest.mark.slow
 def test_registry_wide_plan_hygiene(spark):
     """Every batch registry query must plan without a CartesianProduct
     and without row-at-a-time Python (BatchEvalPython); Arrow stages
@@ -523,6 +525,7 @@ def test_registry_wide_plan_hygiene(spark):
     assert not failures, failures
 
 
+@pytest.mark.slow
 def test_lineitem_never_under_broadcast_exchange(spark):
     """Fact-never-broadcast invariant across the TPC-H join family:
     a dim subtree whose size estimate blows past the fact's can flip

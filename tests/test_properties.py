@@ -11,6 +11,8 @@ hypothesis still shrinks failures to minimal cases.
 
 from __future__ import annotations
 
+import pytest
+
 import bisect
 
 from hypothesis import HealthCheck, given, settings
@@ -52,6 +54,7 @@ def _events_df(spark, rows):
 
 @given(rows=events_strategy)
 @SET
+@pytest.mark.slow
 def test_sessionize_properties(spark, rows):
     df = _events_df(spark, rows)
     gap_min = 5
@@ -92,6 +95,7 @@ def test_sessionize_properties(spark, rows):
     max_size=20,
 ))
 @SET
+@pytest.mark.slow
 def test_asof_join_matches_bisect_model(spark, rows, right_times):
     left = _events_df(spark, rows)
     right = spark.createDataFrame(
@@ -189,6 +193,7 @@ def test_asof_join_map_payload_raises_and_entries_workaround_works(spark):
     unique_by=lambda kv: kv[0],
 ))
 @SET
+@pytest.mark.slow
 def test_salted_join_equals_plain_join(spark, rows, dim):
     big = _events_df(spark, rows)
     small = spark.createDataFrame(dim or [(99, "x")], ["k", "v"])
@@ -205,6 +210,7 @@ def test_salted_join_equals_plain_join(spark, rows, dim):
     max_size=25,
 ).map(lambda es: [(min(a, b), max(a, b)) for a, b in es if a != b] or [(0, 1)]))
 @SET
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     from real_time_data_analytics_cassandra_spark.operators.graph import (
         connected_components,
@@ -438,6 +444,7 @@ groups_strategy = st.lists(
 
 @given(sizes=groups_strategy, tau=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
 @SET
+@pytest.mark.slow
 def test_temperature_resample_matches_model(spark, sizes, tau):
     import hashlib
 
@@ -490,6 +497,7 @@ def test_temperature_resample_matches_model(spark, sizes, tau):
 )
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_fuzzy_match_pairs_equals_bruteforce_model(spark, names, maxd):
     """Blocked matching == the brute-force model: all unordered pairs
     of distinct names sharing the regex block with Levenshtein <=
@@ -538,6 +546,7 @@ def test_fuzzy_match_pairs_equals_bruteforce_model(spark, names, maxd):
 )
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_pagerank_matches_integer_model(spark, edges):
     """The distributed PageRank equals a sequential pure-Python
     integer model on arbitrary graphs — same div-truncation, same
@@ -604,6 +613,7 @@ def test_auto_salted_join_picks_salts_by_skew_and_matches_plain(spark):
 )
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_kmv_merge_equals_whole_under_any_split(spark, ids, cut, k):
     """Bottom-k of (bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B) for
     ANY split point — the mergeability that makes per-shard sketch
@@ -911,6 +921,7 @@ def test_cogrouped_asof_bit_identical_to_window_form(spark):
     max_size=20,
 ))
 @SET
+@pytest.mark.slow
 def test_cogrouped_asof_matches_window_form_random(spark, rows, right_times):
     """Property form of the bit-equality gate: over random event sets
     and right tables (including right-only keys, left-only keys, tied
@@ -945,6 +956,7 @@ def test_cogrouped_asof_matches_window_form_random(spark, rows, right_times):
     max_size=60,
 ).map(lambda rs: [(k, i, float(s)) for i, (k, s) in enumerate(rs)]))
 @SET
+@pytest.mark.slow
 def test_bounded_topk_random_matches_naive(spark, rows):
     """Randomized bit-equality for the salted two-phase top-k: heavy
     ties, skewed keys, k spanning under- and over-full buckets."""
@@ -989,6 +1001,7 @@ def test_bounded_topk_random_matches_naive(spark, rows):
     max_size=6,
 ))
 @SET
+@pytest.mark.slow
 def test_containment_prefix_random_matches_naive(spark, texts):
     """Randomized losslessness for the asymmetric prefix filter: tiny
     low-entropy vocabularies force heavy shingle sharing, subset
@@ -1020,6 +1033,7 @@ def test_containment_prefix_random_matches_naive(spark, texts):
     max_size=30,
 ).map(lambda es: [(a, b) for a, b in es if a != b] or [(0, 1)]))
 @SET
+@pytest.mark.slow
 def test_triangle_counts_matches_triple_enumeration(spark, edges):
     """triangle_counts (degree-ordered orientation + adjacency-array
     intersection) vs brute-force enumeration of all vertex triples,
@@ -1053,6 +1067,7 @@ def test_triangle_counts_matches_triple_enumeration(spark, edges):
     max_size=25,
 ).map(lambda es: [(min(a, b), max(a, b)) for a, b in es if a != b] or [(0, 1)]))
 @SET
+@pytest.mark.slow
 def test_star_components_match_union_find(spark, edges):
     """Star contraction must produce exactly label propagation's
     contract: (node, min id of its component) for every non-isolated
@@ -1084,6 +1099,7 @@ def test_star_components_match_union_find(spark, edges):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_star_components_converge_on_deep_chain(spark):
     """A 200-node path has diameter 199 — far beyond any reasonable
     per-hop label-propagation budget; star contraction must still
@@ -1150,6 +1166,7 @@ def test_hdr_bucket_matches_bit_model(spark, vals, p):
     cap=st.sampled_from([1, 2, 4, 100]),
 )
 @SET
+@pytest.mark.slow
 def test_common_neighbor_counts_match_model(spark, edges, cap):
     """Hub-capped common-neighbor counts vs a pure-Python wedge
     recount at caps that exclude much/some/none of the graph."""
@@ -1190,6 +1207,7 @@ def test_common_neighbor_counts_match_model(spark, edges, cap):
     cap=st.sampled_from([0, 1, 3, 16]),
 )
 @SET
+@pytest.mark.slow
 def test_bfs_hops_matches_model(spark, edges, src, cap):
     """Frontier BFS vs a pure-Python BFS from an arbitrary source
     (which may be isolated or absent from the graph) at bounds that

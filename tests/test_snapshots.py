@@ -491,6 +491,7 @@ def test_delete_key_mismatch_raises(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_mor_upsert_foreach_batch_latest_state_wins(spark, tmp_path):
     """Streaming MERGE INTO: per-file micro-batches upsert in order;
     the final table holds last-write state per key, replay leaves the
@@ -571,6 +572,7 @@ def test_crash_mid_upsert_leaves_table_unchanged(spark, tmp_path, monkeypatch):
     assert _ids(snap.read_snapshot(spark, path)) == before
 
 
+@pytest.mark.slow
 def test_audited_stream_publishes_good_batches_quarantines_bad(
     spark, tmp_path
 ):

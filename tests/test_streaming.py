@@ -574,6 +574,7 @@ def test_incremental_pairs_zero_pair_corpus_reads_empty(spark):
     assert clu.select(F.sum("one")).collect()[0][0] == 2
 
 
+@pytest.mark.slow
 def test_incremental_pairs_crash_retry_no_self_pairs(spark, monkeypatch):
     """r11 ADVICE gate: a fold that dies AFTER the band/pair appends
     but BEFORE the cluster merge leaves the retry's signatures

@@ -12,6 +12,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from real_time_data_analytics_cassandra_spark.streaming.pipelines import (
     hourly_type_counts,
 )
@@ -25,6 +27,7 @@ def _write_batch(spark, path, rows):
     return df
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_event_batch_keeps_it(spark):
     hour = 3600
     on_time = [(1, 10 * hour, 1, "signup"), (2, 10 * hour + 30, 2, "signup")]
